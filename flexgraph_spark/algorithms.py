@@ -1,0 +1,118 @@
+"""User-facing algorithms over an edge DataFrame (src long, dst long[, weight]).
+
+Iterative ones run on the GIM-V runner (flat plan by default, blocked
+skew-aware plan via engine='blocked'); triangle counting is a one-shot
+degree-oriented join plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flexgraph_spark import gimv
+from flexgraph_spark.graph import symmetrize
+
+
+def pagerank(
+    edges: DataFrame,
+    alpha: float = gimv.PAGERANK_ALPHA,
+    threshold: float = gimv.CONVERGE_THRESHOLD,
+    max_iter: int = 100,
+    source_vertex: int | None = None,
+    checkpointer=None,
+    engine: str = "flat",
+    **kw,
+) -> gimv.GimvResult:
+    prog = gimv.PageRank(alpha=alpha, threshold=threshold, source_vertex=source_vertex)
+    if engine == "blocked":
+        from flexgraph_spark import blocks
+
+        return blocks.run_blocked(edges, prog, max_iter=max_iter, **kw)
+    return gimv.run(edges, prog, max_iter=max_iter, checkpointer=checkpointer, **kw)
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 100, checkpointer=None, engine: str = "flat", **kw
+) -> gimv.GimvResult:
+    """True WCC: symmetrizes explicitly (the reference's cc.sh does not —
+    SURVEY.md §3.2 discrepancy)."""
+    sym = symmetrize(edges)
+    prog = gimv.ConnectedComponents()
+    if engine == "blocked":
+        from flexgraph_spark import blocks
+
+        return blocks.run_blocked(sym, prog, max_iter=max_iter, **kw)
+    return gimv.run(sym, prog, max_iter=max_iter, checkpointer=checkpointer, **kw)
+
+
+def sssp(
+    edges: DataFrame, source_vertex: int, max_iter: int = 100, checkpointer=None, **kw
+) -> gimv.GimvResult:
+    if "weight" not in edges.columns:
+        edges = edges.withColumn("weight", F.lit(1.0))
+    return gimv.run(
+        edges, gimv.SSSP(source_vertex), max_iter=max_iter, checkpointer=checkpointer, **kw
+    )
+
+
+def label_propagation(
+    edges: DataFrame, max_iter: int = 20, checkpointer=None, **kw
+) -> gimv.GimvResult:
+    return gimv.run(
+        symmetrize(edges), gimv.LabelPropagation(), max_iter=max_iter,
+        checkpointer=checkpointer, **kw,
+    )
+
+
+def degrees(edges: DataFrame, direction: str = "out") -> DataFrame:
+    from flexgraph_spark.graph import degrees as _d
+
+    return _d(edges, direction)
+
+
+def triangle_count(edges: DataFrame) -> int:
+    """Exact triangle count, degree-oriented (scalable): orient each
+    undirected edge from the lower-(degree, id) endpoint to the higher one,
+    enumerate wedges at the low vertex, close them against the oriented
+    edge set. Every triangle is counted exactly once and wedge work
+    concentrates on LOW-degree vertices, which is what survives hub skew at
+    web scale (the join-on-hub explosion never materializes).
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("vertex"))
+        .union(und.select(F.col("b").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count("*").alias("degree"))
+    )
+    ranked = (
+        und.join(deg.withColumnRenamed("vertex", "a").withColumnRenamed("degree", "da"), "a")
+        .join(deg.withColumnRenamed("vertex", "b").withColumnRenamed("degree", "db"), "b")
+    )
+    oriented = ranked.select(
+        F.when(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+            F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+        )
+        .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+        .alias("e")
+    ).select("e.u", "e.v")
+
+    e1 = oriented.select(F.col("u"), F.col("v").alias("w1"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("w2"))
+    wedges = e1.join(e2, "u").filter(F.col("w1") < F.col("w2"))
+    closed = wedges.join(
+        oriented.select(F.col("u").alias("w1"), F.col("v").alias("w2")).union(
+            oriented.select(F.col("v").alias("w1"), F.col("u").alias("w2"))
+        ),
+        ["w1", "w2"],
+    )
+    return closed.count()

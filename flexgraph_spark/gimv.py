@@ -1,0 +1,356 @@
+"""M1 — the generic GIM-V superstep runner (flat DataFrame plan).
+
+GIM-V (reference: /root/reference/src/main/java/flexgraph/computation/
+ComputationMapper.java:598-640) iterates ``v' = apply(v, combineAll(M ⊗_combine2 v))``
+until no vertex changes. The reference hand-schedules this over custom block
+files, DFS intermediates, and ZooKeeper barriers; here each superstep is ONE
+declarative Spark plan:
+
+    messages   = edges ⋈ state on src            (shuffle join on src)
+    aggregated = messages.groupBy(dst).agg(⊕)    (map-side partial agg + shuffle)
+    state'     = state ⟕ aggregated → apply()    (join + column expressions)
+
+The driver loop is the barrier (each superstep = one Spark job), the
+checkpoint truncates lineage (the iterative-plan blowup the reference never
+faces), and the convergence vote (ComputationMapper.java:290-304) is one
+aggregate on the freshly materialized state.
+
+Vertex programs supply the semi-ring as *column expressions* (JVM-side,
+whole-stage-codegen) — the Python process never sees a row.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Reference constants (Constants.java:50-59)
+EPS = 1e-7
+PAGERANK_ALPHA = 0.85
+CONVERGE_THRESHOLD = 1e-8
+SSSP_INF = 8.988465674311579e307  # Double.MAX_VALUE / 2, SSSPComputation.java:106
+
+
+@dataclass
+class IterationMetrics:
+    iteration: int
+    messages_shuffled: int
+    changed: int
+    edges_scanned: int
+    seconds: float
+    skew_ratio: float = 1.0
+
+
+@dataclass
+class GimvResult:
+    state: DataFrame
+    iterations: int
+    converged: bool
+    metrics: list[IterationMetrics] = field(default_factory=list)
+
+
+class VertexProgram:
+    """One GIM-V instantiation. Subclasses define the semi-ring.
+
+    value column is named ``value``; state schema is (vertex long, value T).
+    """
+
+    name = "abstract"
+    needs_out_degree = False
+    weighted = False
+
+    def init_state(self, vertices: DataFrame, n: int) -> DataFrame:
+        raise NotImplementedError
+
+    def message(self) -> F.Column:
+        """combine2: expression over columns (value, weight, out_degree) of
+        the edges⋈state row -> message value sent to dst."""
+        raise NotImplementedError
+
+    def message_filter(self) -> F.Column | None:
+        """Optional predicate on the source state to prune inactive sources
+        (e.g. SSSP's unreached vertices) before the join output explodes."""
+        return None
+
+    def aggregate(self, messages: DataFrame) -> DataFrame:
+        """combineAll: (dst, msg) -> (vertex, msg). Default: scalar agg."""
+        return messages.groupBy(F.col("dst").alias("vertex")).agg(
+            self.reduce_expr().alias("msg")
+        )
+
+    def reduce_expr(self) -> F.Column:
+        raise NotImplementedError
+
+    def apply(self, old: F.Column, msg: F.Column, n: int) -> F.Column:
+        """new value from old value + aggregated message (msg NULL when the
+        vertex received no messages)."""
+        raise NotImplementedError
+
+    def changed(self, old: F.Column, new: F.Column) -> F.Column:
+        """notifyChanged: per-vertex convergence predicate."""
+        raise NotImplementedError
+
+    def finalize(self, state: DataFrame) -> DataFrame:
+        return state
+
+
+class PageRank(VertexProgram):
+    """Reference semantics (PageRankComputation.java:202-256): contribution
+    value/out_degree, sum-reduce, new = α·msg + (1-α)/n, NO dangling-mass
+    redistribution, converged when every |Δ| ≤ threshold, post-hoc
+    normalization by the global rank sum."""
+
+    name = "pagerank"
+    needs_out_degree = True
+
+    def __init__(self, alpha: float = PAGERANK_ALPHA, threshold: float = CONVERGE_THRESHOLD,
+                 source_vertex: int | None = None):
+        self.alpha = alpha
+        self.threshold = threshold
+        self.source_vertex = source_vertex  # personalized init (RWR)
+
+    def init_state(self, vertices: DataFrame, n: int) -> DataFrame:
+        if self.source_vertex is None:
+            return vertices.select("vertex", F.lit(1.0 / n).alias("value"))
+        return vertices.select(
+            "vertex",
+            F.when(F.col("vertex") == self.source_vertex, 1.0).otherwise(0.0).alias("value"),
+        )
+
+    def message(self) -> F.Column:
+        return F.col("value") / F.col("out_degree")
+
+    def reduce_expr(self) -> F.Column:
+        return F.sum("msg")
+
+    def apply(self, old, msg, n):
+        return self.alpha * F.coalesce(msg, F.lit(0.0)) + (1.0 - self.alpha) / n
+
+    def changed(self, old, new):
+        return F.abs(new - old) > self.threshold
+
+    def finalize(self, state: DataFrame) -> DataFrame:
+        total = state.agg(F.sum("value")).first()[0]
+        return state.select("vertex", (F.col("value") / total).alias("value"))
+
+
+class ConnectedComponents(VertexProgram):
+    """HashMin / PEGASUS CC (CCComputation.java:140-197): propagate min
+    label; exact fixpoint. Caller must symmetrize edges for WCC."""
+
+    name = "cc"
+
+    def init_state(self, vertices, n):
+        return vertices.select("vertex", F.col("vertex").alias("value"))
+
+    def message(self):
+        return F.col("value")
+
+    def reduce_expr(self):
+        return F.min("msg")
+
+    def apply(self, old, msg, n):
+        return F.least(old, F.coalesce(msg, old))
+
+    def changed(self, old, new):
+        return new < old
+
+
+class SSSP(VertexProgram):
+    """Weighted single-source shortest paths (SSSPComputation.java:104-212):
+    init 0 at source / MAX/2 elsewhere, relax min(d[src] + w)."""
+
+    name = "sssp"
+    weighted = True
+
+    def __init__(self, source_vertex: int):
+        self.source_vertex = source_vertex
+
+    def init_state(self, vertices, n):
+        return vertices.select(
+            "vertex",
+            F.when(F.col("vertex") == self.source_vertex, 0.0)
+            .otherwise(SSSP_INF)
+            .alias("value"),
+        )
+
+    def message_filter(self):
+        return F.col("value") < SSSP_INF  # only reached vertices relax
+
+    def message(self):
+        return F.col("value") + F.col("weight")
+
+    def reduce_expr(self):
+        return F.min("msg")
+
+    def apply(self, old, msg, n):
+        return F.least(old, F.coalesce(msg, old))
+
+    def changed(self, old, new):
+        return new < old
+
+
+class LabelPropagation(VertexProgram):
+    """Synchronous label propagation: adopt the majority neighbor label,
+    deterministic tie-break = lowest label. The semi-ring is NOT a scalar
+    fold (per-label counts then argmax — SURVEY.md §2.2), so ``aggregate``
+    is a two-level aggregation: groupBy(dst,label).count, then
+    max_by(label, (count, -label)). Runs on symmetrized edges; capped
+    iterations guard bipartite oscillation."""
+
+    name = "label_propagation"
+
+    def init_state(self, vertices, n):
+        return vertices.select("vertex", F.col("vertex").alias("value"))
+
+    def message(self):
+        return F.col("value")
+
+    def aggregate(self, messages: DataFrame) -> DataFrame:
+        counts = messages.groupBy("dst", "msg").agg(F.count("*").alias("cnt"))
+        return counts.groupBy(F.col("dst").alias("vertex")).agg(
+            F.max_by("msg", F.struct(F.col("cnt"), (-F.col("msg")).alias("neg"))).alias("msg")
+        )
+
+    def apply(self, old, msg, n):
+        return F.coalesce(msg, old)
+
+    def changed(self, old, new):
+        return new != old
+
+
+def run(
+    edges: DataFrame,
+    program: VertexProgram,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+    checkpointer: "Checkpointer | None" = None,
+    vertices: DataFrame | None = None,
+    with_skew_metric: bool = False,
+) -> GimvResult:
+    """Run a vertex program to convergence with the flat plan.
+
+    ``edges``: (src, dst[, weight]). ``checkpointer``: optional
+    flexgraph_spark.checkpoint.Checkpointer for durable resume; without it,
+    lineage is truncated via localCheckpoint each superstep.
+    """
+    from flexgraph_spark.checkpoint import Checkpointer  # noqa: F401 (typing)
+
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("src").alias("vertex"))
+            .union(edges.select(F.col("dst").alias("vertex")))
+            .distinct()
+        )
+
+    # Pre-join static per-source data once; repartition edges by src so every
+    # superstep's join reuses one stable partitioning (no per-iteration edge
+    # shuffle — only state moves).
+    edge_cols = ["src", "dst"] + (["weight"] if program.weighted else [])
+    e = edges.select(*edge_cols)
+    if program.needs_out_degree:
+        deg = e.groupBy("src").agg(F.count("*").alias("out_degree"))
+        e = e.join(deg, "src")
+    e = e.repartition(p, "src").persist()
+    edges_count = e.count()  # materialize once; also = edges scanned / superstep
+
+    vertices = vertices.repartition(p, "vertex").persist()
+    n = vertices.count()
+    if n == 0:
+        e.unpersist()
+        vertices.unpersist()
+        empty = spark.createDataFrame([], "vertex long, value double")
+        return GimvResult(state=empty, iterations=0, converged=True, metrics=[])
+
+    start_iter = 0
+    state = None
+    if checkpointer is not None:
+        resumed = checkpointer.resume(program.name)
+        if resumed is not None:
+            start_iter, state = resumed
+    if state is None:
+        state = program.init_state(vertices, n).repartition(p, "vertex")
+        state = state.localCheckpoint(eager=True)
+
+    metrics: list[IterationMetrics] = []
+    converged = False
+    it = start_iter
+    for it in range(start_iter + 1, max_iter + 1):
+        t0 = time.time()
+        src_state = state.withColumnRenamed("vertex", "src")
+        mf = program.message_filter()
+        if mf is not None:
+            src_state = src_state.filter(mf)
+        joined = e.join(src_state, "src")
+        messages = joined.select(F.col("dst"), program.message().alias("msg"))
+        aggregated = program.aggregate(messages)
+
+        new_state = (
+            state.withColumnRenamed("value", "_old")
+            .join(aggregated.withColumnRenamed("msg", "_msg"), "vertex", "left")
+            .select(
+                "vertex",
+                program.apply(F.col("_old"), F.col("_msg"), n).alias("value"),
+                program.changed(
+                    F.col("_old"), program.apply(F.col("_old"), F.col("_msg"), n)
+                ).cast("int").alias("_changed"),
+            )
+            .repartition(p, "vertex")
+        )
+
+        # Materialize + truncate lineage; durable parquet when resumable.
+        if checkpointer is not None:
+            new_state = checkpointer.save(program.name, it, new_state)
+        else:
+            new_state = new_state.localCheckpoint(eager=True)
+
+        agg_row = new_state.agg(
+            F.sum("_changed").alias("changed"), F.count("*").alias("msgs")
+        ).first()
+        changed = int(agg_row["changed"] or 0)
+
+        skew = 1.0
+        if with_skew_metric:
+            # max/mean messages per dst shuffle bucket — the skew the dense
+            # path exists to fix (hub fan-in concentrating one reducer).
+            sizes = (
+                messages.groupBy(F.pmod(F.col("dst"), F.lit(p)).alias("bucket"))
+                .count()
+                .agg(F.max("count").alias("mx"), F.avg("count").alias("avg"))
+                .first()
+            )
+            if sizes and sizes["avg"]:
+                skew = float(sizes["mx"]) / float(sizes["avg"])
+
+        m = IterationMetrics(
+            iteration=it,
+            messages_shuffled=int(agg_row["msgs"]),
+            changed=changed,
+            edges_scanned=edges_count,
+            seconds=time.time() - t0,
+            skew_ratio=skew,
+        )
+        metrics.append(m)
+        if checkpointer is not None:
+            checkpointer.record_metrics(program.name, m)
+
+        old_state = state
+        state = new_state.drop("_changed")
+        if hasattr(old_state, "unpersist"):
+            old_state.unpersist()
+        if changed == 0:
+            converged = True
+            break
+
+    final = program.finalize(state)
+    e.unpersist()
+    vertices.unpersist()
+    return GimvResult(state=final, iterations=it, converged=converged, metrics=metrics)

@@ -1,0 +1,211 @@
+"""M0 — derive the link graph from the source-code repository table.
+
+Input (BASELINE.json input_hint): an Iceberg-style table
+``(repo string, path string, commit string, lang string, content string)``.
+Output: ``edges(src long, dst long)`` + ``vertices(vertex long, repo, path,
+module)`` with deterministic vertex ids.
+
+Everything here is pure column expressions (Catalyst-optimizable: the scan
+reads only the columns each step needs; ``content`` is touched exactly once
+at extraction). No Python UDFs anywhere.
+
+Reference parity notes: the reference ingests ready-made edge/adjacency text
+files (/root/reference/src/main/java/flexgraph/io/UnweightedEdgeListInputFormat.java:33-34);
+this engine additionally *derives* edges from file contents, per the target
+spec. Text-format readers for the reference's two formats live in
+``read_edge_list_text`` / ``read_adjacency_list_text`` below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Import/include patterns per language (FIXTURES.md F2 syntax; real-world
+# patterns are a superset — the extraction is a pluggable dict).
+LINK_PATTERNS = {
+    "py": r"from\s+([\w\.]+)\s+import",
+    "java": r"import\s+([\w\.]+)\s*;",
+    "c": r"#include\s+\"([\w/\.]+)\.h\"",
+}
+
+ID_BUCKETS = 4096  # two-level rank buckets; each bucket ranks locally
+
+
+def module_expr(repo: Column, path: Column) -> Column:
+    """Canonical dotted module key for a file: repo.mod.file (drops the
+    leading source dir and the extension, '/' -> '.')."""
+    trimmed = F.regexp_replace(path, r"^[^/]+/", "")  # drop "src/"
+    no_ext = F.regexp_replace(trimmed, r"\.[A-Za-z0-9]+$", "")
+    return F.concat_ws(".", repo, F.regexp_replace(no_ext, "/", "."))
+
+
+def extract_links(files: DataFrame) -> DataFrame:
+    """(repo, path, lang, content) -> (src_module, dst_module), one row per link.
+
+    Vectorized: a single ``regexp_extract_all`` chosen by ``lang`` via
+    CASE/WHEN, then explode. C includes are normalized to dotted modules.
+    """
+    chain = F.array().cast("array<string>")
+    for lang, p in LINK_PATTERNS.items():
+        chain = F.when(
+            F.col("lang") == lang, F.regexp_extract_all("content", F.lit(p), F.lit(1))
+        ).otherwise(chain)
+    out = (
+        files.select(
+            module_expr(F.col("repo"), F.col("path")).alias("src_module"),
+            F.explode(chain).alias("raw"),
+        )
+        .select(
+            "src_module",
+            F.regexp_replace("raw", "/", ".").alias("dst_module"),
+        )
+    )
+    return out
+
+
+def assign_ids(
+    keys: DataFrame, key_col: str = "module", strategy: str = "rank"
+) -> DataFrame:
+    """Deterministic vertex ids for a distinct-key DataFrame.
+
+    * ``rank`` (default): contiguous [0, n) ids via scalable two-level dense
+      rank — hash-bucket the keys, rank within each bucket (one task per
+      bucket, uniform by hash), offset by cumulative bucket counts. No
+      global window, no driver-side data beyond ``ID_BUCKETS`` counts.
+    * ``hash``: ``xxhash64(key)`` — zero-shuffle; caller must audit
+      collisions (``distinct ids == distinct keys``). Right at 10^12 keys
+      only with a collision-resolution pass; default stays ``rank``.
+    """
+    keys = keys.select(key_col).distinct()
+    if strategy == "hash":
+        return keys.withColumn("vertex", F.xxhash64(key_col))
+    bucketed = keys.withColumn(
+        "_bucket", F.pmod(F.xxhash64(key_col), F.lit(ID_BUCKETS)).cast("int")
+    )
+    counts = {
+        r["_bucket"]: r["cnt"]
+        for r in bucketed.groupBy("_bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    offset_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        ),
+        F.col("_bucket"),
+    )
+    w = Window.partitionBy("_bucket").orderBy(key_col)
+    return (
+        bucketed.withColumn("_local", F.row_number().over(w) - 1)
+        .select(key_col, (offset_col + F.col("_local")).cast("long").alias("vertex"))
+    )
+
+
+def derive_graph(files: DataFrame, id_strategy: str = "rank") -> tuple[DataFrame, DataFrame]:
+    """Full M0 pipeline: files -> (vertices, edges).
+
+    vertices: (vertex long, module, repo, path, lang)
+    edges:    (src long, dst long) — src imports dst; links to modules that
+              don't resolve to a known file are dropped (dangling imports).
+    """
+    file_keys = files.select(
+        "repo", "path", "lang", module_expr(F.col("repo"), F.col("path")).alias("module")
+    )
+    ids = assign_ids(file_keys.select("module"), "module", id_strategy)
+    vertices = file_keys.join(ids, "module")
+    links = extract_links(files)
+    edges = (
+        links.join(ids.withColumnRenamed("vertex", "src"), links.src_module == ids.module)
+        .drop("module")
+        .join(
+            ids.withColumnRenamed("vertex", "dst").withColumnRenamed("module", "m2"),
+            F.col("dst_module") == F.col("m2"),
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+    return vertices.select("vertex", "module", "repo", "path", "lang"), edges
+
+
+def content_fingerprint(files: DataFrame) -> DataFrame:
+    """Per-row sha256 of content (the BASELINE.json row invariant)."""
+    return files.select("repo", "path", "commit", F.sha2(F.col("content"), 256).alias("sha256"))
+
+
+def verify_content_invariant(derived: DataFrame, source: DataFrame) -> int:
+    """Count rows whose content sha256 differs between two tables (0 == pass)."""
+    a = content_fingerprint(derived).withColumnRenamed("sha256", "sha_a")
+    b = content_fingerprint(source).withColumnRenamed("sha256", "sha_b")
+    joined = a.join(b, ["repo", "path", "commit"], "full")
+    return joined.filter(
+        F.col("sha_a").isNull()
+        | F.col("sha_b").isNull()
+        | (F.col("sha_a") != F.col("sha_b"))
+    ).count()
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """edges ∪ reversed(edges), distinct — required for true WCC (the
+    reference's cc.sh never symmetrizes; SURVEY.md §3.2 flags that)."""
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.select("src", "dst").union(rev).distinct()
+
+
+def degrees(edges: DataFrame, direction: str = "out") -> DataFrame:
+    """(vertex, degree) — exact counts, map-side partially aggregated by
+    Catalyst (subsumes the reference's combiner,
+    UnweightedGraphPrepartitioning.java:150-167)."""
+    if direction == "out":
+        d = edges.groupBy(F.col("src").alias("vertex"))
+    elif direction == "in":
+        d = edges.groupBy(F.col("dst").alias("vertex"))
+    else:
+        both = edges.select(F.col("src").alias("vertex")).union(
+            edges.select(F.col("dst").alias("vertex"))
+        )
+        return both.groupBy("vertex").agg(F.count("*").alias("degree"))
+    return d.agg(F.count("*").alias("degree"))
+
+
+def read_edge_list_text(spark, path: str, weighted: bool = False, sep: str = "\t") -> DataFrame:
+    """Reference edge-list text format: SRC\\tDST[\\tWEIGHT]
+    (UnweightedEdgeListInputFormat.java:33-34)."""
+    df = spark.read.csv(path, sep=sep, comment="#")
+    cols = [F.col("_c0").cast("long").alias("src"), F.col("_c1").cast("long").alias("dst")]
+    if weighted:
+        cols.append(F.col("_c2").cast("double").alias("weight"))
+    return df.select(*cols)
+
+
+def read_adjacency_list_text(spark, path: str, weighted: bool = False) -> DataFrame:
+    """Reference adjacency-list format: SRC\\tDEGREE DST1 DST2 ...
+    (UnweightedAdjacencyListInputFormat.java:34-35); weighted interleaves
+    DST WEIGHT pairs. Parsed with pure column expressions."""
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), r"\t")
+    rest = F.split(F.element_at(parts, 2), " ")
+    base = lines.select(
+        F.element_at(parts, 1).cast("long").alias("src"),
+        F.slice(rest, 2, F.element_at(rest, 1).cast("int") * (2 if weighted else 1)).alias("items"),
+    )
+    if not weighted:
+        return base.select("src", F.explode("items").alias("_d")).select(
+            "src", F.col("_d").cast("long").alias("dst")
+        )
+    # interleaved dst/weight pairs -> zip even/odd positions
+    idx = F.sequence(F.lit(0), (F.size("items") / 2).cast("int") - 1)
+    return base.select(
+        "src",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.get("items", i * 2).cast("long").alias("dst"),
+                    F.get("items", i * 2 + 1).cast("double").alias("weight"),
+                ),
+            )
+        ).alias("e"),
+    ).select("src", "e.dst", "e.weight")

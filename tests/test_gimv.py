@@ -1,0 +1,124 @@
+"""M1 golden tests: flat GIM-V runner vs NumPy oracles with the
+reference's exact semantics (FIXTURES.md F3/F4)."""
+
+import numpy as np
+import pytest
+
+from flexgraph_spark import algorithms, fixtures, oracle
+
+
+def _remap(edges):
+    """Remap arbitrary vertex ids to [0, n); returns (edges01, n, fwd, back)."""
+    ids = sorted({v for e in edges for v in (e[0], e[1])})
+    fwd = {v: i for i, v in enumerate(ids)}
+    out = [(fwd[e[0]], fwd[e[1]], *e[2:]) for e in edges]
+    return out, len(ids), fwd, {i: v for v, i in fwd.items()}
+
+
+def _collect_values(result):
+    return {r["vertex"]: r["value"] for r in result.state.collect()}
+
+
+@pytest.mark.parametrize("topo", ["line10", "cycle8", "star_hub", "dangling"])
+def test_pagerank_matches_reference_oracle(spark, topo):
+    edges = fixtures.topology(topo)
+    e01, n, fwd, _ = _remap(edges)
+    df = fixtures.edges_df(spark, e01)
+    res = algorithms.pagerank(df, max_iter=60)
+    got = _collect_values(res)
+    expected = oracle.pagerank(e01, n, max_iter=60)
+    # dangling vertices (2 in 'dangling') never appear as src; engine's
+    # vertex set == endpoints of edges, same as the oracle's [0, n)
+    got_vec = np.array([got[i] for i in range(n)])
+    assert np.allclose(got_vec, expected, atol=1e-6)
+    assert abs(got_vec.sum() - 1.0) < 1e-9
+
+
+def test_pagerank_cycle_uniform(spark):
+    df = fixtures.edges_df(spark, fixtures.topology("cycle8"))
+    res = algorithms.pagerank(df)
+    got = _collect_values(res)
+    assert res.converged
+    for v, r in got.items():
+        assert abs(r - 1 / 8) < 1e-9
+
+
+def test_personalized_pagerank(spark):
+    edges = fixtures.topology("line10")
+    df = fixtures.edges_df(spark, edges)
+    res = algorithms.pagerank(df, source_vertex=0, max_iter=60)
+    got = _collect_values(res)
+    expected = oracle.pagerank(edges, 10, source=0, max_iter=60)
+    assert np.allclose([got[i] for i in range(10)], expected, atol=1e-6)
+
+
+def test_cc_exact(spark):
+    edges = fixtures.topology("two_components")
+    e01, n, fwd, back = _remap(edges)
+    df = fixtures.edges_df(spark, edges)
+    res = algorithms.connected_components(df)
+    got = _collect_values(res)
+    exp = oracle.connected_components(
+        e01 + [(d, s) for s, d in e01], n
+    )
+    assert res.converged
+    for v, lbl in got.items():
+        assert lbl == back[exp[fwd[v]]]
+
+
+def test_sssp_weighted_diamond(spark):
+    edges = fixtures.topology("weighted_diamond")
+    df = fixtures.edges_df(spark, edges, weighted=True)
+    res = algorithms.sssp(df, source_vertex=0)
+    got = _collect_values(res)
+    assert res.converged
+    assert got[0] == 0.0
+    assert got[1] == 1.0
+    assert got[2] == 4.0
+    assert got[3] == 2.0  # via 0-1-3
+
+
+def test_sssp_unreachable_sentinel(spark):
+    df = fixtures.edges_df(spark, [(0, 1, 1.0), (2, 3, 1.0)], weighted=True)
+    res = algorithms.sssp(df, source_vertex=0)
+    got = _collect_values(res)
+    assert got[2] == oracle.SSSP_INF
+    assert got[3] == oracle.SSSP_INF
+
+
+def test_label_propagation_two_blocks(spark):
+    edges = fixtures.topology("lp_blocks")
+    df = fixtures.edges_df(spark, edges)
+    res = algorithms.label_propagation(df, max_iter=30)
+    got = _collect_values(res)
+    sym = edges + [(d, s) for s, d in edges]
+    exp = oracle.label_propagation(sym, 40, max_iter=30)
+    for v in range(40):
+        assert got[v] == exp[v], f"vertex {v}"
+
+
+def test_triangle_count(spark):
+    df = fixtures.edges_df(spark, fixtures.topology("triangle_mix"))
+    assert algorithms.triangle_count(df) == 5
+
+
+@pytest.mark.parametrize("seed", [42, 43])
+def test_property_random_graph(spark, seed):
+    edges = fixtures.rand_er(30, 0.08, seed=seed)
+    if not edges:
+        pytest.skip("empty graph")
+    e01, n, fwd, back = _remap(edges)
+    df = fixtures.edges_df(spark, e01)
+
+    res = algorithms.pagerank(df, max_iter=50)
+    got = _collect_values(res)
+    exp = oracle.pagerank(e01, n, max_iter=50)
+    assert np.allclose([got[i] for i in range(n)], exp, atol=1e-6)
+
+    res_cc = algorithms.connected_components(df)
+    got_cc = _collect_values(res_cc)
+    exp_cc = oracle.connected_components(e01 + [(d, s) for s, d in e01], n)
+    assert [got_cc[i] for i in range(n)] == exp_cc.tolist()
+
+    tri = algorithms.triangle_count(df)
+    assert tri == oracle.triangle_count(e01, n)

@@ -1,0 +1,89 @@
+"""M0 tests: link extraction ground truth, id determinism, sha invariant,
+reference text-format readers."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flexgraph_spark import fixtures, graph
+
+
+@pytest.fixture(scope="module")
+def repo_files(spark):
+    df, expected_edges = fixtures.repo_files_df(spark, n_repos=2, files_per_repo=60)
+    return df.cache(), expected_edges
+
+
+def test_edge_derivation_matches_ground_truth(spark, repo_files):
+    files, expected = repo_files
+    vertices, edges = graph.derive_graph(files)
+    # rank ids are assigned over sorted modules; generator keys are emitted
+    # sorted by (repo, path) but module sort differs — map via module names.
+    keys = fixtures.make_file_keys(2, 60)
+    vmap = {r["module"]: r["vertex"] for r in vertices.collect()}
+    expected_pairs = sorted(
+        (vmap[keys[s].module], vmap[keys[d].module]) for s, d in expected
+    )
+    got = sorted((r["src"], r["dst"]) for r in edges.collect())
+    assert got == expected_pairs
+
+
+def test_id_assignment_deterministic_and_contiguous(spark, repo_files):
+    files, _ = repo_files
+    ids1 = graph.assign_ids(
+        files.select(graph.module_expr(F.col("repo"), F.col("path")).alias("module"))
+    )
+    ids2 = graph.assign_ids(
+        files.select(graph.module_expr(F.col("repo"), F.col("path")).alias("module"))
+        .orderBy(F.rand(7))  # order must not matter
+    )
+    a = {r["module"]: r["vertex"] for r in ids1.collect()}
+    b = {r["module"]: r["vertex"] for r in ids2.collect()}
+    assert a == b
+    vals = sorted(a.values())
+    assert vals == list(range(len(vals)))
+
+
+def test_content_invariant(spark, repo_files):
+    files, _ = repo_files
+    assert graph.verify_content_invariant(files, files) == 0
+    tampered = files.withColumn(
+        "content",
+        F.when(F.col("path").endswith("file000.py"), F.lit("evil")).otherwise(
+            F.col("content")
+        ),
+    )
+    assert graph.verify_content_invariant(tampered, files) > 0
+
+
+def test_degrees(spark):
+    e = fixtures.edges_df(spark, fixtures.topology("star_hub"))
+    out = {r["vertex"]: r["degree"] for r in graph.degrees(e, "out").collect()}
+    assert out[0] == 199
+    assert out[5] == 1
+    both = {r["vertex"]: r["degree"] for r in graph.degrees(e, "both").collect()}
+    assert both[0] == 398
+
+
+def test_text_format_readers(spark, tmp_path):
+    # edge list: SRC\tDST\tWEIGHT
+    p = tmp_path / "edges.txt"
+    p.write_text("0\t1\t2.5\n1\t2\t0.5\n")
+    df = graph.read_edge_list_text(spark, str(p), weighted=True)
+    assert sorted(map(tuple, df.collect())) == [(0, 1, 2.5), (1, 2, 0.5)]
+    # adjacency list: SRC\tDEG D1 D2 ...
+    a = tmp_path / "adj.txt"
+    a.write_text("0\t3 1 2 3\n5\t1 0\n")
+    df = graph.read_adjacency_list_text(spark, str(a))
+    assert sorted(map(tuple, df.collect())) == [(0, 1), (0, 2), (0, 3), (5, 0)]
+    # weighted adjacency: SRC\tDEG D1 W1 D2 W2
+    w = tmp_path / "wadj.txt"
+    w.write_text("0\t2 1 0.5 2 1.5\n")
+    df = graph.read_adjacency_list_text(spark, str(w), weighted=True)
+    assert sorted(map(tuple, df.collect())) == [(0, 1, 0.5), (0, 2, 1.5)]
+
+
+def test_symmetrize(spark):
+    e = fixtures.edges_df(spark, [(0, 1), (1, 0), (1, 2)])
+    got = sorted(map(tuple, graph.symmetrize(e).collect()))
+    assert got == [(0, 1), (1, 0), (1, 2), (2, 1)]
