@@ -58,11 +58,40 @@ class VertexProgram:
     """One GIM-V instantiation. Subclasses define the semi-ring.
 
     value column is named ``value``; state schema is (vertex long, value T).
+
+    The ``np_*`` methods are the same semi-ring as NumPy kernels — the
+    blocked execution path (flexgraph_spark.blocks) runs them inside
+    Arrow-batched pandas UDFs over CSR block arrays. ``supports_blocked``
+    is False for non-scalar semi-rings (label propagation's per-label
+    count/argmax), which run on the flat plan only.
     """
 
     name = "abstract"
     needs_out_degree = False
     weighted = False
+    supports_blocked = True
+    reduce_np = "sum"  # "sum" | "min" — blocked combineAll
+    identity = 0.0     # identity element of reduce_np
+
+    def np_init(self, global_ids, n):
+        """Initial dense value array for a block's global ids (np.int64[])."""
+        raise NotImplementedError
+
+    def np_signal(self, values, out_degree):
+        """Per-source emitted signal (combine2's source-dependent factor).
+        ``out_degree`` is the global out-degree array aligned with values."""
+        return values
+
+    def np_message(self, signal_at_src, weights):
+        """Per-edge message from the source signal (+ weight if weighted)."""
+        return signal_at_src
+
+    def np_apply(self, old, msg, has_msg, n):
+        """Vectorized apply; ``has_msg`` masks vertices that got messages."""
+        raise NotImplementedError
+
+    def np_changed(self, old, new):
+        raise NotImplementedError
 
     def init_state(self, vertices: DataFrame, n: int) -> DataFrame:
         raise NotImplementedError
@@ -138,6 +167,31 @@ class PageRank(VertexProgram):
         total = state.agg(F.sum("value")).first()[0]
         return state.select("vertex", (F.col("value") / total).alias("value"))
 
+    # --- blocked-path NumPy kernels (same semantics, Arrow-vectorized) ---
+    reduce_np = "sum"
+    identity = 0.0
+
+    def np_init(self, global_ids, n):
+        import numpy as np
+
+        if self.source_vertex is None:
+            return np.full(len(global_ids), 1.0 / n, dtype=np.float64)
+        return (global_ids == self.source_vertex).astype(np.float64)
+
+    def np_signal(self, values, out_degree):
+        import numpy as np
+
+        return np.divide(values, out_degree, out=np.zeros_like(values),
+                         where=out_degree > 0)
+
+    def np_apply(self, old, msg, has_msg, n):
+        return self.alpha * msg + (1.0 - self.alpha) / n
+
+    def np_changed(self, old, new):
+        import numpy as np
+
+        return np.abs(new - old) > self.threshold
+
 
 class ConnectedComponents(VertexProgram):
     """HashMin / PEGASUS CC (CCComputation.java:140-197): propagate min
@@ -158,6 +212,21 @@ class ConnectedComponents(VertexProgram):
         return F.least(old, F.coalesce(msg, old))
 
     def changed(self, old, new):
+        return new < old
+
+    # blocked kernels: labels ride as float64 (exact below 2^53)
+    reduce_np = "min"
+    identity = float("inf")
+
+    def np_init(self, global_ids, n):
+        return global_ids.astype("float64")
+
+    def np_apply(self, old, msg, has_msg, n):
+        import numpy as np
+
+        return np.where(has_msg, np.minimum(old, msg), old)
+
+    def np_changed(self, old, new):
         return new < old
 
 
@@ -194,6 +263,31 @@ class SSSP(VertexProgram):
     def changed(self, old, new):
         return new < old
 
+    reduce_np = "min"
+    identity = float("inf")
+
+    def np_init(self, global_ids, n):
+        import numpy as np
+
+        return np.where(global_ids == self.source_vertex, 0.0, SSSP_INF)
+
+    def np_signal(self, values, out_degree):
+        import numpy as np
+
+        # unreached sources must not relax: emit inf so min() ignores them
+        return np.where(values < SSSP_INF, values, np.inf)
+
+    def np_message(self, signal_at_src, weights):
+        return signal_at_src + (weights if weights is not None else 1.0)
+
+    def np_apply(self, old, msg, has_msg, n):
+        import numpy as np
+
+        return np.where(has_msg, np.minimum(old, msg), old)
+
+    def np_changed(self, old, new):
+        return new < old
+
 
 class LabelPropagation(VertexProgram):
     """Synchronous label propagation: adopt the majority neighbor label,
@@ -204,6 +298,7 @@ class LabelPropagation(VertexProgram):
     iterations guard bipartite oscillation."""
 
     name = "label_propagation"
+    supports_blocked = False  # non-scalar semi-ring (per-label counts)
 
     def init_state(self, vertices, n):
         return vertices.select("vertex", F.col("vertex").alias("value"))
