@@ -1,0 +1,492 @@
+"""Training-data pipeline operators over document / embedding tables.
+
+Everything JVM-expressible uses built-in pyspark.sql.functions (whole-stage
+codegen); the few genuinely-Python kernels (simhash bit packing, random
+projections) are Arrow-batched pandas UDFs — never per-row Python.
+
+Operators:
+* exact deduplication (content-hash groupBy)
+* token / quality statistics (pure column expressions)
+* n-gram shingles + exact Jaccard similarity
+* MinHash signatures + LSH banding -> near-duplicate candidate pairs
+* SimHash (64-bit) near-dup
+* language-ID heuristic (stopword n-gram scoring)
+* rolling-hash document fingerprint
+* brute-force cosine top-k ANN + LSH-bucketed variant
+* multimodal binary-column plumbing (decode stubbed; schema/batching real)
+
+Scale notes: dedup/minhash shuffle on hash keys (uniform by construction);
+LSH candidate verification joins only within buckets; ANN brute force
+broadcasts the (small) query set and computes dot products JVM-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (text_hash, dup_count, doc_ids).
+    One shuffle on a 256-bit hash — uniform keys, no skew."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("dup_count"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", keep: str = "min_doc_id") -> DataFrame:
+    """Keep one representative per identical text (lowest doc_id)."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy("doc_id")
+    return df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# Text statistics / quality
+# ---------------------------------------------------------------------------
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_chars, avg_token_len) — whitespace tokenization,
+    pure column expressions."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tokens = F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(F.size(toks))
+    return df.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        (F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) /
+         F.greatest(n_tokens, F.lit(1))).alias("avg_token_len"),
+    )
+
+
+def regex_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token proxy: words + standalone punctuation as tokens."""
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\w+|[^\w\s]"), F.lit(0)))
+        .cast("long")
+        .alias("n_regex_tokens"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: length, punctuation density, digit ratio,
+    uppercase ratio, mean line length. All JVM-side."""
+    txt = F.col(text_col)
+    n = F.greatest(F.length(txt), F.lit(1)).cast("double")
+    punct = F.length(F.regexp_replace(txt, r"[^.!?,;:]", "")).cast("double")
+    digits = F.length(F.regexp_replace(txt, r"[^0-9]", "")).cast("double")
+    upper = F.length(F.regexp_replace(txt, r"[^A-Z]", "")).cast("double")
+    lines = F.greatest(F.size(F.split(txt, r"\n")), F.lit(1)).cast("double")
+    return df.select(
+        "doc_id",
+        F.length(txt).cast("long").alias("n_chars"),
+        (punct / n).alias("punct_ratio"),
+        (digits / n).alias("digit_ratio"),
+        (upper / n).alias("upper_ratio"),
+        (F.length(txt) / lines).alias("mean_line_len"),
+    )
+
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "est", "dans", "que", "une", "pour"],
+    "es": ["el", "la", "los", "que", "de", "en", "es", "una", "por", "con"],
+}
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language heuristic: (doc_id, lang_pred, lang_score).
+    Pure column expressions: per-language hit count over the token set."""
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"[^a-zà-ÿ]+"))
+    scores = [
+        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))).alias(lang)
+        for lang, ws in _STOPWORDS.items()
+    ]
+    scored = df.select("doc_id", *scores)
+    langs = list(_STOPWORDS)
+    best = F.greatest(*[F.col(lg) for lg in langs])
+    pred = F.lit("unknown")
+    for lg in reversed(langs):  # earlier langs win ties
+        pred = F.when(F.col(lg) == best, F.lit(lg)).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        F.when(best > 0, pred).otherwise(F.lit("unknown")).alias("lang_pred"),
+        best.cast("double").alias("lang_score"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic 64-bit document fingerprint (xxhash of normalized text +
+    a rolling-window structural hash)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.select(
+        "doc_id",
+        F.xxhash64(norm).alias("fingerprint"),
+        F.xxhash64(F.substring(norm, 1, 256)).alias("prefix_fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles, Jaccard, MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingles(text: F.Column, k: int = 5) -> F.Column:
+    """Distinct character k-shingles of lowercased text (JVM-side)."""
+    norm = F.lower(F.regexp_replace(text, r"\s+", " "))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
+
+
+def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Exact Jaccard over k-shingle sets for given (doc_a, doc_b) pairs."""
+    sh = df.select(F.col("doc_id"), shingles(F.col(text_col), k).alias("sh"))
+    a = sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 32, k: int = 5
+) -> DataFrame:
+    """(doc_id, sig: array<long>) MinHash signatures, fully JVM-side:
+    sig[i] = min over shingles of xxhash64(shingle, seed_i)."""
+    sh = shingles(F.col(text_col), k)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band hash become candidate pairs.
+    One explode + one self-join per-bucket — the web-scale near-dup plan
+    (no all-pairs comparison ever materializes)."""
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """End-to-end near-dup: MinHash -> LSH candidates -> exact Jaccard filter."""
+    sigs = minhash_signatures(df, text_col, num_hashes, k)
+    cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
+    return ngram_jaccard(df, cands, text_col, k).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word tokens. Token hashing stays JVM-side
+    (deterministic xxhash64 per token via ``transform``); only the bit
+    voting/packing is a pandas UDF over the hash arrays (pure NumPy, no
+    Python ``hash()`` — that is process-seed dependent and would break
+    determinism across executors)."""
+    tok_hashes = F.transform(
+        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""),
+        lambda t: F.xxhash64(t),
+    )
+
+    @F.pandas_udf(T.LongType())
+    def _pack(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        shifts = np.arange(bits, dtype=np.uint64)
+        for i, hs in enumerate(hashes):
+            if hs is None or len(hs) == 0:
+                continue
+            h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            bitcols = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            votes = bitcols.sum(0) * 2 - len(h)
+            sig = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+            out[i] = np.array(sig, dtype=np.uint64).view(np.int64).item()
+        return pd.Series(out)
+
+    return df.select("doc_id", _pack(tok_hashes).alias("simhash"))
+
+
+def simhash_near_duplicates(df: DataFrame, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dups by SimHash: band the 64 bits into 4 × 16-bit chunks (any
+    pair within hamming ≤ 3 shares at least one exact chunk), bucket-join,
+    verify hamming distance."""
+    sh = simhash(df, text_col)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk", "cc.val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_topk_bruteforce(
+    vectors: DataFrame, queries: DataFrame, top_k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against all
+    vectors; dot products are JVM-side higher-order functions (no Python).
+    (query_id, rank, neighbor_id, score). The baseline the ANN variants are
+    judged against."""
+    v = vectors.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("q"),
+    )
+    scored = F.broadcast(q).crossJoin(v).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+def lsh_assign_buckets(
+    vectors: DataFrame,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Random-hyperplane LSH, multi-table: each vector gets ``num_tables``
+    sign-bucket ids (one per independent set of ``num_planes`` hyperplanes).
+    Output: one row per (vec_id, table, bucket). Vectorized pandas UDF —
+    one matmul per Arrow batch."""
+    if dim is None:
+        dim = len(vectors.select("embedding").first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, num_planes * num_tables))
+    weights = 1 << np.arange(num_planes)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        signs = (m @ planes) > 0  # (batch, planes*tables)
+        signs = signs.reshape(len(m), num_tables, num_planes)
+        vals = (signs * weights).sum(2).astype(np.int32)
+        return pd.Series(list(vals))
+
+    return (
+        vectors.withColumn("_b", buckets(F.col("embedding")))
+        .select("*", F.posexplode("_b").alias("table", "bucket"))
+        .drop("_b")
+    )
+
+
+def cosine_topk_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to vectors sharing any LSH
+    table bucket with the query (bucket joins instead of crossJoin) — the
+    100 TB-scale path. Multi-table union keeps recall high; recall is
+    tested against the brute-force baseline in tests."""
+    vb = lsh_assign_buckets(vectors, num_planes, num_tables, seed)
+    qb = lsh_assign_buckets(queries, num_planes, num_tables, seed)
+    v = vb.select(
+        "table", "bucket", F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    q = qb.select("table", "bucket", F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("q_emb"))
+    cand = (
+        F.broadcast(q.drop("q_emb"))
+        .join(v.select("table", "bucket", "neighbor_id"), ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    ve = vectors.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    qe = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("q"),
+    )
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ve, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (decode stubbed — libs not in container)
+# ---------------------------------------------------------------------------
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def extract_media_features(media: DataFrame, feature_dim: int = 8, real_decode: bool = False) -> DataFrame:
+    """Spark-side plumbing for binary media columns: Arrow-batched
+    mapInPandas over (media_id, kind, payload). The *decode* step is a
+    deterministic fake (byte-histogram features) because image/audio codecs
+    are not in this container — swap ``_decode`` for a real one; the
+    partitioning, batching and schema are production-shaped."""
+
+    def _decode(payload: bytes, kind: str) -> np.ndarray:
+        if real_decode:
+            raise NotImplementedError(
+                "real media decoding requires PIL/librosa/av — not available here"
+            )
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        if len(arr) == 0:
+            return np.zeros(feature_dim, dtype=np.float32)
+        hist, _ = np.histogram(arr, bins=feature_dim, range=(0, 256))
+        return (hist / max(len(arr), 1)).astype(np.float32)
+
+    def run(batches):
+        for pdf in batches:
+            feats = [
+                _decode(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)

@@ -1,0 +1,177 @@
+"""Training-data pipeline operator tests over the driver's documents /
+embeddings tables plus synthetic corner cases."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flexgraph_spark import textops
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def _mini_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumped over the lazy dog"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    df = _mini_docs(spark)
+    dups = textops.exact_duplicates(df).collect()
+    assert len(dups) == 1
+    assert dups[0]["dup_count"] == 2
+    assert dups[0]["doc_ids"] == [1, 2]
+    kept = textops.dedup_exact(df)
+    assert kept.count() == 4
+    assert kept.filter("doc_id = 2").count() == 0  # lowest doc_id kept
+
+
+def test_token_stats(spark):
+    df = _mini_docs(spark)
+    st = {r["doc_id"]: r for r in textops.token_stats(df).collect()}
+    assert st[1]["n_tokens"] == 9
+    assert st[5]["n_tokens"] == 0
+    assert st[1]["n_chars"] == len("the quick brown fox jumps over the lazy dog")
+
+
+def test_quality_scores(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World! 123\nsecond line")], "doc_id long, text string"
+    )
+    r = textops.quality_scores(df).first()
+    assert r["n_chars"] == 29
+    assert r["punct_ratio"] == pytest.approx(2 / 29)  # ',' and '!'
+    assert r["digit_ratio"] == pytest.approx(3 / 29)
+    assert r["upper_ratio"] == pytest.approx(2 / 29)
+    assert r["mean_line_len"] == pytest.approx(29 / 2)
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in that house for a while"),
+            (2, "der Hund und die Katze ist nicht mit dem Mann"),
+            (3, "xyzzy qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in textops.language_id(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "unknown"
+
+
+def test_minhash_near_duplicates(spark):
+    df = _mini_docs(spark)
+    nd = textops.minhash_near_duplicates(df, threshold=0.6)
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in nd.collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.6  # near dup
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_against_bruteforce_jaccard(spark, docs):
+    """LSH recall on real documents: every pair LSH finds must have true
+    Jaccard >= threshold (precision is enforced by the verify step; here we
+    check the verify numbers against a brute-force python computation)."""
+    sample = docs.limit(60)
+    nd = textops.minhash_near_duplicates(sample, threshold=0.5).collect()
+    rows = {r["doc_id"]: r["text"] for r in sample.collect()}
+
+    def jac(a, b, k=5):
+        A = {a[i : i + k] for i in range(max(len(a) - k + 1, 1))}
+        B = {b[i : i + k] for i in range(max(len(b) - k + 1, 1))}
+        return len(A & B) / max(len(A | B), 1)
+
+    import re
+
+    for r in nd:
+        ta = re.sub(r"\s+", " ", rows[r["doc_a"]].lower())
+        tb = re.sub(r"\s+", " ", rows[r["doc_b"]].lower())
+        assert jac(ta, tb) == pytest.approx(r["jaccard"], abs=1e-9)
+        assert r["jaccard"] >= 0.5
+
+
+def test_simhash_determinism_and_neardup(spark):
+    df = _mini_docs(spark)
+    s1 = {r["doc_id"]: r["simhash"] for r in textops.simhash(df).collect()}
+    s2 = {r["doc_id"]: r["simhash"] for r in textops.simhash(df).collect()}
+    assert s1 == s2  # deterministic across runs
+    assert s1[1] == s1[2]  # identical docs → identical simhash
+    nd = textops.simhash_near_duplicates(df, max_hamming=16)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in nd.collect()}
+    assert (1, 2) in pairs
+
+
+def test_doc_fingerprint(spark):
+    df = _mini_docs(spark)
+    fp = {r["doc_id"]: r["fingerprint"] for r in textops.doc_fingerprint(df).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[4]
+
+
+def test_cosine_topk_bruteforce_vs_numpy(spark, embeddings):
+    queries = embeddings.filter("vec_id < 3")
+    got = textops.cosine_topk_bruteforce(embeddings, queries, top_k=5).collect()
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in embeddings.collect()}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for qid in range(3):
+        expected = sorted(
+            ((cos(emb[qid], v), k) for k, v in emb.items() if k != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        mine = sorted(
+            [(r["rank"], r["neighbor_id"], r["score"]) for r in got if r["query_id"] == qid]
+        )
+        for (rank, nid, score), (escore, eid) in zip(mine, expected):
+            assert nid == eid
+            assert score == pytest.approx(escore, abs=1e-9)
+
+
+def test_cosine_topk_lsh_recall(spark, embeddings):
+    queries = embeddings.filter("vec_id < 10")
+    brute = textops.cosine_topk_bruteforce(embeddings, queries, top_k=5)
+    # this dataset's true top-5 neighbors are weak (mean cosine ~0.32), so
+    # LSH needs short codes + many tables: expected recall ~0.9 at 4x16
+    approx = textops.cosine_topk_lsh(
+        embeddings, queries, top_k=5, num_planes=4, num_tables=16
+    )
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.6, recall
+
+
+def test_media_feature_plumbing(spark):
+    rows = [
+        (1, "image", bytearray(b"\x00\x01\x02\x03" * 10), {"w": "2"}),
+        (2, "audio", bytearray(b""), {}),
+    ]
+    media = spark.createDataFrame(rows, textops.MEDIA_SCHEMA)
+    feats = textops.extract_media_features(media, feature_dim=4).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[1]["n_bytes"] == 40
+    assert len(by_id[1]["feature"]) == 4
+    assert sum(by_id[1]["feature"]) == pytest.approx(1.0)
+    assert by_id[2]["feature"] == [0.0, 0.0, 0.0, 0.0]
+    with pytest.raises(Exception):
+        textops.extract_media_features(media, real_decode=True).collect()
