@@ -1,0 +1,138 @@
+"""Headline benchmark for the flexgraph_spark engine.
+
+Runs the engine's flagship operators at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "...", "queries": {...}, "sf": ...}
+
+The headline metric follows BASELINE.json: edges-processed/sec per PageRank
+superstep on the derived link graph. Per-query wall seconds are reported
+for everything else. Scaling-efficiency evidence (same job at two
+parallelism levels) lives in bench/scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F
+
+from flexgraph_spark import algorithms, textops
+from flexgraph_spark.session import get_spark
+
+PAGERANK_ITERS = 10
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(
+        "flexgraph-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(16, 2 * cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # link graph: supplier -> part (skewed in-degree: popular parts are hubs)
+    edges = (
+        li.select(F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    n_edges = edges.count()
+
+    # denser general digraph for LP / triangles
+    g5000 = (
+        li.select(
+            (F.col("l_orderkey") % 5000).alias("src"),
+            (F.col("l_partkey") % 5000).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    g5000.count()
+
+    queries: dict[str, float] = {}
+
+    def timed(name: str, fn) -> float:
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        return dt
+
+    pr_time = timed(
+        "pagerank_flat_10it",
+        lambda: algorithms.pagerank(edges, threshold=0.0, max_iter=PAGERANK_ITERS)
+        .state.agg(F.sum("value"))
+        .first(),
+    )
+    timed(
+        "pagerank_blocked_10it",
+        lambda: algorithms.pagerank(
+            edges, threshold=0.0, max_iter=PAGERANK_ITERS, engine="blocked",
+            p=max(16, cpus), dense_threshold=100,
+        )
+        .state.agg(F.sum("value"))
+        .first(),
+    )
+    timed(
+        "cc_converged",
+        lambda: algorithms.connected_components(edges, max_iter=60).state.count(),
+    )
+    timed(
+        "lp_4it",
+        lambda: algorithms.label_propagation(g5000, max_iter=4).state.count(),
+    )
+    timed("triangles", lambda: algorithms.triangle_count(g5000))
+    timed(
+        "near_dup_minhash",
+        lambda: textops.minhash_near_duplicates(
+            docs, threshold=0.25, num_hashes=32, bands=16
+        ).count(),
+    )
+    timed(
+        "ann_lsh_top10",
+        lambda: textops.cosine_topk_lsh(
+            emb, emb.filter(F.col("vec_id") < 20), 10
+        ).count(),
+    )
+    timed(
+        "text_quality_scan",
+        lambda: textops.quality_scores(docs)
+        .join(textops.token_stats(docs), "doc_id")
+        .agg(F.sum("n_tokens"), F.avg("punct_ratio"))
+        .first(),
+    )
+
+    edges_per_sec_per_superstep = n_edges / (pr_time / PAGERANK_ITERS)
+    print(
+        json.dumps(
+            {
+                "metric": "pagerank_edges_per_sec_per_superstep",
+                "value": round(edges_per_sec_per_superstep, 1),
+                "unit": "edges/sec",
+                "queries": queries,
+                "sf": sf,
+                "cpus": cpus,
+                "edges": n_edges,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -148,11 +148,41 @@ def shingles(text: F.Column, k: int = 5) -> F.Column:
     return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
 
 
+def shingle_hashes(text: F.Column, k: int = 5) -> F.Column:
+    """Distinct xxhash64-hashed k-shingles (array<long>). Hashing before
+    de-dup keeps everything fixed-width: set ops on int64 are ~10x cheaper
+    than on strings and the Jaccard value is identical modulo 2^-64
+    collisions. This is the representation the scale path uses."""
+    norm = F.lower(F.regexp_replace(text, r"\s+", " "))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.xxhash64(norm.substr(i, F.lit(k))))
+    )
+
+
+def shingle_table(df: DataFrame, text_col: str = "text", k: int = 5,
+                  extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Materialized (doc_id[, extra], hs: array<long>) hashed-shingle table.
+
+    The ``persist()`` is load-bearing: without a barrier, Catalyst's
+    projection collapse re-evaluates the O(len) shingle expression once per
+    downstream consumer (e.g. 32x for a 32-hash MinHash signature, or per
+    candidate pair in a join) — measured 20-50x slowdowns. With it, shingles
+    are computed exactly once per document.
+    """
+    return df.select(
+        "doc_id", *extra_cols, shingle_hashes(F.col(text_col), k).alias("hs")
+    ).persist()
+
+
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
-    """Exact Jaccard over k-shingle sets for given (doc_a, doc_b) pairs."""
-    sh = df.select(F.col("doc_id"), shingles(F.col(text_col), k).alias("sh"))
-    a = sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a")
-    b = sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b")
+    """Exact Jaccard over hashed k-shingle sets for given (doc_a, doc_b)
+    pairs. Shingle sets are materialized once (see shingle_table) and
+    intersected as int64 arrays."""
+    sh = shingle_table(df, text_col, k)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
@@ -160,8 +190,8 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text", k: in
             "doc_a",
             "doc_b",
             (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
+                inter
+                / F.greatest(F.size("sh_a") + F.size("sh_b") - inter, F.lit(1))
             ).alias("jaccard"),
         )
     )
@@ -171,15 +201,17 @@ def minhash_signatures(
     df: DataFrame, text_col: str = "text", num_hashes: int = 32, k: int = 5
 ) -> DataFrame:
     """(doc_id, sig: array<long>) MinHash signatures, fully JVM-side:
-    sig[i] = min over shingles of xxhash64(shingle, seed_i)."""
-    sh = shingles(F.col(text_col), k)
+    sig[i] = min over hashed shingles of xxhash64(h, seed_i). Shingles are
+    materialized once; the num_hashes passes run over the cached int64
+    array."""
+    sh = shingle_table(df, text_col, k)
     sig = F.array(
         *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            F.array_min(F.transform(F.col("hs"), lambda s: F.xxhash64(s, F.lit(i))))
             for i in range(num_hashes)
         ]
     )
-    return df.select("doc_id", sig.alias("sig"))
+    return sh.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_candidates(

@@ -1,0 +1,39 @@
+"""spark-submit entry: connected components (HashMin).
+
+Unlike the reference's cc.sh (which never symmetrizes — SURVEY.md §3.2),
+this computes true WCC by symmetrizing explicitly.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from jobs.common import base_parser, get_session, load_edges, make_checkpointer
+
+
+def main() -> None:
+    args = base_parser("Connected components (HashMin GIM-V)").parse_args()
+    spark = get_session("flexgraph-cc")
+    edges = load_edges(spark, args)
+    from flexgraph_spark import algorithms
+
+    res = algorithms.connected_components(
+        edges,
+        max_iter=args.max_iter,
+        checkpointer=make_checkpointer(args, edges),
+        engine=args.engine,
+        **(
+            {"p": args.num_partitions, "dense_threshold": args.dense_threshold}
+            if args.engine == "blocked"
+            else {"num_partitions": args.num_partitions}
+        ),
+    )
+    res.state.write.mode("overwrite").parquet(args.output)
+    print(f"cc: iterations={res.iterations} converged={res.converged} -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

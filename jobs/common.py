@@ -1,0 +1,63 @@
+"""Shared CLI plumbing for the spark-submit job entry points.
+
+Launch pattern (north_rule):
+
+    scripts/make_pyfiles.sh           # builds dist/flexgraph_spark.zip
+    spark-submit --py-files dist/flexgraph_spark.zip jobs/pagerank.py \
+        --edges hdfs://.../edges.parquet --output hdfs://.../ranks \
+        --checkpoint-dir hdfs://.../ckpt --engine blocked
+
+On a cluster, spark-submit owns master/executor conf; these scripts never
+set a master. ``--repo-table`` accepts the Iceberg-style source table
+(repo, path, commit, lang, content) and derives the link graph first
+(flexgraph_spark.graph.derive_graph); ``--edges`` accepts a ready
+(src, dst[, weight]) parquet table.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def base_parser(desc: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=desc)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--edges", help="parquet path of (src, dst[, weight])")
+    src.add_argument(
+        "--repo-table",
+        help="parquet/Iceberg path of (repo, path, commit, lang, content); "
+        "the link graph is derived first",
+    )
+    p.add_argument("--output", required=True, help="output parquet path")
+    p.add_argument("--checkpoint-dir", help="durable per-iteration checkpoints")
+    p.add_argument("--max-iter", type=int, default=100)
+    p.add_argument("--engine", choices=["flat", "blocked"], default="flat")
+    p.add_argument("--num-partitions", type=int, default=None)
+    p.add_argument("--dense-threshold", type=int, default=100)
+    return p
+
+
+def get_session(app: str) -> SparkSession:
+    from flexgraph_spark.session import get_spark
+
+    return get_spark(app, master=None)
+
+
+def load_edges(spark: SparkSession, args) -> DataFrame:
+    if args.edges:
+        return spark.read.parquet(args.edges)
+    files = spark.read.parquet(args.repo_table)
+    from flexgraph_spark.graph import derive_graph
+
+    _, edges = derive_graph(files)
+    return edges
+
+
+def make_checkpointer(args, edges: DataFrame):
+    if not args.checkpoint_dir:
+        return None
+    from flexgraph_spark.checkpoint import Checkpointer, edges_fingerprint
+
+    return Checkpointer(args.checkpoint_dir, input_fingerprint=edges_fingerprint(edges))
