@@ -37,7 +37,7 @@ def main() -> None:
     spark = get_spark(
         "flexgraph-bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(16, 2 * cpus),
+        shuffle_partitions=max(16, cpus),
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -26,7 +26,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 # Reference constants (Constants.java:50-59)
@@ -384,10 +384,24 @@ def run(
         mf = program.message_filter()
         if mf is not None:
             src_state = src_state.filter(mf)
-        joined = e.join(src_state, "src")
-        messages = joined.select(F.col("dst"), program.message().alias("msg"))
+        # shuffle_hash hint: build a per-partition hash map from the (small)
+        # state side. Without it Catalyst broadcasts the EDGE table when its
+        # stats fit the threshold — a per-iteration driver collect+broadcast
+        # of the big side, exactly wrong at scale. With it, the cached edges
+        # keep their src partitioning (zero edge movement per superstep) and
+        # only the state shuffles; no sort (SHJ, not SMJ).
+        joined = e.join(src_state.hint("shuffle_hash"), "src")
+        msg_obs = Observation()
+        messages = joined.select(F.col("dst"), program.message().alias("msg")).observe(
+            msg_obs, F.count(F.lit(1)).alias("m")
+        )
         aggregated = program.aggregate(messages)
 
+        # aggregated arrives hash-partitioned by vertex (= dst of groupBy),
+        # so the left join re-shuffles only the state; no extra repartition.
+        # Convergence voting piggybacks on the SAME job that materializes the
+        # checkpoint (Observation) — no separate aggregate job per superstep.
+        conv_obs = Observation()
         new_state = (
             state.withColumnRenamed("value", "_old")
             .join(aggregated.withColumnRenamed("msg", "_msg"), "vertex", "left")
@@ -398,7 +412,8 @@ def run(
                     F.col("_old"), program.apply(F.col("_old"), F.col("_msg"), n)
                 ).cast("int").alias("_changed"),
             )
-            .repartition(p, "vertex")
+            .observe(conv_obs, F.sum("_changed").alias("changed"))
+            .drop("_changed")
         )
 
         # Materialize + truncate lineage; durable parquet when resumable.
@@ -407,10 +422,7 @@ def run(
         else:
             new_state = new_state.localCheckpoint(eager=True)
 
-        agg_row = new_state.agg(
-            F.sum("_changed").alias("changed"), F.count("*").alias("msgs")
-        ).first()
-        changed = int(agg_row["changed"] or 0)
+        changed = int(conv_obs.get["changed"] or 0)
 
         skew = 1.0
         if with_skew_metric:
@@ -427,7 +439,7 @@ def run(
 
         m = IterationMetrics(
             iteration=it,
-            messages_shuffled=int(agg_row["msgs"]),
+            messages_shuffled=int(msg_obs.get["m"]),
             changed=changed,
             edges_scanned=edges_count,
             seconds=time.time() - t0,
@@ -438,7 +450,7 @@ def run(
             checkpointer.record_metrics(program.name, m)
 
         old_state = state
-        state = new_state.drop("_changed")
+        state = new_state
         if hasattr(old_state, "unpersist"):
             old_state.unpersist()
         if changed == 0:
