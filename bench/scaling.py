@@ -33,7 +33,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-DEFAULT_EDGES = 8_000_000
+DEFAULT_EDGES = 100_000_000
 DEFAULT_VERTICES = 500_000
 ITERS = 5
 
@@ -59,7 +59,7 @@ def run_one(cpus: int, num_edges: int, n: int, engine: str) -> dict:
     from flexgraph_spark.session import get_spark
 
     spark = get_spark(
-        f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=2 * cpus
+        f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, num_edges // 1_500_000)
     )
     spark.sparkContext.setLogLevel("ERROR")
     edges = gen_edges(spark, num_edges, n).persist()

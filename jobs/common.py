@@ -36,6 +36,11 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--engine", choices=["flat", "blocked"], default="flat")
     p.add_argument("--num-partitions", type=int, default=None)
     p.add_argument("--dense-threshold", type=int, default=100)
+    p.add_argument(
+        "--blocks",
+        help="path of prepartitioned CSR blocks (jobs/prepartition.py); "
+        "only used with --engine blocked",
+    )
     return p
 
 

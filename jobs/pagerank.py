@@ -34,7 +34,15 @@ def main() -> None:
         checkpointer=make_checkpointer(args, edges),
         engine=args.engine,
         **(
-            {"p": args.num_partitions, "dense_threshold": args.dense_threshold}
+            {
+                "p": args.num_partitions,
+                "dense_threshold": args.dense_threshold,
+                **(
+                    {"blocks": spark.read.parquet(args.blocks)}
+                    if args.blocks
+                    else {}
+                ),
+            }
             if args.engine == "blocked"
             else {"num_partitions": args.num_partitions}
         ),

@@ -107,3 +107,23 @@ def test_blocked_rejects_lp(spark):
     df = fixtures.edges_df(spark, [(0, 1)])
     with pytest.raises(ValueError):
         blocks.run_blocked(df, gimv.LabelPropagation(), p=2)
+
+
+def test_write_read_blocks_roundtrip(spark, tmp_path):
+    edges = fixtures.rand_er(30, 0.15, seed=7)
+    df = fixtures.edges_df(spark, edges)
+    blk = blocks.prepartition(df, P, dense_threshold=3)
+    stats = blocks.write_blocks(blk, str(tmp_path / "blocks"), p=P, dense_threshold=3)
+    assert stats["total_edges"] == len(edges)
+    reread, stats2 = blocks.read_blocks(spark, str(tmp_path / "blocks"))
+    assert stats2["p"] == P and stats2["dense_threshold"] == 3
+    back = {
+        (r["src"], r["dst"])
+        for r in blocks.blocks_to_edges(reread, P).collect()
+    }
+    assert back == set(edges)
+    # and the blocked runner accepts pre-built blocks
+    res = blocks.run_blocked(
+        df, gimv.ConnectedComponents(), p=P, blocks=reread, max_iter=30
+    )
+    assert res.converged
