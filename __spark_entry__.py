@@ -179,6 +179,18 @@ def _q_pagerank10(spark, sf_dir):
     return res.state.select("vertex", F.round("value", 6).alias("pr"))
 
 
+def _q_rwr10(spark, sf_dir):
+    """RWR / personalized PageRank: 1.0 at the lowest supplier id, uniform
+    (1-α)/n teleport per the reference's quirk (PageRankComputation.java:157-171
+    — personalized init but NOT personalized teleport)."""
+    edges = _edges_sp(spark, sf_dir)
+    src = int(edges.agg(F.min("src")).first()[0])
+    res = algorithms.pagerank(
+        edges, threshold=0.0, max_iter=PAGERANK_ITERS, source_vertex=src
+    )
+    return res.state.select("vertex", F.round("value", 6).alias("pr"))
+
+
 def _q_pagerank_converged_top20(spark, sf_dir):
     res = algorithms.pagerank(_graph1000(spark, sf_dir), max_iter=60)
     return (
@@ -311,6 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_labels": _q_cc_labels,
         "cc_sizes": _q_cc_sizes,
         "pagerank10": _q_pagerank10,
+        "rwr10": _q_rwr10,
         "pagerank_converged_top20": _q_pagerank_converged_top20,
         "sssp8": _q_sssp8,
         "lp4": _q_lp4,
@@ -335,13 +348,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle_sql(): DuckDB side
 # ---------------------------------------------------------------------------
 
-def _pagerank_sql(edge_sql: str, iters: int, alpha: float = 0.85) -> str:
+def _pagerank_sql(edge_sql: str, iters: int, alpha: float = 0.85,
+                  personalized: bool = False) -> str:
+    init = (
+        "it0 as (select v, case when v = (select min(src) from e) "
+        "then 1.0 else 0.0 end as r from verts)"
+        if personalized
+        else "it0 as (select v, (select 1.0/n from nn) as r from verts)"
+    )
     ctes = [
         f"e as materialized ({edge_sql})",
         "verts as (select src as v from e union select dst from e)",
         "nn as (select count(*)::double as n from verts)",
         "deg as materialized (select src, count(*)::double as d from e group by src)",
-        "it0 as (select v, (select 1.0/n from nn) as r from verts)",
+        init,
     ]
     for k in range(1, iters + 1):
         ctes.append(
@@ -572,6 +592,7 @@ def oracle_sql() -> dict[str, str]:
             "select label, count(*)::bigint as size from labels group by label"
         ),
         "pagerank10": _pagerank_sql(SSP_EDGES_SQL, PAGERANK_ITERS),
+        "rwr10": _pagerank_sql(SSP_EDGES_SQL, PAGERANK_ITERS, personalized=True),
         "sssp8": _sssp_sql(G1000_W_SQL, SSSP_ITERS),
         "lp4": _lp_sql(G1000_SQL, LP_ITERS),
         "triangles": _TRIANGLES_SQL,

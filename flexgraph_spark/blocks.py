@@ -350,8 +350,67 @@ def run_blocked(
     if dense_exists:
         hub_locals_b = edges.sparkSession.sparkContext.broadcast(hub_locals)
 
-    sparse_blocks = blocks.filter(~F.col("is_dense")).persist()
     dense_blocks = blocks.filter(F.col("is_dense")).persist()
+
+    # Column-major consolidation (the reference's worker-owns-column layout,
+    # ComputationInputFormat.java:111-115): merge each column's p row-blocks
+    # into ONE row. Without this, joining state to blocks ships one COPY of
+    # the column's state array per row-block through Arrow — a p-fold
+    # amplification (gigabytes per superstep at p=64); merged, each state
+    # array crosses exactly once per superstep. Built once, persisted.
+    _COLS_SCHEMA = T.StructType(
+        [
+            T.StructField("block_col", T.IntegerType(), False),
+            T.StructField("row_blocks", T.ArrayType(T.IntegerType()), False),
+            T.StructField("src_counts", T.ArrayType(T.IntegerType()), False),
+            T.StructField("nnz", T.ArrayType(T.IntegerType()), False),
+            T.StructField("src_local", T.ArrayType(T.IntegerType()), False),
+            T.StructField("deg", T.ArrayType(T.IntegerType()), False),
+            T.StructField("dst_local", T.ArrayType(T.IntegerType()), False),
+            T.StructField("weight", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+
+    def _merge_column(pdf: pd.DataFrame) -> pd.DataFrame:
+        bc = int(pdf["block_col"].iloc[0])
+        rb, sc_, nz = [], [], []
+        src_cat, deg_cat, dst_cat, w_cat = [], [], [], []
+        any_w = False
+        for i in range(len(pdf)):
+            rb.append(int(pdf["block_row"].iloc[i]))
+            s = np.asarray(pdf["src_local"].iloc[i], dtype=np.int32)
+            d = np.asarray(pdf["deg"].iloc[i], dtype=np.int32)
+            t = np.asarray(pdf["dst_local"].iloc[i], dtype=np.int32)
+            sc_.append(len(s))
+            nz.append(len(t))
+            src_cat.append(s)
+            deg_cat.append(d)
+            dst_cat.append(t)
+            w = pdf["weight"].iloc[i]
+            if w is not None:
+                any_w = True
+                w_cat.append(np.asarray(w, dtype=np.float64))
+        return pd.DataFrame(
+            {
+                "block_col": [bc],
+                "row_blocks": [np.asarray(rb, dtype=np.int32)],
+                "src_counts": [np.asarray(sc_, dtype=np.int32)],
+                "nnz": [np.asarray(nz, dtype=np.int32)],
+                "src_local": [np.concatenate(src_cat) if src_cat else np.array([], dtype=np.int32)],
+                "deg": [np.concatenate(deg_cat) if deg_cat else np.array([], dtype=np.int32)],
+                "dst_local": [np.concatenate(dst_cat) if dst_cat else np.array([], dtype=np.int32)],
+                "weight": [np.concatenate(w_cat) if any_w else None],
+            }
+        )
+
+    sparse_cols = (
+        blocks.filter(~F.col("is_dense"))
+        .groupBy("block_col")
+        .applyInPandas(_merge_column, _COLS_SCHEMA)
+        .repartition(p, "block_col")
+        .persist()
+    )
+    sparse_exists = sparse_cols.limit(1).count() > 0
 
     sc = spark.sparkContext
     reduce_min = program.reduce_np == "min"
@@ -360,9 +419,10 @@ def run_blocked(
     has_outdeg = program.needs_out_degree
 
     def gather(pdf_iter):
-        """mapInPandas over (CSR block ⋈ state[, outdeg] arrays) rows ->
-        compacted partials. The signal kernel (combine2's source factor) is
-        fused in — no separate signal stage."""
+        """mapInPandas over (merged column ⋈ state[, outdeg] arrays) rows ->
+        compacted partials, one output row per (column, row-block). The
+        signal kernel (combine2's source factor) is fused in — no separate
+        signal stage."""
         for pdf in pdf_iter:
             out_block, out_dst, out_vals = [], [], []
             for i in range(len(pdf)):
@@ -373,22 +433,32 @@ def run_blocked(
                     else vals
                 )
                 sig = program.np_signal(vals, od)
-                src_l = np.asarray(pdf["src_local"].iloc[i])
-                degs = np.asarray(pdf["deg"].iloc[i])
-                dst_l = np.asarray(pdf["dst_local"].iloc[i])
-                w = pdf["weight"].iloc[i]
-                w = np.asarray(w, dtype=np.float64) if w is not None else None
-                contrib = program.np_message(np.repeat(sig[src_l], degs), w)
-                size = int(dst_l.max()) + 1 if len(dst_l) else 0
-                part = np.full(size, identity)
-                if reduce_min:
-                    np.minimum.at(part, dst_l, contrib)
-                else:
-                    np.add.at(part, dst_l, contrib)
-                nz = np.nonzero(part != identity)[0]
-                out_block.append(int(pdf["block_row"].iloc[i]))
-                out_dst.append(nz.astype(np.int32))
-                out_vals.append(part[nz])
+                row_blocks = np.asarray(pdf["row_blocks"].iloc[i])
+                src_counts = np.asarray(pdf["src_counts"].iloc[i])
+                nnzs = np.asarray(pdf["nnz"].iloc[i])
+                src_all = np.asarray(pdf["src_local"].iloc[i])
+                deg_all = np.asarray(pdf["deg"].iloc[i])
+                dst_all = np.asarray(pdf["dst_local"].iloc[i])
+                w_all = pdf["weight"].iloc[i]
+                w_all = np.asarray(w_all, dtype=np.float64) if w_all is not None else None
+                so = np.concatenate(([0], np.cumsum(src_counts)))
+                no = np.concatenate(([0], np.cumsum(nnzs)))
+                for j in range(len(row_blocks)):
+                    src_l = src_all[so[j]:so[j + 1]]
+                    degs = deg_all[so[j]:so[j + 1]]
+                    dst_l = dst_all[no[j]:no[j + 1]]
+                    w = w_all[no[j]:no[j + 1]] if w_all is not None else None
+                    contrib = program.np_message(np.repeat(sig[src_l], degs), w)
+                    size = int(dst_l.max()) + 1 if len(dst_l) else 0
+                    part = np.full(size, identity)
+                    if reduce_min:
+                        np.minimum.at(part, dst_l, contrib)
+                    else:
+                        np.add.at(part, dst_l, contrib)
+                    nz = np.nonzero(part != identity)[0]
+                    out_block.append(int(row_blocks[j]))
+                    out_dst.append(nz.astype(np.int32))
+                    out_vals.append(part[nz])
             yield pd.DataFrame({"block": out_block, "dst_local": out_dst, "vals": out_vals})
 
     def make_dense_gather(hub_sig_b):
@@ -477,12 +547,14 @@ def run_blocked(
         src_side = (
             state.join(outdeg_blocks, "block") if outdeg_blocks is not None else state
         )
-        parts = [
-            sparse_blocks.join(
-                src_side.withColumnRenamed("block", "block_col").hint("shuffle_hash"),
-                "block_col",
-            ).mapInPandas(gather, _PARTIAL_SCHEMA)
-        ]
+        parts = []
+        if sparse_exists:
+            parts.append(
+                sparse_cols.join(
+                    src_side.withColumnRenamed("block", "block_col").hint("shuffle_hash"),
+                    "block_col",
+                ).mapInPandas(gather, _PARTIAL_SCHEMA)
+            )
         if dense_exists:
             # ship ONLY the hub entries of the state to the driver
             # (executor-side slice, O(#hubs)), compute their signal, and
@@ -545,7 +617,7 @@ def run_blocked(
         (F.col("local").cast("long") * p + F.col("block")).alias("vertex"), "value"
     )
     result = program.finalize(flat)
-    for df in (sparse_blocks, dense_blocks, blocks):
+    for df in (sparse_cols, dense_blocks, blocks):
         df.unpersist()
     if outdeg_blocks is not None:
         outdeg_blocks.unpersist()

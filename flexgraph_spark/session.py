@@ -46,7 +46,7 @@ def get_spark(
         # broadcast threshold modest so hub-value joins broadcast by default.
         "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
         "spark.ui.enabled": "false",
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
     }
     if extra_conf:
         conf.update(extra_conf)
