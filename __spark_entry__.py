@@ -221,6 +221,16 @@ def _q_triangles(spark, sf_dir):
     return spark.createDataFrame([(int(n),)], "triangles long")
 
 
+def _q_content_invariant(spark, sf_dir):
+    """BASELINE.json input_hint row invariant: per-row sha256 of ``content``
+    on the (derived) repo table — the engine must never mutate content.
+    Exercises flexgraph_spark.graph.content_fingerprint."""
+    from flexgraph_spark.graph import content_fingerprint
+
+    files = _repo_files(spark, sf_dir)
+    return content_fingerprint(files).select("repo", "path", "sha256")
+
+
 def _q_token_stats(spark, sf_dir):
     return textops.token_stats(_t(spark, sf_dir, "documents"))
 
@@ -328,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp8": _q_sssp8,
         "lp4": _q_lp4,
         "triangles": _q_triangles,
+        "content_invariant": _q_content_invariant,
         "token_stats": _q_token_stats,
         "regex_tokens": _q_regex_tokens,
         "quality_scores": _q_quality,
@@ -596,6 +607,14 @@ def oracle_sql() -> dict[str, str]:
         "sssp8": _sssp_sql(G1000_W_SQL, SSSP_ITERS),
         "lp4": _lp_sql(G1000_SQL, LP_ITERS),
         "triangles": _TRIANGLES_SQL,
+        "content_invariant": """
+with d as (select doc_id, (select count(*) from documents) as nd from documents)
+select 'repo' || (doc_id % 10) as repo,
+       'src/f' || doc_id || '.py' as path,
+       sha256('from repo' || (((doc_id * 7) % nd) % 10) || '.f' ||
+              ((doc_id * 7) % nd) || ' import x') as sha256
+from d
+""",
         "token_stats": _TOKEN_STATS_SQL,
         "regex_tokens": _REGEX_TOKENS_SQL,
         "quality_scores": _QUALITY_SQL,
