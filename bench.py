@@ -65,6 +65,9 @@ def main() -> None:
     )
     g5000.count()
 
+    # partitions sized to data: ~40k edges/partition floor keeps superstep
+    # task-scheduling overhead from dominating at small SF, capped at cores
+    gp = max(8, min(cpus, n_edges // 40_000))
     queries: dict[str, float] = {}
 
     def timed(name: str, fn) -> float:
@@ -76,7 +79,9 @@ def main() -> None:
 
     pr_time = timed(
         "pagerank_flat_10it",
-        lambda: algorithms.pagerank(edges, threshold=0.0, max_iter=PAGERANK_ITERS)
+        lambda: algorithms.pagerank(
+            edges, threshold=0.0, max_iter=PAGERANK_ITERS, num_partitions=gp
+        )
         .state.agg(F.sum("value"))
         .first(),
     )
@@ -84,18 +89,22 @@ def main() -> None:
         "pagerank_blocked_10it",
         lambda: algorithms.pagerank(
             edges, threshold=0.0, max_iter=PAGERANK_ITERS, engine="blocked",
-            p=max(16, cpus), dense_threshold=100,
+            p=gp, dense_threshold=100,
         )
         .state.agg(F.sum("value"))
         .first(),
     )
     timed(
         "cc_converged",
-        lambda: algorithms.connected_components(edges, max_iter=60).state.count(),
+        lambda: algorithms.connected_components(
+            edges, max_iter=60, num_partitions=gp
+        ).state.count(),
     )
     timed(
         "lp_4it",
-        lambda: algorithms.label_propagation(g5000, max_iter=4).state.count(),
+        lambda: algorithms.label_propagation(
+            g5000, max_iter=4, num_partitions=gp
+        ).state.count(),
     )
     timed("triangles", lambda: algorithms.triangle_count(g5000))
     timed(
