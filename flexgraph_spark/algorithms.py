@@ -28,7 +28,9 @@ def pagerank(
     if engine == "blocked":
         from flexgraph_spark import blocks
 
-        return blocks.run_blocked(edges, prog, max_iter=max_iter, **kw)
+        return blocks.run_blocked(
+            edges, prog, max_iter=max_iter, checkpointer=checkpointer, **kw
+        )
     return gimv.run(edges, prog, max_iter=max_iter, checkpointer=checkpointer, **kw)
 
 
@@ -42,18 +44,30 @@ def connected_components(
     if engine == "blocked":
         from flexgraph_spark import blocks
 
-        return blocks.run_blocked(sym, prog, max_iter=max_iter, **kw)
+        return blocks.run_blocked(
+            sym, prog, max_iter=max_iter, checkpointer=checkpointer, **kw
+        )
     return gimv.run(sym, prog, max_iter=max_iter, checkpointer=checkpointer, **kw)
 
 
 def sssp(
-    edges: DataFrame, source_vertex: int, max_iter: int = 100, checkpointer=None, **kw
+    edges: DataFrame,
+    source_vertex: int,
+    max_iter: int = 100,
+    checkpointer=None,
+    engine: str = "flat",
+    **kw,
 ) -> gimv.GimvResult:
     if "weight" not in edges.columns:
         edges = edges.withColumn("weight", F.lit(1.0))
-    return gimv.run(
-        edges, gimv.SSSP(source_vertex), max_iter=max_iter, checkpointer=checkpointer, **kw
-    )
+    prog = gimv.SSSP(source_vertex)
+    if engine == "blocked":
+        from flexgraph_spark import blocks
+
+        return blocks.run_blocked(
+            edges, prog, max_iter=max_iter, checkpointer=checkpointer, **kw
+        )
+    return gimv.run(edges, prog, max_iter=max_iter, checkpointer=checkpointer, **kw)
 
 
 def label_propagation(
@@ -65,10 +79,10 @@ def label_propagation(
     )
 
 
-def degrees(edges: DataFrame, direction: str = "out") -> DataFrame:
+def degrees(edges: DataFrame, direction: str = "out", weighted: bool = False) -> DataFrame:
     from flexgraph_spark.graph import degrees as _d
 
-    return _d(edges, direction)
+    return _d(edges, direction, weighted=weighted)
 
 
 def triangle_count(edges: DataFrame) -> int:

@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import json
 import math
-from pathlib import Path
 
 import numpy as np
 import pandas as pd
@@ -82,8 +81,8 @@ _HUB_SCHEMA = T.StructType(
 
 def _make_hub_extractor(hub_locals_b, col: str = "values"):
     """Executor-side slice of one per-block array down to its hub entries —
-    only O(#hubs) values ever reach the driver (the reference's dv-file
-    republish, ComputationMapper.java:306-313, as a tiny collect)."""
+    only O(#hubs) values ever leave the block (the reference's dv-file
+    republish, ComputationMapper.java:306-313)."""
 
     def extract(pdf: pd.DataFrame) -> pd.DataFrame:
         b = int(pdf["block"].iloc[0])
@@ -94,6 +93,28 @@ def _make_hub_extractor(hub_locals_b, col: str = "values"):
             )
         sig = np.asarray(pdf[col].iloc[0], dtype=np.float64)
         return pd.DataFrame({"block": [b], "sigs": [sig[locs]]})
+
+    return extract
+
+
+def _make_hub_signal_extractor(program, hub_locals_b, hub_outdeg_b):
+    """Executor-side hub-SIGNAL extractor: slice the block's state array to
+    its hub entries AND apply np_signal there (using the static hub
+    out-degrees), so the per-iteration dense republish is a small
+    DataFrame — never a driver collect. The result broadcast-joins into the
+    dense blocks (O(#hubs) network per superstep, zero driver round trip)."""
+
+    def extract(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(pdf["block"].iloc[0])
+        locs = hub_locals_b.value.get(b)
+        if locs is None or len(pdf) == 0:
+            return pd.DataFrame(
+                {"block": pd.Series(dtype="int32"), "sigs": pd.Series(dtype="object")}
+            )
+        vals = np.asarray(pdf["values"].iloc[0], dtype=np.float64)[locs]
+        od = hub_outdeg_b.value.get(b)
+        sig = program.np_signal(vals, od if od is not None else vals)
+        return pd.DataFrame({"block": [b], "sigs": [sig]})
 
     return extract
 
@@ -185,6 +206,43 @@ def block_stats(blocks: DataFrame) -> dict:
     }
 
 
+def _hadoop_path(spark, path_str: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _write_sidecar(spark, path_str: str, content: str) -> None:
+    """Write a small text sidecar through the Hadoop FileSystem API so
+    hdfs:// / s3a:// output paths work (a local pathlib.Path would collapse
+    ``hdfs://x`` to ``hdfs:/x`` and write to a bogus local file)."""
+    fs, hpath = _hadoop_path(spark, path_str)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_sidecar(spark, path_str: str) -> str:
+    """Read a small text sidecar from any Hadoop-supported filesystem."""
+    fs, hpath = _hadoop_path(spark, path_str)
+    stream = fs.open(hpath)
+    try:
+        reader = spark._jvm.java.io.BufferedReader(
+            spark._jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+        return "\n".join(lines)
+    finally:
+        stream.close()
+
+
 def write_blocks(blocks: DataFrame, path: str, p: int, dense_threshold: int) -> dict:
     """Persist prepartitioned CSR blocks as Parquet partitioned by
     ``block_col`` (partition pruning: a worker reading column j touches one
@@ -196,13 +254,13 @@ def write_blocks(blocks: DataFrame, path: str, p: int, dense_threshold: int) -> 
     stats = block_stats(reread)
     stats["p"] = p
     stats["dense_threshold"] = dense_threshold
-    Path(path, "_STATS.json").write_text(json.dumps(stats, indent=1))
+    _write_sidecar(spark, path.rstrip("/") + "/_STATS.json", json.dumps(stats, indent=1))
     return stats
 
 
 def read_blocks(spark, path: str) -> tuple[DataFrame, dict]:
     """Load prepartitioned blocks + stats manifest written by write_blocks."""
-    stats = json.loads(Path(path, "_STATS.json").read_text())
+    stats = json.loads(_read_sidecar(spark, path.rstrip("/") + "/_STATS.json"))
     return spark.read.parquet(path), stats
 
 
@@ -461,38 +519,40 @@ def run_blocked(
                     out_vals.append(part[nz])
             yield pd.DataFrame({"block": out_block, "dst_local": out_dst, "vals": out_vals})
 
-    def make_dense_gather(hub_sig_b):
-        def dense_gather(pdf_iter):
-            hub_sig = hub_sig_b.value
-            for pdf in pdf_iter:
-                out_block, out_dst, out_vals = [], [], []
-                for i in range(len(pdf)):
-                    bc = int(pdf["block_col"].iloc[i])
-                    locs, sigs = hub_sig[bc]
-                    src_l = np.asarray(pdf["src_local"].iloc[i])
-                    degs = np.asarray(pdf["deg"].iloc[i])
-                    dst_l = np.asarray(pdf["dst_local"].iloc[i])
-                    w = pdf["weight"].iloc[i]
-                    w = np.asarray(w, dtype=np.float64) if w is not None else None
-                    # hub signal lookup: src_local -> position in sorted hub list
-                    pos = np.searchsorted(locs, src_l)
-                    sig_at_src = sigs[pos]
-                    contrib = program.np_message(np.repeat(sig_at_src, degs), w)
-                    size = int(dst_l.max()) + 1 if len(dst_l) else 0
-                    part = np.full(size, identity)
-                    if reduce_min:
-                        np.minimum.at(part, dst_l, contrib)
-                    else:
-                        np.add.at(part, dst_l, contrib)
-                    nz = np.nonzero(part != identity)[0]
-                    out_block.append(int(pdf["block_row"].iloc[i]))
-                    out_dst.append(nz.astype(np.int32))
-                    out_vals.append(part[nz])
-                yield pd.DataFrame(
-                    {"block": out_block, "dst_local": out_dst, "vals": out_vals}
-                )
-
-        return dense_gather
+    def dense_gather(pdf_iter):
+        """mapInPandas over (dense block ⋈ broadcast hub sigs) rows: each row
+        carries the hub SIGNALS of its column (``sigs``, aligned with the
+        sorted hub-local list) — the reference's dv republish
+        (ComputationMapper.java:217-240) without any driver round trip."""
+        hub_locals = hub_locals_b.value
+        for pdf in pdf_iter:
+            out_block, out_dst, out_vals = [], [], []
+            for i in range(len(pdf)):
+                bc = int(pdf["block_col"].iloc[i])
+                locs = hub_locals[bc]
+                sigs = np.asarray(pdf["sigs"].iloc[i], dtype=np.float64)
+                src_l = np.asarray(pdf["src_local"].iloc[i])
+                degs = np.asarray(pdf["deg"].iloc[i])
+                dst_l = np.asarray(pdf["dst_local"].iloc[i])
+                w = pdf["weight"].iloc[i]
+                w = np.asarray(w, dtype=np.float64) if w is not None else None
+                # hub signal lookup: src_local -> position in sorted hub list
+                pos = np.searchsorted(locs, src_l)
+                sig_at_src = sigs[pos]
+                contrib = program.np_message(np.repeat(sig_at_src, degs), w)
+                size = int(dst_l.max()) + 1 if len(dst_l) else 0
+                part = np.full(size, identity)
+                if reduce_min:
+                    np.minimum.at(part, dst_l, contrib)
+                else:
+                    np.add.at(part, dst_l, contrib)
+                nz = np.nonzero(part != identity)[0]
+                out_block.append(int(pdf["block_row"].iloc[i]))
+                out_dst.append(nz.astype(np.int32))
+                out_vals.append(part[nz])
+            yield pd.DataFrame(
+                {"block": out_block, "dst_local": out_dst, "vals": out_vals}
+            )
 
     apply_schema = T.StructType(
         [
@@ -520,97 +580,114 @@ def run_blocked(
         changed = int(program.np_changed(old, new).sum())
         return pd.DataFrame({"block": [b], "values": [new], "changed": [changed]})
 
-    # static hub out-degrees (for computing hub signals driver-side)
-    hub_outdeg: dict[int, np.ndarray] = {}
-    if dense_exists and outdeg_blocks is not None:
-        rows = (
-            outdeg_blocks.groupBy("block")
-            .applyInPandas(_make_hub_extractor(hub_locals_b, "outdeg"), _HUB_SCHEMA)
-            .collect()
-        )
-        hub_outdeg = {r["block"]: np.asarray(r["sigs"], dtype=np.float64) for r in rows}
+    # static hub out-degrees (broadcast once: needed executor-side by the
+    # per-iteration hub-signal extractor)
+    hub_outdeg_b = None
+    if dense_exists:
+        hub_outdeg: dict[int, np.ndarray] = {}
+        if outdeg_blocks is not None:
+            rows = (
+                outdeg_blocks.groupBy("block")
+                .applyInPandas(_make_hub_extractor(hub_locals_b, "outdeg"), _HUB_SCHEMA)
+                .collect()
+            )
+            hub_outdeg = {
+                r["block"]: np.asarray(r["sigs"], dtype=np.float64) for r in rows
+            }
+        hub_outdeg_b = sc.broadcast(hub_outdeg)
+        hub_sig_extract = _make_hub_signal_extractor(program, hub_locals_b, hub_outdeg_b)
 
     from flexgraph_spark.gimv import truncate_plan
 
-    state = _init_state(spark, n, p, program).repartition(p, "block")
-    state = truncate_plan(state)
+    job_name = program.name + "_blocked"
+    start_iter = 0
+    state = None
+    if checkpointer is not None:
+        resumed = checkpointer.resume(job_name)
+        if resumed is not None:
+            start_iter, state = resumed
+            state = state.repartition(p, "block")
+    if state is None:
+        state = _init_state(spark, n, p, program).repartition(p, "block")
+        state = truncate_plan(state)
 
     metrics: list[IterationMetrics] = []
     converged = False
-    it = 0
+    it = start_iter
     # AQE off during the superstep loop (same rationale as gimv.run): the
     # blocked plan shape is static; AQE stage barriers only add latency.
+    # try/finally so an exception mid-loop can't leak the disabled setting
+    # into the shared session.
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    for it in range(1, max_iter + 1):
-        t0 = _time.time()
-        src_side = (
-            state.join(outdeg_blocks, "block") if outdeg_blocks is not None else state
-        )
-        parts = []
-        if sparse_exists:
-            parts.append(
-                sparse_cols.join(
-                    src_side.withColumnRenamed("block", "block_col").hint("shuffle_hash"),
-                    "block_col",
-                ).mapInPandas(gather, _PARTIAL_SCHEMA)
+    try:
+        for it in range(start_iter + 1, max_iter + 1):
+            t0 = _time.time()
+            src_side = (
+                state.join(outdeg_blocks, "block") if outdeg_blocks is not None else state
             )
-        if dense_exists:
-            # ship ONLY the hub entries of the state to the driver
-            # (executor-side slice, O(#hubs)), compute their signal, and
-            # broadcast — the reference's dv trick
-            # (ComputationMapper.java:306-313): dense-edge partials never
-            # shuffle; each iteration ships just the hub values.
-            hub_rows_small = (
-                state.groupBy("block")
-                .applyInPandas(_make_hub_extractor(hub_locals_b), _HUB_SCHEMA)
-                .collect()
-            )
-            hub_sig = {}
-            for r in hub_rows_small:
-                b = r["block"]
-                if b not in hub_locals:
-                    continue
-                vals = np.asarray(r["sigs"], dtype=np.float64)
-                od = hub_outdeg.get(b)
-                hub_sig[b] = (
-                    hub_locals[b],
-                    program.np_signal(vals, od if od is not None else vals),
+            parts = []
+            if sparse_exists:
+                parts.append(
+                    sparse_cols.join(
+                        src_side.withColumnRenamed("block", "block_col").hint("shuffle_hash"),
+                        "block_col",
+                    ).mapInPandas(gather, _PARTIAL_SCHEMA)
                 )
-            hub_sig_b = sc.broadcast(hub_sig)
-            parts.append(dense_blocks.mapInPandas(make_dense_gather(hub_sig_b), _PARTIAL_SCHEMA))
+            if dense_exists:
+                # per-iteration dense republish: slice the state down to its
+                # hub entries + signal (executor-side, O(#hubs) total) and
+                # broadcast-JOIN it into the dense blocks — the reference's
+                # dv trick (ComputationMapper.java:306-313) with no driver
+                # round trip: dense-edge partials never shuffle; only the
+                # tiny hub-signal table moves each superstep.
+                hub_sigs = (
+                    state.groupBy("block")
+                    .applyInPandas(hub_sig_extract, _HUB_SCHEMA)
+                    .withColumnRenamed("block", "block_col")
+                )
+                parts.append(
+                    dense_blocks.join(F.broadcast(hub_sigs), "block_col")
+                    .mapInPandas(dense_gather, _PARTIAL_SCHEMA)
+                )
 
-        partials = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-        conv_obs = Observation()
-        new_state = (
-            state.groupBy("block")
-            .cogroup(partials.groupBy("block"))
-            .applyInPandas(reduce_apply, apply_schema)
-            .observe(conv_obs, F.sum("changed").alias("c"))
-        )
-        new_state = truncate_plan(new_state)
-        changed = int(conv_obs.get["c"] or 0)
+            partials = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+            conv_obs = Observation()
+            new_state = (
+                state.groupBy("block")
+                .cogroup(partials.groupBy("block"))
+                .applyInPandas(reduce_apply, apply_schema)
+                .observe(conv_obs, F.sum("changed").alias("c"))
+            )
+            # Materialize + truncate lineage; durable parquet when resumable
+            # (same contract as the flat engine, gimv.run).
+            if checkpointer is not None:
+                new_state = checkpointer.save(job_name, it, new_state.drop("changed"))
+            else:
+                new_state = truncate_plan(new_state)
+            changed = int(conv_obs.get["c"] or 0)
 
-        m = IterationMetrics(
-            iteration=it,
-            messages_shuffled=edges_count,  # upper bound; partials are compacted
-            changed=changed,
-            edges_scanned=int(edges_count),
-            seconds=_time.time() - t0,
-        )
-        metrics.append(m)
-        if on_iteration is not None:
-            on_iteration(m)
-        if checkpointer is not None:
-            checkpointer.record_metrics(program.name + "_blocked", m)
-        old_state = state
-        state = new_state.drop("changed")
-        old_state.unpersist()
-        if changed == 0:
-            converged = True
-            break
-
-    spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+            m = IterationMetrics(
+                iteration=it,
+                messages_shuffled=edges_count,  # upper bound; partials are compacted
+                changed=changed,
+                edges_scanned=int(edges_count),
+                seconds=_time.time() - t0,
+            )
+            metrics.append(m)
+            if on_iteration is not None:
+                on_iteration(m)
+            if checkpointer is not None:
+                checkpointer.record_metrics(job_name, m)
+            old_state = state
+            state = new_state.drop("changed") if "changed" in new_state.columns else new_state
+            if hasattr(old_state, "unpersist"):
+                old_state.unpersist()
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     flat = state.select(
         "block", F.posexplode("values").alias("local", "value")
     ).select(

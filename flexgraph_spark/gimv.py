@@ -403,86 +403,88 @@ def run(
     # One-off work above (degree join, init) keeps whatever the session set.
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    for it in range(start_iter + 1, max_iter + 1):
-        t0 = time.time()
-        src_state = state.withColumnRenamed("vertex", "src")
-        mf = program.message_filter()
-        if mf is not None:
-            src_state = src_state.filter(mf)
-        # shuffle_hash hint: build a per-partition hash map from the (small)
-        # state side. Without it Catalyst broadcasts the EDGE table when its
-        # stats fit the threshold — a per-iteration driver collect+broadcast
-        # of the big side, exactly wrong at scale. With it, the cached edges
-        # keep their src partitioning (zero edge movement per superstep) and
-        # only the state shuffles; no sort (SHJ, not SMJ).
-        joined = e.join(src_state.hint("shuffle_hash"), "src")
-        msg_obs = Observation()
-        messages = joined.select(F.col("dst"), program.message().alias("msg")).observe(
-            msg_obs, F.count(F.lit(1)).alias("m")
-        )
-        aggregated = program.aggregate(messages)
-
-        # aggregated arrives hash-partitioned by vertex (= dst of groupBy),
-        # so the left join re-shuffles only the state; no extra repartition.
-        # Convergence voting piggybacks on the SAME job that materializes the
-        # checkpoint (Observation) — no separate aggregate job per superstep.
-        conv_obs = Observation()
-        new_state = (
-            state.withColumnRenamed("value", "_old")
-            .join(aggregated.withColumnRenamed("msg", "_msg"), "vertex", "left")
-            .select(
-                "vertex",
-                program.apply(F.col("_old"), F.col("_msg"), n).alias("value"),
-                program.changed(
-                    F.col("_old"), program.apply(F.col("_old"), F.col("_msg"), n)
-                ).cast("int").alias("_changed"),
+    try:
+        for it in range(start_iter + 1, max_iter + 1):
+            t0 = time.time()
+            src_state = state.withColumnRenamed("vertex", "src")
+            mf = program.message_filter()
+            if mf is not None:
+                src_state = src_state.filter(mf)
+            # shuffle_hash hint: build a per-partition hash map from the (small)
+            # state side. Without it Catalyst broadcasts the EDGE table when its
+            # stats fit the threshold — a per-iteration driver collect+broadcast
+            # of the big side, exactly wrong at scale. With it, the cached edges
+            # keep their src partitioning (zero edge movement per superstep) and
+            # only the state shuffles; no sort (SHJ, not SMJ).
+            joined = e.join(src_state.hint("shuffle_hash"), "src")
+            msg_obs = Observation()
+            messages = joined.select(F.col("dst"), program.message().alias("msg")).observe(
+                msg_obs, F.count(F.lit(1)).alias("m")
             )
-            .observe(conv_obs, F.sum("_changed").alias("changed"))
-            .drop("_changed")
-        )
+            aggregated = program.aggregate(messages)
 
-        # Materialize + truncate lineage; durable parquet when resumable.
-        if checkpointer is not None:
-            new_state = checkpointer.save(program.name, it, new_state)
-        else:
-            new_state = truncate_plan(new_state)
-
-        changed = int(conv_obs.get["changed"] or 0)
-
-        skew = 1.0
-        if with_skew_metric:
-            # max/mean messages per dst shuffle bucket — the skew the dense
-            # path exists to fix (hub fan-in concentrating one reducer).
-            sizes = (
-                messages.groupBy(F.pmod(F.col("dst"), F.lit(p)).alias("bucket"))
-                .count()
-                .agg(F.max("count").alias("mx"), F.avg("count").alias("avg"))
-                .first()
+            # aggregated arrives hash-partitioned by vertex (= dst of groupBy),
+            # so the left join re-shuffles only the state; no extra repartition.
+            # Convergence voting piggybacks on the SAME job that materializes the
+            # checkpoint (Observation) — no separate aggregate job per superstep.
+            conv_obs = Observation()
+            new_state = (
+                state.withColumnRenamed("value", "_old")
+                .join(aggregated.withColumnRenamed("msg", "_msg"), "vertex", "left")
+                .select(
+                    "vertex",
+                    program.apply(F.col("_old"), F.col("_msg"), n).alias("value"),
+                    program.changed(
+                        F.col("_old"), program.apply(F.col("_old"), F.col("_msg"), n)
+                    ).cast("int").alias("_changed"),
+                )
+                .observe(conv_obs, F.sum("_changed").alias("changed"))
+                .drop("_changed")
             )
-            if sizes and sizes["avg"]:
-                skew = float(sizes["mx"]) / float(sizes["avg"])
 
-        m = IterationMetrics(
-            iteration=it,
-            messages_shuffled=int(msg_obs.get["m"]),
-            changed=changed,
-            edges_scanned=edges_count,
-            seconds=time.time() - t0,
-            skew_ratio=skew,
-        )
-        metrics.append(m)
-        if checkpointer is not None:
-            checkpointer.record_metrics(program.name, m)
+            # Materialize + truncate lineage; durable parquet when resumable.
+            if checkpointer is not None:
+                new_state = checkpointer.save(program.name, it, new_state)
+            else:
+                new_state = truncate_plan(new_state)
 
-        old_state = state
-        state = new_state
-        if hasattr(old_state, "unpersist"):
-            old_state.unpersist()
-        if changed == 0:
-            converged = True
-            break
+            changed = int(conv_obs.get["changed"] or 0)
 
-    spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+            skew = 1.0
+            if with_skew_metric:
+                # max/mean messages per dst shuffle bucket — the skew the dense
+                # path exists to fix (hub fan-in concentrating one reducer).
+                sizes = (
+                    messages.groupBy(F.pmod(F.col("dst"), F.lit(p)).alias("bucket"))
+                    .count()
+                    .agg(F.max("count").alias("mx"), F.avg("count").alias("avg"))
+                    .first()
+                )
+                if sizes and sizes["avg"]:
+                    skew = float(sizes["mx"]) / float(sizes["avg"])
+
+            m = IterationMetrics(
+                iteration=it,
+                messages_shuffled=int(msg_obs.get["m"]),
+                changed=changed,
+                edges_scanned=edges_count,
+                seconds=time.time() - t0,
+                skew_ratio=skew,
+            )
+            metrics.append(m)
+            if checkpointer is not None:
+                checkpointer.record_metrics(program.name, m)
+
+            old_state = state
+            state = new_state
+            if hasattr(old_state, "unpersist"):
+                old_state.unpersist()
+            if changed == 0:
+                converged = True
+                break
+
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     final = program.finalize(state)
     e.unpersist()
     vertices.unpersist()

@@ -29,7 +29,7 @@ LINK_PATTERNS = {
     "c": r"#include\s+\"([\w/\.]+)\.h\"",
 }
 
-ID_BUCKETS = 4096  # two-level rank buckets; each bucket ranks locally
+TARGET_KEYS_PER_BUCKET = 2_000_000  # two-level rank: keys sorted per bucket task
 
 
 def module_expr(repo: Column, path: Column) -> Column:
@@ -65,14 +65,18 @@ def extract_links(files: DataFrame) -> DataFrame:
 
 
 def assign_ids(
-    keys: DataFrame, key_col: str = "module", strategy: str = "rank"
+    keys: DataFrame, key_col: str = "module", strategy: str = "rank",
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Deterministic vertex ids for a distinct-key DataFrame.
 
     * ``rank`` (default): contiguous [0, n) ids via scalable two-level dense
       rank — hash-bucket the keys, rank within each bucket (one task per
-      bucket, uniform by hash), offset by cumulative bucket counts. No
-      global window, no driver-side data beyond ``ID_BUCKETS`` counts.
+      bucket, uniform by hash), offset by cumulative bucket counts. The
+      bucket count is sized from the key count (~TARGET_KEYS_PER_BUCKET per
+      bucket task) and the bucket→offset map stays a DataFrame (broadcast
+      join) — nothing key-proportional ever reaches the driver, so this
+      holds at 10^12 keys.
     * ``hash``: ``xxhash64(key)`` — zero-shuffle; caller must audit
       collisions (``distinct ids == distinct keys``). Right at 10^12 keys
       only with a collision-resolution pass; default stays ``rank``.
@@ -80,28 +84,57 @@ def assign_ids(
     keys = keys.select(key_col).distinct()
     if strategy == "hash":
         return keys.withColumn("vertex", F.xxhash64(key_col))
+    if num_buckets is None:
+        n_keys = keys.count()
+        num_buckets = max(32, min(1 << 20, -(-n_keys // TARGET_KEYS_PER_BUCKET)))
     bucketed = keys.withColumn(
-        "_bucket", F.pmod(F.xxhash64(key_col), F.lit(ID_BUCKETS)).cast("int")
+        "_bucket", F.pmod(F.xxhash64(key_col), F.lit(num_buckets)).cast("int")
     )
-    counts = {
-        r["_bucket"]: r["cnt"]
-        for r in bucketed.groupBy("_bucket").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets, acc = {}, 0
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
-    offset_col = F.element_at(
-        F.create_map(
-            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
-        ),
-        F.col("_bucket"),
+    counts = bucketed.groupBy("_bucket").agg(F.count("*").alias("_cnt"))
+    # prefix-sum of bucket counts -> per-bucket id offset; the window runs
+    # over #buckets rows (≤ 2^20), one task — never over the keys themselves
+    off_w = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bucket", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off")
     )
     w = Window.partitionBy("_bucket").orderBy(key_col)
     return (
         bucketed.withColumn("_local", F.row_number().over(w) - 1)
-        .select(key_col, (offset_col + F.col("_local")).cast("long").alias("vertex"))
+        .join(F.broadcast(offsets), "_bucket")
+        .select(key_col, (F.col("_off") + F.col("_local")).cast("long").alias("vertex"))
     )
+
+
+def remap_contiguous(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Relabel an arbitrary-id edge list onto contiguous ids [0, n).
+
+    The blocked CSR engine (flexgraph_spark.blocks) follows the reference's
+    numVertices = maxId+1 rule (GraphPrepartitioningReducer.java:84-101) and
+    allocates dense per-block arrays, so sparse/holey id spaces must be
+    compacted first — exactly what the reference's prepartitioning assumes
+    of its inputs. Returns (edges', mapping) where mapping = (orig, vertex);
+    the relabeling is an arbitrary deterministic bijection (graph algorithms
+    are label-invariant; map results back through ``mapping``).
+    """
+    verts = (
+        edges.select(F.col("src").alias("orig"))
+        .union(edges.select(F.col("dst").alias("orig")))
+        .distinct()
+    )
+    mapping = assign_ids(verts, "orig")
+    others = [c for c in edges.columns if c not in ("src", "dst")]
+    remapped = (
+        edges.join(mapping.withColumnRenamed("orig", "src"), "src")
+        .withColumnRenamed("vertex", "_new_src")
+        .join(
+            mapping.withColumnRenamed("orig", "dst").withColumnRenamed("vertex", "_new_dst"),
+            "dst",
+        )
+        .select(
+            F.col("_new_src").alias("src"), F.col("_new_dst").alias("dst"), *others
+        )
+    )
+    return remapped, mapping
 
 
 def derive_graph(files: DataFrame, id_strategy: str = "rank") -> tuple[DataFrame, DataFrame]:
@@ -154,20 +187,46 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     return edges.select("src", "dst").union(rev).distinct()
 
 
-def degrees(edges: DataFrame, direction: str = "out") -> DataFrame:
+def degrees(edges: DataFrame, direction: str = "out", weighted: bool = False) -> DataFrame:
     """(vertex, degree) — exact counts, map-side partially aggregated by
     Catalyst (subsumes the reference's combiner,
-    UnweightedGraphPrepartitioning.java:150-167)."""
+    UnweightedGraphPrepartitioning.java:150-167).
+
+    ``weighted=True`` sums the ``weight`` column instead of counting edges —
+    the reference's {un,}weighted × {in,out,both} matrix
+    (DegreeComputation.java:106-198). Weighted output column is ``wdegree``
+    (double); unweighted stays ``degree`` (long)."""
+    if weighted and "weight" not in edges.columns:
+        raise ValueError("weighted degrees need a 'weight' column")
+    agg = (
+        F.sum("weight").alias("wdegree") if weighted else F.count("*").alias("degree")
+    )
     if direction == "out":
-        d = edges.groupBy(F.col("src").alias("vertex"))
-    elif direction == "in":
-        d = edges.groupBy(F.col("dst").alias("vertex"))
-    else:
-        both = edges.select(F.col("src").alias("vertex")).union(
-            edges.select(F.col("dst").alias("vertex"))
+        return edges.groupBy(F.col("src").alias("vertex")).agg(agg)
+    if direction == "in":
+        return edges.groupBy(F.col("dst").alias("vertex")).agg(agg)
+    cols = ["src", "dst", "weight"] if weighted else ["src", "dst"]
+    e = edges.select(*cols)
+    both = e.select(F.col("src").alias("vertex"), *cols[2:]).union(
+        e.select(F.col("dst").alias("vertex"), *cols[2:])
+    )
+    return both.groupBy("vertex").agg(agg)
+
+
+def expand_direction(edges: DataFrame, mode: str = "directed") -> DataFrame:
+    """The reference's direction-expansion modes
+    (UnweightedGraphPrepartitioning.java:105-148): ``directed`` (as-is),
+    ``undirected`` (symmetrize), ``transposed`` (swap src/dst)."""
+    if mode == "directed":
+        return edges
+    if mode == "undirected":
+        return symmetrize(edges)
+    if mode == "transposed":
+        others = [c for c in edges.columns if c not in ("src", "dst")]
+        return edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), *others
         )
-        return both.groupBy("vertex").agg(F.count("*").alias("degree"))
-    return d.agg(F.count("*").alias("degree"))
+    raise ValueError(f"unknown direction mode {mode!r}")
 
 
 def read_edge_list_text(spark, path: str, weighted: bool = False, sep: str = "\t") -> DataFrame:

@@ -35,7 +35,9 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--max-iter", type=int, default=100)
     p.add_argument("--engine", choices=["flat", "blocked"], default="flat")
     p.add_argument("--num-partitions", type=int, default=None)
-    p.add_argument("--dense-threshold", type=int, default=100)
+    p.add_argument("--dense-threshold", type=int, default=None,
+                   help="hub out-degree cutoff (default 100, or the blocks "
+                        "manifest value with --blocks)")
     p.add_argument(
         "--blocks",
         help="path of prepartitioned CSR blocks (jobs/prepartition.py); "
@@ -58,6 +60,35 @@ def load_edges(spark: SparkSession, args) -> DataFrame:
 
     _, edges = derive_graph(files)
     return edges
+
+
+def engine_kwargs(spark: SparkSession, args) -> dict:
+    """Engine-specific kwargs for algorithms.* calls.
+
+    For ``--engine blocked`` with ``--blocks``, the prepartition manifest
+    (_STATS.json) is authoritative for p/dense_threshold: blocks built under
+    a different p decode to different (local, block) splits, so silently
+    mixing run-time CLI values with prebuilt blocks would corrupt the
+    gather. CLI values, when given, must match the manifest."""
+    if args.engine != "blocked":
+        return {"num_partitions": args.num_partitions}
+    kw = {"p": args.num_partitions,
+          "dense_threshold": args.dense_threshold if args.dense_threshold is not None else 100}
+    if args.blocks:
+        from flexgraph_spark.blocks import read_blocks
+
+        blocks_df, stats = read_blocks(spark, args.blocks)
+        for cli_val, key in ((args.num_partitions, "p"),
+                             (args.dense_threshold, "dense_threshold")):
+            if cli_val is not None and key in stats and cli_val != stats[key]:
+                raise SystemExit(
+                    f"--blocks manifest has {key}={stats[key]} but CLI asked "
+                    f"for {cli_val}; prebuilt blocks are only valid under "
+                    f"their build-time {key}"
+                )
+        kw = {"p": stats["p"], "dense_threshold": stats["dense_threshold"],
+              "blocks": blocks_df}
+    return kw
 
 
 def make_checkpointer(args, edges: DataFrame):

@@ -11,7 +11,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from jobs.common import base_parser, get_session, load_edges, make_checkpointer
+from jobs.common import (
+    base_parser, engine_kwargs, get_session, load_edges, make_checkpointer,
+)
 
 
 def main() -> None:
@@ -33,19 +35,7 @@ def main() -> None:
         source_vertex=args.source_vertex,
         checkpointer=make_checkpointer(args, edges),
         engine=args.engine,
-        **(
-            {
-                "p": args.num_partitions,
-                "dense_threshold": args.dense_threshold,
-                **(
-                    {"blocks": spark.read.parquet(args.blocks)}
-                    if args.blocks
-                    else {}
-                ),
-            }
-            if args.engine == "blocked"
-            else {"num_partitions": args.num_partitions}
-        ),
+        **engine_kwargs(spark, args),
     )
     res.state.write.mode("overwrite").parquet(args.output)
     print(

@@ -7,7 +7,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from jobs.common import base_parser, get_session, load_edges, make_checkpointer
+from jobs.common import (
+    base_parser, engine_kwargs, get_session, load_edges, make_checkpointer,
+)
 
 
 def main() -> None:
@@ -23,6 +25,8 @@ def main() -> None:
         args.source_vertex,
         max_iter=args.max_iter,
         checkpointer=make_checkpointer(args, edges),
+        engine=args.engine,
+        **engine_kwargs(spark, args),
     )
     res.state.write.mode("overwrite").parquet(args.output)
     print(f"sssp: iterations={res.iterations} converged={res.converged} -> {args.output}")

@@ -56,6 +56,37 @@ def test_resume_skips_completed_iterations(spark, edges, tmp_path):
     assert resumed_rows and min(r["iteration"] for r in resumed_rows) == 3
 
 
+def test_blocked_resume_skips_completed_iterations(spark, tmp_path):
+    """Blocked-engine durable resume: kill after iteration k, relaunch,
+    verify identical final state and that iterations 1..k are skipped.
+    (Round-1 gap: run_blocked accepted a checkpointer but never saved.)"""
+    e = fixtures.rand_er(40, 0.1, seed=42)
+    edges = fixtures.edges_df(spark, e)
+    fp = edges_fingerprint(edges)
+
+    full = algorithms.pagerank(edges, max_iter=40, engine="blocked", p=4)
+    expected = {r["vertex"]: r["value"] for r in full.state.collect()}
+
+    ck = Checkpointer(str(tmp_path), input_fingerprint=fp)
+    partial = algorithms.pagerank(
+        edges, max_iter=3, engine="blocked", p=4, checkpointer=ck
+    )
+    assert not partial.converged
+    assert len(ck.manifest_rows("pagerank_blocked")) == 3
+
+    ck2 = Checkpointer(str(tmp_path), input_fingerprint=fp)
+    resumed = algorithms.pagerank(
+        edges, max_iter=40, engine="blocked", p=4, checkpointer=ck2
+    )
+    got = {r["vertex"]: r["value"] for r in resumed.state.collect()}
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-12, k
+    rows = ck2.manifest_rows("pagerank_blocked")
+    resumed_rows = rows[3:]
+    assert resumed_rows and min(r["iteration"] for r in resumed_rows) == 4
+
+
 def test_resume_refuses_other_input(spark, edges, tmp_path):
     ck = Checkpointer(str(tmp_path), input_fingerprint="fp-a")
     algorithms.connected_components(edges, max_iter=2, checkpointer=ck)
