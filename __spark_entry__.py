@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flexgraph_spark import algorithms, gimv, textops
-from flexgraph_spark.graph import derive_graph
+from flexgraph_spark.graph import derive_graph, remap_contiguous
 
 SSP_EDGES_SQL = "select distinct l_suppkey as src, l_partkey as dst from lineitem"
 G1000_SQL = (
@@ -47,6 +47,15 @@ G1000_W_SQL = (
 PAGERANK_ITERS = 10
 SSSP_ITERS = 8
 LP_ITERS = 4
+# Empirical converged-iteration count of PageRank(threshold=1e-8) on
+# graph1000 at sf0.01 (deterministic: TESTDATA.md seed=42). The unrolled
+# DuckDB oracle must run the recurrence exactly as many times as the engine
+# did — convergence detection is not SQL-expressible, the count is.
+PAGERANK_CONVERGED_ITERS = 6
+# g1000 out-degrees span 58..84 at sf0.01 — threshold 70 exercises BOTH the
+# dense (hub broadcast) and sparse (CSR gather) blocked paths.
+BLOCKED_P = 8
+BLOCKED_DENSE_THRESHOLD = 70
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -200,6 +209,59 @@ def _q_pagerank_converged_top20(spark, sf_dir):
     )
 
 
+def _q_pagerank10_blocked(spark, sf_dir):
+    """The blocked CSR engine (flexgraph_spark.blocks — the re-expression of
+    ComputationMapper.java:173-240) under the oracle gate: remap to
+    contiguous ids (the reference's prepartition precondition), run the
+    skew-aware plan with a threshold that splits g1000 into dense AND sparse
+    blocks, map ids back."""
+    e2, mapping = remap_contiguous(_graph1000(spark, sf_dir))
+    res = algorithms.pagerank(
+        e2, threshold=0.0, max_iter=PAGERANK_ITERS, engine="blocked",
+        p=BLOCKED_P, dense_threshold=BLOCKED_DENSE_THRESHOLD,
+    )
+    return (
+        res.state.join(mapping, "vertex")
+        .select(F.col("orig").alias("vertex"), F.round("value", 6).alias("pr"))
+    )
+
+
+def _q_cc_blocked(spark, sf_dir):
+    """Blocked-engine HashMin CC. Labels are min-ids in the remapped space;
+    translate back to min ORIGINAL id per component (the remap bijection is
+    not monotone)."""
+    e2, mapping = remap_contiguous(_graph1000(spark, sf_dir))
+    res = algorithms.connected_components(
+        e2, max_iter=50, engine="blocked",
+        p=BLOCKED_P, dense_threshold=BLOCKED_DENSE_THRESHOLD,
+    )
+    st = res.state.join(mapping, "vertex")
+    comp_label = st.groupBy("value").agg(F.min("orig").alias("label"))
+    return st.join(comp_label, "value").select(
+        F.col("orig").alias("vertex"), "label"
+    )
+
+
+def _q_sssp8_blocked(spark, sf_dir):
+    edges = _graph1000_w(spark, sf_dir)
+    src = int(edges.agg(F.min(F.least(F.col("src"), F.col("dst")))).first()[0])
+    e2, mapping = remap_contiguous(edges)
+    src_new = int(mapping.filter(F.col("orig") == src).first()["vertex"])
+    res = algorithms.sssp(
+        e2, src_new, max_iter=SSSP_ITERS, engine="blocked",
+        p=BLOCKED_P, dense_threshold=BLOCKED_DENSE_THRESHOLD,
+    )
+    return (
+        res.state.filter(F.col("value") < gimv.SSSP_INF)
+        .join(mapping, "vertex")
+        .select(F.col("orig").alias("vertex"), F.col("value").alias("dist"))
+    )
+
+
+def _q_wdegree_out(spark, sf_dir):
+    return algorithms.degrees(_graph1000_w(spark, sf_dir), "out", weighted=True)
+
+
 def _q_sssp8(spark, sf_dir):
     edges = _graph1000_w(spark, sf_dir)
     src = edges.agg(
@@ -268,21 +330,17 @@ def _q_fingerprint_sha(spark, sf_dir):
 
 
 def _q_near_dup_exact(spark, sf_dir):
+    """EXACT near-dup pairs (J >= 0.25) via the prefix-filtered similarity
+    join — no all-pairs/cartesian shape anywhere (round-1 shipped a
+    within-lang cartesian here); the result set is provably identical, so
+    the same all-pairs DuckDB oracle still applies. Same-lang restriction
+    applied post-verification to match the oracle's pair universe."""
     docs = _t(spark, sf_dir, "documents")
-    sh = textops.shingle_table(docs, "text", 5, extra_cols=("lang",))
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("lang"), F.col("hs").alias("sh_a")
+    out = textops.jaccard_similarity_join(
+        docs, "text", threshold=0.25, k=5, extra_cols=("lang",)
     )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("lang"), F.col("hs").alias("sh_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    j = inter / (F.size("sh_a") + F.size("sh_b") - inter)
-    return (
-        a.join(b, "lang")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", j.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.25)
+    return out.filter(F.col("lang_a") == F.col("lang_b")).select(
+        "doc_a", "doc_b", "jaccard"
     )
 
 
@@ -290,6 +348,17 @@ def _q_near_dup_minhash(spark, sf_dir):
     return textops.minhash_near_duplicates(
         _t(spark, sf_dir, "documents"), threshold=0.25, num_hashes=32, bands=16
     )
+
+
+def _q_minhash_precision(spark, sf_dir):
+    """Precision invariant of the MinHash pipeline: every emitted near-dup
+    pair must survive exact-Jaccard verification, so pairs below the
+    threshold form the EMPTY set (oracle: empty). Exercises the full
+    signature -> banding -> bucket-join -> verify path under the gate."""
+    out = textops.minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), threshold=0.25, num_hashes=32, bands=16
+    )
+    return out.filter(F.col("jaccard") < 0.25)
 
 
 def _q_simhash(spark, sf_dir):
@@ -335,6 +404,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank10": _q_pagerank10,
         "rwr10": _q_rwr10,
         "pagerank_converged_top20": _q_pagerank_converged_top20,
+        "pagerank10_blocked": _q_pagerank10_blocked,
+        "cc_blocked": _q_cc_blocked,
+        "sssp8_blocked": _q_sssp8_blocked,
+        "wdegree_out": _q_wdegree_out,
         "sssp8": _q_sssp8,
         "lp4": _q_lp4,
         "triangles": _q_triangles,
@@ -348,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_sha": _q_fingerprint_sha,
         "near_dup_exact": _q_near_dup_exact,
         "near_dup_minhash": _q_near_dup_minhash,
+        "minhash_precision": _q_minhash_precision,
         "simhash": _q_simhash,
         "ann_top5": _q_ann_top5,
         "ann_lsh_top5": _q_ann_lsh_top5,
@@ -604,6 +678,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank10": _pagerank_sql(SSP_EDGES_SQL, PAGERANK_ITERS),
         "rwr10": _pagerank_sql(SSP_EDGES_SQL, PAGERANK_ITERS, personalized=True),
+        "pagerank_converged_top20": (
+            # engine converges (all |Δ| <= 1e-8) at iteration
+            # PAGERANK_CONVERGED_ITERS on this deterministic input; the
+            # oracle unrolls the identical recurrence that many times.
+            "with t as (" + _pagerank_sql(G1000_SQL, PAGERANK_CONVERGED_ITERS)
+            + ") select vertex, pr from t order by pr desc, vertex asc limit 20"
+        ),
+        "pagerank10_blocked": _pagerank_sql(G1000_SQL, PAGERANK_ITERS),
+        "cc_blocked": _CC_SQL,
+        "sssp8_blocked": _sssp_sql(G1000_W_SQL, SSSP_ITERS),
+        "wdegree_out": (
+            f"with e as ({G1000_W_SQL}) "
+            "select src as vertex, sum(w)::double as wdegree from e group by src"
+        ),
         "sssp8": _sssp_sql(G1000_W_SQL, SSSP_ITERS),
         "lp4": _lp_sql(G1000_SQL, LP_ITERS),
         "triangles": _TRIANGLES_SQL,
@@ -623,11 +711,24 @@ from d
         "dup_groups": _DUP_GROUPS_SQL,
         "fingerprint_sha": _FINGERPRINT_SQL,
         "near_dup_exact": _NEAR_DUP_SQL,
+        "minhash_precision": (
+            "select cast(null as bigint) as doc_a, cast(null as bigint) as doc_b, "
+            "cast(null as double) as jaccard where 1 = 0"
+        ),
         "ann_top5": _ANN_SQL,
-        # Omitted on purpose (non-SQL-expressible / approximate / engine-side
-        # hashing): pagerank_converged_top20, near_dup_minhash, simhash,
-        # ann_lsh_top5, media_features — driver records rows-only checks;
-        # pytest covers them against NumPy/exact oracles.
+        "media_features": """
+select doc_id as media_id,
+       list_extract(['image','audio','video'], (doc_id % 3 + 1)::int) as kind,
+       octet_length(encode(text))::bigint as n_bytes
+from documents
+""",
+        # Omitted on purpose (engine-side hashing / randomized projections
+        # that DuckDB cannot reproduce): near_dup_minhash (LSH banding over
+        # xxhash64 signatures; its precision invariant IS gated above and
+        # pytest checks recall vs the exact join), simhash (xxhash64 bit
+        # voting; pytest checks determinism + hamming banding vs brute
+        # force), ann_lsh_top5 (seeded random hyperplanes; pytest checks
+        # recall vs ann_top5's exact oracle). Driver records rows-only.
     }
 
 

@@ -175,11 +175,9 @@ def shingle_table(df: DataFrame, text_col: str = "text", k: int = 5,
     ).persist()
 
 
-def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
-    """Exact Jaccard over hashed k-shingle sets for given (doc_a, doc_b)
-    pairs. Shingle sets are materialized once (see shingle_table) and
-    intersected as int64 arrays."""
-    sh = shingle_table(df, text_col, k)
+def _jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard over a prebuilt hashed-shingle table for given
+    (doc_a, doc_b) pairs — int64 array intersection, JVM-side."""
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -197,14 +195,32 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text", k: in
     )
 
 
-def minhash_signatures(
-    df: DataFrame, text_col: str = "text", num_hashes: int = 32, k: int = 5
-) -> DataFrame:
-    """(doc_id, sig: array<long>) MinHash signatures, fully JVM-side:
-    sig[i] = min over hashed shingles of xxhash64(h, seed_i). Shingles are
-    materialized once; the num_hashes passes run over the cached int64
-    array."""
+def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text", k: int = 5,
+                  sh: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard over hashed k-shingle sets for given (doc_a, doc_b)
+    pairs. Pass a prebuilt ``sh`` (shingle_table) to share one materialized
+    shingle build across pipeline stages; when this function builds its own,
+    the result is materialized eagerly so the cache can be released before
+    returning (no leaked persists)."""
+    if sh is not None:
+        return _jaccard_for_pairs(sh, pairs)
     sh = shingle_table(df, text_col, k)
+    try:
+        return _materialize(_jaccard_for_pairs(sh, pairs))
+    finally:
+        sh.unpersist()
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eagerly compute a (small) result so upstream caches can be released;
+    the returned DataFrame is rooted at the materialized blocks."""
+    cached = df.persist()
+    out = cached.localCheckpoint(eager=True)
+    cached.unpersist(blocking=False)
+    return out
+
+
+def _signatures_from(sh: DataFrame, num_hashes: int) -> DataFrame:
     sig = F.array(
         *[
             F.array_min(F.transform(F.col("hs"), lambda s: F.xxhash64(s, F.lit(i))))
@@ -212,6 +228,23 @@ def minhash_signatures(
         ]
     )
     return sh.select("doc_id", sig.alias("sig"))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 32, k: int = 5,
+    sh: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, sig: array<long>) MinHash signatures, fully JVM-side:
+    sig[i] = min over hashed shingles of xxhash64(h, seed_i). Shingles are
+    materialized once (pass ``sh`` to share a build); the num_hashes passes
+    run over the cached int64 array."""
+    if sh is not None:
+        return _signatures_from(sh, num_hashes)
+    sh = shingle_table(df, text_col, k)
+    try:
+        return _materialize(_signatures_from(sh, num_hashes))
+    finally:
+        sh.unpersist()
 
 
 def minhash_lsh_candidates(
@@ -264,10 +297,89 @@ def minhash_near_duplicates(
     bands: int = 8,
     k: int = 5,
 ) -> DataFrame:
-    """End-to-end near-dup: MinHash -> LSH candidates -> exact Jaccard filter."""
-    sigs = minhash_signatures(df, text_col, num_hashes, k)
-    cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
-    return ngram_jaccard(df, cands, text_col, k).filter(F.col("jaccard") >= threshold)
+    """End-to-end near-dup: MinHash -> LSH candidates -> exact Jaccard filter.
+
+    The shingle table is built ONCE and shared by the signature and
+    verification stages (round-1 built it twice — double compute + a leaked
+    cache); the (small) verified-pairs result is materialized eagerly so the
+    shingle cache is released before returning."""
+    sh = shingle_table(df, text_col, k)
+    try:
+        sigs = _signatures_from(sh, num_hashes)
+        cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
+        verified = _jaccard_for_pairs(sh, cands).filter(F.col("jaccard") >= threshold)
+        return _materialize(verified)
+    finally:
+        sh.unpersist()
+
+
+def jaccard_similarity_join(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.25,
+    k: int = 5,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """EXACT all-pairs Jaccard join at web scale via prefix filtering
+    (AllPairs/PPJoin-style): returns every (doc_a, doc_b, jaccard) with
+    jaccard >= threshold — same result set as a cartesian compare, but the
+    join is keyed on rare shingles, never all-pairs.
+
+    Plan: order each document's shingles by (global document frequency asc,
+    shingle asc); any two docs with J >= t must share a shingle within their
+    first |S| - ceil(t*|S|) + 1 shingles under that order (prefix-filter
+    lemma), so candidates come from an inverted-index self-join on prefix
+    shingles only; exact Jaccard verifies. Candidate generation is
+    provably lossless for the threshold, so the output is independent of
+    the shingle ordering — any superset of true matches verifies to the
+    same set. Worst-case skew is a prefix shingle shared by d docs (d^2
+    candidate pairs) — prefix filtering keeps d small by preferring the
+    rarest shingles."""
+    sh = shingle_table(df, text_col, k, extra_cols=extra_cols)
+    try:
+        ex = sh.select("doc_id", F.explode("hs").alias("s"))
+        freq = ex.groupBy("s").agg(F.count("*").alias("df"))
+        w = Window.partitionBy("doc_id").orderBy("df", "s")
+        prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        pref = (
+            ex.join(freq, "s")
+            .withColumn("rn", F.row_number().over(w))
+            .join(sh.select("doc_id", F.size("hs").alias("sz")), "doc_id")
+            .filter(F.col("rn") <= prefix_len)
+            .select("doc_id", "s")
+        ).persist()
+        a, b = pref.alias("a"), pref.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        verified = _jaccard_for_pairs(sh.select("doc_id", "hs"), cand).filter(
+            F.col("jaccard") >= threshold
+        )
+        if extra_cols:
+            for c in extra_cols:
+                verified = (
+                    verified.join(
+                        sh.select(F.col("doc_id").alias("doc_a"),
+                                  F.col(c).alias(f"{c}_a")),
+                        "doc_a",
+                    )
+                    .join(
+                        sh.select(F.col("doc_id").alias("doc_b"),
+                                  F.col(c).alias(f"{c}_b")),
+                        "doc_b",
+                    )
+                )
+        out = _materialize(verified)
+        pref.unpersist()
+        return out
+    finally:
+        sh.unpersist()
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:

@@ -87,3 +87,33 @@ def test_symmetrize(spark):
     e = fixtures.edges_df(spark, [(0, 1), (1, 0), (1, 2)])
     got = sorted(map(tuple, graph.symmetrize(e).collect()))
     assert got == [(0, 1), (1, 0), (1, 2), (2, 1)]
+
+
+def test_weighted_degrees(spark):
+    e = fixtures.edges_df(
+        spark, [(0, 1, 2.0), (0, 2, 3.0), (1, 2, 5.0)], weighted=True
+    )
+    out = {r["vertex"]: r["wdegree"] for r in graph.degrees(e, "out", weighted=True).collect()}
+    assert out == {0: 5.0, 1: 5.0}
+    inn = {r["vertex"]: r["wdegree"] for r in graph.degrees(e, "in", weighted=True).collect()}
+    assert inn == {1: 2.0, 2: 8.0}
+    both = {r["vertex"]: r["wdegree"] for r in graph.degrees(e, "both", weighted=True).collect()}
+    assert both == {0: 5.0, 1: 7.0, 2: 8.0}
+
+
+def test_expand_direction(spark):
+    e = fixtures.edges_df(spark, [(0, 1), (1, 2)])
+    t = sorted(map(tuple, graph.expand_direction(e, "transposed").collect()))
+    assert t == [(1, 0), (2, 1)]
+    u = sorted(map(tuple, graph.expand_direction(e, "undirected").collect()))
+    assert u == [(0, 1), (1, 0), (1, 2), (2, 1)]
+
+
+def test_remap_contiguous(spark):
+    e = fixtures.edges_df(spark, [(100, 7), (7, 100), (100, 1_000_000)])
+    remapped, mapping = graph.remap_contiguous(e)
+    m = {r["orig"]: r["vertex"] for r in mapping.collect()}
+    assert sorted(m.values()) == [0, 1, 2]
+    got = sorted((r["src"], r["dst"]) for r in remapped.collect())
+    exp = sorted((m[s], m[d]) for s, d in [(100, 7), (7, 100), (100, 1_000_000)])
+    assert got == exp

@@ -175,3 +175,39 @@ def test_media_feature_plumbing(spark):
     assert by_id[2]["feature"] == [0.0, 0.0, 0.0, 0.0]
     with pytest.raises(Exception):
         textops.extract_media_features(media, real_decode=True).collect()
+
+
+def test_jaccard_similarity_join_equals_bruteforce(spark, docs):
+    """Prefix-filtered exact join must return the IDENTICAL pair set as the
+    all-pairs compare (the lossless-candidate-generation guarantee)."""
+    sample = docs.limit(80).cache()
+    t = 0.25
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in textops.jaccard_similarity_join(sample, threshold=t).collect()
+    }
+    sh = textops.shingle_table(sample, "text", 5)
+    rows = {r["doc_id"]: set(r["hs"]) for r in sh.collect()}
+    sh.unpersist()
+    exp = {}
+    ids = sorted(rows)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(rows[a] & rows[b])
+            j = inter / max(len(rows[a] | rows[b]), 1)
+            if j >= t:
+                exp[(a, b)] = j
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-12
+    sample.unpersist()
+
+
+def test_minhash_releases_caches(spark):
+    """Near-dup pipelines must not leak persisted shingle tables."""
+    df = _mini_docs(spark)
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    textops.minhash_near_duplicates(df, threshold=0.5).count()
+    textops.jaccard_similarity_join(df, threshold=0.5).count()
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after <= before + 2  # localCheckpoint blocks only, no shingle caches
