@@ -9,16 +9,24 @@ in Spark terms:
   block_col = src % p); local ids are ``global // p`` (int32, same split as
   the reference's IDUtils.java:23-37).
 * **CSR blocks**: one DataFrame row per (block_row, block_col, is_dense)
-  holding Arrow array columns (src_local[], deg[], dst_local[], weight[]?) —
-  the reference's custom binary block files collapse into Parquet structs.
+  holding Arrow array columns (src_local[], deg[], gdeg[], dst_local[],
+  weight[]?) — the reference's custom binary block files collapse into
+  Parquet structs. ``gdeg`` carries each source's GLOBAL out-degree with the
+  block, so supersteps never re-join a degree table (the reference bakes
+  degrees into its block files the same way,
+  GraphPrepartitioningReducer.java:84-127).
 * **Dense/sparse split**: a source with global out-degree ≥ threshold is a
   hub ("dense"); threshold < 0 ⇒ all sparse, == 0 ⇒ all dense (degenerate
   modes, Constants.java:25-27 / ComputationMapper.java:173-176).
-* **Superstep**: sparse blocks join the (small, p-row) blocked state on
+* **Superstep**: sparse columns join the (small, p-row) blocked state on
   block_col and gather/scatter inside a pandas UDF; dense blocks receive
-  only the HUB signals via a driver broadcast (O(#hubs), not O(E_dense)) —
-  exactly the reference's dv-broadcast trick (ComputationMapper.java:217-240).
-  Partials shuffle-reduce on block_row; apply is a vectorized kernel.
+  only the HUB signals — which ride ON the state as a ``hub_sigs`` column
+  (computed during the previous apply, so the dense republish costs zero
+  extra stages) and broadcast-join into the dense blocks, O(#hubs) network
+  per superstep — the reference's dv trick (ComputationMapper.java:217-240)
+  with no driver round trip. Partials shuffle-reduce on block_row; reduce +
+  apply + convergence vote + next hub-signal extraction are ONE fused
+  cogroup kernel.
 
 All Python execution is Arrow-batched NumPy over whole blocks — no per-row
 Python anywhere.
@@ -26,7 +34,10 @@ Python anywhere.
 Scale notes: p must grow with the cluster so each block's arrays stay
 within executor memory (n/p state doubles + E/p² edges per block; assert
 n/p < 2^31 like the reference). The blocked state is (p rows × n/p array
-entries); joins on ``block`` are trivially co-partitioned.
+entries); joins on ``block`` are trivially co-partitioned. The degenerate
+all-dense mode (threshold == 0) treats every vertex as a hub and so
+broadcasts the full state — that is the reference's semantics for it, not
+the scale path.
 """
 
 from __future__ import annotations
@@ -51,6 +62,7 @@ _BLOCK_SCHEMA = T.StructType(
         T.StructField("is_dense", T.BooleanType(), False),
         T.StructField("src_local", T.ArrayType(T.IntegerType()), False),
         T.StructField("deg", T.ArrayType(T.IntegerType()), False),
+        T.StructField("gdeg", T.ArrayType(T.IntegerType()), False),
         T.StructField("dst_local", T.ArrayType(T.IntegerType()), False),
         T.StructField("weight", T.ArrayType(T.DoubleType()), True),
     ]
@@ -68,55 +80,9 @@ _STATE_SCHEMA = T.StructType(
     [
         T.StructField("block", T.IntegerType(), False),
         T.StructField("values", T.ArrayType(T.DoubleType()), False),
+        T.StructField("hub_sigs", T.ArrayType(T.DoubleType()), False),
     ]
 )
-
-_HUB_SCHEMA = T.StructType(
-    [
-        T.StructField("block", T.IntegerType(), False),
-        T.StructField("sigs", T.ArrayType(T.DoubleType()), False),
-    ]
-)
-
-
-def _make_hub_extractor(hub_locals_b, col: str = "values"):
-    """Executor-side slice of one per-block array down to its hub entries —
-    only O(#hubs) values ever leave the block (the reference's dv-file
-    republish, ComputationMapper.java:306-313)."""
-
-    def extract(pdf: pd.DataFrame) -> pd.DataFrame:
-        b = int(pdf["block"].iloc[0])
-        locs = hub_locals_b.value.get(b)
-        if locs is None or len(pdf) == 0:
-            return pd.DataFrame(
-                {"block": pd.Series(dtype="int32"), "sigs": pd.Series(dtype="object")}
-            )
-        sig = np.asarray(pdf[col].iloc[0], dtype=np.float64)
-        return pd.DataFrame({"block": [b], "sigs": [sig[locs]]})
-
-    return extract
-
-
-def _make_hub_signal_extractor(program, hub_locals_b, hub_outdeg_b):
-    """Executor-side hub-SIGNAL extractor: slice the block's state array to
-    its hub entries AND apply np_signal there (using the static hub
-    out-degrees), so the per-iteration dense republish is a small
-    DataFrame — never a driver collect. The result broadcast-joins into the
-    dense blocks (O(#hubs) network per superstep, zero driver round trip)."""
-
-    def extract(pdf: pd.DataFrame) -> pd.DataFrame:
-        b = int(pdf["block"].iloc[0])
-        locs = hub_locals_b.value.get(b)
-        if locs is None or len(pdf) == 0:
-            return pd.DataFrame(
-                {"block": pd.Series(dtype="int32"), "sigs": pd.Series(dtype="object")}
-            )
-        vals = np.asarray(pdf["values"].iloc[0], dtype=np.float64)[locs]
-        od = hub_outdeg_b.value.get(b)
-        sig = program.np_signal(vals, od if od is not None else vals)
-        return pd.DataFrame({"block": [b], "sigs": [sig]})
-
-    return extract
 
 
 def _build_csr(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -125,8 +91,9 @@ def _build_csr(pdf: pd.DataFrame) -> pd.DataFrame:
     order = np.lexsort((pdf["dst_local"].to_numpy(), pdf["src_local"].to_numpy()))
     src = pdf["src_local"].to_numpy()[order]
     dst = pdf["dst_local"].to_numpy()[order]
+    gd = pdf["_gdeg"].to_numpy()[order]
     w = pdf["weight"].to_numpy()[order] if has_w else None
-    uniq, counts = np.unique(src, return_counts=True)
+    uniq, first, counts = np.unique(src, return_index=True, return_counts=True)
     return pd.DataFrame(
         {
             "block_row": [int(pdf["block_row"].iloc[0])],
@@ -134,6 +101,7 @@ def _build_csr(pdf: pd.DataFrame) -> pd.DataFrame:
             "is_dense": [bool(pdf["is_dense"].iloc[0])],
             "src_local": [uniq.astype(np.int32)],
             "deg": [counts.astype(np.int32)],
+            "gdeg": [gd[first].astype(np.int32)],
             "dst_local": [dst.astype(np.int32)],
             "weight": [w.astype(np.float64) if w is not None else None],
         }
@@ -150,7 +118,8 @@ def prepartition(
 
     Dense classification is by *global* out-degree (≥ threshold ⇒ dense,
     UnweightedGraphPrepartitioning.java:226); threshold < 0 ⇒ all sparse,
-    0 ⇒ all dense.
+    0 ⇒ all dense. The global out-degree travels with each block (``gdeg``)
+    so the superstep never joins a degree table.
     """
     deg = edges.groupBy("src").agg(F.count("*").alias("_gdeg"))
     e = edges.join(deg, "src")
@@ -166,6 +135,7 @@ def prepartition(
         is_dense.alias("is_dense"),
         (F.col("src") / p).cast("int").alias("src_local"),
         (F.col("dst") / p).cast("int").alias("dst_local"),
+        F.col("_gdeg").cast("int").alias("_gdeg"),
     ]
     if weighted:
         cols.append(F.col("weight"))
@@ -295,17 +265,16 @@ def blocks_to_edges(blocks: DataFrame, p: int) -> DataFrame:
     )
 
 
-def _init_state(spark, n: int, p: int, program: VertexProgram) -> DataFrame:
-    """Blocked initial state: p rows, values[local] for global = local*p+block."""
-    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for b in pdf["block"]:
-            ids = np.arange(b, n, p, dtype=np.int64)
-            out.append(program.np_init(ids, n))
-        return pd.DataFrame({"block": pdf["block"], "values": out})
-
-    base = spark.range(p).select(F.col("id").cast("int").alias("block"))
-    return base.groupBy("block").applyInPandas(gen, _STATE_SCHEMA)
+def _hub_sig(program: VertexProgram, block: int, values: np.ndarray,
+             hub_locals: dict, hub_gdeg: dict) -> np.ndarray:
+    """Hub-signal slice of one block's value array (empty if no hubs)."""
+    locs = hub_locals.get(block)
+    if locs is None:
+        return np.zeros(0, dtype=np.float64)
+    v = values[locs]
+    od = hub_gdeg.get(block)
+    return np.asarray(program.np_signal(v, od if od is not None else v),
+                      dtype=np.float64)
 
 
 def run_blocked(
@@ -323,8 +292,9 @@ def run_blocked(
 
     ``n`` defaults to max(id)+1 (the reference's numVertices rule,
     GraphPrepartitioningReducer.java:84-101) — ids should be contiguous
-    [0, n) from graph.assign_ids. Pre-built ``blocks`` (from prepartition,
-    possibly read back from Parquet) skip the build.
+    [0, n) from graph.assign_ids / graph.remap_contiguous. Pre-built
+    ``blocks`` (from prepartition, possibly read back from Parquet) skip
+    the build.
     """
     if not program.supports_blocked:
         raise ValueError(f"{program.name} has a non-scalar semi-ring; use the flat plan")
@@ -346,76 +316,58 @@ def run_blocked(
     weighted = program.weighted and "weight" in edges.columns
     if blocks is None:
         blocks = prepartition(edges, p, dense_threshold, weighted=weighted)
-    blocks = blocks.repartition(p, "block_col").persist()
-    edges_count = blocks.agg(F.sum(F.size("dst_local"))).first()[0] or 0
-
-    # static per-block out-degree arrays (for signal kernels that need it)
-    outdeg_blocks = None
-    if program.needs_out_degree:
-        deg_flat = edges.groupBy("src").agg(F.count("*").alias("degree"))
-
-        def degarr(pdf: pd.DataFrame) -> pd.DataFrame:
-            b = int(pdf["block"].iloc[0])
-            arr = np.zeros(len(np.arange(b, n, p)), dtype=np.float64)
-            loc = pdf["local"].to_numpy()
-            dv = pdf["degree"].to_numpy(dtype=np.float64)
-            mask = loc >= 0
-            arr[loc[mask]] = dv[mask]
-            return pd.DataFrame({"block": [b], "outdeg": [arr]})
-
-        deg_b = deg_flat.select(
-            F.pmod(F.col("src"), F.lit(p)).cast("int").alias("block"),
-            (F.col("src") / p).cast("int").alias("local"),
-            "degree",
+    if "gdeg" not in blocks.columns:
+        raise ValueError(
+            "pre-built blocks lack the 'gdeg' column — rebuild with "
+            "prepartition() (block format carries global out-degrees)"
         )
-        # ensure every block has a row (blocks with no sources)
-        anchor = spark.range(p).select(
-            F.col("id").cast("int").alias("block"),
-            F.lit(-1).cast("int").alias("local"),
-            F.lit(0).cast("long").alias("degree"),
-        )
-        outdeg_blocks = (
-            deg_b.unionByName(anchor)
-            .groupBy("block")
-            .applyInPandas(
-                degarr,
-                T.StructType(
-                    [
-                        T.StructField("block", T.IntegerType(), False),
-                        T.StructField("outdeg", T.ArrayType(T.DoubleType()), False),
-                    ]
-                ),
-            )
-            .persist()
-        )
-        outdeg_blocks.count()
+    blocks = blocks.persist()
 
-    # hubs (dense sources): (block, local) — driver-side, the FlexGraph
-    # premise is |hubs| ≪ n (their per-iteration values get broadcast).
-    dense_exists = blocks.filter("is_dense").limit(1).count() > 0
+    # ONE setup aggregate: edge count + dense/sparse existence.
+    row = blocks.agg(
+        F.sum(F.size("dst_local")).alias("total"),
+        F.sum(
+            F.when(F.col("is_dense"), F.size("dst_local")).otherwise(F.lit(0))
+        ).alias("dense_nnz"),
+    ).first()
+    edges_count = int(row["total"] or 0)
+    dense_nnz = int(row["dense_nnz"] or 0)
+    dense_exists = dense_nnz > 0
+    sparse_exists = (edges_count - dense_nnz) > 0
+
+    sc = spark.sparkContext
+
+    # hubs (dense sources): (block → sorted locals, aligned global degrees).
+    # Driver-side by design: the FlexGraph premise is |hubs| ≪ n. (The
+    # all-dense degenerate mode makes every vertex a hub — reference
+    # semantics, not the scale path.)
     hub_locals: dict[int, np.ndarray] = {}
+    hub_gdeg: dict[int, np.ndarray] = {}
     if dense_exists:
         hub_rows = (
             blocks.filter("is_dense")
-            .select("block_col", F.explode("src_local").alias("local"))
+            .select("block_col", F.explode(F.arrays_zip("src_local", "gdeg")).alias("z"))
+            .select("block_col", F.col("z.src_local").alias("local"),
+                    F.col("z.gdeg").alias("gd"))
             .distinct()
             .collect()
         )
+        tmp: dict[int, list] = {}
         for r in hub_rows:
-            hub_locals.setdefault(r["block_col"], []).append(r["local"])
-        hub_locals = {b: np.sort(np.array(v, dtype=np.int64)) for b, v in hub_locals.items()}
-    hub_locals_b = None
-    if dense_exists:
-        hub_locals_b = edges.sparkSession.sparkContext.broadcast(hub_locals)
-
-    dense_blocks = blocks.filter(F.col("is_dense")).persist()
+            tmp.setdefault(r["block_col"], []).append((r["local"], r["gd"]))
+        for b, pairs in tmp.items():
+            pairs.sort()
+            hub_locals[b] = np.array([x for x, _ in pairs], dtype=np.int64)
+            hub_gdeg[b] = np.array([g for _, g in pairs], dtype=np.float64)
+    hub_locals_b = sc.broadcast(hub_locals)
+    hub_gdeg_b = sc.broadcast(hub_gdeg)
 
     # Column-major consolidation (the reference's worker-owns-column layout,
-    # ComputationInputFormat.java:111-115): merge each column's p row-blocks
-    # into ONE row. Without this, joining state to blocks ships one COPY of
-    # the column's state array per row-block through Arrow — a p-fold
-    # amplification (gigabytes per superstep at p=64); merged, each state
-    # array crosses exactly once per superstep. Built once, persisted.
+    # ComputationInputFormat.java:111-115): merge each column's p sparse
+    # row-blocks into ONE row. Without this, joining state to blocks ships
+    # one COPY of the column's state array per row-block through Arrow — a
+    # p-fold amplification (gigabytes per superstep at p=64); merged, each
+    # state array crosses exactly once per superstep. Built once, persisted.
     _COLS_SCHEMA = T.StructType(
         [
             T.StructField("block_col", T.IntegerType(), False),
@@ -424,6 +376,7 @@ def run_blocked(
             T.StructField("nnz", T.ArrayType(T.IntegerType()), False),
             T.StructField("src_local", T.ArrayType(T.IntegerType()), False),
             T.StructField("deg", T.ArrayType(T.IntegerType()), False),
+            T.StructField("gdeg", T.ArrayType(T.IntegerType()), False),
             T.StructField("dst_local", T.ArrayType(T.IntegerType()), False),
             T.StructField("weight", T.ArrayType(T.DoubleType()), True),
         ]
@@ -432,81 +385,83 @@ def run_blocked(
     def _merge_column(pdf: pd.DataFrame) -> pd.DataFrame:
         bc = int(pdf["block_col"].iloc[0])
         rb, sc_, nz = [], [], []
-        src_cat, deg_cat, dst_cat, w_cat = [], [], [], []
+        src_cat, deg_cat, gdeg_cat, dst_cat, w_cat = [], [], [], [], []
         any_w = False
         for i in range(len(pdf)):
             rb.append(int(pdf["block_row"].iloc[i]))
             s = np.asarray(pdf["src_local"].iloc[i], dtype=np.int32)
             d = np.asarray(pdf["deg"].iloc[i], dtype=np.int32)
+            g = np.asarray(pdf["gdeg"].iloc[i], dtype=np.int32)
             t = np.asarray(pdf["dst_local"].iloc[i], dtype=np.int32)
             sc_.append(len(s))
             nz.append(len(t))
             src_cat.append(s)
             deg_cat.append(d)
+            gdeg_cat.append(g)
             dst_cat.append(t)
             w = pdf["weight"].iloc[i]
             if w is not None:
                 any_w = True
                 w_cat.append(np.asarray(w, dtype=np.float64))
+        empty32 = np.array([], dtype=np.int32)
         return pd.DataFrame(
             {
                 "block_col": [bc],
                 "row_blocks": [np.asarray(rb, dtype=np.int32)],
                 "src_counts": [np.asarray(sc_, dtype=np.int32)],
                 "nnz": [np.asarray(nz, dtype=np.int32)],
-                "src_local": [np.concatenate(src_cat) if src_cat else np.array([], dtype=np.int32)],
-                "deg": [np.concatenate(deg_cat) if deg_cat else np.array([], dtype=np.int32)],
-                "dst_local": [np.concatenate(dst_cat) if dst_cat else np.array([], dtype=np.int32)],
+                "src_local": [np.concatenate(src_cat) if src_cat else empty32],
+                "deg": [np.concatenate(deg_cat) if deg_cat else empty32],
+                "gdeg": [np.concatenate(gdeg_cat) if gdeg_cat else empty32],
+                "dst_local": [np.concatenate(dst_cat) if dst_cat else empty32],
                 "weight": [np.concatenate(w_cat) if any_w else None],
             }
         )
 
-    sparse_cols = (
-        blocks.filter(~F.col("is_dense"))
-        .groupBy("block_col")
-        .applyInPandas(_merge_column, _COLS_SCHEMA)
-        .repartition(p, "block_col")
-        .persist()
-    )
-    sparse_exists = sparse_cols.limit(1).count() > 0
+    sparse_cols = None
+    if sparse_exists:
+        sparse_cols = (
+            blocks.filter(~F.col("is_dense"))
+            .groupBy("block_col")
+            .applyInPandas(_merge_column, _COLS_SCHEMA)
+            .repartition(p, "block_col")
+            .persist()
+        )
+        sparse_cols.count()
+    dense_blocks = None
+    if dense_exists:
+        dense_blocks = blocks.filter(F.col("is_dense")).persist()
+        dense_blocks.count()
+    blocks.unpersist()
 
-    sc = spark.sparkContext
     reduce_min = program.reduce_np == "min"
     identity = program.identity
 
-    has_outdeg = program.needs_out_degree
-
     def gather(pdf_iter):
-        """mapInPandas over (merged column ⋈ state[, outdeg] arrays) rows ->
-        compacted partials, one output row per (column, row-block). The
-        signal kernel (combine2's source factor) is fused in — no separate
-        signal stage."""
+        """mapInPandas over (merged column ⋈ state) rows -> compacted
+        partials, one output row per (column, row-block). The signal kernel
+        (combine2's source factor) is fused in and vectorized across the
+        whole column; global out-degrees ride in the block (gdeg)."""
         for pdf in pdf_iter:
             out_block, out_dst, out_vals = [], [], []
             for i in range(len(pdf)):
                 vals = np.asarray(pdf["values"].iloc[i], dtype=np.float64)
-                od = (
-                    np.asarray(pdf["outdeg"].iloc[i], dtype=np.float64)
-                    if has_outdeg
-                    else vals
-                )
-                sig = program.np_signal(vals, od)
                 row_blocks = np.asarray(pdf["row_blocks"].iloc[i])
                 src_counts = np.asarray(pdf["src_counts"].iloc[i])
                 nnzs = np.asarray(pdf["nnz"].iloc[i])
                 src_all = np.asarray(pdf["src_local"].iloc[i])
                 deg_all = np.asarray(pdf["deg"].iloc[i])
+                gdeg_all = np.asarray(pdf["gdeg"].iloc[i], dtype=np.float64)
                 dst_all = np.asarray(pdf["dst_local"].iloc[i])
                 w_all = pdf["weight"].iloc[i]
                 w_all = np.asarray(w_all, dtype=np.float64) if w_all is not None else None
-                so = np.concatenate(([0], np.cumsum(src_counts)))
+                # whole-column vectorized signal + message
+                sig_src = program.np_signal(vals[src_all], gdeg_all)
+                contrib_all = program.np_message(np.repeat(sig_src, deg_all), w_all)
                 no = np.concatenate(([0], np.cumsum(nnzs)))
                 for j in range(len(row_blocks)):
-                    src_l = src_all[so[j]:so[j + 1]]
-                    degs = deg_all[so[j]:so[j + 1]]
                     dst_l = dst_all[no[j]:no[j + 1]]
-                    w = w_all[no[j]:no[j + 1]] if w_all is not None else None
-                    contrib = program.np_message(np.repeat(sig[src_l], degs), w)
+                    contrib = contrib_all[no[j]:no[j + 1]]
                     size = int(dst_l.max()) + 1 if len(dst_l) else 0
                     part = np.full(size, identity)
                     if reduce_min:
@@ -520,16 +475,17 @@ def run_blocked(
             yield pd.DataFrame({"block": out_block, "dst_local": out_dst, "vals": out_vals})
 
     def dense_gather(pdf_iter):
-        """mapInPandas over (dense block ⋈ broadcast hub sigs) rows: each row
-        carries the hub SIGNALS of its column (``sigs``, aligned with the
-        sorted hub-local list) — the reference's dv republish
-        (ComputationMapper.java:217-240) without any driver round trip."""
-        hub_locals = hub_locals_b.value
+        """mapInPandas over (dense block ⋈ broadcast hub-sig state slice):
+        each row carries its column's hub SIGNALS (``sigs``, aligned with
+        the sorted hub-local list) — the reference's dv republish
+        (ComputationMapper.java:217-240), zero extra stages (the sigs were
+        computed during the previous apply)."""
+        hub_l = hub_locals_b.value
         for pdf in pdf_iter:
             out_block, out_dst, out_vals = [], [], []
             for i in range(len(pdf)):
                 bc = int(pdf["block_col"].iloc[i])
-                locs = hub_locals[bc]
+                locs = hub_l[bc]
                 sigs = np.asarray(pdf["sigs"].iloc[i], dtype=np.float64)
                 src_l = np.asarray(pdf["src_local"].iloc[i])
                 degs = np.asarray(pdf["deg"].iloc[i])
@@ -558,13 +514,16 @@ def run_blocked(
         [
             T.StructField("block", T.IntegerType(), False),
             T.StructField("values", T.ArrayType(T.DoubleType()), False),
+            T.StructField("hub_sigs", T.ArrayType(T.DoubleType()), False),
             T.StructField("changed", T.LongType(), False),
         ]
     )
 
     def reduce_apply(state_pdf: pd.DataFrame, part_pdf: pd.DataFrame) -> pd.DataFrame:
-        """Fused combineAll + apply over one block (cogroup: ONE shuffle on
-        ``block`` instead of reduce-shuffle -> join -> apply-shuffle)."""
+        """Fused combineAll + apply + convergence count + NEXT iteration's
+        hub-signal extraction over one block (cogroup: ONE shuffle on
+        ``block`` instead of reduce-shuffle -> join -> apply-shuffle ->
+        hub-extract)."""
         b = int(state_pdf["block"].iloc[0])
         old = np.asarray(state_pdf["values"].iloc[0], dtype=np.float64)
         acc = np.full(len(old), identity)
@@ -578,24 +537,42 @@ def run_blocked(
         has = acc != identity
         new = program.np_apply(old, acc, has, n)
         changed = int(program.np_changed(old, new).sum())
-        return pd.DataFrame({"block": [b], "values": [new], "changed": [changed]})
+        hs = _hub_sig(program, b, new, hub_locals_b.value, hub_gdeg_b.value)
+        return pd.DataFrame(
+            {"block": [b], "values": [new], "hub_sigs": [hs], "changed": [changed]}
+        )
 
-    # static hub out-degrees (broadcast once: needed executor-side by the
-    # per-iteration hub-signal extractor)
-    hub_outdeg_b = None
-    if dense_exists:
-        hub_outdeg: dict[int, np.ndarray] = {}
-        if outdeg_blocks is not None:
-            rows = (
-                outdeg_blocks.groupBy("block")
-                .applyInPandas(_make_hub_extractor(hub_locals_b, "outdeg"), _HUB_SCHEMA)
-                .collect()
+    def _init_state_df() -> DataFrame:
+        def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+            out, hubs = [], []
+            for b in pdf["block"]:
+                ids = np.arange(b, n, p, dtype=np.int64)
+                vals = program.np_init(ids, n)
+                out.append(vals)
+                hubs.append(
+                    _hub_sig(program, int(b), vals, hub_locals_b.value, hub_gdeg_b.value)
+                )
+            return pd.DataFrame({"block": pdf["block"], "values": out, "hub_sigs": hubs})
+
+        base = spark.range(p).select(F.col("id").cast("int").alias("block"))
+        return base.groupBy("block").applyInPandas(gen, _STATE_SCHEMA)
+
+    def _with_hub_sigs(df: DataFrame) -> DataFrame:
+        """Recompute hub_sigs for a resumed state that lacks the column."""
+        def fix(pdf: pd.DataFrame) -> pd.DataFrame:
+            hubs = [
+                _hub_sig(
+                    program, int(pdf["block"].iloc[i]),
+                    np.asarray(pdf["values"].iloc[i], dtype=np.float64),
+                    hub_locals_b.value, hub_gdeg_b.value,
+                )
+                for i in range(len(pdf))
+            ]
+            return pd.DataFrame(
+                {"block": pdf["block"], "values": pdf["values"], "hub_sigs": hubs}
             )
-            hub_outdeg = {
-                r["block"]: np.asarray(r["sigs"], dtype=np.float64) for r in rows
-            }
-        hub_outdeg_b = sc.broadcast(hub_outdeg)
-        hub_sig_extract = _make_hub_signal_extractor(program, hub_locals_b, hub_outdeg_b)
+
+        return df.groupBy("block").applyInPandas(fix, _STATE_SCHEMA)
 
     from flexgraph_spark.gimv import truncate_plan
 
@@ -606,9 +583,11 @@ def run_blocked(
         resumed = checkpointer.resume(job_name)
         if resumed is not None:
             start_iter, state = resumed
+            if "hub_sigs" not in state.columns:
+                state = _with_hub_sigs(state)
             state = state.repartition(p, "block")
     if state is None:
-        state = _init_state(spark, n, p, program).repartition(p, "block")
+        state = _init_state_df().repartition(p, "block")
         state = truncate_plan(state)
 
     metrics: list[IterationMetrics] = []
@@ -623,31 +602,20 @@ def run_blocked(
     try:
         for it in range(start_iter + 1, max_iter + 1):
             t0 = _time.time()
-            src_side = (
-                state.join(outdeg_blocks, "block") if outdeg_blocks is not None else state
-            )
             parts = []
             if sparse_exists:
                 parts.append(
                     sparse_cols.join(
-                        src_side.withColumnRenamed("block", "block_col").hint("shuffle_hash"),
+                        state.withColumnRenamed("block", "block_col").hint("shuffle_hash"),
                         "block_col",
                     ).mapInPandas(gather, _PARTIAL_SCHEMA)
                 )
             if dense_exists:
-                # per-iteration dense republish: slice the state down to its
-                # hub entries + signal (executor-side, O(#hubs) total) and
-                # broadcast-JOIN it into the dense blocks — the reference's
-                # dv trick (ComputationMapper.java:306-313) with no driver
-                # round trip: dense-edge partials never shuffle; only the
-                # tiny hub-signal table moves each superstep.
-                hub_sigs = (
-                    state.groupBy("block")
-                    .applyInPandas(hub_sig_extract, _HUB_SCHEMA)
-                    .withColumnRenamed("block", "block_col")
+                hub_state = state.select(
+                    F.col("block").alias("block_col"), F.col("hub_sigs").alias("sigs")
                 )
                 parts.append(
-                    dense_blocks.join(F.broadcast(hub_sigs), "block_col")
+                    dense_blocks.join(F.broadcast(hub_state), "block_col")
                     .mapInPandas(dense_gather, _PARTIAL_SCHEMA)
                 )
 
@@ -694,8 +662,8 @@ def run_blocked(
         (F.col("local").cast("long") * p + F.col("block")).alias("vertex"), "value"
     )
     result = program.finalize(flat)
-    for df in (sparse_cols, dense_blocks, blocks):
-        df.unpersist()
-    if outdeg_blocks is not None:
-        outdeg_blocks.unpersist()
+    if sparse_cols is not None:
+        sparse_cols.unpersist()
+    if dense_blocks is not None:
+        dense_blocks.unpersist()
     return GimvResult(state=result, iterations=it, converged=converged, metrics=metrics)

