@@ -30,7 +30,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flexgraph_spark import algorithms, gimv, textops
+from flexgraph_spark import algorithms, gimv, streaming, textops
 from flexgraph_spark.graph import derive_graph, remap_contiguous
 
 SSP_EDGES_SQL = "select distinct l_suppkey as src, l_partkey as dst from lineitem"
@@ -377,6 +377,38 @@ def _q_ann_lsh_top5(spark, sf_dir):
     return out.select("query_id", F.col("rank").alias("rnk"), "neighbor_id")
 
 
+def _q_event_windows(spark, sf_dir):
+    """Batch face of the streaming windowed aggregation (the identical plan
+    runs incrementally via readStream — tests/test_streaming.py proves
+    stream ≡ batch; the oracle gates the batch semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    out = streaming.windowed_event_counts(ev)
+    # ts is TIMESTAMP_NTZ: format as a wall-clock string (timezone-free and
+    # deterministic on both engines; unix_micros would need a tz cast)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+def _q_event_sessions(spark, sf_dir):
+    """Batch face of session windows (30-min gap). Session identity is
+    fully determined by the gap rule, so the lag/cumsum SQL oracle matches
+    exactly; session_end = last event + gap."""
+    ev = _t(spark, sf_dir, "events")
+    out = streaming.sessionize(ev)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
 def _q_media_features(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     media = docs.select(
@@ -425,6 +457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ann_top5": _q_ann_top5,
         "ann_lsh_top5": _q_ann_lsh_top5,
+        "event_window_counts": _q_event_windows,
+        "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
     }
 
@@ -716,6 +750,31 @@ from d
             "cast(null as double) as jaccard where 1 = 0"
         ),
         "ann_top5": _ANN_SQL,
+        "event_window_counts": """
+select strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+         as window_start,
+       event_type,
+       count(*)::bigint as n_events,
+       round(sum(value), 6) as sum_value
+from events group by 1, 2
+""",
+        "event_sessions": """
+with o as (
+  select user_id, ts, value,
+         lag(ts) over (partition by user_id order by ts, event_id) as prev
+  from events),
+f as (select *, case when prev is null or ts - prev >= interval '30 minutes'
+                     then 1 else 0 end as new_s from o),
+s as (select *, sum(new_s) over (partition by user_id order by ts, value
+                                 rows unbounded preceding) as sid from f)
+select user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') as session_start,
+       strftime(max(ts) + interval '30 minutes', '%Y-%m-%d %H:%M:%S.%f')
+         as session_end,
+       count(*)::bigint as n_events,
+       round(sum(value), 6) as sum_value
+from s group by user_id, sid
+""",
         "media_features": """
 select doc_id as media_id,
        list_extract(['image','audio','video'], (doc_id % 3 + 1)::int) as kind,

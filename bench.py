@@ -77,23 +77,28 @@ def main() -> None:
         queries[name] = round(dt, 3)
         return dt
 
-    pr_time = timed(
-        "pagerank_flat_10it",
-        lambda: algorithms.pagerank(
-            edges, threshold=0.0, max_iter=PAGERANK_ITERS, num_partitions=gp
-        )
-        .state.agg(F.sum("value"))
-        .first(),
-    )
+    import statistics
+
+    results: dict[str, list[float]] = {}
+
+    def run_pr(name, **kw):
+        def go():
+            res = algorithms.pagerank(
+                edges, threshold=0.0, max_iter=PAGERANK_ITERS, **kw
+            )
+            res.state.agg(F.sum("value")).first()
+            results[name] = [m.seconds for m in res.metrics]
+        return go
+
+    pr_time = timed("pagerank_flat_10it", run_pr("flat", num_partitions=gp))
     timed(
         "pagerank_blocked_10it",
-        lambda: algorithms.pagerank(
-            edges, threshold=0.0, max_iter=PAGERANK_ITERS, engine="blocked",
-            p=gp, dense_threshold=100,
-        )
-        .state.agg(F.sum("value"))
-        .first(),
+        run_pr("blocked", engine="blocked", p=gp, dense_threshold=100),
     )
+    # median superstep (robust to the JVM-warmup first iteration and to GC /
+    # noisy-neighbor stragglers — same estimator as bench/scaling.py)
+    med_flat = statistics.median(results["flat"])
+    med_blocked = statistics.median(results["blocked"])
     timed(
         "cc_converged",
         lambda: algorithms.connected_components(
@@ -127,7 +132,7 @@ def main() -> None:
         .first(),
     )
 
-    edges_per_sec_per_superstep = n_edges / (pr_time / PAGERANK_ITERS)
+    edges_per_sec_per_superstep = n_edges / med_flat
     print(
         json.dumps(
             {
@@ -138,6 +143,9 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "edges": n_edges,
+                "superstep_median_flat_sec": round(med_flat, 3),
+                "superstep_median_blocked_sec": round(med_blocked, 3),
+                "pagerank_total_sec_flat": round(pr_time, 3),
             }
         )
     )

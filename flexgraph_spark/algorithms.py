@@ -119,6 +119,9 @@ def triangle_count(edges: DataFrame) -> int:
         .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
         .alias("e")
     ).select("e.u", "e.v")
+    # oriented feeds FOUR plan branches (both wedge sides + both directions
+    # of the closing probe); persist so the dedup + degree joins run once.
+    oriented = oriented.persist()
 
     e1 = oriented.select(F.col("u"), F.col("v").alias("w1"))
     e2 = oriented.select(F.col("u"), F.col("v").alias("w2"))
@@ -129,4 +132,6 @@ def triangle_count(edges: DataFrame) -> int:
         ),
         ["w1", "w2"],
     )
-    return closed.count()
+    n = closed.count()
+    oriented.unpersist()
+    return n

@@ -55,6 +55,23 @@ from flexgraph_spark.gimv import GimvResult, IterationMetrics, VertexProgram
 
 DENSE_THRESHOLD_DEFAULT = 100  # Constants.java:26
 
+
+def suggest_dense_threshold(
+    edges: DataFrame, hub_fraction: float = 0.001, floor: int = 2
+) -> int:
+    """Pick the dense/sparse cutoff from the out-degree distribution — the
+    reference does this offline from the degree histogram (SURVEY.md §3.3).
+
+    Returns the degree at the (1 - hub_fraction) quantile: roughly the top
+    ``hub_fraction`` of sources become hubs, which bounds the per-superstep
+    dense republish at O(hub_fraction · n) values. approx-quantile, one
+    pass, no collect of the histogram."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    q = deg.approxQuantile("d", [1.0 - hub_fraction], 0.001)
+    if not q:
+        return DENSE_THRESHOLD_DEFAULT
+    return max(floor, int(q[0]))
+
 _BLOCK_SCHEMA = T.StructType(
     [
         T.StructField("block_row", T.IntegerType(), False),
@@ -428,10 +445,20 @@ def run_blocked(
             .persist()
         )
         sparse_cols.count()
-    dense_blocks = None
+    dense_cols = None
     if dense_exists:
-        dense_blocks = blocks.filter(F.col("is_dense")).persist()
-        dense_blocks.count()
+        # dense blocks are column-merged too: the per-iteration hub-sig
+        # broadcast join then ships each column's sig array ONCE, not once
+        # per (row-block, column) pair — a p-fold Arrow amplification
+        # otherwise.
+        dense_cols = (
+            blocks.filter(F.col("is_dense"))
+            .groupBy("block_col")
+            .applyInPandas(_merge_column, _COLS_SCHEMA)
+            .repartition(p, "block_col")
+            .persist()
+        )
+        dense_cols.count()
     blocks.unpersist()
 
     reduce_min = program.reduce_np == "min"
@@ -475,11 +502,11 @@ def run_blocked(
             yield pd.DataFrame({"block": out_block, "dst_local": out_dst, "vals": out_vals})
 
     def dense_gather(pdf_iter):
-        """mapInPandas over (dense block ⋈ broadcast hub-sig state slice):
-        each row carries its column's hub SIGNALS (``sigs``, aligned with
-        the sorted hub-local list) — the reference's dv republish
-        (ComputationMapper.java:217-240), zero extra stages (the sigs were
-        computed during the previous apply)."""
+        """mapInPandas over (merged dense column ⋈ broadcast hub-sig state
+        slice): each merged-column row carries its column's hub SIGNALS
+        (``sigs``, aligned with the sorted hub-local list) exactly once —
+        the reference's dv republish (ComputationMapper.java:217-240), zero
+        extra stages (the sigs were computed during the previous apply)."""
         hub_l = hub_locals_b.value
         for pdf in pdf_iter:
             out_block, out_dst, out_vals = [], [], []
@@ -487,25 +514,30 @@ def run_blocked(
                 bc = int(pdf["block_col"].iloc[i])
                 locs = hub_l[bc]
                 sigs = np.asarray(pdf["sigs"].iloc[i], dtype=np.float64)
-                src_l = np.asarray(pdf["src_local"].iloc[i])
-                degs = np.asarray(pdf["deg"].iloc[i])
-                dst_l = np.asarray(pdf["dst_local"].iloc[i])
-                w = pdf["weight"].iloc[i]
-                w = np.asarray(w, dtype=np.float64) if w is not None else None
+                row_blocks = np.asarray(pdf["row_blocks"].iloc[i])
+                nnzs = np.asarray(pdf["nnz"].iloc[i])
+                src_all = np.asarray(pdf["src_local"].iloc[i])
+                deg_all = np.asarray(pdf["deg"].iloc[i])
+                dst_all = np.asarray(pdf["dst_local"].iloc[i])
+                w_all = pdf["weight"].iloc[i]
+                w_all = np.asarray(w_all, dtype=np.float64) if w_all is not None else None
                 # hub signal lookup: src_local -> position in sorted hub list
-                pos = np.searchsorted(locs, src_l)
-                sig_at_src = sigs[pos]
-                contrib = program.np_message(np.repeat(sig_at_src, degs), w)
-                size = int(dst_l.max()) + 1 if len(dst_l) else 0
-                part = np.full(size, identity)
-                if reduce_min:
-                    np.minimum.at(part, dst_l, contrib)
-                else:
-                    np.add.at(part, dst_l, contrib)
-                nz = np.nonzero(part != identity)[0]
-                out_block.append(int(pdf["block_row"].iloc[i]))
-                out_dst.append(nz.astype(np.int32))
-                out_vals.append(part[nz])
+                pos = np.searchsorted(locs, src_all)
+                contrib_all = program.np_message(np.repeat(sigs[pos], deg_all), w_all)
+                no = np.concatenate(([0], np.cumsum(nnzs)))
+                for j in range(len(row_blocks)):
+                    dst_l = dst_all[no[j]:no[j + 1]]
+                    contrib = contrib_all[no[j]:no[j + 1]]
+                    size = int(dst_l.max()) + 1 if len(dst_l) else 0
+                    part = np.full(size, identity)
+                    if reduce_min:
+                        np.minimum.at(part, dst_l, contrib)
+                    else:
+                        np.add.at(part, dst_l, contrib)
+                    nz = np.nonzero(part != identity)[0]
+                    out_block.append(int(row_blocks[j]))
+                    out_dst.append(nz.astype(np.int32))
+                    out_vals.append(part[nz])
             yield pd.DataFrame(
                 {"block": out_block, "dst_local": out_dst, "vals": out_vals}
             )
@@ -615,7 +647,7 @@ def run_blocked(
                     F.col("block").alias("block_col"), F.col("hub_sigs").alias("sigs")
                 )
                 parts.append(
-                    dense_blocks.join(F.broadcast(hub_state), "block_col")
+                    dense_cols.join(F.broadcast(hub_state), "block_col")
                     .mapInPandas(dense_gather, _PARTIAL_SCHEMA)
                 )
 
@@ -664,6 +696,6 @@ def run_blocked(
     result = program.finalize(flat)
     if sparse_cols is not None:
         sparse_cols.unpersist()
-    if dense_blocks is not None:
-        dense_blocks.unpersist()
+    if dense_cols is not None:
+        dense_cols.unpersist()
     return GimvResult(state=result, iterations=it, converged=converged, metrics=metrics)

@@ -239,13 +239,20 @@ def read_edge_list_text(spark, path: str, weighted: bool = False, sep: str = "\t
     return df.select(*cols)
 
 
-def read_adjacency_list_text(spark, path: str, weighted: bool = False) -> DataFrame:
+def read_adjacency_list_text(
+    spark, path: str, weighted: bool = False,
+    field_sep: str = "\t", list_sep: str = " ",
+) -> DataFrame:
     """Reference adjacency-list format: SRC\\tDEGREE DST1 DST2 ...
     (UnweightedAdjacencyListInputFormat.java:34-35); weighted interleaves
-    DST WEIGHT pairs. Parsed with pure column expressions."""
+    DST WEIGHT pairs. Both delimiters are configurable (the reference's
+    FIELD_SEPARATOR / LIST_SEPARATOR, Constants.java:19-21). Parsed with
+    pure column expressions."""
+    import re as _re
+
     lines = spark.read.text(path)
-    parts = F.split(F.col("value"), r"\t")
-    rest = F.split(F.element_at(parts, 2), " ")
+    parts = F.split(F.col("value"), _re.escape(field_sep))
+    rest = F.split(F.element_at(parts, 2), _re.escape(list_sep))
     base = lines.select(
         F.element_at(parts, 1).cast("long").alias("src"),
         F.slice(rest, 2, F.element_at(rest, 1).cast("int") * (2 if weighted else 1)).alias("items"),

@@ -1,0 +1,151 @@
+"""Structured-Streaming operators over the events table.
+
+The reference engine is batch-only (Hadoop MR); streaming is part of this
+engine's extended surface for training-data pipelines: the same declarative
+transformations run in batch (driver-contract queries, DuckDB-oracled) and
+as incremental streaming plans (``spark.readStream`` + watermark), because
+they are built exclusively from streaming-capable constructs —
+``F.window`` / ``F.session_window`` aggregations and
+``applyInPandasWithState`` for the custom stateful path.
+
+Scale notes: windowed/session aggregations shuffle on (window, key) with
+map-side partial aggregation; watermarks bound state size (late rows beyond
+the watermark are dropped instead of growing state forever). The stateful
+operator keys by user_id — uniform hash distribution, state is O(1) per
+key.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark, path: str, max_files_per_trigger: int | None = None):
+    """File-source event stream (the parquet directory is the queue)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str | None = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window per-event-type counts + value sums.
+
+    Batch and streaming share this exact plan; on a streaming input the
+    watermark bounds aggregation state and admits late rows up to its
+    horizon."""
+    df = events
+    if df.isStreaming and watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window_duration).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Per-user sessions via the built-in session window (dynamic gap close:
+    a session ends when no event arrives within ``gap``). Spark-first: no
+    custom state management needed — ``F.session_window`` is
+    streaming-capable and batch-exact."""
+    df = events
+    if df.isStreaming and watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), user_col)
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_RUNNING_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_RUNNING_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user running event count +
+    value total, maintained across micro-batches with
+    ``applyInPandasWithState`` (Arrow-batched; state is one (long, double)
+    pair per user). The template for operators the built-in aggregations
+    can't express (per-key models, decaying counters, ...)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        _RUNNING_OUT_SCHEMA,
+        _RUNNING_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(stream_df: DataFrame, query_name: str, mode: str = "update"):
+    """Drain a streaming DataFrame into an in-memory table with the
+    availableNow trigger (process-everything-then-stop) — the test/dev
+    harness; production sinks swap in parquet/Kafka writers."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )

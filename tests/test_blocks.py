@@ -127,3 +127,12 @@ def test_write_read_blocks_roundtrip(spark, tmp_path):
         df, gimv.ConnectedComponents(), p=P, blocks=reread, max_iter=30
     )
     assert res.converged
+
+
+def test_suggest_dense_threshold(spark):
+    # star hub (deg 199) + 199 spokes (deg 1): the 99.5th percentile cutoff
+    # isolates the hub
+    df = fixtures.edges_df(spark, fixtures.topology("star_hub"))
+    t = blocks.suggest_dense_threshold(df, hub_fraction=0.005)
+    b = blocks.prepartition(df, 4, dense_threshold=t)
+    assert b.filter("is_dense").agg(F.sum(F.size("dst_local"))).first()[0] == 199

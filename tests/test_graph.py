@@ -117,3 +117,13 @@ def test_remap_contiguous(spark):
     got = sorted((r["src"], r["dst"]) for r in remapped.collect())
     exp = sorted((m[s], m[d]) for s, d in [(100, 7), (7, 100), (100, 1_000_000)])
     assert got == exp
+
+
+def test_adjacency_reader_custom_delimiters(spark, tmp_path):
+    p = tmp_path / "adj.txt"
+    p.write_text("0|2;1;2\n1|1;2\n")
+    df = graph.read_adjacency_list_text(
+        spark, str(p), field_sep="|", list_sep=";"
+    )
+    got = sorted((r["src"], r["dst"]) for r in df.collect())
+    assert got == [(0, 1), (0, 2), (1, 2)]

@@ -1,0 +1,92 @@
+"""Streaming ≡ batch equivalence for the events operators.
+
+The transformations are built only from streaming-capable constructs, so
+the SAME function body runs as an incremental plan (readStream + watermark
++ availableNow trigger) and as a batch plan (the DuckDB-oracled driver
+queries). These tests drain the stream into a memory sink and compare
+against the batch result; multi-file input + maxFilesPerTrigger=1 forces
+multiple micro-batches so cross-batch state is actually exercised.
+"""
+
+import shutil
+import time
+from pathlib import Path
+
+import pyarrow.parquet as pq
+import pytest
+
+from flexgraph_spark import streaming
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_dir(tmp_path_factory):
+    """events.parquet split into two files (forces ≥2 micro-batches)."""
+    d = tmp_path_factory.mktemp("events")
+    t = pq.read_table(f"{SF}/events.parquet")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(d / "part-0.parquet"))
+    pq.write_table(t.slice(half), str(d / "part-1.parquet"))
+    return str(d)
+
+
+def _drain(q):
+    q.awaitTermination(120)
+
+
+def _rows(df, *key):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_windowed_counts_stream_equals_batch(spark, event_dir):
+    batch = streaming.windowed_event_counts(spark.read.parquet(event_dir))
+    stream = streaming.windowed_event_counts(
+        streaming.read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    )
+    q = streaming.run_to_memory(stream, "wec", mode="complete")
+    _drain(q)
+    got = _rows(spark.table("wec"))
+    exp = _rows(batch)
+    assert got == exp and len(exp) > 0
+
+
+def test_sessionize_stream_equals_batch(spark, event_dir):
+    batch = streaming.sessionize(spark.read.parquet(event_dir))
+    stream = streaming.sessionize(
+        streaming.read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    )
+    q = streaming.run_to_memory(stream, "sess", mode="complete")
+    _drain(q)
+    got = _rows(spark.table("sess"))
+    exp = _rows(batch)
+    assert got == exp and len(exp) > 0
+
+
+def test_running_user_totals_stateful(spark, event_dir):
+    """applyInPandasWithState accumulates across micro-batches: the final
+    update per user must equal the batch groupBy."""
+    from pyspark.sql import functions as F
+
+    stream = streaming.running_user_totals(
+        streaming.read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    )
+    q = streaming.run_to_memory(stream, "running", mode="update")
+    _drain(q)
+    # update mode appends one row per (user, batch); the final state per
+    # user is the row with the max n_events (monotonically increasing)
+    final = (
+        spark.table("running")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+        .select("user_id", "s.n_events", "s.total_value")
+    )
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in final.collect()}
+    exp_rows = (
+        spark.read.parquet(event_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    )
+    exp = {r["user_id"]: (r["n"], round(r["t"], 6)) for r in exp_rows}
+    assert got == exp
