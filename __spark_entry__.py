@@ -377,6 +377,64 @@ def _q_ann_lsh_top5(spark, sf_dir):
     return out.select("query_id", F.col("rank").alias("rnk"), "neighbor_id")
 
 
+def _emb_with_dups(spark, sf_dir):
+    """Embeddings + planted near-duplicates (vec_id+100000: v' = v + 0.15 *
+    v_next) — the driver embeddings are well-separated (max pairwise cosine
+    ~0.49), so near-dup operators need planted structure to exercise."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    nxt = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("other")
+    )
+    dups = (
+        emb.filter(F.col("vec_id") < 50)
+        .join(nxt, "vec_id")
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.zip_with(
+                "embedding", "other",
+                lambda a, b: (a + F.lit(0.15) * b).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    return emb.unionByName(dups)
+
+
+def _q_emb_neardup(spark, sf_dir):
+    return textops.embedding_near_duplicates(
+        _emb_with_dups(spark, sf_dir), threshold=0.95, num_planes=8, num_tables=6
+    ).select("vec_id_a", "vec_id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_emb_neardup_precision(spark, sf_dir):
+    """Precision invariant of embedding near-dup: emitted pairs below the
+    cosine threshold form the empty set (exact verify gates the LSH)."""
+    out = textops.embedding_near_duplicates(
+        _emb_with_dups(spark, sf_dir), threshold=0.95, num_planes=8, num_tables=6
+    )
+    return out.filter(F.col("cosine") < 0.95).select(
+        "vec_id_a", "vec_id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def _q_ann_ivf_top5(spark, sf_dir):
+    """IVF ANN with nprobe == n_centroids: probing every inverted list is
+    EXACT top-k, so the brute-force oracle gates the whole IVF plumbing
+    (k-means assignment, probe routing, multi-probe dedup, ranking); the
+    approximate nprobe<k mode is recall-tested in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, cents = textops.ivf_index(emb, n_centroids=8)
+    out = textops.ivf_topk(
+        assigned, cents, emb.filter(F.col("vec_id") < 5), top_k=5, nprobe=8
+    )
+    return out.select("query_id", F.col("rank").alias("rnk"), "neighbor_id")
+
+
+def _q_winnow_fp(spark, sf_dir):
+    return textops.winnow_fingerprints(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_fps"
+    )
+
+
 def _q_event_windows(spark, sf_dir):
     """Batch face of the streaming windowed aggregation (the identical plan
     runs incrementally via readStream — tests/test_streaming.py proves
@@ -457,6 +515,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ann_top5": _q_ann_top5,
         "ann_lsh_top5": _q_ann_lsh_top5,
+        "ann_ivf_top5": _q_ann_ivf_top5,
+        "emb_neardup": _q_emb_neardup,
+        "emb_neardup_precision": _q_emb_neardup_precision,
+        "winnow_fp": _q_winnow_fp,
         "event_window_counts": _q_event_windows,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
@@ -750,6 +812,11 @@ from d
             "cast(null as double) as jaccard where 1 = 0"
         ),
         "ann_top5": _ANN_SQL,
+        "ann_ivf_top5": _ANN_SQL,
+        "emb_neardup_precision": (
+            "select cast(null as bigint) as vec_id_a, cast(null as bigint) "
+            "as vec_id_b, cast(null as double) as cosine where 1 = 0"
+        ),
         "event_window_counts": """
 select strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
          as window_start,
@@ -787,7 +854,10 @@ from documents
         # pytest checks recall vs the exact join), simhash (xxhash64 bit
         # voting; pytest checks determinism + hamming banding vs brute
         # force), ann_lsh_top5 (seeded random hyperplanes; pytest checks
-        # recall vs ann_top5's exact oracle). Driver records rows-only.
+        # recall vs ann_top5's exact oracle), emb_neardup (LSH-bucketed;
+        # its precision invariant IS gated above, recall pytest-tested),
+        # winnow_fp (xxhash64 k-gram mins; winnowing guarantee
+        # pytest-tested). Driver records rows-only for those.
     }
 
 

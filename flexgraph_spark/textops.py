@@ -625,6 +625,165 @@ def cosine_topk_lsh(
     )
 
 
+def embedding_near_duplicates(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    num_planes: int = 12,
+    num_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
+    generate candidates (self-join within (table, bucket) — never
+    all-pairs), exact cosine verifies. Output (vec_id_a, vec_id_b, cosine)
+    with cosine >= threshold; precision is exact by construction, recall is
+    the multi-table LSH recall (tested against brute force). For hamming
+    distance h between sign-sketches, P(same bucket) = (1-h/pi)^planes per
+    table; more tables raise recall, more planes cut candidates."""
+    vb = lsh_assign_buckets(vectors, num_planes, num_tables, seed)
+    a = vb.select("table", "bucket", F.col("vec_id").alias("vec_id_a"))
+    b = vb.select("table", "bucket", F.col("vec_id").alias("vec_id_b"))
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+        .distinct()
+    )
+    ve = vectors.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    scored = (
+        cand.join(ve.select(F.col("vec_id").alias("vec_id_a"),
+                            F.col("v").alias("va")), "vec_id_a")
+        .join(ve.select(F.col("vec_id").alias("vec_id_b"),
+                        F.col("v").alias("vb")), "vec_id_b")
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            (_dot(F.col("va"), F.col("vb"))
+             / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
+def ivf_index(
+    vectors: DataFrame, n_centroids: int = 16, seed: int = 42
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: distributed k-means (pyspark.ml KMeans — the
+    scale path; k-means|| init, deterministic under a fixed seed) clusters
+    the embeddings; every vector is assigned to its nearest centroid.
+    Returns (assigned = vectors + centroid_id, centroids ndarray [k, dim]).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = vectors.withColumn("_feat", array_to_vector(
+        F.transform("embedding", lambda x: x.cast("double"))
+    ))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="_feat").fit(feat)
+    centroids = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
+    assigned = (
+        model.transform(feat)
+        .withColumnRenamed("prediction", "centroid_id")
+        .drop("_feat")
+    )
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    top_k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF search: each query probes its ``nprobe`` nearest centroids (by
+    cosine, computed in one NumPy matmul per Arrow batch) and scores only
+    vectors assigned to those centroids — candidate work is
+    ~nprobe/n_centroids of brute force, the inverted-file ANN layout.
+    Output (query_id, rank, neighbor_id, score)."""
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cn.T  # (batch, k)
+        order = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("q"),
+        F.explode(probe(F.col("embedding"))).alias("centroid_id"),
+    )
+    v = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(v, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("q"), F.col("v"))
+             / (_norm(F.col("q")) * _norm(F.col("v")))).alias("score"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("score").alias("score"))  # dedup multi-probe hits
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 8, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash
+    every k-gram (rolling over the normalized text), then keep the minimum
+    hash of each ``window`` consecutive k-grams — the classic local
+    fingerprinting guarantee (any shared substring of length >= k+window-1
+    yields a shared fingerprint). Gram hashing is a JVM column expression;
+    the sliding-window min is an Arrow-batched NumPy kernel — expressing it
+    as nested transform(slice(grams, i, w)) re-evaluates the WHOLE inner
+    gram array per outer element (Catalyst does not CSE an array-valued
+    subexpression into a lambda), which is O(len^2) and measured as a hang
+    at 500 docs. Output: (doc_id, fps array<long>, n_fps)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.xxhash64(norm.substr(i, F.lit(k)))
+    )
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _winnow(gr: pd.Series) -> pd.Series:
+        out = []
+        for g in gr:
+            a = np.asarray(g, dtype=np.int64)
+            if len(a) <= window:
+                mins = np.array([a.min()], dtype=np.int64)
+            else:
+                mins = np.lib.stride_tricks.sliding_window_view(a, window).min(axis=1)
+            out.append(np.unique(mins))
+        return pd.Series(out)
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    return df.select("doc_id", _winnow(grams).alias("fps")).select(
+        "doc_id", "fps", F.size("fps").cast("long").alias("n_fps")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (decode stubbed — libs not in container)
 # ---------------------------------------------------------------------------

@@ -211,3 +211,88 @@ def test_minhash_releases_caches(spark):
     textops.jaccard_similarity_join(df, threshold=0.5).count()
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert after <= before + 2  # localCheckpoint blocks only, no shingle caches
+
+
+def _emb_with_dups(spark, embeddings, n_dup=20, mix=0.15):
+    """Originals + near-duplicate copies (id+100000): v' = v + mix*v_next."""
+    base = embeddings.select("vec_id", "embedding")
+    nxt = base.select((F.col("vec_id") - 1).alias("vec_id"),
+                      F.col("embedding").alias("other"))
+    dups = (
+        base.filter(F.col("vec_id") < n_dup)
+        .join(nxt, "vec_id")
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.zip_with("embedding", "other",
+                       lambda a, b: (a + F.lit(mix) * b).cast("float")
+                       ).alias("embedding"),
+        )
+    )
+    return base.unionByName(dups)
+
+
+def test_embedding_near_duplicates(spark, embeddings):
+    vecs = _emb_with_dups(spark, embeddings).cache()
+    got = textops.embedding_near_duplicates(
+        vecs, threshold=0.95, num_planes=8, num_tables=6
+    ).collect()
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in vecs.collect()}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    # precision: every emitted pair really is >= threshold (exact verify)
+    for r in got:
+        assert cos(rows[r["vec_id_a"]], rows[r["vec_id_b"]]) >= 0.95
+        assert abs(cos(rows[r["vec_id_a"]], rows[r["vec_id_b"]]) - r["cosine"]) < 1e-6
+    # recall vs numpy all-pairs at the same threshold (deterministic seed)
+    ids = sorted(rows)
+    exp = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if cos(rows[a], rows[b]) >= 0.95:
+                exp.add((a, b))
+    found = {(r["vec_id_a"], r["vec_id_b"]) for r in got}
+    assert len(exp) >= 10  # the planted dups exist
+    assert len(found & exp) / len(exp) >= 0.8
+    vecs.unpersist()
+
+
+def test_ivf_topk_exact_when_probing_all(spark, embeddings):
+    """nprobe == n_centroids probes every inverted list -> IVF must equal
+    brute force exactly (gates assignment/probe/dedup/ranking plumbing)."""
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    assigned, cents = textops.ivf_index(embeddings, n_centroids=8)
+    ivf = textops.ivf_topk(assigned, cents, queries, top_k=5, nprobe=8)
+    bf = textops.cosine_topk_bruteforce(embeddings, queries, 5)
+    a = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in ivf.collect())
+    b = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in bf.collect())
+    assert a == b
+
+
+def test_ivf_topk_recall(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    assigned, cents = textops.ivf_index(embeddings, n_centroids=16)
+    ivf = textops.ivf_topk(assigned, cents, queries, top_k=5, nprobe=4)
+    bf = textops.cosine_topk_bruteforce(embeddings, queries, 5)
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    exp = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    assert len(got & exp) / len(exp) >= 0.5  # deterministic given seed
+
+
+def test_winnow_fingerprints(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (2, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (3, "PREFIX text here -- the quick brown fox jumps over the lazy dog and runs away fast -- SUFFIX"),
+        (4, "zzzz completely unrelated content qqqq xxxx wwww yyyy vvvv"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r["doc_id"]: set(r["fps"]) for r in
+          textops.winnow_fingerprints(df, k=8, window=4).collect()}
+    assert fp[1] == fp[2]  # identical docs, identical fingerprints
+    # winnowing guarantee: a shared substring >= k+window-1 chars yields a
+    # shared fingerprint
+    assert fp[1] & fp[3]
+    assert not (fp[1] & fp[4])
