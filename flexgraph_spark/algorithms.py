@@ -13,6 +13,51 @@ from pyspark.sql import functions as F
 from flexgraph_spark import gimv
 from flexgraph_spark.graph import symmetrize
 
+# Flat-vs-blocked crossover (measured, BENCH/BASELINE.md round 2): the
+# blocked CSR engine wins when each core chews through millions of edges
+# per superstep (2x flat per-core at 25M edges/core on the skewed 50M
+# graph); below ~1M edges/core the per-block Python/Arrow fixed cost
+# dominates and the flat plan wins. "auto" picks by edge count per core.
+AUTO_EDGES_PER_CORE = 1_000_000
+
+
+def choose_engine(edges: DataFrame, p: int | None = None) -> str:
+    """Pick 'flat' or 'blocked' from the measured crossover: blocked when
+    the per-core edge volume is high enough to amortize its per-superstep
+    Arrow/NumPy fixed costs. One count() job (the runners need it anyway).
+    """
+    spark = edges.sparkSession
+    cores = p or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_edges = edges.count()
+    return "blocked" if n_edges >= AUTO_EDGES_PER_CORE * cores else "flat"
+
+
+def _dispatch(edges, prog, engine, max_iter, checkpointer, kw) -> gimv.GimvResult:
+    """Route to the flat or blocked runner; ``engine='auto'`` applies the
+    measured crossover (pre-built blocks force 'blocked'). Partitioning
+    kwargs are translated between the engines' vocabularies
+    (num_partitions <-> p) so auto callers can pass either."""
+    if engine == "auto":
+        if kw.get("blocks") is not None:
+            engine = "blocked"
+        else:
+            engine = choose_engine(edges, kw.get("p") or kw.get("num_partitions"))
+    if engine == "blocked":
+        from flexgraph_spark import blocks
+
+        bkw = dict(kw)
+        if "num_partitions" in bkw:
+            bkw["p"] = bkw.pop("num_partitions")
+        return blocks.run_blocked(
+            edges, prog, max_iter=max_iter, checkpointer=checkpointer, **bkw
+        )
+    fkw = dict(kw)
+    fkw.pop("dense_threshold", None)
+    fkw.pop("blocks", None)
+    if "p" in fkw:
+        fkw["num_partitions"] = fkw.pop("p")
+    return gimv.run(edges, prog, max_iter=max_iter, checkpointer=checkpointer, **fkw)
+
 
 def pagerank(
     edges: DataFrame,
@@ -25,13 +70,7 @@ def pagerank(
     **kw,
 ) -> gimv.GimvResult:
     prog = gimv.PageRank(alpha=alpha, threshold=threshold, source_vertex=source_vertex)
-    if engine == "blocked":
-        from flexgraph_spark import blocks
-
-        return blocks.run_blocked(
-            edges, prog, max_iter=max_iter, checkpointer=checkpointer, **kw
-        )
-    return gimv.run(edges, prog, max_iter=max_iter, checkpointer=checkpointer, **kw)
+    return _dispatch(edges, prog, engine, max_iter, checkpointer, kw)
 
 
 def connected_components(
@@ -39,15 +78,10 @@ def connected_components(
 ) -> gimv.GimvResult:
     """True WCC: symmetrizes explicitly (the reference's cc.sh does not —
     SURVEY.md §3.2 discrepancy)."""
-    sym = symmetrize(edges)
-    prog = gimv.ConnectedComponents()
-    if engine == "blocked":
-        from flexgraph_spark import blocks
-
-        return blocks.run_blocked(
-            sym, prog, max_iter=max_iter, checkpointer=checkpointer, **kw
-        )
-    return gimv.run(sym, prog, max_iter=max_iter, checkpointer=checkpointer, **kw)
+    return _dispatch(
+        symmetrize(edges), gimv.ConnectedComponents(), engine, max_iter,
+        checkpointer, kw,
+    )
 
 
 def sssp(
@@ -60,14 +94,9 @@ def sssp(
 ) -> gimv.GimvResult:
     if "weight" not in edges.columns:
         edges = edges.withColumn("weight", F.lit(1.0))
-    prog = gimv.SSSP(source_vertex)
-    if engine == "blocked":
-        from flexgraph_spark import blocks
-
-        return blocks.run_blocked(
-            edges, prog, max_iter=max_iter, checkpointer=checkpointer, **kw
-        )
-    return gimv.run(edges, prog, max_iter=max_iter, checkpointer=checkpointer, **kw)
+    return _dispatch(
+        edges, gimv.SSSP(source_vertex), engine, max_iter, checkpointer, kw
+    )
 
 
 def label_propagation(

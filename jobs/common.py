@@ -33,7 +33,9 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--output", required=True, help="output parquet path")
     p.add_argument("--checkpoint-dir", help="durable per-iteration checkpoints")
     p.add_argument("--max-iter", type=int, default=100)
-    p.add_argument("--engine", choices=["flat", "blocked"], default="flat")
+    p.add_argument("--engine", choices=["flat", "blocked", "auto"], default="flat",
+                   help="auto picks by the measured crossover "
+                        "(BENCH/BASELINE.md): blocked at >=1M edges/core")
     p.add_argument("--num-partitions", type=int, default=None)
     p.add_argument("--dense-threshold", type=int, default=None,
                    help="hub out-degree cutoff (default 100, or the blocks "
@@ -70,8 +72,9 @@ def engine_kwargs(spark: SparkSession, args) -> dict:
     a different p decode to different (local, block) splits, so silently
     mixing run-time CLI values with prebuilt blocks would corrupt the
     gather. CLI values, when given, must match the manifest."""
-    if args.engine != "blocked":
+    if args.engine == "flat":
         return {"num_partitions": args.num_partitions}
+    # blocked or auto (auto + --blocks forces blocked in algorithms._dispatch)
     kw = {"p": args.num_partitions,
           "dense_threshold": args.dense_threshold if args.dense_threshold is not None else 100}
     if args.blocks:

@@ -122,3 +122,33 @@ def test_property_random_graph(spark, seed):
 
     tri = algorithms.triangle_count(df)
     assert tri == oracle.triangle_count(e01, n)
+
+
+def test_engine_auto_dispatch(spark):
+    """auto picks flat below the crossover and translates kwargs between
+    engine vocabularies; results must match either way."""
+    from flexgraph_spark import algorithms
+
+    edges = fixtures.edges_df(spark, fixtures.rand_er(30, 0.2, seed=3))
+    assert algorithms.choose_engine(edges, p=4) == "flat"  # tiny graph
+    res_auto = algorithms.pagerank(edges, max_iter=20, engine="auto", p=4,
+                                   dense_threshold=100)
+    res_flat = algorithms.pagerank(edges, max_iter=20, num_partitions=4)
+    a = {r["vertex"]: r["value"] for r in res_auto.state.collect()}
+    b = {r["vertex"]: r["value"] for r in res_flat.state.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12
+    # forcing the crossover to zero must route to the blocked engine
+    import flexgraph_spark.algorithms as alg
+    old = alg.AUTO_EDGES_PER_CORE
+    alg.AUTO_EDGES_PER_CORE = 0
+    try:
+        assert alg.choose_engine(edges, p=4) == "blocked"
+        res_blk = algorithms.pagerank(edges, max_iter=20, engine="auto",
+                                      num_partitions=4)
+        c = {r["vertex"]: r["value"] for r in res_blk.state.collect()}
+        for k in a:
+            assert abs(a[k] - c[k]) < 1e-9
+    finally:
+        alg.AUTO_EDGES_PER_CORE = old
