@@ -26,10 +26,15 @@ def main() -> None:
 
     p = args.num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     weighted = "weight" in edges.columns
-    blk = B.prepartition(edges, p, args.dense_threshold, weighted=weighted)
-    stats = B.write_blocks(blk, args.output, p=p, dense_threshold=args.dense_threshold)
+    dt = (
+        args.dense_threshold
+        if args.dense_threshold is not None
+        else B.DENSE_THRESHOLD_DEFAULT
+    )
+    blk = B.prepartition(edges, p, dt, weighted=weighted)
+    stats = B.write_blocks(blk, args.output, p=p, dense_threshold=dt)
     print(
-        f"prepartition: p={p} threshold={args.dense_threshold} -> {args.output} "
+        f"prepartition: p={p} threshold={dt} -> {args.output} "
         f"({stats['total_edges']} edges, {stats['dense_edges']} dense, "
         f"skew={stats['skew_ratio']:.2f})"
     )

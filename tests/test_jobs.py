@@ -1,0 +1,70 @@
+"""Smoke tests for the spark-submit entry points — the CLI layer the
+cluster actually launches (north rule: `spark-submit --py-files`). Run
+in-process with patched argv; they cover the prepartition -> --blocks
+manifest handshake that silently corrupted results pre-round-2 when
+run-time p disagreed with build-time p."""
+
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+import jobs.cc as cc_job
+import jobs.pagerank as pr_job
+import jobs.prepartition as prep_job
+
+
+@pytest.fixture()
+def edges_parquet(spark, tmp_path):
+    from flexgraph_spark import fixtures
+
+    p = str(tmp_path / "edges")
+    fixtures.edges_df(spark, fixtures.rand_er(40, 0.15, seed=11)).write.parquet(p)
+    return p
+
+
+def _run(mod, argv):
+    old = sys.argv
+    sys.argv = ["prog"] + argv
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+
+
+def test_prepartition_then_pagerank_blocks(spark, edges_parquet, tmp_path):
+    blocks_out = str(tmp_path / "blocks")
+    _run(prep_job, ["--edges", edges_parquet, "--output", blocks_out,
+                    "--num-partitions", "4"])
+    assert json.loads((Path(blocks_out) / "_STATS.json").read_text())["p"] == 4
+
+    ranks_out = str(tmp_path / "ranks")
+    ck = str(tmp_path / "ckpt")
+    _run(pr_job, ["--edges", edges_parquet, "--output", ranks_out,
+                  "--engine", "blocked", "--blocks", blocks_out,
+                  "--checkpoint-dir", ck, "--max-iter", "3"])
+    ranks = spark.read.parquet(ranks_out)
+    assert ranks.count() == 40
+    # blocked checkpointing ran (ADVICE round 1: this combination silently
+    # did nothing)
+    manifest = Path(ck) / "pagerank_blocked" / "manifest.jsonl"
+    assert manifest.exists()
+    assert len(manifest.read_text().splitlines()) == 3
+
+
+def test_blocks_p_mismatch_errors(spark, edges_parquet, tmp_path):
+    blocks_out = str(tmp_path / "blocks")
+    _run(prep_job, ["--edges", edges_parquet, "--output", blocks_out,
+                    "--num-partitions", "4"])
+    with pytest.raises(SystemExit, match="p=4"):
+        _run(cc_job, ["--edges", edges_parquet, "--output", str(tmp_path / "o"),
+                      "--engine", "blocked", "--blocks", blocks_out,
+                      "--num-partitions", "8"])
+
+
+def test_pagerank_flat_job(spark, edges_parquet, tmp_path):
+    out = str(tmp_path / "ranks_flat")
+    _run(pr_job, ["--edges", edges_parquet, "--output", out,
+                  "--max-iter", "5", "--engine", "auto"])
+    assert spark.read.parquet(out).count() == 40
