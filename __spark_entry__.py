@@ -365,6 +365,22 @@ def _q_simhash(spark, sf_dir):
     return textops.simhash(_t(spark, sf_dir, "documents"))
 
 
+def _q_simhash_neardup(spark, sf_dir):
+    return textops.simhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), max_hamming=12
+    )
+
+
+def _q_simhash_precision(spark, sf_dir):
+    """Precision invariant of SimHash banding: every emitted pair's hamming
+    distance is within the bound, so the over-bound set is empty (oracle:
+    empty). Gates the 16-bit-chunk bucket join + verify path."""
+    out = textops.simhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), max_hamming=12
+    )
+    return out.filter(F.col("hamming") > 12)
+
+
 def _q_ann_top5(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     out = textops.cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 5), 5)
@@ -513,6 +529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_minhash": _q_near_dup_minhash,
         "minhash_precision": _q_minhash_precision,
         "simhash": _q_simhash,
+        "simhash_neardup": _q_simhash_neardup,
+        "simhash_precision": _q_simhash_precision,
         "ann_top5": _q_ann_top5,
         "ann_lsh_top5": _q_ann_lsh_top5,
         "ann_ivf_top5": _q_ann_ivf_top5,
@@ -810,6 +828,10 @@ from d
         "minhash_precision": (
             "select cast(null as bigint) as doc_a, cast(null as bigint) as doc_b, "
             "cast(null as double) as jaccard where 1 = 0"
+        ),
+        "simhash_precision": (
+            "select cast(null as bigint) as doc_a, cast(null as bigint) as doc_b, "
+            "cast(null as integer) as hamming where 1 = 0"
         ),
         "ann_top5": _ANN_SQL,
         "ann_ivf_top5": _ANN_SQL,

@@ -31,6 +31,12 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
         "the link graph is derived first",
     )
     p.add_argument("--output", required=True, help="output parquet path")
+    p.add_argument(
+        "--expand", choices=["directed", "undirected", "transposed"],
+        default="directed",
+        help="direction expansion applied at load "
+             "(UnweightedGraphPrepartitioning.java:105-148)",
+    )
     p.add_argument("--checkpoint-dir", help="durable per-iteration checkpoints")
     p.add_argument("--max-iter", type=int, default=100)
     p.add_argument("--engine", choices=["flat", "blocked", "auto"], default="flat",
@@ -56,11 +62,17 @@ def get_session(app: str) -> SparkSession:
 
 def load_edges(spark: SparkSession, args) -> DataFrame:
     if args.edges:
-        return spark.read.parquet(args.edges)
-    files = spark.read.parquet(args.repo_table)
-    from flexgraph_spark.graph import derive_graph
+        edges = spark.read.parquet(args.edges)
+    else:
+        files = spark.read.parquet(args.repo_table)
+        from flexgraph_spark.graph import derive_graph
 
-    _, edges = derive_graph(files)
+        _, edges = derive_graph(files)
+    mode = getattr(args, "expand", "directed")
+    if mode != "directed":
+        from flexgraph_spark.graph import expand_direction
+
+        edges = expand_direction(edges, mode)
     return edges
 
 
