@@ -131,6 +131,17 @@ def main() -> None:
         .agg(F.sum("n_tokens"), F.avg("punct_ratio"))
         .first(),
     )
+    timed(
+        "winnow_fp_scan",
+        lambda: textops.winnow_fingerprints(docs).agg(F.sum("n_fps")).first(),
+    )
+    timed(
+        "emb_neardup_lsh",
+        lambda: textops.embedding_near_duplicates(
+            emb.select("vec_id", "embedding"), threshold=0.5,
+            num_planes=10, num_tables=4,
+        ).count(),
+    )
 
     edges_per_sec_per_superstep = n_edges / med_flat
     print(
