@@ -152,3 +152,28 @@ def test_engine_auto_dispatch(spark):
             assert abs(a[k] - c[k]) < 1e-9
     finally:
         alg.AUTO_EDGES_PER_CORE = old
+
+
+def test_empty_graph_both_engines(spark):
+    from flexgraph_spark import blocks, gimv
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    res = algorithms.pagerank(empty, max_iter=5)
+    assert res.converged and res.state.count() == 0
+    res_b = blocks.run_blocked(empty, gimv.PageRank(), p=2, max_iter=5)
+    assert res_b.converged and res_b.state.count() == 0
+
+
+def test_self_loop_graph(spark):
+    """Self loops: a vertex feeding itself must still converge; the 2-cycle
+    keeps rank flowing."""
+    from flexgraph_spark import blocks, gimv
+
+    edges = fixtures.edges_df(spark, [(0, 0), (0, 1), (1, 0)])
+    flat = algorithms.pagerank(edges, max_iter=40)
+    blk = blocks.run_blocked(edges, gimv.PageRank(), p=2, max_iter=40)
+    a = {r["vertex"]: r["value"] for r in flat.state.collect()}
+    b = {r["vertex"]: r["value"] for r in blk.state.collect()}
+    assert set(a) == set(b) == {0, 1}
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-9
