@@ -14,6 +14,11 @@ def main() -> None:
     p = base_parser("Label propagation")
     p.set_defaults(max_iter=20)
     args = p.parse_args()
+    if args.engine == "blocked":
+        raise SystemExit(
+            "label propagation has a non-scalar semi-ring (per-label "
+            "count+argmax) and runs on the flat plan only"
+        )
     spark = get_session("flexgraph-lp")
     edges = load_edges(spark, args)
     from flexgraph_spark import algorithms
