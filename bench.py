@@ -8,14 +8,22 @@ prints ONE JSON line:
 
 The headline metric follows BASELINE.json: edges-processed/sec per PageRank
 superstep on the derived link graph. Per-query wall seconds are reported
-for everything else. Scaling-efficiency evidence (same job at two
-parallelism levels) lives in bench/scaling.py -> BENCH/BASELINE.md.
+for everything else.
+
+Every query runs ``$SPARK_GRAFT_BENCH_REPS`` times (default 3); ``queries``
+reports the per-query MEDIAN and ``queries_min`` the minimum. Single-shot
+numbers on this box swing +-50% with noisy neighbors (BENCH/BASELINE.md
+round-2 note), which made round-over-round BENCH_rN comparisons unusable;
+medians of 3 are stable enough to compare. Scaling-efficiency evidence
+(same job at two parallelism levels) lives in bench/scaling.py ->
+BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -33,6 +41,7 @@ PAGERANK_ITERS = 10
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(
         "flexgraph-bench",
@@ -69,17 +78,22 @@ def main() -> None:
     # task-scheduling overhead from dominating at small SF, capped at cores
     gp = max(8, min(cpus, n_edges // 40_000))
     queries: dict[str, float] = {}
+    queries_min: dict[str, float] = {}
 
     def timed(name: str, fn) -> float:
-        t0 = time.time()
-        fn()
-        dt = time.time() - t0
-        queries[name] = round(dt, 3)
-        return dt
+        """Run fn ``reps`` times; record median and min wall seconds."""
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            times.append(time.time() - t0)
+        med = statistics.median(times)
+        queries[name] = round(med, 3)
+        queries_min[name] = round(min(times), 3)
+        return med
 
-    import statistics
-
-    results: dict[str, list[float]] = {}
+    # per-superstep seconds pooled across ALL reps (reps x iters samples)
+    superstep_samples: dict[str, list[float]] = {"flat": [], "blocked": []}
 
     def run_pr(name, **kw):
         def go():
@@ -87,18 +101,19 @@ def main() -> None:
                 edges, threshold=0.0, max_iter=PAGERANK_ITERS, **kw
             )
             res.state.agg(F.sum("value")).first()
-            results[name] = [m.seconds for m in res.metrics]
+            superstep_samples[name].extend(m.seconds for m in res.metrics)
         return go
 
     pr_time = timed("pagerank_flat_10it", run_pr("flat", num_partitions=gp))
+    # p=None exercises the auto-p rule (max(cores, E/3M) — blocks.auto_p)
     timed(
         "pagerank_blocked_10it",
-        run_pr("blocked", engine="blocked", p=gp, dense_threshold=100),
+        run_pr("blocked", engine="blocked", p=None, dense_threshold=100),
     )
     # median superstep (robust to the JVM-warmup first iteration and to GC /
     # noisy-neighbor stragglers — same estimator as bench/scaling.py)
-    med_flat = statistics.median(results["flat"])
-    med_blocked = statistics.median(results["blocked"])
+    med_flat = statistics.median(superstep_samples["flat"])
+    med_blocked = statistics.median(superstep_samples["blocked"])
     timed(
         "cc_converged",
         lambda: algorithms.connected_components(
@@ -151,6 +166,8 @@ def main() -> None:
                 "value": round(edges_per_sec_per_superstep, 1),
                 "unit": "edges/sec",
                 "queries": queries,
+                "queries_min": queries_min,
+                "reps": reps,
                 "sf": sf,
                 "cpus": cpus,
                 "edges": n_edges,

@@ -89,8 +89,19 @@ class VertexProgram:
     needs_out_degree = False
     weighted = False
     supports_blocked = True
+    blocked_kind = "scalar"  # "scalar" | "label_count" — blocked kernel family
     reduce_np = "sum"  # "sum" | "min" — blocked combineAll
     identity = 0.0     # identity element of reduce_np
+    # Frontier/delta messaging: when True, only vertices whose value CHANGED
+    # last superstep send messages this superstep. Exact for idempotent-min
+    # semi-rings with apply = least(old, msg) (CC, SSSP): a dst has already
+    # incorporated every value an unchanged src would re-send, and values
+    # only decrease. The reference ships only active/nonzero entries between
+    # supersteps the same way (BitSet-filtered vector iterator,
+    # cache/DoubleVectorCache.java:68-101; nonzero-only intermediate writes,
+    # computation/ComputationMapper.java:154-171). NOT valid for sum
+    # semi-rings (PageRank needs every contribution every superstep).
+    delta_messaging = False
 
     def np_init(self, global_ids, n):
         """Initial dense value array for a block's global ids (np.int64[])."""
@@ -217,6 +228,7 @@ class ConnectedComponents(VertexProgram):
     label; exact fixpoint. Caller must symmetrize edges for WCC."""
 
     name = "cc"
+    delta_messaging = True  # min semi-ring: frontier-only messaging is exact
 
     def init_state(self, vertices, n):
         return vertices.select("vertex", F.col("vertex").alias("value"))
@@ -255,6 +267,7 @@ class SSSP(VertexProgram):
 
     name = "sssp"
     weighted = True
+    delta_messaging = True  # min semi-ring: frontier-only messaging is exact
 
     def __init__(self, source_vertex: int):
         self.source_vertex = source_vertex
@@ -384,14 +397,21 @@ def run(
         empty = spark.createDataFrame([], "vertex long, value double")
         return GimvResult(state=empty, iterations=0, converged=True, metrics=[])
 
+    delta = program.delta_messaging
     start_iter = 0
     state = None
     if checkpointer is not None:
         resumed = checkpointer.resume(program.name)
         if resumed is not None:
             start_iter, state = resumed
+            if delta and "_active" not in state.columns:
+                # pre-delta checkpoint: everyone re-sends once (exact, just
+                # one conservative superstep)
+                state = state.withColumn("_active", F.lit(1))
     if state is None:
         state = program.init_state(vertices, n).repartition(p, "vertex")
+        if delta:
+            state = state.withColumn("_active", F.lit(1))
         state = truncate_plan(state)
 
     metrics: list[IterationMetrics] = []
@@ -407,6 +427,12 @@ def run(
         for it in range(start_iter + 1, max_iter + 1):
             t0 = time.time()
             src_state = state.withColumnRenamed("vertex", "src")
+            if delta:
+                # frontier pruning: only sources that changed last superstep
+                # message — the convergent tail joins edges against a
+                # shrinking frontier instead of the full state, and
+                # messages_shuffled decays toward zero.
+                src_state = src_state.filter(F.col("_active") == 1).drop("_active")
             mf = program.message_filter()
             if mf is not None:
                 src_state = src_state.filter(mf)
@@ -430,6 +456,7 @@ def run(
             conv_obs = Observation()
             new_state = (
                 state.withColumnRenamed("value", "_old")
+                .drop("_active")
                 .join(aggregated.withColumnRenamed("msg", "_msg"), "vertex", "left")
                 .select(
                     "vertex",
@@ -439,7 +466,12 @@ def run(
                     ).cast("int").alias("_changed"),
                 )
                 .observe(conv_obs, F.sum("_changed").alias("changed"))
-                .drop("_changed")
+            )
+            # changed vertices ARE next superstep's frontier
+            new_state = (
+                new_state.withColumnRenamed("_changed", "_active")
+                if delta
+                else new_state.drop("_changed")
             )
 
             # Materialize + truncate lineage; durable parquet when resumable.
@@ -485,7 +517,7 @@ def run(
 
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
-    final = program.finalize(state)
+    final = program.finalize(state.drop("_active"))
     e.unpersist()
     vertices.unpersist()
     return GimvResult(state=final, iterations=it, converged=converged, metrics=metrics)

@@ -177,3 +177,61 @@ def test_self_loop_graph(spark):
     assert set(a) == set(b) == {0, 1}
     for k in a:
         assert abs(a[k] - b[k]) < 1e-9
+
+
+def test_cc_delta_messages_decay_on_path(spark):
+    """Frontier/delta messaging (reference DoubleVectorCache.java:68-101):
+    on a 20-vertex path, HashMin's convergent tail must ship only the
+    shrinking frontier, not the full symmetrized edge set every superstep —
+    messages_shuffled decays toward zero while labels stay exact."""
+    edges = [(i, i + 1) for i in range(19)]
+    df = fixtures.edges_df(spark, edges)
+    res = algorithms.connected_components(df, max_iter=60)
+    assert res.converged
+    labels = _collect_values(res)
+    assert set(labels.values()) == {0}
+    msgs = [m.messages_shuffled for m in res.metrics]
+    assert msgs[0] == 38  # iteration 1: every vertex is frontier (full scan)
+    assert msgs[-1] <= 2  # tail: single-vertex frontier
+    assert min(msgs[1:]) < msgs[0] // 4
+
+
+def test_sssp_delta_frontier_messages(spark):
+    """SSSP with frontier messaging on a path: the frontier is one vertex
+    per superstep, so every superstep ships O(1) messages (not O(E))."""
+    edges = [(i, i + 1, 1.0) for i in range(9)]
+    df = fixtures.edges_df(spark, edges, weighted=True)
+    res = algorithms.sssp(df, source_vertex=0, max_iter=20)
+    got = _collect_values(res)
+    assert got[9] == 9.0
+    msgs = [m.messages_shuffled for m in res.metrics]
+    assert max(msgs) <= 2
+
+
+def test_cc_delta_checkpoint_resume_without_active(spark, tmp_path):
+    """Resuming a pre-delta checkpoint (state lacks _active) must stay
+    exact: everyone re-sends once, then the frontier rule takes over."""
+    from pyspark.sql import functions as F
+
+    from flexgraph_spark.checkpoint import Checkpointer
+
+    edges = [(i, i + 1) for i in range(9)]
+    df = fixtures.edges_df(spark, edges)
+    full = algorithms.connected_components(df, max_iter=30)
+    expected = _collect_values(full)
+
+    ck = Checkpointer(str(tmp_path), input_fingerprint="t")
+    res1 = algorithms.connected_components(df, max_iter=3, checkpointer=ck)
+    assert not res1.converged
+    # strip _active from the saved state to simulate an old checkpoint
+    last = max(ck.manifest_rows("cc"), key=lambda r: r["iteration"])
+    st = spark.read.parquet(last["state_path"])
+    if "_active" in st.columns:
+        stripped = st.drop("_active")
+        stripped.write.mode("overwrite").parquet(str(tmp_path / "stripped"))
+        spark.read.parquet(str(tmp_path / "stripped")).write.mode(
+            "overwrite"
+        ).parquet(last["state_path"])
+    res2 = algorithms.connected_components(df, max_iter=30, checkpointer=ck)
+    assert res2.converged
+    assert _collect_values(res2) == expected
