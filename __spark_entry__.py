@@ -250,6 +250,48 @@ def _q_cc_blocked(spark, sf_dir):
     )
 
 
+def _q_rwr10_blocked(spark, sf_dir):
+    """Personalized-init PageRank (RWR) on the blocked CSR engine — closes
+    the last un-oracled kernel combination (np_init's source_vertex path,
+    gimv.py PageRank.np_init). Remap is safe: PageRank values depend only on
+    graph structure, not label order."""
+    edges = _graph1000(spark, sf_dir)
+    src = int(edges.agg(F.min("src")).first()[0])
+    e2, mapping = remap_contiguous(edges)
+    src_new = int(mapping.filter(F.col("orig") == src).first()["vertex"])
+    res = algorithms.pagerank(
+        e2, threshold=0.0, max_iter=PAGERANK_ITERS, source_vertex=src_new,
+        engine="blocked", p=BLOCKED_P, dense_threshold=BLOCKED_DENSE_THRESHOLD,
+    )
+    return (
+        res.state.join(mapping, "vertex")
+        .select(F.col("orig").alias("vertex"), F.round("value", 6).alias("pr"))
+    )
+
+
+def _q_lp4_blocked(spark, sf_dir):
+    """Blocked-engine label propagation (the label_count kernel family:
+    per-(dst,label) count partials + fused argmax reduce) under the same
+    unrolled-CTE oracle as the flat plan. NO remap — LP's dynamics depend on
+    label ORDER (lowest-label ties), so a non-monotone relabeling would
+    change the result; graph1000's ids are already contiguous-enough
+    ([0, 1000), numVertices = max+1). Isolated phantom ids (absent at tiny
+    sf) never message and are filtered from the output."""
+    edges = _graph1000(spark, sf_dir)
+    res = algorithms.label_propagation(
+        edges, max_iter=LP_ITERS, engine="blocked",
+        p=BLOCKED_P, dense_threshold=BLOCKED_DENSE_THRESHOLD,
+    )
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    return res.state.join(verts, "vertex").select(
+        "vertex", F.col("value").cast("long").alias("label")
+    )
+
+
 def _q_sssp8_blocked(spark, sf_dir):
     edges = _graph1000_w(spark, sf_dir)
     src = int(edges.agg(F.min(F.least(F.col("src"), F.col("dst")))).first()[0])
@@ -519,6 +561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rwr10": _q_rwr10,
         "pagerank_converged_top20": _q_pagerank_converged_top20,
         "pagerank10_blocked": _q_pagerank10_blocked,
+        "rwr10_blocked": _q_rwr10_blocked,
+        "lp4_blocked": _q_lp4_blocked,
         "cc_blocked": _q_cc_blocked,
         "sssp8_blocked": _q_sssp8_blocked,
         "wdegree_out": _q_wdegree_out,
@@ -808,6 +852,8 @@ def oracle_sql() -> dict[str, str]:
             + ") select vertex, pr from t order by pr desc, vertex asc limit 20"
         ),
         "pagerank10_blocked": _pagerank_sql(G1000_SQL, PAGERANK_ITERS),
+        "rwr10_blocked": _pagerank_sql(G1000_SQL, PAGERANK_ITERS, personalized=True),
+        "lp4_blocked": _lp_sql(G1000_SQL, LP_ITERS),
         "cc_blocked": _CC_SQL,
         "sssp8_blocked": _sssp_sql(G1000_W_SQL, SSSP_ITERS),
         "wdegree_out": (

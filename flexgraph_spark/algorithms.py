@@ -100,11 +100,15 @@ def sssp(
 
 
 def label_propagation(
-    edges: DataFrame, max_iter: int = 20, checkpointer=None, **kw
+    edges: DataFrame, max_iter: int = 20, checkpointer=None, engine: str = "flat", **kw
 ) -> gimv.GimvResult:
-    return gimv.run(
-        symmetrize(edges), gimv.LabelPropagation(), max_iter=max_iter,
-        checkpointer=checkpointer, **kw,
+    """Majority-label propagation (lowest-label ties) on symmetrized edges.
+    ``engine='blocked'`` runs the label_count kernel family
+    (blocks.run_blocked) — per-(dst, label) count partials, fused
+    count-merge + argmax reduce."""
+    return _dispatch(
+        symmetrize(edges), gimv.LabelPropagation(), engine, max_iter,
+        checkpointer, kw,
     )
 
 

@@ -27,17 +27,36 @@ in Spark terms:
   with no driver round trip. Partials shuffle-reduce on block_row; reduce +
   apply + convergence vote + next hub-signal extraction are ONE fused
   cogroup kernel.
+* **Hub metadata never touches the driver**: each merged dense column
+  carries its sorted hub-local + global-degree arrays as columns
+  (computed inside the executor-side merge), and the state side reads the
+  same arrays via a broadcast join against the tiny per-column ``hub_meta``
+  DataFrame — at 10^10 vertices with ~1% hubs nothing hub-proportional is
+  collected as Python rows.
+* **Frontier/delta messaging** (min semi-rings — CC, SSSP): the state
+  carries a per-vertex ``active`` mask (= changed last superstep). Inactive
+  sources' signals are masked to the reduce identity, so their
+  contributions vanish from the compacted partials, and columns with no
+  active source are skipped outright — the convergent tail's shuffle decays
+  toward zero (the reference's nonzero-only intermediate vectors,
+  cache/DoubleVectorCache.java:68-101, ComputationMapper.java:154-171).
+* **Label propagation** runs on a non-scalar ``label_count`` kernel family:
+  gathers emit per-(dst, label) count partials, the fused reduce merges
+  counts and picks argmax (lowest-label ties) — the same two-level
+  aggregation as the flat plan, blocked.
 
 All Python execution is Arrow-batched NumPy over whole blocks — no per-row
 Python anywhere.
 
 Scale notes: p must grow with the cluster so each block's arrays stay
 within executor memory (n/p state doubles + E/p² edges per block; assert
-n/p < 2^31 like the reference). The blocked state is (p rows × n/p array
-entries); joins on ``block`` are trivially co-partitioned. The degenerate
-all-dense mode (threshold == 0) treats every vertex as a hub and so
-broadcasts the full state — that is the reference's semantics for it, not
-the scale path.
+n/p < 2^31 like the reference). ``auto_p`` codifies the measured rule of
+thumb (BENCH/BASELINE.md round 2): p ≈ max(cores, E / 3M) so each merged
+column carries a few million edges. The blocked state is (p rows × n/p
+array entries); joins on ``block`` are trivially co-partitioned. The
+degenerate all-dense mode (threshold == 0) treats every vertex as a hub and
+so broadcasts the full state — that is the reference's semantics for it,
+not the scale path.
 """
 
 from __future__ import annotations
@@ -54,6 +73,17 @@ from pyspark.sql import types as T
 from flexgraph_spark.gimv import GimvResult, IterationMetrics, VertexProgram
 
 DENSE_THRESHOLD_DEFAULT = 100  # Constants.java:26
+AUTO_EDGES_PER_BLOCK = 3_000_000  # measured rule of thumb, BENCH/BASELINE.md
+
+
+def auto_p(n_edges: int, cores: int) -> int:
+    """p ≈ max(cores, E / 3M): at least one merged column per core so every
+    core works, and a few million edges per column so the per-block
+    Arrow/NumPy fixed cost amortizes (measured crossover,
+    BENCH/BASELINE.md round-2 notes)."""
+    if n_edges <= 0:
+        return max(1, cores)
+    return max(cores, -(-n_edges // AUTO_EDGES_PER_BLOCK))
 
 
 def suggest_dense_threshold(
@@ -85,11 +115,14 @@ _BLOCK_SCHEMA = T.StructType(
     ]
 )
 
+# partials: one row per (column, row-block); scalar kernels fill (dst_local,
+# vals); label_count kernels add the per-(dst,label) ``lab`` array
 _PARTIAL_SCHEMA = T.StructType(
     [
         T.StructField("block", T.IntegerType(), False),
         T.StructField("dst_local", T.ArrayType(T.IntegerType()), False),
         T.StructField("vals", T.ArrayType(T.DoubleType()), False),
+        T.StructField("lab", T.ArrayType(T.DoubleType()), True),
     ]
 )
 
@@ -98,6 +131,7 @@ _STATE_SCHEMA = T.StructType(
         T.StructField("block", T.IntegerType(), False),
         T.StructField("values", T.ArrayType(T.DoubleType()), False),
         T.StructField("hub_sigs", T.ArrayType(T.DoubleType()), False),
+        T.StructField("active", T.ArrayType(T.BooleanType()), False),
     ]
 )
 
@@ -282,16 +316,119 @@ def blocks_to_edges(blocks: DataFrame, p: int) -> DataFrame:
     )
 
 
-def _hub_sig(program: VertexProgram, block: int, values: np.ndarray,
-             hub_locals: dict, hub_gdeg: dict) -> np.ndarray:
-    """Hub-signal slice of one block's value array (empty if no hubs)."""
-    locs = hub_locals.get(block)
-    if locs is None:
+def _as_array(x, dtype):
+    """Arrow/pandas cell -> 1-D ndarray; None / missing -> empty."""
+    if x is None:
+        return np.zeros(0, dtype=dtype)
+    a = np.asarray(x, dtype=dtype)
+    return a
+
+
+def _hub_sig(
+    program: VertexProgram,
+    values: np.ndarray,
+    locs: np.ndarray,
+    gdeg: np.ndarray,
+    active_mask: np.ndarray | None = None,
+    identity: float = 0.0,
+) -> np.ndarray:
+    """Hub-signal slice of one block's value array (empty if no hubs).
+    With ``active_mask`` (delta messaging), inactive hubs' signals collapse
+    to the reduce identity so their dense contributions vanish."""
+    if len(locs) == 0:
         return np.zeros(0, dtype=np.float64)
-    v = values[locs]
-    od = hub_gdeg.get(block)
-    return np.asarray(program.np_signal(v, od if od is not None else v),
-                      dtype=np.float64)
+    sig = np.asarray(program.np_signal(values[locs], gdeg), dtype=np.float64)
+    if active_mask is not None:
+        sig = np.where(active_mask[locs], sig, identity)
+    return sig
+
+
+# merged-column schema: one row per block_col; dense merges additionally
+# carry the sorted hub-local + global-degree arrays (hub metadata lives with
+# the data, never on the driver)
+_COLS_SCHEMA = T.StructType(
+    [
+        T.StructField("block_col", T.IntegerType(), False),
+        T.StructField("row_blocks", T.ArrayType(T.IntegerType()), False),
+        T.StructField("src_counts", T.ArrayType(T.IntegerType()), False),
+        T.StructField("nnz", T.ArrayType(T.IntegerType()), False),
+        T.StructField("src_local", T.ArrayType(T.IntegerType()), False),
+        T.StructField("deg", T.ArrayType(T.IntegerType()), False),
+        T.StructField("gdeg", T.ArrayType(T.IntegerType()), False),
+        T.StructField("dst_local", T.ArrayType(T.IntegerType()), False),
+        T.StructField("weight", T.ArrayType(T.DoubleType()), True),
+        T.StructField("hub_locals", T.ArrayType(T.LongType()), True),
+        T.StructField("hub_gdeg", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+_HUB_META_SCHEMA = (
+    "block int, hub_locals array<bigint>, hub_gdeg array<double>"
+)
+
+
+def _merge_column_fn(with_hubs: bool):
+    """Column-major consolidation (the reference's worker-owns-column layout,
+    ComputationInputFormat.java:111-115): merge each column's p row-blocks
+    into ONE row. Without this, joining state to blocks ships one COPY of
+    the column's state array per row-block through Arrow — a p-fold
+    amplification (gigabytes per superstep at p=64); merged, each state
+    array crosses exactly once per superstep.
+
+    ``with_hubs`` (dense merges) additionally emits the column's sorted
+    unique src locals + aligned global degrees — the hub metadata the
+    dense gather and the state-side apply both align on. Computed here,
+    on the executors, from data already present in the blocks (round 2
+    collected one Python Row per (hub × block) onto the driver instead)."""
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        bc = int(pdf["block_col"].iloc[0])
+        rb, sc_, nz = [], [], []
+        src_cat, deg_cat, gdeg_cat, dst_cat, w_cat = [], [], [], [], []
+        any_w = False
+        for i in range(len(pdf)):
+            rb.append(int(pdf["block_row"].iloc[i]))
+            s = np.asarray(pdf["src_local"].iloc[i], dtype=np.int32)
+            d = np.asarray(pdf["deg"].iloc[i], dtype=np.int32)
+            g = np.asarray(pdf["gdeg"].iloc[i], dtype=np.int32)
+            t = np.asarray(pdf["dst_local"].iloc[i], dtype=np.int32)
+            sc_.append(len(s))
+            nz.append(len(t))
+            src_cat.append(s)
+            deg_cat.append(d)
+            gdeg_cat.append(g)
+            dst_cat.append(t)
+            w = pdf["weight"].iloc[i]
+            if w is not None:
+                any_w = True
+                w_cat.append(np.asarray(w, dtype=np.float64))
+        empty32 = np.array([], dtype=np.int32)
+        src_all = np.concatenate(src_cat) if src_cat else empty32
+        gd_all = np.concatenate(gdeg_cat) if gdeg_cat else empty32
+        hub_locals = hub_gdeg = None
+        if with_hubs:
+            # sorted unique hub locals; gdeg is per-source-global so any
+            # occurrence carries the same value
+            uniq, first = np.unique(src_all, return_index=True)
+            hub_locals = uniq.astype(np.int64)
+            hub_gdeg = gd_all[first].astype(np.float64)
+        return pd.DataFrame(
+            {
+                "block_col": [bc],
+                "row_blocks": [np.asarray(rb, dtype=np.int32)],
+                "src_counts": [np.asarray(sc_, dtype=np.int32)],
+                "nnz": [np.asarray(nz, dtype=np.int32)],
+                "src_local": [src_all],
+                "deg": [np.concatenate(deg_cat) if deg_cat else empty32],
+                "gdeg": [gd_all],
+                "dst_local": [np.concatenate(dst_cat) if dst_cat else empty32],
+                "weight": [np.concatenate(w_cat) if any_w else None],
+                "hub_locals": [hub_locals],
+                "hub_gdeg": [hub_gdeg],
+            }
+        )
+
+    return _merge
 
 
 def run_blocked(
@@ -305,21 +442,32 @@ def run_blocked(
     n: int | None = None,
     on_iteration=None,
 ) -> GimvResult:
-    """Run a scalar-semi-ring vertex program on the blocked CSR plan.
+    """Run a vertex program on the blocked CSR plan (scalar semi-rings and
+    the label_count family — label propagation).
 
     ``n`` defaults to max(id)+1 (the reference's numVertices rule,
     GraphPrepartitioningReducer.java:84-101) — ids should be contiguous
     [0, n) from graph.assign_ids / graph.remap_contiguous. Pre-built
     ``blocks`` (from prepartition, possibly read back from Parquet) skip
-    the build.
+    the build (and require the build-time ``p``). ``p=None`` applies the
+    measured auto rule (``auto_p``).
     """
     if not program.supports_blocked:
-        raise ValueError(f"{program.name} has a non-scalar semi-ring; use the flat plan")
+        raise ValueError(f"{program.name} does not support the blocked plan")
+    if program.blocked_kind not in ("scalar", "label_count"):
+        raise ValueError(f"unknown blocked kernel family {program.blocked_kind!r}")
+    label_count = program.blocked_kind == "label_count"
     spark = edges.sparkSession
     import time as _time
 
     if p is None:
-        p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if blocks is not None:
+            raise ValueError(
+                "pre-built blocks are only valid under their build-time p — "
+                "pass it (read_blocks returns it in the _STATS manifest)"
+            )
+        cores = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        p = auto_p(edges.count(), cores)
     if n is None:
         n = edges.agg(F.greatest(F.max("src"), F.max("dst"))).first()[0]
         if n is None:
@@ -352,95 +500,12 @@ def run_blocked(
     dense_exists = dense_nnz > 0
     sparse_exists = (edges_count - dense_nnz) > 0
 
-    sc = spark.sparkContext
-
-    # hubs (dense sources): (block → sorted locals, aligned global degrees).
-    # Driver-side by design: the FlexGraph premise is |hubs| ≪ n. (The
-    # all-dense degenerate mode makes every vertex a hub — reference
-    # semantics, not the scale path.)
-    hub_locals: dict[int, np.ndarray] = {}
-    hub_gdeg: dict[int, np.ndarray] = {}
-    if dense_exists:
-        hub_rows = (
-            blocks.filter("is_dense")
-            .select("block_col", F.explode(F.arrays_zip("src_local", "gdeg")).alias("z"))
-            .select("block_col", F.col("z.src_local").alias("local"),
-                    F.col("z.gdeg").alias("gd"))
-            .distinct()
-            .collect()
-        )
-        tmp: dict[int, list] = {}
-        for r in hub_rows:
-            tmp.setdefault(r["block_col"], []).append((r["local"], r["gd"]))
-        for b, pairs in tmp.items():
-            pairs.sort()
-            hub_locals[b] = np.array([x for x, _ in pairs], dtype=np.int64)
-            hub_gdeg[b] = np.array([g for _, g in pairs], dtype=np.float64)
-    hub_locals_b = sc.broadcast(hub_locals)
-    hub_gdeg_b = sc.broadcast(hub_gdeg)
-
-    # Column-major consolidation (the reference's worker-owns-column layout,
-    # ComputationInputFormat.java:111-115): merge each column's p sparse
-    # row-blocks into ONE row. Without this, joining state to blocks ships
-    # one COPY of the column's state array per row-block through Arrow — a
-    # p-fold amplification (gigabytes per superstep at p=64); merged, each
-    # state array crosses exactly once per superstep. Built once, persisted.
-    _COLS_SCHEMA = T.StructType(
-        [
-            T.StructField("block_col", T.IntegerType(), False),
-            T.StructField("row_blocks", T.ArrayType(T.IntegerType()), False),
-            T.StructField("src_counts", T.ArrayType(T.IntegerType()), False),
-            T.StructField("nnz", T.ArrayType(T.IntegerType()), False),
-            T.StructField("src_local", T.ArrayType(T.IntegerType()), False),
-            T.StructField("deg", T.ArrayType(T.IntegerType()), False),
-            T.StructField("gdeg", T.ArrayType(T.IntegerType()), False),
-            T.StructField("dst_local", T.ArrayType(T.IntegerType()), False),
-            T.StructField("weight", T.ArrayType(T.DoubleType()), True),
-        ]
-    )
-
-    def _merge_column(pdf: pd.DataFrame) -> pd.DataFrame:
-        bc = int(pdf["block_col"].iloc[0])
-        rb, sc_, nz = [], [], []
-        src_cat, deg_cat, gdeg_cat, dst_cat, w_cat = [], [], [], [], []
-        any_w = False
-        for i in range(len(pdf)):
-            rb.append(int(pdf["block_row"].iloc[i]))
-            s = np.asarray(pdf["src_local"].iloc[i], dtype=np.int32)
-            d = np.asarray(pdf["deg"].iloc[i], dtype=np.int32)
-            g = np.asarray(pdf["gdeg"].iloc[i], dtype=np.int32)
-            t = np.asarray(pdf["dst_local"].iloc[i], dtype=np.int32)
-            sc_.append(len(s))
-            nz.append(len(t))
-            src_cat.append(s)
-            deg_cat.append(d)
-            gdeg_cat.append(g)
-            dst_cat.append(t)
-            w = pdf["weight"].iloc[i]
-            if w is not None:
-                any_w = True
-                w_cat.append(np.asarray(w, dtype=np.float64))
-        empty32 = np.array([], dtype=np.int32)
-        return pd.DataFrame(
-            {
-                "block_col": [bc],
-                "row_blocks": [np.asarray(rb, dtype=np.int32)],
-                "src_counts": [np.asarray(sc_, dtype=np.int32)],
-                "nnz": [np.asarray(nz, dtype=np.int32)],
-                "src_local": [np.concatenate(src_cat) if src_cat else empty32],
-                "deg": [np.concatenate(deg_cat) if deg_cat else empty32],
-                "gdeg": [np.concatenate(gdeg_cat) if gdeg_cat else empty32],
-                "dst_local": [np.concatenate(dst_cat) if dst_cat else empty32],
-                "weight": [np.concatenate(w_cat) if any_w else None],
-            }
-        )
-
     sparse_cols = None
     if sparse_exists:
         sparse_cols = (
             blocks.filter(~F.col("is_dense"))
             .groupBy("block_col")
-            .applyInPandas(_merge_column, _COLS_SCHEMA)
+            .applyInPandas(_merge_column_fn(with_hubs=False), _COLS_SCHEMA)
             .repartition(p, "block_col")
             .persist()
         )
@@ -454,66 +519,120 @@ def run_blocked(
         dense_cols = (
             blocks.filter(F.col("is_dense"))
             .groupBy("block_col")
-            .applyInPandas(_merge_column, _COLS_SCHEMA)
+            .applyInPandas(_merge_column_fn(with_hubs=True), _COLS_SCHEMA)
             .repartition(p, "block_col")
             .persist()
         )
         dense_cols.count()
     blocks.unpersist()
 
+    # Per-column hub metadata as a tiny (≤ p rows) DataFrame — broadcast-
+    # joined wherever hub alignment is needed. O(#hubs) total payload by the
+    # FlexGraph premise; never collected to the driver as Python rows.
+    if dense_exists:
+        hub_meta = dense_cols.select(
+            F.col("block_col").alias("block"), "hub_locals", "hub_gdeg"
+        ).persist()
+        hub_meta.count()
+    else:
+        hub_meta = spark.createDataFrame([], _HUB_META_SCHEMA)
+
     reduce_min = program.reduce_np == "min"
     identity = program.identity
+    delta = program.delta_messaging
+
+    def _scatter_scalar(dst_l, contrib):
+        size = int(dst_l.max()) + 1 if len(dst_l) else 0
+        part = np.full(size, identity)
+        if reduce_min:
+            np.minimum.at(part, dst_l, contrib)
+        else:
+            np.add.at(part, dst_l, contrib)
+        nz = np.nonzero(part != identity)[0]
+        return nz.astype(np.int32), part[nz]
+
+    def _scatter_label(dst_l, lab):
+        """Per-(dst, label) counts for one row-block slice."""
+        order = np.lexsort((lab, dst_l))
+        ds, ls = dst_l[order], lab[order]
+        first = np.empty(len(ds), dtype=bool)
+        first[0] = True
+        first[1:] = (ds[1:] != ds[:-1]) | (ls[1:] != ls[:-1])
+        idx = np.flatnonzero(first)
+        cnt = np.diff(np.append(idx, len(ds))).astype(np.float64)
+        return ds[idx].astype(np.int32), cnt, ls[idx].astype(np.float64)
 
     def gather(pdf_iter):
         """mapInPandas over (merged column ⋈ state) rows -> compacted
         partials, one output row per (column, row-block). The signal kernel
         (combine2's source factor) is fused in and vectorized across the
-        whole column; global out-degrees ride in the block (gdeg)."""
+        whole column; global out-degrees ride in the block (gdeg). Under
+        delta messaging, inactive sources' signals collapse to the reduce
+        identity and all-inactive columns are skipped."""
         for pdf in pdf_iter:
-            out_block, out_dst, out_vals = [], [], []
+            out_block, out_dst, out_vals, out_lab = [], [], [], []
             for i in range(len(pdf)):
                 vals = np.asarray(pdf["values"].iloc[i], dtype=np.float64)
-                row_blocks = np.asarray(pdf["row_blocks"].iloc[i])
-                src_counts = np.asarray(pdf["src_counts"].iloc[i])
-                nnzs = np.asarray(pdf["nnz"].iloc[i])
                 src_all = np.asarray(pdf["src_local"].iloc[i])
+                if delta:
+                    act = np.asarray(pdf["active"].iloc[i], dtype=bool)
+                    src_act = act[src_all]
+                    if not src_act.any():
+                        continue  # no frontier source in this column
+                row_blocks = np.asarray(pdf["row_blocks"].iloc[i])
+                nnzs = np.asarray(pdf["nnz"].iloc[i])
                 deg_all = np.asarray(pdf["deg"].iloc[i])
                 gdeg_all = np.asarray(pdf["gdeg"].iloc[i], dtype=np.float64)
                 dst_all = np.asarray(pdf["dst_local"].iloc[i])
                 w_all = pdf["weight"].iloc[i]
                 w_all = np.asarray(w_all, dtype=np.float64) if w_all is not None else None
                 # whole-column vectorized signal + message
-                sig_src = program.np_signal(vals[src_all], gdeg_all)
+                sig_src = np.asarray(
+                    program.np_signal(vals[src_all], gdeg_all), dtype=np.float64
+                )
+                if delta:
+                    sig_src = np.where(src_act, sig_src, identity)
                 contrib_all = program.np_message(np.repeat(sig_src, deg_all), w_all)
                 no = np.concatenate(([0], np.cumsum(nnzs)))
                 for j in range(len(row_blocks)):
-                    dst_l = dst_all[no[j]:no[j + 1]]
-                    contrib = contrib_all[no[j]:no[j + 1]]
-                    size = int(dst_l.max()) + 1 if len(dst_l) else 0
-                    part = np.full(size, identity)
-                    if reduce_min:
-                        np.minimum.at(part, dst_l, contrib)
+                    sl = slice(no[j], no[j + 1])
+                    dst_l = dst_all[sl]
+                    if len(dst_l) == 0:
+                        continue
+                    if label_count:
+                        d, v, l = _scatter_label(dst_l, contrib_all[sl])
                     else:
-                        np.add.at(part, dst_l, contrib)
-                    nz = np.nonzero(part != identity)[0]
+                        d, v = _scatter_scalar(dst_l, contrib_all[sl])
+                        l = None
+                        if len(d) == 0:
+                            continue
                     out_block.append(int(row_blocks[j]))
-                    out_dst.append(nz.astype(np.int32))
-                    out_vals.append(part[nz])
-            yield pd.DataFrame({"block": out_block, "dst_local": out_dst, "vals": out_vals})
+                    out_dst.append(d)
+                    out_vals.append(v)
+                    out_lab.append(l)
+            if out_block:  # an all-skipped batch yields nothing (an empty
+                # pd.DataFrame would arrive as float64 columns Arrow cannot
+                # cast to the list types)
+                yield pd.DataFrame(
+                    {"block": out_block, "dst_local": out_dst,
+                     "vals": out_vals, "lab": out_lab}
+                )
 
     def dense_gather(pdf_iter):
         """mapInPandas over (merged dense column ⋈ broadcast hub-sig state
         slice): each merged-column row carries its column's hub SIGNALS
-        (``sigs``, aligned with the sorted hub-local list) exactly once —
-        the reference's dv republish (ComputationMapper.java:217-240), zero
-        extra stages (the sigs were computed during the previous apply)."""
-        hub_l = hub_locals_b.value
+        (``sigs``, aligned with its own sorted ``hub_locals`` array) exactly
+        once — the reference's dv republish (ComputationMapper.java:217-240),
+        zero extra stages (the sigs were computed during the previous
+        apply). Under delta messaging inactive hubs arrive as identity and
+        all-identity columns are skipped."""
         for pdf in pdf_iter:
-            out_block, out_dst, out_vals = [], [], []
+            out_block, out_dst, out_vals, out_lab = [], [], [], []
             for i in range(len(pdf)):
-                bc = int(pdf["block_col"].iloc[i])
-                locs = hub_l[bc]
                 sigs = np.asarray(pdf["sigs"].iloc[i], dtype=np.float64)
+                if delta and (len(sigs) == 0 or np.all(sigs == identity)):
+                    continue  # whole column inactive
+                locs = _as_array(pdf["hub_locals"].iloc[i], np.int64)
                 row_blocks = np.asarray(pdf["row_blocks"].iloc[i])
                 nnzs = np.asarray(pdf["nnz"].iloc[i])
                 src_all = np.asarray(pdf["src_local"].iloc[i])
@@ -526,38 +645,47 @@ def run_blocked(
                 contrib_all = program.np_message(np.repeat(sigs[pos], deg_all), w_all)
                 no = np.concatenate(([0], np.cumsum(nnzs)))
                 for j in range(len(row_blocks)):
-                    dst_l = dst_all[no[j]:no[j + 1]]
-                    contrib = contrib_all[no[j]:no[j + 1]]
-                    size = int(dst_l.max()) + 1 if len(dst_l) else 0
-                    part = np.full(size, identity)
-                    if reduce_min:
-                        np.minimum.at(part, dst_l, contrib)
+                    sl = slice(no[j], no[j + 1])
+                    dst_l = dst_all[sl]
+                    if len(dst_l) == 0:
+                        continue
+                    if label_count:
+                        d, v, l = _scatter_label(dst_l, contrib_all[sl])
                     else:
-                        np.add.at(part, dst_l, contrib)
-                    nz = np.nonzero(part != identity)[0]
+                        d, v = _scatter_scalar(dst_l, contrib_all[sl])
+                        l = None
+                        if len(d) == 0:
+                            continue
                     out_block.append(int(row_blocks[j]))
-                    out_dst.append(nz.astype(np.int32))
-                    out_vals.append(part[nz])
-            yield pd.DataFrame(
-                {"block": out_block, "dst_local": out_dst, "vals": out_vals}
-            )
+                    out_dst.append(d)
+                    out_vals.append(v)
+                    out_lab.append(l)
+            if out_block:  # an all-skipped batch yields nothing (an empty
+                # pd.DataFrame would arrive as float64 columns Arrow cannot
+                # cast to the list types)
+                yield pd.DataFrame(
+                    {"block": out_block, "dst_local": out_dst,
+                     "vals": out_vals, "lab": out_lab}
+                )
 
     apply_schema = T.StructType(
-        [
-            T.StructField("block", T.IntegerType(), False),
-            T.StructField("values", T.ArrayType(T.DoubleType()), False),
-            T.StructField("hub_sigs", T.ArrayType(T.DoubleType()), False),
-            T.StructField("changed", T.LongType(), False),
-        ]
+        list(_STATE_SCHEMA.fields)
+        + [T.StructField("changed", T.LongType(), False)]
     )
+
+    def _row_hub_arrays(state_pdf: pd.DataFrame):
+        locs = _as_array(state_pdf["hub_locals"].iloc[0], np.int64)
+        gd = _as_array(state_pdf["hub_gdeg"].iloc[0], np.float64)
+        return locs, gd
 
     def reduce_apply(state_pdf: pd.DataFrame, part_pdf: pd.DataFrame) -> pd.DataFrame:
         """Fused combineAll + apply + convergence count + NEXT iteration's
         hub-signal extraction over one block (cogroup: ONE shuffle on
         ``block`` instead of reduce-shuffle -> join -> apply-shuffle ->
-        hub-extract)."""
+        hub-extract). Scalar family."""
         b = int(state_pdf["block"].iloc[0])
         old = np.asarray(state_pdf["values"].iloc[0], dtype=np.float64)
+        locs, gd = _row_hub_arrays(state_pdf)
         acc = np.full(len(old), identity)
         for dst_l, vals in zip(part_pdf["dst_local"], part_pdf["vals"]):
             dst_l = np.asarray(dst_l)
@@ -568,43 +696,111 @@ def run_blocked(
                 np.add.at(acc, dst_l, vals)
         has = acc != identity
         new = program.np_apply(old, acc, has, n)
-        changed = int(program.np_changed(old, new).sum())
-        hs = _hub_sig(program, b, new, hub_locals_b.value, hub_gdeg_b.value)
+        mask = np.asarray(program.np_changed(old, new), dtype=bool)
+        changed = int(mask.sum())
+        hs = _hub_sig(program, new, locs, gd,
+                      active_mask=mask if delta else None, identity=identity)
+        active = mask if delta else np.ones(len(new), dtype=bool)
         return pd.DataFrame(
-            {"block": [b], "values": [new], "hub_sigs": [hs], "changed": [changed]}
+            {"block": [b], "values": [new], "hub_sigs": [hs],
+             "active": [active], "changed": [changed]}
         )
+
+    def reduce_apply_lp(state_pdf: pd.DataFrame, part_pdf: pd.DataFrame) -> pd.DataFrame:
+        """label_count family: merge per-(dst,label) count partials, pick
+        the majority label per dst (lowest-label ties — the flat plan's
+        max_by(msg, (cnt, -msg)) semantics), apply = coalesce(majority,
+        old)."""
+        b = int(state_pdf["block"].iloc[0])
+        old = np.asarray(state_pdf["values"].iloc[0], dtype=np.float64)
+        locs, gd = _row_hub_arrays(state_pdf)
+        new = old.copy()
+        if len(part_pdf):
+            ds = np.concatenate([np.asarray(x) for x in part_pdf["dst_local"]])
+            cs = np.concatenate(
+                [np.asarray(x, dtype=np.float64) for x in part_pdf["vals"]]
+            )
+            ls = np.concatenate(
+                [np.asarray(x, dtype=np.float64) for x in part_pdf["lab"]]
+            )
+            if len(ds):
+                # merge counts across partials by (dst, label)
+                order = np.lexsort((ls, ds))
+                ds, ls, cs = ds[order], ls[order], cs[order]
+                grp = np.empty(len(ds), dtype=bool)
+                grp[0] = True
+                grp[1:] = (ds[1:] != ds[:-1]) | (ls[1:] != ls[:-1])
+                idx = np.flatnonzero(grp)
+                csum = np.concatenate(([0.0], np.cumsum(cs)))
+                bounds = np.append(idx, len(ds))
+                tot = csum[bounds[1:]] - csum[bounds[:-1]]
+                ds2, ls2 = ds[idx], ls[idx]
+                # winner per dst: max count, then lowest label
+                order2 = np.lexsort((ls2, -tot, ds2))
+                dso, lso = ds2[order2], ls2[order2]
+                first = np.empty(len(dso), dtype=bool)
+                first[0] = True
+                first[1:] = dso[1:] != dso[:-1]
+                new[dso[first]] = lso[first]
+        mask = new != old
+        changed = int(mask.sum())
+        hs = _hub_sig(program, new, locs, gd, identity=identity)
+        return pd.DataFrame(
+            {"block": [b], "values": [new], "hub_sigs": [hs],
+             "active": [np.ones(len(new), dtype=bool)], "changed": [changed]}
+        )
+
+    reduce_fn = reduce_apply_lp if label_count else reduce_apply
+
+    def _with_hub_meta(df: DataFrame) -> DataFrame:
+        """Attach per-block hub arrays (broadcast join on the ≤ p-row
+        hub_meta — executor-side, never a driver collect)."""
+        return df.join(F.broadcast(hub_meta), "block", "left")
 
     def _init_state_df() -> DataFrame:
         def gen(pdf: pd.DataFrame) -> pd.DataFrame:
-            out, hubs = [], []
-            for b in pdf["block"]:
+            out, hubs, acts = [], [], []
+            for i in range(len(pdf)):
+                b = int(pdf["block"].iloc[i])
                 ids = np.arange(b, n, p, dtype=np.int64)
-                vals = program.np_init(ids, n)
+                vals = np.asarray(program.np_init(ids, n), dtype=np.float64)
+                locs = _as_array(pdf["hub_locals"].iloc[i], np.int64)
+                gd = _as_array(pdf["hub_gdeg"].iloc[i], np.float64)
                 out.append(vals)
-                hubs.append(
-                    _hub_sig(program, int(b), vals, hub_locals_b.value, hub_gdeg_b.value)
-                )
-            return pd.DataFrame({"block": pdf["block"], "values": out, "hub_sigs": hubs})
-
-        base = spark.range(p).select(F.col("id").cast("int").alias("block"))
-        return base.groupBy("block").applyInPandas(gen, _STATE_SCHEMA)
-
-    def _with_hub_sigs(df: DataFrame) -> DataFrame:
-        """Recompute hub_sigs for a resumed state that lacks the column."""
-        def fix(pdf: pd.DataFrame) -> pd.DataFrame:
-            hubs = [
-                _hub_sig(
-                    program, int(pdf["block"].iloc[i]),
-                    np.asarray(pdf["values"].iloc[i], dtype=np.float64),
-                    hub_locals_b.value, hub_gdeg_b.value,
-                )
-                for i in range(len(pdf))
-            ]
+                hubs.append(_hub_sig(program, vals, locs, gd, identity=identity))
+                acts.append(np.ones(len(vals), dtype=bool))
             return pd.DataFrame(
-                {"block": pdf["block"], "values": pdf["values"], "hub_sigs": hubs}
+                {"block": pdf["block"], "values": out,
+                 "hub_sigs": hubs, "active": acts}
             )
 
-        return df.groupBy("block").applyInPandas(fix, _STATE_SCHEMA)
+        base = spark.range(p).select(F.col("id").cast("int").alias("block"))
+        return _with_hub_meta(base).groupBy("block").applyInPandas(gen, _STATE_SCHEMA)
+
+    def _with_hub_sigs(df: DataFrame) -> DataFrame:
+        """Recompute hub_sigs + active for a resumed state. Always applied on
+        resume: hub alignment depends on dense_threshold (the hub set) and
+        active on the delta contract — a checkpoint written under different
+        settings would otherwise feed stale signals. Conservative active =
+        all-true (one full resend; exact for every semi-ring)."""
+        def fix(pdf: pd.DataFrame) -> pd.DataFrame:
+            hubs, acts = [], []
+            for i in range(len(pdf)):
+                vals = np.asarray(pdf["values"].iloc[i], dtype=np.float64)
+                locs = _as_array(pdf["hub_locals"].iloc[i], np.int64)
+                gd = _as_array(pdf["hub_gdeg"].iloc[i], np.float64)
+                hubs.append(_hub_sig(program, vals, locs, gd, identity=identity))
+                acts.append(np.ones(len(vals), dtype=bool))
+            return pd.DataFrame(
+                {"block": pdf["block"], "values": pdf["values"],
+                 "hub_sigs": hubs, "active": acts}
+            )
+
+        return (
+            _with_hub_meta(df.select("block", "values"))
+            .groupBy("block")
+            .applyInPandas(fix, _STATE_SCHEMA)
+        )
 
     from flexgraph_spark.gimv import truncate_plan
 
@@ -612,12 +808,24 @@ def run_blocked(
     start_iter = 0
     state = None
     if checkpointer is not None:
+        # Guard: state arrays decode under (block = vertex % p, local =
+        # vertex // p) — a checkpoint written under a different p would
+        # silently decode garbage (inner joins on block just drop mismatched
+        # ids). Refuse; dense_threshold changes are safe because hub_sigs
+        # are recomputed below.
+        last = checkpointer.last_manifest(job_name)
+        if last is not None and last.get("p") is not None and last["p"] != p:
+            raise ValueError(
+                f"checkpoint for {job_name} was written under p={last['p']}; "
+                f"resuming with p={p} would decode state blocks under the "
+                "wrong (block, local) split — rerun with the original p or "
+                "start a fresh checkpoint dir"
+            )
+        checkpointer.set_job_params(job_name, p=p, dense_threshold=dense_threshold)
         resumed = checkpointer.resume(job_name)
         if resumed is not None:
             start_iter, state = resumed
-            if "hub_sigs" not in state.columns:
-                state = _with_hub_sigs(state)
-            state = state.repartition(p, "block")
+            state = _with_hub_sigs(state).repartition(p, "block")
     if state is None:
         state = _init_state_df().repartition(p, "block")
         state = truncate_plan(state)
@@ -652,11 +860,19 @@ def run_blocked(
                 )
 
             partials = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+            # real shuffled-message count (compacted partial entries) — under
+            # delta messaging this decays toward zero over the convergent tail
+            msg_obs = Observation()
+            partials = partials.observe(
+                msg_obs, F.sum(F.size("dst_local")).alias("m")
+            )
             conv_obs = Observation()
             new_state = (
-                state.groupBy("block")
+                state.select(*[f.name for f in _STATE_SCHEMA.fields])
+                .join(F.broadcast(hub_meta), "block", "left")
+                .groupBy("block")
                 .cogroup(partials.groupBy("block"))
-                .applyInPandas(reduce_apply, apply_schema)
+                .applyInPandas(reduce_fn, apply_schema)
                 .observe(conv_obs, F.sum("changed").alias("c"))
             )
             # Materialize + truncate lineage; durable parquet when resumable
@@ -669,7 +885,7 @@ def run_blocked(
 
             m = IterationMetrics(
                 iteration=it,
-                messages_shuffled=edges_count,  # upper bound; partials are compacted
+                messages_shuffled=int(msg_obs.get["m"] or 0),
                 changed=changed,
                 edges_scanned=int(edges_count),
                 seconds=_time.time() - t0,
@@ -698,4 +914,6 @@ def run_blocked(
         sparse_cols.unpersist()
     if dense_cols is not None:
         dense_cols.unpersist()
+    if dense_exists:
+        hub_meta.unpersist()
     return GimvResult(state=result, iterations=it, converged=converged, metrics=metrics)

@@ -36,7 +36,20 @@ class Checkpointer:
         self.base = Path(base_dir)
         self.input_fingerprint = input_fingerprint
         self.keep_last = keep_last
+        self._job_params: dict[str, dict] = {}
         self.base.mkdir(parents=True, exist_ok=True)
+
+    def set_job_params(self, job: str, **params) -> None:
+        """Engine-level parameters recorded into every manifest row of a job
+        (e.g. the blocked engine's p / dense_threshold — resuming under a
+        different p would decode state arrays under the wrong (block, local)
+        split, so the engine checks these via ``last_manifest``)."""
+        self._job_params[job] = dict(params)
+
+    def last_manifest(self, job: str) -> dict | None:
+        """Latest manifest row of a job (by iteration), or None."""
+        rows = self.manifest_rows(job)
+        return max(rows, key=lambda r: r["iteration"]) if rows else None
 
     def _job_dir(self, job: str) -> Path:
         d = self.base / job
@@ -67,6 +80,7 @@ class Checkpointer:
 
     def record_metrics(self, job: str, metrics) -> None:
         row = asdict(metrics) if not isinstance(metrics, dict) else dict(metrics)
+        row.update(self._job_params.get(job, {}))
         row["state_path"] = getattr(self, "_last_path", None)
         row["input_fingerprint"] = self.input_fingerprint
         row["completed_utc"] = time.time()

@@ -327,13 +327,21 @@ class LabelPropagation(VertexProgram):
     fold (per-label counts then argmax — SURVEY.md §2.2), so ``aggregate``
     is a two-level aggregation: groupBy(dst,label).count, then
     max_by(label, (count, -label)). Runs on symmetrized edges; capped
-    iterations guard bipartite oscillation."""
+    iterations guard bipartite oscillation.
+
+    The blocked engine runs it on the ``label_count`` kernel family
+    (blocks.run_blocked): gathers emit per-(dst, label) count partials,
+    the fused reduce merges counts and applies the same argmax/tie rule.
+    Labels ride as float64 (exact below 2^53)."""
 
     name = "label_propagation"
-    supports_blocked = False  # non-scalar semi-ring (per-label counts)
+    blocked_kind = "label_count"  # non-scalar semi-ring: count partials
 
     def init_state(self, vertices, n):
         return vertices.select("vertex", F.col("vertex").alias("value"))
+
+    def np_init(self, global_ids, n):
+        return global_ids.astype("float64")
 
     def message(self):
         return F.col("value")

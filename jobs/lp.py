@@ -14,17 +14,15 @@ def main() -> None:
     p = base_parser("Label propagation")
     p.set_defaults(max_iter=20)
     args = p.parse_args()
-    if args.engine == "blocked":
-        raise SystemExit(
-            "label propagation has a non-scalar semi-ring (per-label "
-            "count+argmax) and runs on the flat plan only"
-        )
     spark = get_session("flexgraph-lp")
     edges = load_edges(spark, args)
     from flexgraph_spark import algorithms
+    from jobs.common import engine_kwargs
 
     res = algorithms.label_propagation(
-        edges, max_iter=args.max_iter, checkpointer=make_checkpointer(args, edges)
+        edges, max_iter=args.max_iter, engine=args.engine,
+        checkpointer=make_checkpointer(args, edges),
+        **engine_kwargs(spark, args),
     )
     res.state.write.mode("overwrite").parquet(args.output)
     print(f"lp: iterations={res.iterations} -> {args.output}")

@@ -103,10 +103,70 @@ def test_blocked_sssp(spark):
     assert got[3] == 2.0 and got[2] == 4.0
 
 
-def test_blocked_rejects_lp(spark):
-    df = fixtures.edges_df(spark, [(0, 1)])
-    with pytest.raises(ValueError):
-        blocks.run_blocked(df, gimv.LabelPropagation(), p=2)
+@pytest.mark.parametrize("threshold", [100, 3])
+def test_blocked_lp_equals_flat(spark, threshold):
+    """label_count kernel family: blocked LP (count partials + fused
+    argmax reduce, lowest-label ties) must match the flat two-level
+    aggregation exactly — including through the dense/hub path
+    (threshold=3 makes most sources hubs)."""
+    edges = fixtures.topology("lp_blocks")
+    sym = sorted(set(edges) | {(d, s) for s, d in edges})
+    df = fixtures.edges_df(spark, sym)
+    flat = algorithms.label_propagation(df, max_iter=6)
+    blk = blocks.run_blocked(
+        df, gimv.LabelPropagation(), p=P, dense_threshold=threshold, max_iter=6
+    )
+    a = {r["vertex"]: int(r["value"]) for r in flat.state.collect()}
+    b = {r["vertex"]: int(r["value"]) for r in blk.state.collect()}
+    assert a == b
+
+
+def test_blocked_cc_delta_messages_decay(spark):
+    """Blocked frontier messaging: on a path graph the compacted-partial
+    count (messages_shuffled) must decay over HashMin's convergent tail."""
+    edges = [(i, i + 1) for i in range(19)]
+    sym = edges + [(d, s) for s, d in edges]
+    df = fixtures.edges_df(spark, sym)
+    res = blocks.run_blocked(df, gimv.ConnectedComponents(), p=P, max_iter=40)
+    assert res.converged
+    got = {r["vertex"]: int(r["value"]) for r in res.state.collect()}
+    assert set(got.values()) == {0}
+    msgs = [m.messages_shuffled for m in res.metrics]
+    assert msgs[-1] <= 4  # tail: single-vertex frontier
+    assert msgs[0] > 4 * msgs[-1]
+
+
+def test_auto_p():
+    assert blocks.auto_p(0, 8) == 8
+    assert blocks.auto_p(1_000_000, 8) == 8
+    assert blocks.auto_p(96_000_000, 8) == 32  # E/3M dominates cores
+    assert blocks.auto_p(96_000_000, 64) == 64
+
+
+def test_blocked_resume_refuses_p_mismatch(spark, tmp_path):
+    """A blocked checkpoint records p; resuming under a different p would
+    decode state arrays under the wrong (block, local) split — refuse."""
+    from flexgraph_spark.checkpoint import Checkpointer
+
+    edges = fixtures.rand_er(30, 0.2, seed=11)
+    sym = sorted(set(edges) | {(d, s) for s, d in edges})
+    df = fixtures.edges_df(spark, sym)
+    ck = Checkpointer(str(tmp_path), input_fingerprint="t")
+    blocks.run_blocked(df, gimv.ConnectedComponents(), p=P, max_iter=2,
+                       checkpointer=ck)
+    ck2 = Checkpointer(str(tmp_path), input_fingerprint="t")
+    with pytest.raises(ValueError, match="p="):
+        blocks.run_blocked(df, gimv.ConnectedComponents(), p=P + 1,
+                           max_iter=4, checkpointer=ck2)
+    # same p resumes fine (hub_sigs + active recomputed from values)
+    res = blocks.run_blocked(df, gimv.ConnectedComponents(), p=P, max_iter=40,
+                             checkpointer=Checkpointer(str(tmp_path),
+                                                       input_fingerprint="t"))
+    assert res.converged
+    got = {r["vertex"]: int(r["value"]) for r in res.state.collect()}
+    n = max(v for e in sym for v in e) + 1
+    exp = oracle.connected_components(sym, n)
+    assert [got[i] for i in range(n)] == exp.tolist()
 
 
 def test_write_read_blocks_roundtrip(spark, tmp_path):
