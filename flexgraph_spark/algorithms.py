@@ -77,10 +77,12 @@ def connected_components(
     edges: DataFrame, max_iter: int = 100, checkpointer=None, engine: str = "flat", **kw
 ) -> gimv.GimvResult:
     """True WCC: symmetrizes explicitly (the reference's cc.sh does not —
-    SURVEY.md §3.2 discrepancy)."""
+    SURVEY.md §3.2 discrepancy). Weights are irrelevant to CC and would
+    turn the (src, dst)-distinct into per-weight parallel edges, so they
+    are dropped before symmetrizing."""
     return _dispatch(
-        symmetrize(edges), gimv.ConnectedComponents(), engine, max_iter,
-        checkpointer, kw,
+        symmetrize(edges.select("src", "dst")), gimv.ConnectedComponents(),
+        engine, max_iter, checkpointer, kw,
     )
 
 
@@ -105,10 +107,12 @@ def label_propagation(
     """Majority-label propagation (lowest-label ties) on symmetrized edges.
     ``engine='blocked'`` runs the label_count kernel family
     (blocks.run_blocked) — per-(dst, label) count partials, fused
-    count-merge + argmax reduce."""
+    count-merge + argmax reduce. Weights are dropped first: LP's majority
+    vote counts distinct (src, dst) pairs, and weight-distinct parallel
+    edges would double-count."""
     return _dispatch(
-        symmetrize(edges), gimv.LabelPropagation(), engine, max_iter,
-        checkpointer, kw,
+        symmetrize(edges.select("src", "dst")), gimv.LabelPropagation(),
+        engine, max_iter, checkpointer, kw,
     )
 
 

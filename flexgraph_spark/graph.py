@@ -182,9 +182,17 @@ def verify_content_invariant(derived: DataFrame, source: DataFrame) -> int:
 
 def symmetrize(edges: DataFrame) -> DataFrame:
     """edges ∪ reversed(edges), distinct — required for true WCC (the
-    reference's cc.sh never symmetrizes; SURVEY.md §3.2 flags that)."""
-    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return edges.select("src", "dst").union(rev).distinct()
+    reference's cc.sh never symmetrizes; SURVEY.md §3.2 flags that).
+
+    Extra columns (weight, ...) ride on BOTH directions — the reference's
+    WeightedGraphPrepartitioning UndirectedMapper keeps weights on reversed
+    edges the same way; dropping them here made ``--expand undirected`` on
+    a weighted edge list silently run unit-weight SSSP. Callers whose
+    semantics need pure (src, dst) pairs (CC, LP: parallel weighted edges
+    must not double-count) select those columns before calling."""
+    others = [c for c in edges.columns if c not in ("src", "dst")]
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), *others)
+    return edges.select("src", "dst", *others).union(rev).distinct()
 
 
 def degrees(edges: DataFrame, direction: str = "out", weighted: bool = False) -> DataFrame:

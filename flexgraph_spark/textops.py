@@ -222,7 +222,16 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text", k: in
 
 def _materialize(df: DataFrame) -> DataFrame:
     """Eagerly compute a (small) result so upstream caches can be released;
-    the returned DataFrame is rooted at the materialized blocks."""
+    the returned DataFrame is rooted at the materialized blocks.
+
+    Caveat (scale): localCheckpoint blocks are NOT replicated — on a
+    cluster with executor decommission / dynamic allocation they can be
+    lost, and duplicate-heavy corpora can make the "small result"
+    assumption fail. The convenience entry points that call this
+    (minhash_near_duplicates, jaccard_similarity_join, ...) therefore take
+    a prebuilt ``sh`` shingle table: pass one to get the LAZY plan back
+    (no eager materialization, caller owns the shingle cache) and sink it
+    to durable storage yourself."""
     cached = df.persist()
     out = cached.localCheckpoint(eager=True)
     cached.unpersist(blocking=False)
@@ -328,13 +337,18 @@ def minhash_near_duplicates(
     num_hashes: int = 32,
     bands: int = 8,
     k: int = 5,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end near-dup: MinHash -> LSH candidates -> exact Jaccard filter.
 
     The shingle table is built ONCE and shared by the signature and
     verification stages (round-1 built it twice — double compute + a leaked
     cache); the (small) verified-pairs result is materialized eagerly so the
-    shingle cache is released before returning.
+    shingle cache is released before returning. Pass a prebuilt ``sh``
+    (shingle_table) to instead get the LAZY plan back — nothing is
+    materialized or unpersisted, the caller owns the shingle cache and
+    sinks the result durably (the right mode on clusters where
+    localCheckpoint's non-replicated blocks could be decommissioned).
 
     Between banding and exact verification sits a signature-estimate
     pre-filter: est(J) = matching-component fraction of the two 32-long
@@ -345,15 +359,20 @@ def minhash_near_duplicates(
     loss at the exact threshold boundary (on top of banding's inherent
     miss rate there) for a 10-100x smaller verify join. Precision is
     unaffected — survivors still pass exact Jaccard."""
-    sh = shingle_table(df, text_col, k)
-    try:
-        sigs = _signatures_from(sh, num_hashes).persist()
-        est_cut = max(0.0, threshold - 2.0 * (threshold * (1 - threshold) / num_hashes) ** 0.5)
+    est_cut = max(0.0, threshold - 2.0 * (threshold * (1 - threshold) / num_hashes) ** 0.5)
+
+    def _plan(sh: DataFrame, sigs: DataFrame) -> DataFrame:
         screened = minhash_lsh_candidates(
             sigs, bands, num_hashes // bands, est_cut=est_cut, num_hashes=num_hashes
         )
-        verified = _jaccard_for_pairs(sh, screened).filter(F.col("jaccard") >= threshold)
-        out = _materialize(verified)
+        return _jaccard_for_pairs(sh, screened).filter(F.col("jaccard") >= threshold)
+
+    if sh is not None:  # lazy mode: caller owns caches and materialization
+        return _plan(sh, _signatures_from(sh, num_hashes))
+    sh = shingle_table(df, text_col, k)
+    try:
+        sigs = _signatures_from(sh, num_hashes).persist()
+        out = _materialize(_plan(sh, sigs))
         sigs.unpersist()
         return out
     finally:
@@ -366,6 +385,7 @@ def jaccard_similarity_join(
     threshold: float = 0.25,
     k: int = 5,
     extra_cols: tuple[str, ...] = (),
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard join at web scale via prefix filtering
     (AllPairs/PPJoin-style): returns every (doc_a, doc_b, jaccard) with
@@ -381,8 +401,17 @@ def jaccard_similarity_join(
     the shingle ordering — any superset of true matches verifies to the
     same set. Worst-case skew is a prefix shingle shared by d docs (d^2
     candidate pairs) — prefix filtering keeps d small by preferring the
-    rarest shingles."""
-    sh = shingle_table(df, text_col, k, extra_cols=extra_cols)
+    rarest shingles.
+
+    Pass a prebuilt ``sh`` (shingle_table with the same ``extra_cols``) to
+    get the LAZY plan back: nothing is persisted or eagerly materialized —
+    the caller owns the shingle cache and sinks the result durably (the
+    prefix table is then evaluated once per self-join side instead of
+    cached; prefer this on clusters where localCheckpoint's non-replicated
+    blocks could be decommissioned)."""
+    lazy = sh is not None
+    if sh is None:
+        sh = shingle_table(df, text_col, k, extra_cols=extra_cols)
     try:
         ex = sh.select("doc_id", F.explode("hs").alias("s"))
         freq = ex.groupBy("s").agg(F.count("*").alias("df"))
@@ -394,7 +423,9 @@ def jaccard_similarity_join(
             .join(sh.select("doc_id", F.size("hs").alias("sz")), "doc_id")
             .filter(F.col("rn") <= prefix_len)
             .select("doc_id", "s")
-        ).persist()
+        )
+        if not lazy:
+            pref = pref.persist()
         a, b = pref.alias("a"), pref.alias("b")
         cand = (
             a.join(
@@ -422,11 +453,14 @@ def jaccard_similarity_join(
                         "doc_b",
                     )
                 )
+        if lazy:
+            return verified
         out = _materialize(verified)
         pref.unpersist()
         return out
     finally:
-        sh.unpersist()
+        if not lazy:
+            sh.unpersist()
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
@@ -457,10 +491,40 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     return df.select("doc_id", _pack(tok_hashes).alias("simhash"))
 
 
-def simhash_near_duplicates(df: DataFrame, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Near-dups by SimHash: band the 64 bits into 4 × 16-bit chunks (any
-    pair within hamming ≤ 3 shares at least one exact chunk), bucket-join,
-    verify hamming distance."""
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 3,
+    num_chunks: int | None = None,
+) -> DataFrame:
+    """Near-dups by SimHash: band the 64 bits into ``num_chunks`` nearly
+    equal chunks, bucket-join docs sharing any exact chunk, verify hamming
+    distance.
+
+    Banding completeness is pigeonhole: two hashes within hamming ``h``
+    differ in at most h chunks, so with chunks >= h + 1 at least one chunk
+    matches exactly — the chunk count is therefore DERIVED from the
+    requested bound (min(64, max_hamming + 1)); an explicit ``num_chunks``
+    below that raises rather than silently dropping recall (round-2 shipped
+    a fixed 4x16 split whose guarantee only held for h <= 3). Tradeoff at
+    scale: large h means narrow chunks (64/(h+1) bits), whose buckets are
+    coarser and generate more candidates — the verify stage keeps precision
+    exact either way; prefer small h or a second SimHash seed when candidate
+    volume matters."""
+    if num_chunks is None:
+        num_chunks = min(64, max_hamming + 1)
+    if num_chunks < min(64, max_hamming + 1):
+        raise ValueError(
+            f"num_chunks={num_chunks} cannot guarantee candidate generation "
+            f"for max_hamming={max_hamming}; need >= {min(64, max_hamming + 1)}"
+        )
+    bounds = [(i * 64) // num_chunks for i in range(num_chunks + 1)]
+
+    def _chunk_val(c: int) -> F.Column:
+        start, width = bounds[c], bounds[c + 1] - bounds[c]
+        shifted = F.shiftrightunsigned("simhash", start)
+        if width >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     sh = simhash(df, text_col)
     chunks = sh.select(
         "doc_id",
@@ -468,11 +532,8 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text", max_hamming: 
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
-                    )
-                    for c in range(4)
+                    F.struct(F.lit(c).alias("chunk"), _chunk_val(c).alias("val"))
+                    for c in range(num_chunks)
                 ]
             )
         ).alias("cc"),
@@ -809,27 +870,68 @@ FEATURE_SCHEMA = T.StructType(
 
 def extract_media_features(media: DataFrame, feature_dim: int = 8, real_decode: bool = False) -> DataFrame:
     """Spark-side plumbing for binary media columns: Arrow-batched
-    mapInPandas over (media_id, kind, payload). The *decode* step is a
-    deterministic fake (byte-histogram features) because image/audio codecs
-    are not in this container — swap ``_decode`` for a real one; the
-    partitioning, batching and schema are production-shaped."""
+    mapInPandas over (media_id, kind, payload).
 
-    def _decode(payload: bytes, kind: str) -> np.ndarray:
-        if real_decode:
-            raise NotImplementedError(
-                "real media decoding requires PIL/librosa/av — not available here"
-            )
+    ``real_decode=False`` (default): a deterministic fake decode
+    (byte-histogram features) — the partitioning, batching and schema are
+    production-shaped regardless of the codec.
+
+    ``real_decode=True``: per-kind decoders resolved at RUNTIME on the
+    executors — images via Pillow (grayscale pixel histogram), audio via
+    the stdlib ``wave`` reader (normalized |amplitude| histogram of 16-bit
+    PCM). A kind whose decoder library is absent raises
+    NotImplementedError naming the missing dependency (video always does:
+    no pure-Python container demuxer exists). Decoders import once per
+    Arrow batch, never per row."""
+
+    def _fake(payload: bytes) -> np.ndarray:
         arr = np.frombuffer(payload, dtype=np.uint8)
         if len(arr) == 0:
             return np.zeros(feature_dim, dtype=np.float32)
         hist, _ = np.histogram(arr, bins=feature_dim, range=(0, 256))
         return (hist / max(len(arr), 1)).astype(np.float32)
 
+    def _real(payload: bytes, kind: str, pil_image) -> np.ndarray:
+        import io
+
+        if kind == "image":
+            if pil_image is None:
+                raise NotImplementedError(
+                    "real image decoding requires Pillow (pip install pillow)"
+                )
+            px = np.asarray(pil_image.open(io.BytesIO(payload)).convert("L"))
+            hist, _ = np.histogram(px, bins=feature_dim, range=(0, 256))
+            return (hist / max(px.size, 1)).astype(np.float32)
+        if kind == "audio":
+            import wave
+
+            with wave.open(io.BytesIO(payload), "rb") as wf:
+                raw = wf.readframes(wf.getnframes())
+            samples = np.abs(np.frombuffer(raw, dtype=np.int16).astype(np.float64))
+            if len(samples) == 0:
+                return np.zeros(feature_dim, dtype=np.float32)
+            hist, _ = np.histogram(samples, bins=feature_dim, range=(0, 32768))
+            return (hist / len(samples)).astype(np.float32)
+        raise NotImplementedError(
+            f"real decoding of kind={kind!r} needs a codec library "
+            "(e.g. av for video) not present on the executors"
+        )
+
     def run(batches):
+        pil_image = None
+        if real_decode:
+            try:
+                from PIL import Image as pil_image  # noqa: N813
+            except ImportError:
+                pil_image = None
         for pdf in batches:
-            feats = [
-                _decode(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
-            ]
+            if real_decode:
+                feats = [
+                    _real(p, k, pil_image)
+                    for p, k in zip(pdf["payload"], pdf["kind"])
+                ]
+            else:
+                feats = [_fake(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

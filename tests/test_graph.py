@@ -127,3 +127,31 @@ def test_adjacency_reader_custom_delimiters(spark, tmp_path):
     )
     got = sorted((r["src"], r["dst"]) for r in df.collect())
     assert got == [(0, 1), (0, 2), (1, 2)]
+
+
+def test_symmetrize_preserves_weights(spark):
+    """ADVICE round 2: undirected expansion of a weighted edge list must
+    carry the weight on BOTH directions (the reference's
+    WeightedGraphPrepartitioning UndirectedMapper does)."""
+    from flexgraph_spark.graph import expand_direction
+
+    df = spark.createDataFrame(
+        [(0, 1, 5.0), (1, 2, 7.0)], "src long, dst long, weight double"
+    )
+    got = {(r["src"], r["dst"], r["weight"])
+           for r in expand_direction(df, "undirected").collect()}
+    assert got == {(0, 1, 5.0), (1, 0, 5.0), (1, 2, 7.0), (2, 1, 7.0)}
+
+
+def test_sssp_undirected_weighted(spark):
+    """End-to-end: SSSP over an undirected expansion must use real weights
+    (it silently ran unit-weight before the symmetrize fix)."""
+    from flexgraph_spark import algorithms
+    from flexgraph_spark.graph import expand_direction
+
+    df = spark.createDataFrame(
+        [(0, 1, 5.0), (2, 1, 7.0)], "src long, dst long, weight double"
+    )
+    res = algorithms.sssp(expand_direction(df, "undirected"), 0, max_iter=10)
+    got = {r["vertex"]: r["value"] for r in res.state.collect()}
+    assert got[1] == 5.0 and got[2] == 12.0

@@ -296,3 +296,103 @@ def test_winnow_fingerprints(spark):
     # shared fingerprint
     assert fp[1] & fp[3]
     assert not (fp[1] & fp[4])
+
+
+def test_simhash_banding_complete_at_requested_hamming(spark, docs):
+    """Chunk count is derived from max_hamming (pigeonhole: h+1 chunks),
+    so the banded pair set must EQUAL the brute-force hamming join at the
+    shipped bound (round 2's fixed 4x16 split silently missed pairs with
+    hamming 4..12)."""
+    sample = docs.limit(120).cache()
+    h = 12
+    sh = textops.simhash(sample)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    brute = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= h)
+    )
+    exp = {(r["doc_a"], r["doc_b"]) for r in brute.collect()}
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in textops.simhash_near_duplicates(sample, max_hamming=h).collect()
+    }
+    assert got == exp
+    sample.unpersist()
+
+
+def test_simhash_rejects_insufficient_chunks(spark):
+    df = _mini_docs(spark)
+    with pytest.raises(ValueError, match="num_chunks"):
+        textops.simhash_near_duplicates(df, max_hamming=12, num_chunks=4)
+
+
+def test_lazy_mode_shares_shingle_table(spark):
+    """Passing a prebuilt shingle table returns the lazy plan: results
+    match the eager path and the caller's cache is the only persist."""
+    df = _mini_docs(spark)
+    eager = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in textops.minhash_near_duplicates(df, threshold=0.5).collect()
+    }
+    sh = textops.shingle_table(df, "text", 5)
+    lazy = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in textops.minhash_near_duplicates(df, threshold=0.5, sh=sh).collect()
+    }
+    lazy_join = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in textops.jaccard_similarity_join(df, threshold=0.5, sh=sh).collect()
+    }
+    eager_join = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in textops.jaccard_similarity_join(df, threshold=0.5).collect()
+    }
+    sh.unpersist()
+    assert lazy == eager
+    assert lazy_join == eager_join
+
+
+def test_media_real_decode_audio_wav(spark):
+    """real_decode=True with the stdlib wave reader: a generated 16-bit PCM
+    WAV decodes to a normalized |amplitude| histogram."""
+    import io
+    import math
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        samples = np.array(
+            [int(16000 * math.sin(i / 10.0)) for i in range(800)], dtype=np.int16
+        )
+        wf.writeframes(samples.tobytes())
+    payload = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(payload), {})], textops.MEDIA_SCHEMA
+    )
+    row = textops.extract_media_features(media, feature_dim=4, real_decode=True).first()
+    assert row["n_bytes"] == len(payload)
+    assert sum(row["feature"]) == pytest.approx(1.0)
+    assert row["feature"][0] > 0  # low-amplitude bin populated
+
+
+def test_media_real_decode_image_requires_pillow(spark):
+    """Image decode resolves Pillow at runtime: with the lib absent the
+    error names the dependency; with it present a real histogram appears."""
+    try:
+        import PIL  # noqa: F401
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"not-a-png"), {})], textops.MEDIA_SCHEMA
+    )
+    if not have_pil:
+        with pytest.raises(Exception, match="Pillow"):
+            textops.extract_media_features(media, real_decode=True).collect()
+    else:
+        with pytest.raises(Exception):  # invalid payload still fails cleanly
+            textops.extract_media_features(media, real_decode=True).collect()
