@@ -47,6 +47,15 @@ G1000_W_SQL = (
 PAGERANK_ITERS = 10
 SSSP_ITERS = 8
 LP_ITERS = 4
+HITS_ITERS = 4
+# k-core: k sits inside the symmetrized-degree distribution of graph1000 at
+# sf0.01 (quantiles 79..148, median 113) so peeling cascades for several
+# rounds — measured: changed=[18,4,1,1,1,0], fixpoint at round 6 with a
+# 975-vertex core. Both sides cap at the same round count (peeling is
+# monotone, so any unroll >= the convergence depth is exact, and an
+# unconverged cap still compares equal recurrences).
+KCORE_K = 93
+KCORE_ROUNDS = 8
 # Empirical converged-iteration count of PageRank(threshold=1e-8) on
 # graph1000 at sf0.01 (deterministic: TESTDATA.md seed=42). The unrolled
 # DuckDB oracle must run the recurrence exactly as many times as the engine
@@ -317,6 +326,34 @@ def _q_wdegree_out(spark, sf_dir):
     return algorithms.degrees(_graph1000_w(spark, sf_dir), "out", weighted=True)
 
 
+def _q_hits4(spark, sf_dir):
+    """HITS hubs & authorities, fixed 4-iteration recurrence (L2-normalized
+    half-steps) — oracle = the same recurrence unrolled in SQL."""
+    res = algorithms.hits(_graph1000(spark, sf_dir), max_iter=HITS_ITERS)
+    return res.state.select(
+        "vertex",
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    )
+
+
+def _q_kcore(spark, sf_dir):
+    """k-core membership by iterative peeling, both sides capped at
+    KCORE_ROUNDS rounds (monotone ⇒ sf-independent comparability)."""
+    res = algorithms.kcore(
+        _graph1000(spark, sf_dir), k=KCORE_K, max_rounds=KCORE_ROUNDS
+    )
+    return res.state.select("vertex")
+
+
+def _q_local_clustering(spark, sf_dir):
+    """Per-vertex triangle counts + local clustering coefficient over the
+    undirected simple graph (degree-oriented triangle plan)."""
+    return algorithms.local_clustering(_graph1000(spark, sf_dir)).select(
+        "vertex", "degree", "triangles", F.round("lcc", 6).alias("lcc")
+    )
+
+
 def _q_sssp8(spark, sf_dir):
     edges = _graph1000_w(spark, sf_dir)
     src = edges.agg(
@@ -535,6 +572,44 @@ def _q_winnow_containment(spark, sf_dir):
     )
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals (dup-line fraction by count and char
+    mass, top-bigram fraction) — rounded to 6 dp (the bigram mode's
+    max/sum division is order-independent but rounded for uniformity)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textops.repetition_stats(docs).select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+
+def _q_quality_filter(spark, sf_dir):
+    """The classic pretraining quality gate (Gopher/C4-style thresholds):
+    returns the PASSING documents with their feature columns. min_tokens /
+    min_avg_token_len sit inside the synthetic corpus's observed ranges
+    (tokens 11..97, avg_token_len 3.96..5.04 at sf0.01) so the filter
+    provably cuts — a vacuous pass-everything gate proves nothing."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = textops.quality_filter(docs, min_tokens=20, min_avg_token_len=4.2)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+    )
+
+
+def _q_chunk_docs(spark, sf_dir):
+    """Fixed-size overlapping token-window chunking (context-window packing
+    precursor): 64-token windows, 16-token overlap."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textops.chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
 def _q_event_windows(spark, sf_dir):
     """Batch face of the streaming windowed aggregation (the identical plan
     runs incrementally via readStream — tests/test_streaming.py proves
@@ -602,6 +677,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wdegree_out": _q_wdegree_out,
         "sssp8": _q_sssp8,
         "lp4": _q_lp4,
+        "hits4": _q_hits4,
+        "kcore": _q_kcore,
+        "local_clustering": _q_local_clustering,
         "triangles": _q_triangles,
         "content_invariant": _q_content_invariant,
         "token_stats": _q_token_stats,
@@ -624,6 +702,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_precision": _q_emb_neardup_precision,
         "winnow_fp": _q_winnow_fp,
         "winnow_containment": _q_winnow_containment,
+        "repetition_stats": _q_repetition_stats,
+        "quality_filter": _q_quality_filter,
+        "chunk_docs": _q_chunk_docs,
         "event_window_counts": _q_event_windows,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
@@ -684,6 +765,63 @@ def _sssp_sql(wedge_sql: str, iters: int) -> str:
     )
 
 
+def _hits_sql(edge_sql: str, iters: int) -> str:
+    """Unrolled HITS recurrence: per iteration an auth half-step (sum of
+    hub over in-edges, L2-normalize) then a hub half-step (sum of auth
+    over out-edges, L2-normalize); init hub = 1."""
+    nrm = (
+        "(select case when sqrt(sum(raw*raw)) > 0 then sqrt(sum(raw*raw)) "
+        "else 1.0 end from {t})"
+    )
+    ctes = [
+        f"e as materialized ({edge_sql})",
+        "verts as (select src as v from e union select dst from e)",
+        "h0 as (select v, 1.0 as hub from verts)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"ar{k} as materialized (select e.dst as v, sum(h.hub) as raw "
+            f"from e join h{k-1} h on h.v = e.src group by e.dst)"
+        )
+        ctes.append(
+            f"a{k} as materialized (select verts.v, coalesce(ar{k}.raw, 0.0) / "
+            + nrm.format(t=f"ar{k}")
+            + f" as auth from verts left join ar{k} on ar{k}.v = verts.v)"
+        )
+        ctes.append(
+            f"hr{k} as materialized (select e.src as v, sum(a.auth) as raw "
+            f"from e join a{k} a on a.v = e.dst group by e.src)"
+        )
+        ctes.append(
+            f"h{k} as materialized (select verts.v, coalesce(hr{k}.raw, 0.0) / "
+            + nrm.format(t=f"hr{k}")
+            + f" as hub from verts left join hr{k} on hr{k}.v = verts.v)"
+        )
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect h.v as vertex, round(h.hub, 6) as hub, "
+        f"round(a.auth, 6) as auth from h{iters} h join a{iters} a on a.v = h.v"
+    )
+
+
+def _kcore_sql(edge_sql: str, k: int, rounds: int) -> str:
+    """Unrolled k-core peeling on the symmetrized simple graph: each round
+    keeps sources with >= k surviving neighbors (both endpoints alive)."""
+    ctes = [
+        f"e0 as materialized ({edge_sql})",
+        "se as materialized (select src, dst from e0 where src <> dst "
+        "union select dst, src from e0 where src <> dst)",
+        "a0 as (select distinct src as v from se)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"a{r} as materialized (select se.src as v from se "
+            f"join a{r-1} x on x.v = se.src join a{r-1} y on y.v = se.dst "
+            f"group by se.src having count(*) >= {k})"
+        )
+    return "with " + ",\n".join(ctes) + f"\nselect v as vertex from a{rounds}"
+
+
 def _lp_sql(edge_sql: str, iters: int) -> str:
     ctes = [
         f"e0 as materialized ({edge_sql})",
@@ -726,6 +864,26 @@ select count(*)::bigint as triangles
 from und e1
 join und e2 on e2.a = e1.b
 join und e3 on e3.a = e1.a and e3.b = e2.b
+"""
+
+_LCC_SQL = f"""
+with e as ({G1000_SQL}),
+und as (select least(src, dst) as a, greatest(src, dst) as b from e group by 1, 2),
+deg as (select v, count(*) as d from
+  (select a as v from und union all select b from und) group by v),
+tri as (select e1.a as x, e1.b as y, e2.b as z
+  from und e1
+  join und e2 on e2.a = e1.b
+  join und e3 on e3.a = e1.a and e3.b = e2.b),
+tv as (select v, count(*) as t from
+  (select x as v from tri union all select y from tri
+   union all select z from tri) group by v)
+select deg.v as vertex, deg.d::bigint as degree,
+  coalesce(tv.t, 0)::bigint as triangles,
+  round(case when deg.d >= 2
+        then 2.0 * coalesce(tv.t, 0) / (deg.d * (deg.d - 1.0))
+        else 0.0 end, 6) as lcc
+from deg left join tv on tv.v = deg.v
 """
 
 _LINK_MODULES_SQL = """
@@ -774,6 +932,76 @@ select doc_id,
   length(text)::double /
     greatest(len(string_split_regex(text, '\n')), 1)::double as mean_line_len
 from documents
+"""
+
+# lines split on the literal newline; words on the \s+ regex (the same
+# tokenization as token_stats). list_distinct / array_distinct agree on
+# counts and char mass; the bigram mode is a plain two-level aggregation.
+_REPETITION_SQL = r"""
+with ls as (select doc_id, string_split(text, chr(10)) as l from documents),
+lstats as (select doc_id,
+  (len(l) - len(list_distinct(l)))::double / len(l) as dup_line_frac,
+  (list_sum(list_transform(l, x -> length(x)))
+     - list_sum(list_transform(list_distinct(l), x -> length(x))))::double
+    / greatest(list_sum(list_transform(l, x -> length(x))), 1) as dup_line_char_frac
+ from ls),
+w as (select doc_id, string_split_regex(lower(trim(text)), '\s+') as w
+      from documents),
+g as (select doc_id,
+        unnest(list_transform(generate_series(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i + 1])) as gram
+      from w where len(w) >= 2),
+c as (select doc_id, gram, count(*) as cnt from g group by 1, 2),
+t as (select doc_id, max(cnt)::double / sum(cnt) as top_bigram_frac
+      from c group by doc_id)
+select lstats.doc_id,
+  round(dup_line_frac, 6) as dup_line_frac,
+  round(dup_line_char_frac, 6) as dup_line_char_frac,
+  round(coalesce(t.top_bigram_frac, 0.0), 6) as top_bigram_frac
+from lstats left join t on t.doc_id = lstats.doc_id
+"""
+
+_QUALITY_FILTER_SQL = r"""
+with ts as (select doc_id,
+  (case when length(trim(text)) = 0 then 0
+        else len(string_split_regex(trim(text), '\s+')) end)::bigint as n_tokens,
+  length(regexp_replace(text, '\s+', '', 'g'))::double /
+    greatest(case when length(trim(text)) = 0 then 0
+                  else len(string_split_regex(trim(text), '\s+')) end, 1)
+    as avg_token_len
+ from documents),
+qs as (select doc_id,
+  length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::double /
+    greatest(length(text), 1)::double as punct_ratio,
+  length(regexp_replace(text, '[^0-9]', '', 'g'))::double /
+    greatest(length(text), 1)::double as digit_ratio
+ from documents),
+rs as (select doc_id,
+  (len(l) - len(list_distinct(l)))::double / len(l) as dup_line_frac
+ from (select doc_id, string_split(text, chr(10)) as l from documents))
+select ts.doc_id, ts.n_tokens,
+  round(ts.avg_token_len, 6) as avg_token_len,
+  round(qs.punct_ratio, 6) as punct_ratio,
+  round(qs.digit_ratio, 6) as digit_ratio,
+  round(rs.dup_line_frac, 6) as dup_line_frac
+from ts join qs on qs.doc_id = ts.doc_id join rs on rs.doc_id = ts.doc_id
+where ts.n_tokens >= 20 and qs.punct_ratio <= 0.2 and qs.digit_ratio <= 0.3
+  and rs.dup_line_frac <= 0.3
+  and ts.avg_token_len >= 4.2 and ts.avg_token_len <= 12.0
+"""
+
+# chunking: 64-token windows, stride 48 (overlap 16); the Spark side uses
+# the identical integer-window formula, so lists/slices agree exactly.
+_CHUNKS_SQL = r"""
+with w as (select doc_id, string_split_regex(trim(text), '\s+') as w
+           from documents where length(trim(text)) > 0),
+n as (select doc_id, w,
+        greatest(1, ceil((len(w) - 16) / 48.0))::bigint as nc from w),
+x as (select doc_id, w, unnest(generate_series(0, nc - 1)) as i from n)
+select doc_id, i as chunk_id,
+  len(list_slice(w, i * 48 + 1, i * 48 + 64))::bigint as n_chunk_tokens,
+  array_to_string(list_slice(w, i * 48 + 1, i * 48 + 64), ' ') as chunk_text
+from x
 """
 
 
@@ -897,6 +1125,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sssp8": _sssp_sql(G1000_W_SQL, SSSP_ITERS),
         "lp4": _lp_sql(G1000_SQL, LP_ITERS),
+        "hits4": _hits_sql(G1000_SQL, HITS_ITERS),
+        "kcore": _kcore_sql(G1000_SQL, KCORE_K, KCORE_ROUNDS),
+        "local_clustering": _LCC_SQL,
         "triangles": _TRIANGLES_SQL,
         "content_invariant": """
 with d as (select doc_id, (select count(*) from documents) as nd from documents)
@@ -909,6 +1140,9 @@ from d
         "token_stats": _TOKEN_STATS_SQL,
         "regex_tokens": _REGEX_TOKENS_SQL,
         "quality_scores": _QUALITY_SQL,
+        "repetition_stats": _REPETITION_SQL,
+        "quality_filter": _QUALITY_FILTER_SQL,
+        "chunk_docs": _CHUNKS_SQL,
         "language_id": _language_id_sql(),
         "dedup_docs": _DEDUP_SQL,
         "dup_groups": _DUP_GROUPS_SQL,

@@ -7,10 +7,13 @@ degree-oriented join plan.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flexgraph_spark import gimv
+from flexgraph_spark.gimv import GimvResult, IterationMetrics, truncate_plan
 from flexgraph_spark.graph import symmetrize
 
 # Flat-vs-blocked crossover (measured, BENCH/BASELINE.md round 2): the
@@ -122,19 +125,192 @@ def degrees(edges: DataFrame, direction: str = "out", weighted: bool = False) ->
     return _d(edges, direction, weighted=weighted)
 
 
-def triangle_count(edges: DataFrame) -> int:
-    """Exact triangle count, degree-oriented (scalable): orient each
-    undirected edge from the lower-(degree, id) endpoint to the higher one,
-    enumerate wedges at the low vertex, close them against the oriented
-    edge set. Every triangle is counted exactly once and wedge work
-    concentrates on LOW-degree vertices, which is what survives hub skew at
-    web scale (the join-on-hub explosion never materializes).
+def hits(
+    edges: DataFrame, max_iter: int = 10, num_partitions: int | None = None
+) -> GimvResult:
+    """HITS (Kleinberg hubs & authorities) over a directed edge set.
+
+    Per iteration: ``auth(v) = Σ_{u→v} hub(u)`` then L2-normalize;
+    ``hub(u) = Σ_{u→v} auth(v)`` then L2-normalize. Init hub = 1. Runs a
+    FIXED ``max_iter`` iterations (the recurrence depth is the contract —
+    oracle-unrollable like pagerank10). Returns state (vertex, hub, auth).
+
+    Two alternating GIM-V products (M^T ⊗ hub then M ⊗ auth) — not a
+    single VertexProgram (the state is a pair and the matrix flips per
+    half-step), so it runs as its own flat loop. Scale shape mirrors
+    gimv.run: TWO pinned edge copies (by src and by dst) so neither
+    half-step ever reshuffles the edge table — only the (small) vertex
+    states move; norms are 1-row aggregates broadcast back via crossJoin
+    (no driver round-trip in the plan-building path); shuffle_hash hints
+    keep Catalyst from broadcasting the edge side.
     """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e_src = edges.select("src", "dst").repartition(p, "src").persist()
+    n_edges = e_src.count()
+    e_dst = e_src.repartition(p, "dst").persist()
+    e_dst.count()
+    verts = (
+        e_src.select(F.col("src").alias("vertex"))
+        .union(e_src.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .repartition(p, "vertex")
+        .persist()
+    )
+    n = verts.count()
+    if n == 0:
+        for df in (e_src, e_dst, verts):
+            df.unpersist()
+        empty = spark.createDataFrame([], "vertex long, hub double, auth double")
+        return GimvResult(state=empty, iterations=0, converged=True, metrics=[])
+
+    def _normalized(raw: DataFrame, out_col: str) -> DataFrame:
+        """vertex-complete, L2-normalized (vertex, out_col) from sparse raw
+        sums; norm rides in via a broadcast 1-row crossJoin."""
+        nrm = raw.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nrm"))
+        return (
+            verts.join(raw, "vertex", "left")
+            .crossJoin(F.broadcast(nrm))
+            .select(
+                "vertex",
+                (
+                    F.coalesce("raw", F.lit(0.0))
+                    / F.when(F.col("nrm") > 0, F.col("nrm")).otherwise(F.lit(1.0))
+                ).alias(out_col),
+            )
+        )
+
+    hub = truncate_plan(verts.select("vertex", F.lit(1.0).alias("hub")))
+    auth = None
+    metrics: list[IterationMetrics] = []
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for it in range(1, max_iter + 1):
+            t0 = time.time()
+            a_raw = (
+                e_src.join(
+                    hub.withColumnRenamed("vertex", "src").hint("shuffle_hash"), "src"
+                )
+                .groupBy(F.col("dst").alias("vertex"))
+                .agg(F.sum("hub").alias("raw"))
+            )
+            new_auth = truncate_plan(_normalized(a_raw, "auth"))
+            h_raw = (
+                e_dst.join(
+                    new_auth.withColumnRenamed("vertex", "dst").hint("shuffle_hash"),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("vertex"))
+                .agg(F.sum("auth").alias("raw"))
+            )
+            new_hub = truncate_plan(_normalized(h_raw, "hub"))
+            for old in (hub, auth):
+                if old is not None:
+                    old.unpersist()
+            hub, auth = new_hub, new_auth
+            metrics.append(
+                IterationMetrics(
+                    iteration=it,
+                    messages_shuffled=2 * n_edges,
+                    changed=n,
+                    edges_scanned=2 * n_edges,
+                    seconds=time.time() - t0,
+                )
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    state = hub.join(auth, "vertex")
+    e_src.unpersist()
+    e_dst.unpersist()
+    verts.unpersist()
+    return GimvResult(state=state, iterations=max_iter, converged=False, metrics=metrics)
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 50,
+    num_partitions: int | None = None,
+) -> GimvResult:
+    """k-core membership by iterative peeling on the symmetrized simple
+    graph (self-loops dropped): repeatedly remove vertices whose degree in
+    the surviving induced subgraph is < k, until a fixpoint (every survivor
+    has ≥ k surviving neighbors). Returns state = (vertex) survivors.
+
+    Peeling is monotone — once the fixpoint is reached further rounds are
+    no-ops — so a fixed-round unroll ≥ the convergence depth is oracle-
+    exact, and capping ``max_rounds`` equals the oracle's same-depth unroll
+    even when not yet converged. Per round: two semi-joins of the pinned
+    edge table against the shrinking survivor set (src side reuses the
+    pinned partitioning; dst side shuffles only the surviving edges) + one
+    count aggregate; the survivor state is the only full-size shuffle."""
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = (
+        symmetrize(edges.filter(F.col("src") != F.col("dst")).select("src", "dst"))
+        .repartition(p, "src")
+        .persist()
+    )
+    edges_count = und.count()
+    alive = und.select(F.col("src").alias("vertex")).distinct().repartition(p, "vertex")
+    alive = truncate_plan(alive)
+    n_alive = alive.count()
+    metrics: list[IterationMetrics] = []
+    converged = False
+    rounds = 0
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for rounds in range(1, max_rounds + 1):
+            t0 = time.time()
+            deg = (
+                und.join(
+                    alive.withColumnRenamed("vertex", "src").hint("shuffle_hash"),
+                    "src",
+                )
+                .join(
+                    alive.withColumnRenamed("vertex", "dst").hint("shuffle_hash"),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("vertex"))
+                .agg(F.count("*").alias("d"))
+            )
+            new_alive = truncate_plan(
+                deg.filter(F.col("d") >= k).select("vertex").repartition(p, "vertex")
+            )
+            m = new_alive.count()
+            metrics.append(
+                IterationMetrics(
+                    iteration=rounds,
+                    messages_shuffled=m,
+                    changed=n_alive - m,
+                    edges_scanned=edges_count,
+                    seconds=time.time() - t0,
+                )
+            )
+            old = alive
+            alive = new_alive
+            old.unpersist()
+            if m == n_alive:
+                converged = True
+                break
+            n_alive = m
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    und.unpersist()
+    return GimvResult(state=alive, iterations=rounds, converged=converged, metrics=metrics)
+
+
+def _oriented_triangles(edges: DataFrame):
+    """Shared degree-oriented triangle plan: returns (oriented, closed, deg)
+    where ``closed`` has one row per distinct triangle with its three
+    vertices (u, w1, w2) and ``oriented`` is persisted (caller unpersists).
+    Orientation from the lower-(degree, id) endpoint keeps wedge
+    enumeration on LOW-degree vertices — the hub-skew-safe plan."""
     und = (
         edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .distinct()
     )
     deg = (
@@ -143,10 +319,9 @@ def triangle_count(edges: DataFrame) -> int:
         .groupBy("vertex")
         .agg(F.count("*").alias("degree"))
     )
-    ranked = (
-        und.join(deg.withColumnRenamed("vertex", "a").withColumnRenamed("degree", "da"), "a")
-        .join(deg.withColumnRenamed("vertex", "b").withColumnRenamed("degree", "db"), "b")
-    )
+    ranked = und.join(
+        deg.withColumnRenamed("vertex", "a").withColumnRenamed("degree", "da"), "a"
+    ).join(deg.withColumnRenamed("vertex", "b").withColumnRenamed("degree", "db"), "b")
     oriented = ranked.select(
         F.when(
             (F.col("da") < F.col("db"))
@@ -159,7 +334,6 @@ def triangle_count(edges: DataFrame) -> int:
     # oriented feeds FOUR plan branches (both wedge sides + both directions
     # of the closing probe); persist so the dedup + degree joins run once.
     oriented = oriented.persist()
-
     e1 = oriented.select(F.col("u"), F.col("v").alias("w1"))
     e2 = oriented.select(F.col("u"), F.col("v").alias("w2"))
     wedges = e1.join(e2, "u").filter(F.col("w1") < F.col("w2"))
@@ -169,6 +343,57 @@ def triangle_count(edges: DataFrame) -> int:
         ),
         ["w1", "w2"],
     )
+    return oriented, closed, deg
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient over the undirected simple
+    graph: (vertex, degree, triangles, lcc) with
+    ``lcc = 2·T(v) / (d(v)·(d(v)−1))`` (0.0 for degree < 2).
+
+    Reuses the degree-oriented triangle plan (each triangle appears once as
+    a (u, w1, w2) row); per-vertex counts come from exploding the three
+    endpoints — a uniform-ish shuffle on vertex ids, never a hub self-join."""
+    oriented, closed, deg = _oriented_triangles(edges)
+    tri = (
+        closed.select(
+            F.explode(F.array(F.col("u"), F.col("w1"), F.col("w2"))).alias("vertex")
+        )
+        .groupBy("vertex")
+        .agg(F.count("*").alias("triangles"))
+    )
+    out = (
+        deg.join(tri, "vertex", "left")
+        .select(
+            "vertex",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.coalesce("triangles", F.lit(0))
+                / (F.col("degree").cast("double") * (F.col("degree") - 1.0)),
+            )
+            .otherwise(0.0)
+            .alias("lcc"),
+        )
+    )
+    from flexgraph_spark.textops import _materialize
+
+    out = _materialize(out)
+    oriented.unpersist()
+    return out
+
+
+def triangle_count(edges: DataFrame) -> int:
+    """Exact triangle count, degree-oriented (scalable): orient each
+    undirected edge from the lower-(degree, id) endpoint to the higher one,
+    enumerate wedges at the low vertex, close them against the oriented
+    edge set. Every triangle is counted exactly once and wedge work
+    concentrates on LOW-degree vertices, which is what survives hub skew at
+    web scale (the join-on-hub explosion never materializes).
+    """
+    oriented, closed, _deg = _oriented_triangles(edges)
     n = closed.count()
     oriented.unpersist()
     return n

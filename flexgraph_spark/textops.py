@@ -7,6 +7,7 @@ projections) are Arrow-batched pandas UDFs — never per-row Python.
 Operators:
 * exact deduplication (content-hash groupBy)
 * token / quality statistics (pure column expressions)
+* Gopher-style repetition stats + quality filter + token-window chunking
 * n-gram shingles + exact Jaccard similarity
 * MinHash signatures + LSH banding -> near-duplicate candidate pairs
 * SimHash (64-bit) near-dup
@@ -134,6 +135,144 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.xxhash64(norm).alias("fingerprint"),
         F.xxhash64(F.substring(norm, 1, 256)).alias("prefix_fingerprint"),
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1): (doc_id, dup_line_frac, dup_line_char_frac, top_bigram_frac).
+
+    * ``dup_line_frac`` — fraction of lines that are repeats of an earlier
+      line (1 − distinct/total).
+    * ``dup_line_char_frac`` — fraction of line CHARACTERS inside repeated
+      lines (char-mass version; boilerplate detection).
+    * ``top_bigram_frac`` — fraction of all word bigrams taken by the most
+      frequent one (looping/spam detection).
+
+    Line stats are pure column expressions (higher-order array functions,
+    zero shuffle); the bigram mode needs a per-(doc, gram) count —
+    explode + two-level aggregation, shuffle keyed on (doc_id, gram)
+    (uniform: doc_id spreads hot grams across keys; map-side partial agg
+    compacts before the wire)."""
+    txt = F.col(text_col)
+    lines = F.split(txt, r"\n")
+    dlines = F.array_distinct(lines)
+    chars = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    words = F.split(F.lower(F.trim(txt)), r"\s+")
+    base = df.select(
+        "doc_id",
+        ((F.size(lines) - F.size(dlines)) / F.size(lines)).alias("dup_line_frac"),
+        (
+            (chars(lines) - chars(dlines))
+            / F.greatest(chars(lines), F.lit(1)).cast("double")
+        ).alias("dup_line_char_frac"),
+        words.alias("w"),
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("w", i), F.element_at("w", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg((F.max("cnt") / F.sum("cnt")).alias("top_bigram_frac"))
+    )
+    return base.drop("w").join(top, "doc_id", "left").withColumn(
+        "top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0))
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_punct_ratio: float = 0.2,
+    max_digit_ratio: float = 0.3,
+    max_dup_line_frac: float = 0.3,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+) -> DataFrame:
+    """The classic pretraining quality gate: token-count window, punctuation
+    / digit density caps, repeated-line cap, mean-token-length window
+    (Gopher/C4-style rules). Returns the PASSING docs with their feature
+    columns so a pipeline can audit the cut. Everything is a join of
+    column-expression stat tables on doc_id — Catalyst collapses it into
+    one scan when the stats come from the same source."""
+    stats = (
+        token_stats(df, text_col)
+        .join(quality_scores(df, text_col).drop("n_chars"), "doc_id")
+        .join(
+            repetition_stats(df, text_col).select("doc_id", "dup_line_frac"),
+            "doc_id",
+        )
+    )
+    return stats.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+        & (F.col("digit_ratio") <= max_digit_ratio)
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("avg_token_len") >= min_avg_token_len)
+        & (F.col("avg_token_len") <= max_avg_token_len)
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "digit_ratio",
+        "dup_line_frac",
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Fixed-size overlapping token-window chunking — the standard
+    context-window packing precursor: (doc_id, chunk_id, n_chunk_tokens,
+    chunk_text) with stride ``chunk_tokens − overlap``; the last window is
+    short rather than padded; empty documents produce no chunks.
+
+    Pure column expressions (split → slice windows → posexplode): the row
+    explosion happens executor-side with no shuffle at all — chunks inherit
+    the document partitioning."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    txt = F.col(text_col)
+    words = F.split(F.trim(txt), r"\s+")
+    n = F.size(words)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(overlap)) / F.lit(float(step))),
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.slice(words, i * step + 1, chunk_tokens),
+    )
+    return (
+        df.filter(F.length(F.trim(txt)) > 0)
+        .select("doc_id", F.posexplode(windows).alias("chunk_id", "toks"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size("toks").cast("long").alias("n_chunk_tokens"),
+            F.array_join("toks", " ").alias("chunk_text"),
+        )
     )
 
 

@@ -1,0 +1,95 @@
+"""Round-3 graph algorithms: HITS, k-core, local clustering coefficient.
+
+Golden values are hand-derived or NumPy-recomputed with the identical
+recurrence — the driver's DuckDB gate covers the sf0.01 scale."""
+
+import numpy as np
+import pytest
+
+from flexgraph_spark import algorithms
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    """4 iterations of the exact engine recurrence, recomputed densely."""
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (1, 3)]
+    res = algorithms.hits(_edges(spark, pairs), max_iter=4)
+    got = {r["vertex"]: (r["hub"], r["auth"]) for r in res.state.collect()}
+
+    n = 4
+    A = np.zeros((n, n))
+    for s, d in pairs:
+        A[s, d] = 1.0
+    hub = np.ones(n)
+    for _ in range(4):
+        auth = A.T @ hub
+        nrm = np.sqrt((auth**2).sum())
+        auth = auth / (nrm if nrm > 0 else 1.0)
+        hub = A @ auth
+        nrm = np.sqrt((hub**2).sum())
+        hub = hub / (nrm if nrm > 0 else 1.0)
+    for v in range(n):
+        assert got[v][0] == pytest.approx(hub[v], abs=1e-9)
+        assert got[v][1] == pytest.approx(auth[v], abs=1e-9)
+    assert res.iterations == 4
+
+
+def test_hits_empty_graph(spark):
+    res = algorithms.hits(_edges(spark, []), max_iter=3)
+    assert res.state.count() == 0 and res.converged
+
+
+def test_kcore_peels_tail_keeps_triangle(spark):
+    """Triangle + pendant path: the 2-core is exactly the triangle, and the
+    path peels over MULTIPLE rounds (4 -> 3 cascades)."""
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    res = algorithms.kcore(_edges(spark, pairs), k=2, max_rounds=10)
+    assert sorted(r["vertex"] for r in res.state.collect()) == [0, 1, 2]
+    assert res.converged
+    assert res.iterations >= 3  # vertex 4 dies round 1, then 3, then fixpoint
+
+
+def test_kcore_capped_rounds_match_unrolled(spark):
+    """Capping max_rounds equals the same-depth unroll (the oracle
+    contract): one round removes only degree-1 vertices."""
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    res = algorithms.kcore(_edges(spark, pairs), k=2, max_rounds=1)
+    # after exactly one round: vertex 4 (deg 1) gone, others still alive
+    assert sorted(r["vertex"] for r in res.state.collect()) == [0, 1, 2, 3]
+    assert not res.converged
+
+
+def test_kcore_everything_survives(spark):
+    pairs = [(0, 1), (1, 2), (2, 0)]
+    res = algorithms.kcore(_edges(spark, pairs), k=2, max_rounds=5)
+    assert sorted(r["vertex"] for r in res.state.collect()) == [0, 1, 2]
+    assert res.converged and res.iterations == 1
+
+
+def test_local_clustering_triangle_plus_pendant(spark):
+    """Triangle 0-1-2 plus pendant edge 2-3 (direction/duplicates ignored)."""
+    pairs = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 2)]
+    rows = {
+        r["vertex"]: r
+        for r in algorithms.local_clustering(_edges(spark, pairs)).collect()
+    }
+    assert rows[0]["degree"] == 2 and rows[0]["triangles"] == 1
+    assert rows[0]["lcc"] == pytest.approx(1.0)
+    assert rows[1]["lcc"] == pytest.approx(1.0)
+    assert rows[2]["degree"] == 3 and rows[2]["triangles"] == 1
+    assert rows[2]["lcc"] == pytest.approx(1.0 / 3.0)
+    assert rows[3]["degree"] == 1 and rows[3]["triangles"] == 0
+    assert rows[3]["lcc"] == 0.0
+
+
+def test_local_clustering_consistent_with_triangle_count(spark):
+    """Σ per-vertex triangles == 3 × global triangle count."""
+    rng = np.random.default_rng(7)
+    pairs = {(int(a), int(b)) for a, b in rng.integers(0, 30, size=(200, 2)) if a != b}
+    e = _edges(spark, sorted(pairs))
+    total = algorithms.triangle_count(e)
+    per_v = algorithms.local_clustering(e).agg({"triangles": "sum"}).first()[0]
+    assert per_v == 3 * total

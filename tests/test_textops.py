@@ -396,3 +396,64 @@ def test_media_real_decode_image_requires_pillow(spark):
     else:
         with pytest.raises(Exception):  # invalid payload still fails cleanly
             textops.extract_media_features(media, real_decode=True).collect()
+
+
+def test_repetition_stats_handcrafted(spark):
+    rows = [
+        (1, "aa\naa\nbb"),          # 3 lines, 1 dup; chars 6, dup chars 2
+        (2, "x y x y x y"),         # top bigram "x y" = 3 of 5
+        (3, ""),                    # degenerate
+        (4, "unique lines\nonly here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textops.repetition_stats(df).collect()}
+    assert got[1]["dup_line_frac"] == pytest.approx(1.0 / 3.0)
+    assert got[1]["dup_line_char_frac"] == pytest.approx(2.0 / 6.0)
+    assert got[2]["top_bigram_frac"] == pytest.approx(3.0 / 5.0)
+    assert got[3]["dup_line_frac"] == 0.0
+    assert got[3]["dup_line_char_frac"] == 0.0
+    assert got[3]["top_bigram_frac"] == 0.0
+    assert got[4]["dup_line_frac"] == 0.0
+    assert got[4]["top_bigram_frac"] == pytest.approx(1.0 / 3.0)
+
+
+def test_quality_filter_pass_and_fail(spark):
+    ok = "This is a perfectly reasonable sentence with enough useful tokens inside."
+    rows = [
+        (1, ok),
+        (2, "short text"),                                   # < min_tokens
+        (3, "!!! ??? ,,, " * 20),                            # punct ratio
+        (4, "1234 5678 9012 " * 20),                         # digit ratio
+        (5, ("same line\n" * 10) + ok),                      # dup lines
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(r["doc_id"] for r in textops.quality_filter(df).collect())
+    assert got == [1]
+
+
+def test_chunk_documents_windows(spark):
+    text = " ".join(f"t{i}" for i in range(11))  # 11 tokens
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "")],
+                               "doc_id long, text string")
+    out = textops.chunk_documents(df, chunk_tokens=4, overlap=1)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"])
+         for r in out.collect())
+    )
+    # doc 1: step 3, nc = ceil(10/3) = 4 -> starts 0,3,6,9; last has 2 tokens
+    d1 = [r for r in rows if r[0] == 1]
+    assert [r[2] for r in d1] == [4, 4, 4, 2]
+    assert d1[0][3] == "t0 t1 t2 t3"
+    assert d1[1][3] == "t3 t4 t5 t6"
+    assert d1[3][3] == "t9 t10"
+    # overlap: consecutive windows share exactly one token
+    assert d1[0][3].split()[-1] == d1[1][3].split()[0]
+    # doc 2: single short chunk; doc 3 (empty): no chunks
+    assert [r for r in rows if r[0] == 2] == [(2, 0, 2, "a b")]
+    assert not [r for r in rows if r[0] == 3]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = _mini_docs(spark)
+    with pytest.raises(ValueError):
+        textops.chunk_documents(df, chunk_tokens=4, overlap=4)
