@@ -128,6 +128,26 @@ def main() -> None:
     )
     timed("triangles", lambda: algorithms.triangle_count(g5000))
     timed(
+        "hits_4it",
+        lambda: algorithms.hits(g5000, max_iter=4, num_partitions=gp)
+        .state.agg(F.sum("auth")).first(),
+    )
+    # k at the 25th degree percentile: enough peeling to cascade without
+    # collapsing the whole graph (computed outside the timed region)
+    kq = (
+        g5000.select(F.col("src").alias("v"))
+        .union(g5000.select(F.col("dst").alias("v")))
+        .groupBy("v").count()
+        .approxQuantile("count", [0.25], 0.01)[0]
+    )
+    timed(
+        "kcore_peel",
+        lambda: algorithms.kcore(
+            g5000, k=int(kq), max_rounds=10, num_partitions=gp
+        ).state.count(),
+    )
+    timed("local_clustering", lambda: algorithms.local_clustering(g5000).count())
+    timed(
         "near_dup_minhash",
         lambda: textops.minhash_near_duplicates(
             docs, threshold=0.25, num_hashes=32, bands=16
@@ -149,6 +169,15 @@ def main() -> None:
     timed(
         "winnow_fp_scan",
         lambda: textops.winnow_fingerprints(docs).agg(F.sum("n_fps")).first(),
+    )
+    timed(
+        "repetition_quality_scan",
+        lambda: textops.quality_filter(docs).count(),
+    )
+    timed(
+        "chunk_docs_scan",
+        lambda: textops.chunk_documents(docs)
+        .agg(F.count("*"), F.sum("n_chunk_tokens")).first(),
     )
     timed(
         "emb_neardup_lsh",
