@@ -354,6 +354,52 @@ def _q_local_clustering(spark, sf_dir):
     )
 
 
+NEIGHBORHOOD_H = 3
+HADI_LG_K = 12
+
+
+def _q_neighborhood3(spark, sf_dir):
+    """EXACT neighborhood function N(h), h = 0..3, on graph1000 — the
+    validation face of HADI diameter estimation (GIM-V's 4th classic
+    instantiation in the PEGASUS lineage the reference descends from).
+    Oracle: the same pair-BFS recurrence unrolled as distinct-union CTEs."""
+    return algorithms.neighborhood_function(
+        _graph1000(spark, sf_dir), max_h=NEIGHBORHOOD_H
+    )
+
+
+def _q_hadi_precision(spark, sf_dir):
+    """Precision invariant of the HLL-sketch HADI path vs the exact
+    neighborhood function, both computed in Spark: rows where the relative
+    error of N_est(h) exceeds 15% form the EMPTY set (oracle: empty; at
+    lg_k=12 the HLL RSE is ~1.6%, and per-vertex reach at sf0.01 stays in
+    the sketch's near-exact regime). Exercises init → OR-semi-ring
+    supersteps → union → estimate under the gate."""
+    g = _graph1000(spark, sf_dir)
+    exact = algorithms.neighborhood_function(g, max_h=NEIGHBORHOOD_H)
+    est = algorithms.hadi(g, max_h=NEIGHBORHOOD_H, lg_k=HADI_LG_K).series
+    return (
+        exact.join(est, "h")
+        .select(
+            "h",
+            (
+                F.abs(F.col("n_est") - F.col("n_pairs"))
+                / F.col("n_pairs").cast("double")
+            ).alias("rel_err"),
+        )
+        .filter(F.col("rel_err") > 0.15)
+    )
+
+
+def _q_hadi_series(spark, sf_dir):
+    """HADI effective-diameter series (h, n_est) run to convergence (the
+    frontier empties — byte-stable sketches). No DuckDB oracle: DataSketches
+    HLL register states are not reproducible in SQL; the path is gated by
+    hadi_precision (vs in-Spark exact N(h)) and neighborhood3 above."""
+    res = algorithms.hadi(_graph1000(spark, sf_dir), max_h=16, lg_k=HADI_LG_K)
+    return res.series.select("h", F.round("n_est", 2).alias("n_est"))
+
+
 def _q_sssp8(spark, sf_dir):
     edges = _graph1000_w(spark, sf_dir)
     src = edges.agg(
@@ -610,6 +656,40 @@ def _q_chunk_docs(spark, sf_dir):
     return textops.chunk_documents(docs, chunk_tokens=64, overlap=16)
 
 
+def _dirty_docs(spark, sf_dir) -> DataFrame:
+    """Deterministic PII/URL-bearing corpus derived from ``documents``
+    (the synthetic text carries no PII, so both engines inject the same
+    email/IP/URL/SSN suffix as a pure function of doc_id — mirrored in
+    _DIRTY_SQL)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example"), (F.col("doc_id") % 5).cast("string"), F.lit(".com"),
+            F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+            F.lit(" see https://site"), (F.col("doc_id") % 13).cast("string"),
+            F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
+            F.lit(" ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+
+
+def _q_pii_redact(spark, sf_dir):
+    """PII scrub (emails / IPv4 / SSN-shaped → tokens) with per-doc match
+    counts; redacted text value-compared against DuckDB's regexp_replace
+    over the identical injected corpus."""
+    return textops.redact_pii(_dirty_docs(spark, sf_dir))
+
+
+def _q_url_domains(spark, sf_dir):
+    """Per-domain URL stats (extract-all → explode → partial-agg groupBy)."""
+    return textops.url_stats(_dirty_docs(spark, sf_dir))
+
+
 def _q_event_windows(spark, sf_dir):
     """Batch face of the streaming windowed aggregation (the identical plan
     runs incrementally via readStream — tests/test_streaming.py proves
@@ -680,6 +760,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits4": _q_hits4,
         "kcore": _q_kcore,
         "local_clustering": _q_local_clustering,
+        "neighborhood3": _q_neighborhood3,
+        "hadi_precision": _q_hadi_precision,
+        "hadi_series": _q_hadi_series,
         "triangles": _q_triangles,
         "content_invariant": _q_content_invariant,
         "token_stats": _q_token_stats,
@@ -705,6 +788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "quality_filter": _q_quality_filter,
         "chunk_docs": _q_chunk_docs,
+        "pii_redact": _q_pii_redact,
+        "url_domains": _q_url_domains,
         "event_window_counts": _q_event_windows,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
@@ -763,6 +848,26 @@ def _sssp_sql(wedge_sql: str, iters: int) -> str:
         "with " + ",\n".join(ctes)
         + f"\nselect v as vertex, dist from it{iters}"
     )
+
+
+def _neighborhood_sql(edge_sql: str, max_h: int) -> str:
+    """Unrolled exact neighborhood function: pair-BFS via distinct-union
+    CTEs (p_k = p_{k-1} UNION p_{k-1} ⋈ e), one count per level."""
+    ctes = [
+        f"e as materialized ({edge_sql})",
+        "p0 as materialized (select src as v, src as u from e "
+        "union select dst, dst from e)",
+    ]
+    for k in range(1, max_h + 1):
+        ctes.append(
+            f"p{k} as materialized (select v, u from p{k-1} union "
+            f"select p.v, e.dst as u from p{k-1} p join e on e.src = p.u)"
+        )
+    counts = " union all ".join(
+        f"select {k} as h, count(*)::bigint as n_pairs from p{k}"
+        for k in range(max_h + 1)
+    )
+    return "with " + ",\n".join(ctes) + "\n" + counts
 
 
 def _hits_sql(edge_sql: str, iters: int) -> str:
@@ -1081,6 +1186,38 @@ where rnk <= 5
 """
 
 
+_DIRTY_SQL = (
+    "select doc_id, text || ' contact user' || doc_id || '@example' || "
+    "(doc_id % 5) || '.com' || ' from 10.' || (doc_id % 256) || '.0.' || "
+    "(doc_id % 100) || ' see https://site' || (doc_id % 13) || "
+    "'.example.org/p/' || doc_id || ' ssn 123-45-' || "
+    "lpad((doc_id % 10000)::varchar, 4, '0') as text from documents"
+)
+
+_PII_SQL = f"""
+with dirty as ({_DIRTY_SQL})
+select doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{textops.PII_EMAIL}', '<EMAIL>', 'g'),
+           '{textops.PII_IPV4}', '<IP>', 'g'),
+           '{textops.PII_SSN}', '<SSN>', 'g') as redacted,
+       len(regexp_extract_all(text, '{textops.PII_EMAIL}'))::bigint as n_emails,
+       len(regexp_extract_all(text, '{textops.PII_IPV4}'))::bigint as n_ipv4,
+       len(regexp_extract_all(text, '{textops.PII_SSN}'))::bigint as n_ssn
+from dirty
+"""
+
+_URL_DOMAINS_SQL = f"""
+with dirty as ({_DIRTY_SQL}),
+u as (select doc_id, unnest(regexp_extract_all(text, '{textops.URL_PATTERN}')) as url
+      from dirty)
+select regexp_extract(url, '{textops.URL_DOMAIN}', 1) as domain,
+       count(*)::bigint as n_urls,
+       count(distinct doc_id)::bigint as n_docs
+from u group by domain
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "edges_supplier_part": SSP_EDGES_SQL,
@@ -1128,6 +1265,11 @@ def oracle_sql() -> dict[str, str]:
         "hits4": _hits_sql(G1000_SQL, HITS_ITERS),
         "kcore": _kcore_sql(G1000_SQL, KCORE_K, KCORE_ROUNDS),
         "local_clustering": _LCC_SQL,
+        "neighborhood3": _neighborhood_sql(G1000_SQL, NEIGHBORHOOD_H),
+        "hadi_precision": (
+            "select cast(null as integer) as h, "
+            "cast(null as double) as rel_err where 1 = 0"
+        ),
         "triangles": _TRIANGLES_SQL,
         "content_invariant": """
 with d as (select doc_id, (select count(*) from documents) as nd from documents)
@@ -1143,6 +1285,8 @@ from d
         "repetition_stats": _REPETITION_SQL,
         "quality_filter": _QUALITY_FILTER_SQL,
         "chunk_docs": _CHUNKS_SQL,
+        "pii_redact": _PII_SQL,
+        "url_domains": _URL_DOMAINS_SQL,
         "language_id": _language_id_sql(),
         "dedup_docs": _DEDUP_SQL,
         "dup_groups": _DUP_GROUPS_SQL,
@@ -1209,8 +1353,11 @@ from documents
         # recall vs ann_top5's exact oracle), emb_neardup (LSH-bucketed;
         # its precision invariant IS gated above, recall pytest-tested),
         # winnow_fp (xxhash64 k-gram mins; the winnowing guarantee IS
-        # gated above via winnow_containment, plus pytest). Driver records
-        # rows-only for those.
+        # gated above via winnow_containment, plus pytest), hadi_series
+        # (DataSketches HLL register states are not SQL-reproducible; the
+        # path IS gated above via hadi_precision vs in-Spark exact N(h)
+        # and via neighborhood3's green oracle). Driver records rows-only
+        # for those.
     }
 
 

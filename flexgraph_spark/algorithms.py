@@ -8,6 +8,7 @@ degree-oriented join plan.
 from __future__ import annotations
 
 import time
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -300,6 +301,190 @@ def kcore(
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     und.unpersist()
     return GimvResult(state=alive, iterations=rounds, converged=converged, metrics=metrics)
+
+
+def neighborhood_function(
+    edges: DataFrame, max_h: int, num_partitions: int | None = None
+) -> DataFrame:
+    """EXACT neighborhood function N(h) = |{(v, u) : dist(v, u) <= h}| for
+    h = 0..max_h over the directed graph (self-pairs count at h = 0).
+
+    Validation-scale face of HADI-style diameter estimation: it
+    materializes the full reachable-pair set (pairs_h = pairs_{h-1} union
+    pairs_{h-1} join edges, distinct), which is O(V * avg-reach) rows — the
+    thing a 100 TB graph cannot afford. Use :func:`hadi` (HLL-sketch
+    recurrence, O(V) state) at scale; this face exists to oracle-gate it.
+    Returns a DataFrame (h int, n_pairs long).
+    """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        edges.select(F.col("src").alias("via"), F.col("dst").alias("u"))
+        .distinct()
+        .repartition(p, "via")
+        .persist()
+    )
+    e.count()
+    pairs = truncate_plan(
+        e.select(F.col("via").alias("v"), F.col("via").alias("u"))
+        .union(e.select(F.col("u").alias("v"), F.col("u").alias("u")))
+        .distinct()
+        .repartition(p, "u")
+    )
+    series = [(0, pairs.count())]
+    for h in range(1, max_h + 1):
+        hop = (
+            pairs.withColumnRenamed("u", "via")
+            .join(e.hint("shuffle_hash"), "via")
+            .select("v", "u")
+        )
+        new_pairs = truncate_plan(
+            pairs.union(hop).distinct().repartition(p, "u")
+        )
+        pairs.unpersist()
+        pairs = new_pairs
+        series.append((h, pairs.count()))
+    pairs.unpersist()
+    e.unpersist()
+    return spark.createDataFrame(series, "h int, n_pairs long")
+
+
+@dataclass
+class HadiResult:
+    """HADI output: the estimated neighborhood-function series
+    (h int, n_est double), the interpolated effective diameter, and the
+    superstep metrics (messages_shuffled = frontier sketches shipped)."""
+
+    series: DataFrame
+    eff_diameter: float
+    iterations: int
+    converged: bool
+    metrics: list[IterationMetrics] = field(default_factory=list)
+
+
+def hadi(
+    edges: DataFrame,
+    max_h: int = 32,
+    lg_k: int = 12,
+    ratio: float = 0.9,
+    num_partitions: int | None = None,
+) -> HadiResult:
+    """HADI-style effective-diameter estimation (Kang et al., the PEGASUS /
+    GIM-V lineage the reference descends from — gim_v's 4th classic
+    instantiation next to PageRank/RWR, CC, SSSP) re-expressed on Spark's
+    JVM-native HLL sketches.
+
+    State is one HyperLogLog sketch per vertex, initialized to {v}; one
+    superstep is the OR semi-ring GIM-V product
+    ``sketch_v(h) = sketch_v(h-1) ∪ ⋃_{v→u} sketch_u(h-1)`` — combine2 is
+    the neighbor's sketch, combineAll/apply are ``hll_union_agg`` /
+    ``hll_union`` (register-wise max: associative, commutative, idempotent,
+    all JVM DataSketches — zero Python in the loop). N(h) is the sum of
+    per-vertex ``hll_sketch_estimate``; the 90%-effective diameter is the
+    (linearly interpolated) smallest h with N(h) >= ratio * N(H).
+
+    Scale shape: edges pinned by dst once (messages pull the DST sketch and
+    reduce on src, so the edge table never reshuffles; only O(V) sketch
+    state moves). Union is monotone + idempotent, so frontier/delta
+    messaging is EXACT: only vertices whose serialized sketch changed last
+    superstep re-send (DataSketches serialization is a function of register
+    state, so byte-equality witnesses fixpoint), and the convergent tail
+    joins a shrinking frontier — the same nonzero-only-vector behavior as
+    cache/DoubleVectorCache.java:68-101, reaching converged=True when the
+    frontier empties. Per-superstep driver traffic is two scalar
+    aggregates (N(h), frontier size).
+    """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst").distinct().repartition(p, "dst").persist()
+    n_edges = e.count()
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .union(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .repartition(p, "vertex")
+    )
+    state = truncate_plan(
+        verts.groupBy("vertex").agg(F.hll_sketch_agg("vertex", F.lit(lg_k)).alias("sk"))
+    )
+    frontier = state
+    n_frontier = state.count()
+    first_est = state.agg(
+        F.sum(F.hll_sketch_estimate("sk")).alias("n")
+    ).first()["n"]
+    series = [(0, float(first_est))]
+    metrics: list[IterationMetrics] = []
+    converged = False
+    it = 0
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for it in range(1, max_h + 1):
+            t0 = time.time()
+            sent = n_frontier
+            msgs = (
+                e.join(
+                    frontier.withColumnRenamed("vertex", "dst").hint("shuffle_hash"),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("vertex"))
+                .agg(F.hll_union_agg("sk").alias("msg"))
+            )
+            new_state = truncate_plan(
+                state.join(msgs.hint("shuffle_hash"), "vertex", "left")
+                .select(
+                    "vertex",
+                    F.when(F.col("msg").isNull(), F.col("sk"))
+                    .otherwise(F.hll_union("sk", "msg"))
+                    .alias("sk"),
+                    (
+                        F.col("msg").isNotNull()
+                        & (F.hll_union("sk", "msg") != F.col("sk"))
+                    ).cast("int").alias("_changed"),
+                )
+            )
+            row = new_state.agg(
+                F.sum(F.hll_sketch_estimate("sk")).alias("n"),
+                F.sum("_changed").alias("c"),
+            ).first()
+            series.append((it, float(row["n"])))
+            n_frontier = int(row["c"] or 0)
+            if frontier is not state:
+                frontier.unpersist()
+            state.unpersist()
+            state = new_state.drop("_changed")
+            frontier = new_state.filter(F.col("_changed") == 1).drop("_changed")
+            metrics.append(
+                IterationMetrics(
+                    iteration=it,
+                    messages_shuffled=sent,
+                    changed=n_frontier,
+                    edges_scanned=n_edges,
+                    seconds=time.time() - t0,
+                )
+            )
+            if n_frontier == 0:
+                converged = True
+                break
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    e.unpersist()
+    state.unpersist()
+    n_max = series[-1][1]
+    eff = float(series[-1][0])
+    for (h0, a), (h1, b) in zip(series, series[1:]):
+        if b >= ratio * n_max:
+            eff = h0 + (ratio * n_max - a) / (b - a) if b > a else float(h1)
+            break
+    if series[0][1] >= ratio * n_max:
+        eff = 0.0
+    return HadiResult(
+        series=spark.createDataFrame(series, "h int, n_est double"),
+        eff_diameter=eff,
+        iterations=it,
+        converged=converged,
+        metrics=metrics,
+    )
 
 
 def _oriented_triangles(edges: DataFrame):

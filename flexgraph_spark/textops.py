@@ -138,6 +138,69 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns: kept to syntax shared by Java regex (Spark) and RE2
+# (DuckDB oracle) — character classes, \b, bounded quantifiers; no
+# lookaround. Redaction order is fixed (email → ipv4 → ssn) so both
+# engines rewrite identically when patterns could overlap.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+URL_PATTERN = r"https?://\S+"
+URL_DOMAIN = r"https?://([^/\s]+)"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII scrub: emails, IPv4 addresses, and SSN-shaped
+    numbers replaced by ``<EMAIL>``/``<IP>``/``<SSN>`` tokens, with per-doc
+    match counts (counted on the ORIGINAL text, per pattern independently).
+
+    Returns (doc_id, redacted, n_emails, n_ipv4, n_ssn). Pure column
+    expressions — whole-stage codegen, no shuffle, scales as a map-only
+    pass over the corpus."""
+    txt = F.col(text_col)
+
+    def _count(pat: str) -> F.Column:
+        return F.size(F.regexp_extract_all(txt, F.lit(pat), F.lit(0))).cast("long")
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(txt, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_SSN,
+        "<SSN>",
+    )
+    return df.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        _count(PII_EMAIL).alias("n_emails"),
+        _count(PII_IPV4).alias("n_ipv4"),
+        _count(PII_SSN).alias("n_ssn"),
+    )
+
+
+def url_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-domain URL statistics over the corpus: (domain, n_urls, n_docs).
+
+    Extract-all + explode keeps the heavy regex work in the map phase;
+    the only shuffle is the groupBy on domain (Catalyst partial-aggregates
+    per partition first, so a few mega-domains reduce to one row per
+    partition before moving — hub domains don't skew the shuffle)."""
+    urls = df.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
+        ).alias("url"),
+    )
+    return (
+        urls.select("doc_id", F.regexp_extract("url", URL_DOMAIN, 1).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style within-document repetition signals (Rae et al. 2021
     §A1.1): (doc_id, dup_line_frac, dup_line_char_frac, top_bigram_frac).
