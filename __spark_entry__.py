@@ -30,7 +30,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flexgraph_spark import algorithms, gimv, streaming, textops
+from flexgraph_spark import algorithms, corpus, gimv, streaming, textops
 from flexgraph_spark.graph import derive_graph, remap_contiguous
 
 SSP_EDGES_SQL = "select distinct l_suppkey as src, l_partkey as dst from lineitem"
@@ -736,6 +736,45 @@ def _q_media_features(spark, sf_dir):
     return textops.extract_media_features(media).select("media_id", "kind", "n_bytes")
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Transitive dedup: exact same-lang near-dup pairs (the oracled
+    near_dup_exact set) feed the repo's own GIM-V connected-components
+    engine; cluster_id = min doc_id of the component. The oracle replays
+    the identical pair SQL through a recursive transitive-closure CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = textops.jaccard_similarity_join(
+        docs, "text", threshold=0.25, k=5, extra_cols=("lang",)
+    ).filter(F.col("lang_a") == F.col("lang_b"))
+    return corpus.dedup_clusters(docs, pairs=pairs).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Eval-set contamination: held-out = doc_id % 13 == 0; flag training
+    docs sharing any 13-char shingle with any held-out doc. String grams
+    (hashed=False) so DuckDB replays the rule bit-exactly; the scale path
+    (hashed=True, broadcast eval set) is pytest-equivalence-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 13 != 0)
+    held = docs.filter(F.col("doc_id") % 13 == 0)
+    return corpus.ngram_decontaminate(train, held, k=13, hashed=False)
+
+
+def _q_sample_stratified(spark, sf_dir):
+    return corpus.deterministic_sample(
+        _t(spark, sf_dir, "documents"),
+        rates={"en": 0.5, "zh": 0.3, "de": 0.2, "es": 0.2, "fr": 0.1},
+        default_rate=0.05,
+    ).select("doc_id", "lang")
+
+
+def _q_top_bigrams(spark, sf_dir):
+    return corpus.top_ngrams(
+        _t(spark, sf_dir, "documents"), n=2, topk=50, min_count=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_supplier_part": _q_edges,
@@ -790,6 +829,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": _q_chunk_docs,
         "pii_redact": _q_pii_redact,
         "url_domains": _q_url_domains,
+        "dedup_clusters": _q_dedup_clusters,
+        "decontaminate": _q_decontaminate,
+        "sample_stratified": _q_sample_stratified,
+        "top_bigrams": _q_top_bigrams,
         "event_window_counts": _q_event_windows,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
@@ -1170,6 +1213,70 @@ pairs as (
 select doc_a, doc_b, jaccard from pairs where jaccard >= 0.25
 """
 
+_DEDUP_CLUSTERS_SQL = r"""
+with recursive n as (select doc_id, lang, lower(regexp_replace(text, '\s+', ' ', 'g')) as norm
+           from documents),
+sh as (select doc_id, lang,
+  list_distinct(list_transform(
+    generate_series(1, greatest(length(norm) - 4, 1)),
+    i -> substr(norm, i, 5))) as sh
+  from n),
+pairs as (
+  select a.doc_id as doc_a, b.doc_id as doc_b
+  from sh a join sh b on a.lang = b.lang and a.doc_id < b.doc_id
+  where len(list_intersect(a.sh, b.sh))::double /
+      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.25),
+se as (select doc_a as src, doc_b as dst from pairs
+       union select doc_b, doc_a from pairs),
+verts as (select src as v from se union select dst from se),
+reach(v, u) as (
+  select v, v from verts
+  union
+  select r.v, se.dst from reach r join se on se.src = r.u
+),
+comp as (select v, min(u) as cluster_id from reach group by v)
+select d.doc_id, coalesce(c.cluster_id, d.doc_id) as cluster_id,
+       (d.doc_id = coalesce(c.cluster_id, d.doc_id)) as is_canonical
+from documents d left join comp c on c.v = d.doc_id
+"""
+
+_DECONTAM_SQL = r"""
+with n as (select doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) as norm
+           from documents),
+sh as (select doc_id,
+  list_distinct(list_transform(
+    generate_series(1, greatest(length(norm) - 12, 1)),
+    i -> substr(norm, i, 13))) as sh
+  from n),
+ev as (select distinct g from (select unnest(sh) as g from sh where doc_id % 13 = 0)),
+tr as (select doc_id, unnest(sh) as g from sh where doc_id % 13 <> 0)
+select tr.doc_id, count(distinct tr.g)::bigint as n_shared
+from tr join ev using (g)
+group by tr.doc_id
+having count(distinct tr.g) >= 1
+"""
+
+_SAMPLE_SQL = """
+select doc_id, lang from documents
+where (('0x' || substr(sha256('fgx:' || doc_id::varchar), 1, 8))::ubigint
+       / 4294967296.0) <
+      case lang when 'en' then 0.5 when 'zh' then 0.3 when 'de' then 0.2
+                when 'es' then 0.2 when 'fr' then 0.1 else 0.05 end
+"""
+
+_TOP_BIGRAMS_SQL = r"""
+with n as (select trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) as norm
+           from documents),
+t as (select string_split(norm, ' ') as toks from n),
+g as (select unnest(list_transform(generate_series(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i + 1])) as ngram
+      from t where len(toks) >= 2)
+select ngram, count(*)::bigint as cnt from g group by ngram
+having count(*) >= 2
+order by cnt desc, ngram
+limit 50
+"""
+
 _ANN_SQL = """
 with v as (select vec_id, list_transform(embedding, x -> x::double) as e
            from embeddings),
@@ -1344,6 +1451,10 @@ select doc_id as media_id,
        octet_length(encode(text))::bigint as n_bytes
 from documents
 """,
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "decontaminate": _DECONTAM_SQL,
+        "sample_stratified": _SAMPLE_SQL,
+        "top_bigrams": _TOP_BIGRAMS_SQL,
         # Omitted on purpose (engine-side hashing / randomized projections
         # that DuckDB cannot reproduce): near_dup_minhash (LSH banding over
         # xxhash64 signatures; its precision invariant IS gated above and

@@ -1,0 +1,190 @@
+"""Corpus-level pipeline operators: dedup clustering, decontamination,
+deterministic sampling, vocabulary building.
+
+These compose the dedup/graph primitives into the end-to-end shapes an
+LLM-training-data pipeline runs over a whole corpus:
+
+- :func:`dedup_clusters` — near-duplicate PAIRS are only half the dedup
+  story; production dedup keeps ONE representative per transitive cluster.
+  The pair graph feeds the repo's own GIM-V connected-components engine
+  (HashMin), so the canonical-document assignment is the min doc_id of each
+  component — exactly what the reference's CC computes over link graphs
+  (reference: flexgraph CCComputation semantics), re-aimed at the dedup
+  graph.
+- :func:`ngram_decontaminate` — eval-set contamination check: flag every
+  training document sharing >= ``min_shared`` k-gram shingles with any
+  held-out document (the GPT-3/PaLM n-gram collision rule).
+- :func:`deterministic_sample` — hash-threshold sampling, per-stratum
+  rates. sha256(salt || id) is uniform on [0, 2^32) in its first 8 hex
+  digits, so ``u < rate`` keeps an exact, reproducible, cluster-stable
+  subset: no RNG state, no sampleBy approximation, rerunnable on any
+  executor count with identical output.
+- :func:`top_ngrams` — corpus-wide word-n-gram frequencies (vocabulary /
+  stop-list building). One explode + one count shuffle; the n-gram key
+  space is Zipfian but the partial aggregation (map-side combine) absorbs
+  the head before the shuffle.
+
+All four are pure DataFrame plans (no Python UDFs) and each has an exact
+DuckDB oracle in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from flexgraph_spark import algorithms
+from flexgraph_spark.textops import jaccard_similarity_join, shingles, shingle_hashes
+
+
+# ---------------------------------------------------------------------------
+# Transitive dedup clustering
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.25,
+    k: int = 5,
+    max_iter: int = 50,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Assign every document to a near-duplicate cluster; returns
+    ``(doc_id, cluster_id, is_canonical)`` where ``cluster_id`` is the min
+    doc_id of the transitive closure of the >= ``threshold`` Jaccard
+    near-dup relation (singletons are their own cluster).
+
+    Scale shape: the pair graph holds only near-duplicate edges — orders of
+    magnitude smaller than the corpus — so CC on it converges in a few
+    supersteps over a small DataFrame; the corpus only pays one
+    prefix-filtered similarity join (never all-pairs) plus one final
+    doc_id-keyed left join against the (small) component table. Pass a
+    prebuilt ``pairs`` (doc_a, doc_b) to reuse an existing near-dup result
+    instead of recomputing the join.
+    """
+    if pairs is None:
+        pairs = jaccard_similarity_join(df, text_col, threshold=threshold, k=k)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = algorithms.connected_components(edges, max_iter=max_iter)
+    comp = cc.state.select(
+        F.col("vertex").alias("doc_id"), F.col("value").cast("long").alias("cluster_id")
+    )
+    out = (
+        df.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    )
+    return out.withColumn("is_canonical", (F.col("doc_id") == F.col("cluster_id")))
+
+
+# ---------------------------------------------------------------------------
+# Decontamination vs a held-out set
+# ---------------------------------------------------------------------------
+
+def ngram_decontaminate(
+    train: DataFrame,
+    held_out: DataFrame,
+    text_col: str = "text",
+    k: int = 13,
+    min_shared: int = 1,
+    hashed: bool = True,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Contamination report: ``(doc_id, n_shared)`` for every training
+    document sharing >= ``min_shared`` distinct character-``k``-shingles
+    with ANY held-out document (GPT-3 appendix-C style n-gram overlap,
+    shingles instead of word grams so the rule is tokenizer-free).
+
+    Scale shape: the held-out side is the distinct UNION of its shingles —
+    one set for the whole eval corpus, typically millions of grams vs the
+    training side's trillions — broadcast when ``broadcast_eval`` (the
+    standard case: eval sets are tiny), else a shuffle semi-join on the
+    gram key. ``hashed=True`` (the scale path) joins on xxhash64'd grams
+    (fixed-width int64 keys); ``hashed=False`` joins on gram strings and is
+    bit-exactly reproducible in ANSI SQL for the oracle gate.
+    """
+    gram = shingle_hashes if hashed else shingles
+    t = train.select("doc_id", F.explode(gram(F.col(text_col), k)).alias("g"))
+    e = held_out.select(F.explode(gram(F.col(text_col), k)).alias("g")).distinct()
+    if broadcast_eval:
+        e = F.broadcast(e)
+    return (
+        t.join(e, "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-threshold sampling
+# ---------------------------------------------------------------------------
+
+def _hash_u(id_col: F.Column, salt: str) -> F.Column:
+    """Uniform [0,1) from the first 32 bits of sha256(salt:id)."""
+    h = F.sha2(F.concat(F.lit(salt + ":"), id_col.cast("string")), 256)
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+
+def deterministic_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "fgx",
+) -> DataFrame:
+    """Exact, reproducible stratified sample: keep a row iff
+    ``u(id) < rates[stratum]`` where ``u`` is the uniform [0,1) value of
+    sha256(salt:id)'s first 32 bits.
+
+    Unlike ``df.sampleBy`` (per-partition RNG: resample on any repartition,
+    approximate fractions), the kept set is a pure function of (id, salt,
+    rates) — identical on 1 core or 1000 executors, stable across reruns
+    and engine versions, and auditable row-by-row in SQL. Narrow plan: one
+    sha256 + compare per row, no shuffle, fully pushed into the scan stage.
+    """
+    u = _hash_u(F.col(id_col), salt)
+    rate = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return df.withColumn("_u", u).filter(F.col("_u") < rate).drop("_u")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary / n-gram frequencies
+# ---------------------------------------------------------------------------
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    topk: int = 50,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Top-``topk`` word ``n``-grams by document frequency-weighted count:
+    ``(ngram, cnt)``, ties broken by ngram ascending (deterministic).
+
+    Tokenization: lowercase, split on whitespace runs. Per-document grams
+    are NOT de-duplicated (corpus term frequency, the vocabulary-building
+    count). The explode fans each doc into len-n+1 rows, partial
+    aggregation combines the Zipf head map-side, and the final top-k is a
+    single ordered limit — Spark executes it as per-partition TakeOrdered
+    then a driver merge of k-row heaps, no global sort materialization.
+    """
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    toks = F.split(F.trim(norm), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .orderBy(F.col("cnt").desc(), F.col("ngram"))
+        .limit(topk)
+    )

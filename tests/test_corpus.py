@@ -1,0 +1,109 @@
+"""Corpus-pipeline operators: dedup clustering, decontamination,
+deterministic sampling, n-gram vocabulary."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flexgraph_spark import corpus
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        # near-dup cluster {0, 1, 2}: chained small edits (0~1, 1~2 overlap;
+        # 0~2 may fall below threshold -> transitivity is what clusters them)
+        (0, base + " alpha", "en"),
+        (1, base + " alphb", "en"),
+        (2, base + " alphc", "en"),
+        # isolated pair {13, 14} (13 % 13 == 0 -> held-out member)
+        (13, "completely different content about spark engines at scale", "en"),
+        (14, "completely different content about spark engines at scales", "en"),
+        # singletons
+        (5, "unrelated short text", "de"),
+        (26, "another held out document zzz qqq www eee rrr ttt yyy uuu", "fr"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dedup_clusters_transitive(spark, docs):
+    out = corpus.dedup_clusters(docs, threshold=0.5, k=5).orderBy("doc_id")
+    got = {r.doc_id: (r.cluster_id, r.is_canonical) for r in out.collect()}
+    assert got[0] == (0, True)
+    assert got[1] == (0, False)
+    assert got[2] == (0, False)  # transitivity: 2 joins via 1 even if J(0,2) < t
+    assert got[13] == (13, True)
+    assert got[14] == (13, False)
+    assert got[5] == (5, True)  # singleton
+    assert got[26] == (26, True)
+    # every document appears exactly once
+    assert out.count() == docs.count()
+
+
+def test_dedup_clusters_accepts_prebuilt_pairs(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "doc_a long, doc_b long")
+    out = corpus.dedup_clusters(docs, pairs=pairs)
+    got = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert got[0] == got[1] == got[2] == 0
+    assert got[13] == 13 and got[14] == 14
+
+
+def test_decontaminate_hashed_equals_string(spark, docs):
+    train = docs.filter(F.col("doc_id") % 13 != 0)
+    held = docs.filter(F.col("doc_id") % 13 == 0)
+    a = corpus.ngram_decontaminate(train, held, k=13, hashed=False)
+    b = corpus.ngram_decontaminate(train, held, k=13, hashed=True)
+    ra = sorted((r.doc_id, r.n_shared) for r in a.collect())
+    rb = sorted((r.doc_id, r.n_shared) for r in b.collect())
+    assert ra == rb  # xxhash64 grams reproduce the string-gram report
+    flagged = {d for d, _ in ra}
+    assert 14 in flagged  # 14 shares 13-grams with held-out 13
+    assert 5 not in flagged
+
+
+def test_decontaminate_min_shared(spark, docs):
+    train = docs.filter(F.col("doc_id") % 13 != 0)
+    held = docs.filter(F.col("doc_id") % 13 == 0)
+    loose = corpus.ngram_decontaminate(train, held, k=13, min_shared=1)
+    strict = corpus.ngram_decontaminate(train, held, k=13, min_shared=10**6)
+    assert loose.count() >= 1
+    assert strict.count() == 0
+
+
+def test_deterministic_sample_stable_and_exact(spark, docs):
+    rates = {"en": 0.6, "de": 1.0}
+    a = corpus.deterministic_sample(docs, rates)
+    b = corpus.deterministic_sample(docs.repartition(7), rates)
+    ids_a = sorted(r.doc_id for r in a.collect())
+    ids_b = sorted(r.doc_id for r in b.collect())
+    assert ids_a == ids_b  # partitioning-invariant (pure function of id)
+    assert 5 in ids_a  # rate 1.0 stratum always kept
+    assert 26 not in ids_a  # default_rate=0.0 stratum always dropped
+    # different salt -> (almost surely) different kept set is allowed, but
+    # same salt must reproduce exactly
+    c = corpus.deterministic_sample(docs, rates)
+    assert ids_a == sorted(r.doc_id for r in c.collect())
+
+
+def test_deterministic_sample_rate_scaling(spark):
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    kept = corpus.deterministic_sample(df, {"en": 0.25}).count()
+    assert abs(kept / n - 0.25) < 0.05  # sha256 uniformity
+
+
+def test_top_ngrams_counts_and_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x"), (3, "one"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = corpus.top_ngrams(df, n=2, topk=10, min_count=2).collect()
+    got = [(r.ngram, r.cnt) for r in out]
+    # "a b": docs 1 (x2) + 2 (x1) = 3; "b a"/"b c"/"b x": 1 each (< min_count)
+    assert got == [("a b", 3)]
+    # short/empty docs contribute nothing (no partial grams)
+    out2 = corpus.top_ngrams(df, n=2, topk=10, min_count=1).collect()
+    grams = {r.ngram for r in out2}
+    assert "one" not in grams and "" not in grams
