@@ -1200,7 +1200,7 @@ from n
 _NEAR_DUP_SQL = r"""
 with n as (select doc_id, lang, lower(regexp_replace(text, '\s+', ' ', 'g')) as norm
            from documents),
-sh as (select doc_id, lang,
+sh as materialized (select doc_id, lang,
   list_distinct(list_transform(
     generate_series(1, greatest(length(norm) - 4, 1)),
     i -> substr(norm, i, 5))) as sh
@@ -1216,12 +1216,12 @@ select doc_a, doc_b, jaccard from pairs where jaccard >= 0.25
 _DEDUP_CLUSTERS_SQL = r"""
 with recursive n as (select doc_id, lang, lower(regexp_replace(text, '\s+', ' ', 'g')) as norm
            from documents),
-sh as (select doc_id, lang,
+sh as materialized (select doc_id, lang,
   list_distinct(list_transform(
     generate_series(1, greatest(length(norm) - 4, 1)),
     i -> substr(norm, i, 5))) as sh
   from n),
-pairs as (
+pairs as materialized (
   select a.doc_id as doc_a, b.doc_id as doc_b
   from sh a join sh b on a.lang = b.lang and a.doc_id < b.doc_id
   where len(list_intersect(a.sh, b.sh))::double /
@@ -1243,7 +1243,7 @@ from documents d left join comp c on c.v = d.doc_id
 _DECONTAM_SQL = r"""
 with n as (select doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) as norm
            from documents),
-sh as (select doc_id,
+sh as materialized (select doc_id,
   list_distinct(list_transform(
     generate_series(1, greatest(length(norm) - 12, 1)),
     i -> substr(norm, i, 13))) as sh
