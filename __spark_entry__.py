@@ -736,6 +736,33 @@ def _q_media_features(spark, sf_dir):
     return textops.extract_media_features(media).select("media_id", "kind", "n_bytes")
 
 
+BATCH_PPR_SOURCES = [1, 2, 5]
+
+
+def _q_batch_ppr10(spark, sf_dir):
+    """Multi-source personalized PageRank — k PPR columns in ONE GIM-V
+    job (array-valued state; one edge scan per superstep serves all
+    sources). Oracle unrolls the identical recurrence per (vertex,
+    source) pair."""
+    res = algorithms.batch_ppr(
+        _graph1000(spark, sf_dir), BATCH_PPR_SOURCES, max_iter=10
+    )
+    out = algorithms.ppr_long(res, BATCH_PPR_SOURCES)
+    return out.select(
+        "vertex", F.col("source").cast("long").alias("source"),
+        F.round("ppr", 6).alias("ppr"),
+    )
+
+
+def _q_random_walks(spark, sf_dir):
+    """Hash-seeded deterministic uniform random walks (DeepWalk corpus
+    step): next = neighbor at sha256(salt:start:walk:step) mod degree in
+    dst-sorted adjacency order — bit-reproducible in ANSI SQL."""
+    return algorithms.random_walks(
+        _graph1000(spark, sf_dir), walk_length=4, num_walks=2
+    )
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Transitive dedup: exact same-lang near-dup pairs (the oracled
     near_dup_exact set) feed the repo's own GIM-V connected-components
@@ -829,6 +856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": _q_chunk_docs,
         "pii_redact": _q_pii_redact,
         "url_domains": _q_url_domains,
+        "batch_ppr10": _q_batch_ppr10,
+        "random_walks": _q_random_walks,
         "dedup_clusters": _q_dedup_clusters,
         "decontaminate": _q_decontaminate,
         "sample_stratified": _q_sample_stratified,
@@ -1213,6 +1242,68 @@ pairs as (
 select doc_a, doc_b, jaccard from pairs where jaccard >= 0.25
 """
 
+def _batch_ppr_sql(edge_sql: str, iters: int, sources: list[int],
+                   alpha: float = 0.85) -> str:
+    """Unrolled batch-PPR recurrence keyed by (vertex, source) — the same
+    per-column semantics as _pagerank_sql(personalized=True) but for an
+    explicit source list."""
+    src_values = ", ".join(f"({s})" for s in sources)
+    ctes = [
+        f"e as materialized ({edge_sql})",
+        "verts as (select src as v from e union select dst from e)",
+        "nn as (select count(*)::double as n from verts)",
+        "deg as materialized (select src, count(*)::double as d from e group by src)",
+        f"srcs(s) as (values {src_values})",
+        "it0 as materialized (select v, s, "
+        "case when v = s then 1.0 else 0.0 end as r from verts cross join srcs)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"it{k} as materialized (select st.v, st.s, "
+            f"{alpha}*coalesce(m.msg, 0.0) + (1.0-{alpha})*(select 1.0/n from nn) as r "
+            f"from it{k-1} st left join ("
+            f"select e.dst as v, p.s, sum(p.r/deg.d) as msg "
+            f"from it{k-1} p join e on e.src = p.v join deg on deg.src = p.v "
+            f"group by e.dst, p.s) m on m.v = st.v and m.s = st.s)"
+        )
+    ctes.append(f"tot as (select s, sum(r) as t from it{iters} group by s)")
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect i.v as vertex, i.s::bigint as source, "
+        f"round(i.r / tot.t, 6) as ppr from it{iters} i join tot on tot.s = i.s"
+    )
+
+
+def _random_walks_sql(edge_sql: str, walk_length: int, num_walks: int,
+                      salt: str = "walk") -> str:
+    wids = ", ".join(f"({w}::bigint)" for w in range(num_walks))
+    ctes = [
+        f"e as materialized ({edge_sql})",
+        "pos as materialized (select src, dst, row_number() over "
+        "(partition by src order by dst) - 1 as idx from e)",
+        "deg as materialized (select src, count(*)::bigint as deg "
+        "from e group by src)",
+        "verts as (select src as v from e union select dst from e)",
+        "w0 as materialized (select v as start, wid as walk_id, v as cur "
+        f"from verts cross join (values {wids}) as w(wid))",
+    ]
+    for k in range(1, walk_length + 1):
+        ctes.append(
+            f"w{k} as materialized (select w.start, w.walk_id, "
+            "coalesce(p.dst, w.cur) as cur "
+            f"from w{k-1} w "
+            "left join deg d on d.src = w.cur "
+            "left join pos p on p.src = w.cur and p.idx = "
+            f"(('0x' || substr(sha256('{salt}:' || w.start::varchar || ':' || "
+            f"w.walk_id::varchar || ':{k}'), 1, 8))::ubigint % d.deg))"
+        )
+    steps = " union all ".join(
+        f"select start, walk_id, {k} as step, cur as vertex from w{k}"
+        for k in range(walk_length + 1)
+    )
+    return "with " + ",\n".join(ctes) + "\n" + steps
+
+
 _DEDUP_CLUSTERS_SQL = r"""
 with recursive n as (select doc_id, lang, lower(regexp_replace(text, '\s+', ' ', 'g')) as norm
            from documents),
@@ -1451,6 +1542,8 @@ select doc_id as media_id,
        octet_length(encode(text))::bigint as n_bytes
 from documents
 """,
+        "batch_ppr10": _batch_ppr_sql(G1000_SQL, 10, BATCH_PPR_SOURCES),
+        "random_walks": _random_walks_sql(G1000_SQL, 4, 2),
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "decontaminate": _DECONTAM_SQL,
         "sample_stratified": _SAMPLE_SQL,

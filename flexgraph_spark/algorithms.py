@@ -126,6 +126,118 @@ def degrees(edges: DataFrame, direction: str = "out", weighted: bool = False) ->
     return _d(edges, direction, weighted=weighted)
 
 
+def batch_ppr(
+    edges: DataFrame,
+    sources: list[int],
+    max_iter: int = 10,
+    checkpointer=None,
+    **kw,
+) -> gimv.GimvResult:
+    """Personalized PageRank for ALL ``sources`` in one job: the GIM-V
+    state carries a k-vector per vertex, so every superstep is still one
+    edge scan + one state shuffle (see gimv.BatchPPR). Result state value
+    is array<double> aligned with ``sources``; use :func:`ppr_long` for
+    the exploded (vertex, source, ppr) face."""
+    return _dispatch(
+        edges, gimv.BatchPPR(sources), "flat", max_iter, checkpointer, kw
+    )
+
+
+def ppr_long(res: gimv.GimvResult, sources: list[int]) -> DataFrame:
+    """Explode a batch_ppr result to (vertex, source, ppr) rows."""
+    src_arr = F.array(*[F.lit(int(s)) for s in sources])
+    return res.state.select(
+        "vertex", F.posexplode("value").alias("idx", "ppr")
+    ).select(
+        "vertex", F.element_at(src_arr, F.col("idx") + 1).alias("source"), "ppr"
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 4,
+    num_walks: int = 1,
+    salt: str = "walk",
+) -> DataFrame:
+    """Deterministic uniform random walks from every vertex — the
+    node2vec/DeepWalk corpus-generation step, reproducible at any
+    parallelism: step ``t`` of walk ``w`` from ``start`` moves to the
+    neighbor at index ``sha256(salt:start:w:t) mod out_degree`` in the
+    dst-sorted adjacency order. No RNG state, so reruns/retries/stragglers
+    emit identical walks and an ANSI-SQL oracle replays them bit-exactly.
+
+    Returns (start, walk_id, step, vertex), step 0..walk_length; walks
+    that reach a sink (no out-edges) stay there.
+
+    Scale shape: the adjacency is a POSITION table (src, idx, dst) built
+    with one row_number window — never a collected neighbor array — so a
+    hub's neighbors stay spread across partitions and each step is two
+    hash joins keyed on the current vertex: frontier⋈degree (pick the
+    index) then frontier⋈position (fetch the neighbor). Both shuffles are
+    keyed by the frontier's current vertex; hot vertices fan out only as
+    much as the walk mass that actually sits on them. Plans grow linearly
+    with walk_length; lineage is truncated every 8 steps.
+    """
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").distinct()
+    pos = e.withColumn(
+        "idx", F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1
+    ).select(F.col("src").alias("p_src"), "idx", F.col("dst").alias("p_dst"))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg")).select(
+        F.col("src").alias("d_src"), "deg"
+    )
+    pos = pos.persist()
+    deg = deg.persist()
+
+    verts = e.select(F.col("src").alias("v")).union(
+        e.select(F.col("dst").alias("v"))
+    ).distinct()
+    frontier = verts.crossJoin(
+        spark.range(num_walks).select(F.col("id").alias("walk_id"))
+    ).select(F.col("v").alias("start"), "walk_id", F.col("v").alias("cur"))
+
+    out = frontier.select(
+        "start", "walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex")
+    )
+    for step in range(1, walk_length + 1):
+        h = F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat_ws(
+                        ":", F.lit(salt), F.col("start"), F.col("walk_id"),
+                        F.lit(str(step)),
+                    ),
+                    256,
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        stepped = (
+            frontier.join(deg, frontier.cur == deg.d_src, "left")
+            .withColumn("_pick", h % F.col("deg"))
+            .join(
+                pos,
+                (F.col("cur") == F.col("p_src")) & (F.col("_pick") == F.col("idx")),
+                "left",
+            )
+            .select(
+                "start", "walk_id",
+                F.coalesce(F.col("p_dst"), F.col("cur")).alias("cur"),
+            )
+        )
+        frontier = truncate_plan(stepped) if step % 8 == 0 else stepped
+        out = out.union(
+            frontier.select(
+                "start", "walk_id", F.lit(step).alias("step"),
+                F.col("cur").alias("vertex"),
+            )
+        )
+    return out
+
+
 def hits(
     edges: DataFrame, max_iter: int = 10, num_partitions: int | None = None
 ) -> GimvResult:

@@ -223,6 +223,77 @@ class PageRank(VertexProgram):
         return np.abs(new - old) > self.threshold
 
 
+class BatchPPR(VertexProgram):
+    """Multi-source personalized PageRank: the state value is an
+    array<double> of length k (one PPR column per source), so ONE edge
+    scan + ONE state shuffle per superstep serves all k sources — at
+    cluster scale this replaces k independent RWR jobs each rescanning
+    the full edge table (the batch-column trick GIM-V block methods use
+    for multi-vector workloads). Semantics per column are identical to
+    :class:`PageRank` with ``source_vertex`` set (reference
+    PageRankComputation.java:202-256 recurrence, incl. the uniform
+    (1-α)/n teleport quirk and per-column rank-sum normalization), which
+    is what the oracle unrolls per (vertex, source) pair.
+
+    Flat engine only: the blocked NumPy kernels are scalar-valued
+    (``supports_blocked=False``); a k-column blocked kernel would carry
+    (n_local, k) matrices per block — a natural extension, not yet
+    needed at the tested scales.
+    """
+
+    name = "batch_ppr"
+    needs_out_degree = True
+    supports_blocked = False
+
+    def __init__(self, sources: list[int], alpha: float = PAGERANK_ALPHA,
+                 threshold: float = CONVERGE_THRESHOLD):
+        if not sources:
+            raise ValueError("BatchPPR needs at least one source vertex")
+        self.sources = [int(s) for s in sources]
+        self.k = len(self.sources)
+        self.alpha = alpha
+        self.threshold = threshold
+
+    def init_state(self, vertices: DataFrame, n: int) -> DataFrame:
+        arr = F.array(*[
+            F.when(F.col("vertex") == s, 1.0).otherwise(0.0) for s in self.sources
+        ])
+        return vertices.select("vertex", arr.alias("value"))
+
+    def message(self) -> F.Column:
+        return F.transform(F.col("value"), lambda x: x / F.col("out_degree"))
+
+    def aggregate(self, messages: DataFrame) -> DataFrame:
+        # k scalar sums (not a UDAF): each is a JVM partial aggregate, so
+        # the map-side combine still collapses per-dst fan-in before the
+        # shuffle, exactly like the scalar PageRank path.
+        return messages.groupBy(F.col("dst").alias("vertex")).agg(
+            F.array(*[
+                F.sum(F.element_at("msg", i + 1)) for i in range(self.k)
+            ]).alias("msg")
+        )
+
+    def apply(self, old, msg, n):
+        m = F.coalesce(msg, F.array_repeat(F.lit(0.0), self.k))
+        return F.transform(m, lambda x: self.alpha * x + (1.0 - self.alpha) / n)
+
+    def changed(self, old, new):
+        return F.exists(
+            F.zip_with(old, new, lambda o, v: F.abs(v - o) > self.threshold),
+            lambda b: b,
+        )
+
+    def finalize(self, state: DataFrame) -> DataFrame:
+        totals = state.agg(*[
+            F.sum(F.element_at("value", i + 1)).alias(f"t{i}") for i in range(self.k)
+        ]).first()
+        arr = F.array(*[
+            F.element_at("value", i + 1) / F.lit(float(totals[i]))
+            for i in range(self.k)
+        ])
+        return state.select("vertex", arr.alias("value"))
+
+
 class ConnectedComponents(VertexProgram):
     """HashMin / PEGASUS CC (CCComputation.java:140-197): propagate min
     label; exact fixpoint. Caller must symmetrize edges for WCC."""

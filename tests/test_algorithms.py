@@ -93,3 +93,58 @@ def test_local_clustering_consistent_with_triangle_count(spark):
     total = algorithms.triangle_count(e)
     per_v = algorithms.local_clustering(e).agg({"triangles": "sum"}).first()[0]
     assert per_v == 3 * total
+
+
+def test_batch_ppr_columns_match_single_source_rwr(spark):
+    """Each column of the batched array state reproduces the scalar RWR
+    run bit-exactly (same recurrence, same normalization)."""
+    pairs = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (2, 4)]
+    e = _edges(spark, pairs)
+    res = algorithms.batch_ppr(e, [1, 4], max_iter=10)
+    long = algorithms.ppr_long(res, [1, 4])
+    batch = {(r.source, r.vertex): r.ppr for r in long.collect()}
+    for s in (1, 4):
+        single = {
+            r.vertex: r.value
+            for r in algorithms.pagerank(e, max_iter=10, source_vertex=s).state.collect()
+        }
+        for v, val in single.items():
+            assert batch[(s, v)] == pytest.approx(val, rel=1e-12)
+
+
+def test_batch_ppr_requires_sources(spark):
+    with pytest.raises(ValueError):
+        algorithms.batch_ppr(_edges(spark, [(1, 2)]), [])
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    """Walks are edge-respecting, partitioning-invariant, and sinks stay."""
+    pairs = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (2, 4), (5, 1)]
+    e = _edges(spark, pairs)
+    a = algorithms.random_walks(e, walk_length=5, num_walks=2)
+    b = algorithms.random_walks(e.repartition(7), walk_length=5, num_walks=2)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    # every (vertex, step) -> (vertex', step+1) transition is a real edge
+    # (or a sink self-stay)
+    edge_set = set(pairs)
+    srcs = {s for s, _ in pairs}
+    walks = {}
+    for start, wid, step, v in ra:
+        walks.setdefault((start, wid), {})[step] = v
+    for path in walks.values():
+        for t in range(max(path)):
+            u, v = path[t], path[t + 1]
+            assert (u, v) in edge_set or (u not in srcs and u == v)
+    # row count: (n_vertices * num_walks) * (walk_length + 1)
+    n_vertices = 5
+    assert len(ra) == n_vertices * 2 * 6
+
+
+def test_random_walks_salt_changes_walks(spark):
+    pairs = [(i, j) for i in range(8) for j in range(8) if i != j]
+    e = _edges(spark, pairs)
+    a = sorted(map(tuple, algorithms.random_walks(e, 4, 1, salt="a").collect()))
+    b = sorted(map(tuple, algorithms.random_walks(e, 4, 1, salt="b").collect()))
+    assert a != b
