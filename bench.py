@@ -32,7 +32,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import functions as F
 
-from flexgraph_spark import algorithms, textops
+from flexgraph_spark import algorithms, corpus, textops
 from flexgraph_spark.session import get_spark
 
 PAGERANK_ITERS = 10
@@ -147,6 +147,23 @@ def main() -> None:
         ).state.count(),
     )
     timed("local_clustering", lambda: algorithms.local_clustering(g5000).count())
+    # 4 PPR columns in one job — compare against pagerank_flat_10it to see
+    # the amortization (4 sources ≪ 4x the single-source wall time)
+    timed(
+        "batch_ppr4_10it",
+        lambda: algorithms.batch_ppr(
+            edges, [1, 2, 3, 5], max_iter=PAGERANK_ITERS, num_partitions=gp,
+            threshold=0.0,
+        ).state.count(),
+    )
+    timed(
+        "random_walks4",
+        lambda: algorithms.random_walks(edges, walk_length=4, num_walks=1).count(),
+    )
+    timed(
+        "dedup_cluster_assign",
+        lambda: corpus.dedup_clusters(docs, threshold=0.25).count(),
+    )
     timed(
         "near_dup_minhash",
         lambda: textops.minhash_near_duplicates(

@@ -130,6 +130,8 @@ def batch_ppr(
     edges: DataFrame,
     sources: list[int],
     max_iter: int = 10,
+    alpha: float = gimv.PAGERANK_ALPHA,
+    threshold: float = gimv.CONVERGE_THRESHOLD,
     checkpointer=None,
     **kw,
 ) -> gimv.GimvResult:
@@ -139,7 +141,8 @@ def batch_ppr(
     is array<double> aligned with ``sources``; use :func:`ppr_long` for
     the exploded (vertex, source, ppr) face."""
     return _dispatch(
-        edges, gimv.BatchPPR(sources), "flat", max_iter, checkpointer, kw
+        edges, gimv.BatchPPR(sources, alpha=alpha, threshold=threshold),
+        "flat", max_iter, checkpointer, kw,
     )
 
 

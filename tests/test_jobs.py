@@ -68,3 +68,29 @@ def test_pagerank_flat_job(spark, edges_parquet, tmp_path):
     _run(pr_job, ["--edges", edges_parquet, "--output", out,
                   "--max-iter", "5", "--engine", "auto"])
     assert spark.read.parquet(out).count() == 40
+
+
+def test_batch_ppr_job(spark, edges_parquet, tmp_path):
+    import jobs.ppr as ppr_job
+
+    out = str(tmp_path / "ppr")
+    _run(ppr_job, ["--edges", edges_parquet, "--output", out,
+                   "--sources", "0,1,2", "--max-iter", "5"])
+    df = spark.read.parquet(out)
+    assert set(df.columns) == {"vertex", "source", "ppr"}
+    assert df.select("source").distinct().count() == 3
+    # blocked engine is rejected explicitly (array-valued state)
+    with pytest.raises(SystemExit):
+        _run(ppr_job, ["--edges", edges_parquet, "--output", out,
+                       "--sources", "0", "--engine", "blocked"])
+
+
+def test_walks_job(spark, edges_parquet, tmp_path):
+    import jobs.walks as walks_job
+
+    out = str(tmp_path / "walks")
+    _run(walks_job, ["--edges", edges_parquet, "--output", out,
+                     "--walk-length", "3", "--num-walks", "2"])
+    df = spark.read.parquet(out)
+    assert set(df.columns) == {"start", "walk_id", "step", "vertex"}
+    assert df.agg({"step": "max"}).first()[0] == 3
