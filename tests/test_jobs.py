@@ -94,3 +94,22 @@ def test_walks_job(spark, edges_parquet, tmp_path):
     df = spark.read.parquet(out)
     assert set(df.columns) == {"start", "walk_id", "step", "vertex"}
     assert df.agg({"step": "max"}).first()[0] == 3
+
+
+def test_dedup_job(spark, tmp_path):
+    import jobs.dedup as dedup_job
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "the quick brown fox jumps over the lazy dot"),
+         (2, "entirely different content here")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "clusters")
+    _run(dedup_job, ["--documents", src, "--output", out,
+                     "--threshold", "0.5"])
+    df = spark.read.parquet(out)
+    got = {r.doc_id: (r.cluster_id, r.is_canonical) for r in df.collect()}
+    assert got[0] == (0, True) and got[1] == (0, False) and got[2] == (2, True)
