@@ -256,10 +256,14 @@ def hits(
     half-step), so it runs as its own flat loop. Scale shape mirrors
     gimv.run: TWO pinned edge copies (by src and by dst) so neither
     half-step ever reshuffles the edge table — only the (small) vertex
-    states move; norms are 1-row aggregates broadcast back via crossJoin
-    (no driver round-trip in the plan-building path); shuffle_hash hints
-    keep Catalyst from broadcasting the edge side.
+    states move; shuffle_hash hints keep Catalyst from broadcasting the
+    edge side. The L2 norm piggybacks as an Observation on the job that
+    materializes the raw sums (the gimv.run convergence-vote trick), so
+    each half-step runs exactly ONE edge join in ONE job — the first cut
+    recomputed the edge join in a separate norm-aggregate job (2x edge
+    scans per half-step, measured ~2x the superstep wall time).
     """
+    import math
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     e_src = edges.select("src", "dst").repartition(p, "src").persist()
@@ -280,39 +284,44 @@ def hits(
         empty = spark.createDataFrame([], "vertex long, hub double, auth double")
         return GimvResult(state=empty, iterations=0, converged=True, metrics=[])
 
-    def _normalized(raw: DataFrame, out_col: str) -> DataFrame:
-        """vertex-complete, L2-normalized (vertex, out_col) from sparse raw
-        sums; norm rides in via a broadcast 1-row crossJoin."""
-        nrm = raw.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nrm"))
-        return (
-            verts.join(raw, "vertex", "left")
-            .crossJoin(F.broadcast(nrm))
-            .select(
-                "vertex",
-                (
-                    F.coalesce("raw", F.lit(0.0))
-                    / F.when(F.col("nrm") > 0, F.col("nrm")).otherwise(F.lit(1.0))
-                ).alias(out_col),
-            )
+    def _raw_with_norm(raw: DataFrame):
+        """Materialize sparse raw sums (one job); the L2 norm rides on the
+        same job as an Observation — no second pass over the edge join."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        raw = truncate_plan(
+            raw.observe(obs, F.sum(F.col("raw") * F.col("raw")).alias("ss"))
+        )
+        nrm = math.sqrt(obs.get["ss"] or 0.0) or 1.0
+        return raw, nrm
+
+    def _normalized(raw: DataFrame, nrm: float, out_col: str) -> DataFrame:
+        """vertex-complete, L2-normalized (vertex, out_col): a shallow lazy
+        plan over the CACHED raw sums (safe to consume twice)."""
+        return verts.join(raw, "vertex", "left").select(
+            "vertex",
+            (F.coalesce("raw", F.lit(0.0)) / F.lit(nrm)).alias(out_col),
         )
 
     hub = truncate_plan(verts.select("vertex", F.lit(1.0).alias("hub")))
     auth = None
+    cached: list[DataFrame] = []
     metrics: list[IterationMetrics] = []
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for it in range(1, max_iter + 1):
             t0 = time.time()
-            a_raw = (
+            a_raw, a_nrm = _raw_with_norm(
                 e_src.join(
                     hub.withColumnRenamed("vertex", "src").hint("shuffle_hash"), "src"
                 )
                 .groupBy(F.col("dst").alias("vertex"))
                 .agg(F.sum("hub").alias("raw"))
             )
-            new_auth = truncate_plan(_normalized(a_raw, "auth"))
-            h_raw = (
+            new_auth = _normalized(a_raw, a_nrm, "auth")
+            h_raw, h_nrm = _raw_with_norm(
                 e_dst.join(
                     new_auth.withColumnRenamed("vertex", "dst").hint("shuffle_hash"),
                     "dst",
@@ -320,10 +329,14 @@ def hits(
                 .groupBy(F.col("src").alias("vertex"))
                 .agg(F.sum("auth").alias("raw"))
             )
-            new_hub = truncate_plan(_normalized(h_raw, "hub"))
-            for old in (hub, auth):
-                if old is not None:
-                    old.unpersist()
+            new_hub = _normalized(h_raw, h_nrm, "hub")
+            # previous iteration's raws are no longer referenced by any
+            # live plan (this iteration's states sit on a_raw/h_raw)
+            for old in cached:
+                old.unpersist()
+            if it == 1:
+                hub.unpersist()
+            cached = [a_raw, h_raw]
             hub, auth = new_hub, new_auth
             metrics.append(
                 IterationMetrics(
