@@ -802,6 +802,11 @@ def _q_top_bigrams(spark, sf_dir):
     )
 
 
+def _q_collocations(spark, sf_dir):
+    out = corpus.collocations(_t(spark, sf_dir, "documents"), min_count=5)
+    return out.select("w1", "w2", "n_ab", F.round("pmi", 6).alias("pmi"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_supplier_part": _q_edges,
@@ -862,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "sample_stratified": _q_sample_stratified,
         "top_bigrams": _q_top_bigrams,
+        "collocations": _q_collocations,
         "event_window_counts": _q_event_windows,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
@@ -1304,6 +1310,28 @@ def _random_walks_sql(edge_sql: str, walk_length: int, num_walks: int,
     return "with " + ",\n".join(ctes) + "\n" + steps
 
 
+_COLLOCATIONS_SQL = r"""
+with n as (select trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) as norm
+           from documents),
+t as (select string_split(norm, ' ') as toks from n),
+uni as materialized (select w, count(*)::bigint as n_w from
+  (select unnest(toks) as w from t) group by w),
+g as (select unnest(list_transform(generate_series(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i + 1])) as ng
+      from t where len(toks) >= 2),
+bi as materialized (select split_part(ng, ' ', 1) as w1,
+  split_part(ng, ' ', 2) as w2, count(*)::bigint as n_ab from g group by 1, 2),
+tt as (select sum(n_w)::double as t from uni),
+tb as (select sum(n_ab)::double as b from bi)
+select b1.w1, b1.w2, b1.n_ab,
+       round(ln((b1.n_ab / tb.b) / ((a.n_w / tt.t) * (c.n_w / tt.t))), 6) as pmi
+from bi b1
+join uni a on a.w = b1.w1
+join uni c on c.w = b1.w2, tt, tb
+where b1.n_ab >= 5
+"""
+
+
 _DEDUP_CLUSTERS_SQL = r"""
 with recursive n as (select doc_id, lang, lower(regexp_replace(text, '\s+', ' ', 'g')) as norm
            from documents),
@@ -1548,6 +1576,7 @@ from documents
         "decontaminate": _DECONTAM_SQL,
         "sample_stratified": _SAMPLE_SQL,
         "top_bigrams": _TOP_BIGRAMS_SQL,
+        "collocations": _COLLOCATIONS_SQL,
         # Omitted on purpose (engine-side hashing / randomized projections
         # that DuckDB cannot reproduce): near_dup_minhash (LSH banding over
         # xxhash64 signatures; its precision invariant IS gated above and

@@ -188,3 +188,63 @@ def top_ngrams(
         .orderBy(F.col("cnt").desc(), F.col("ngram"))
         .limit(topk)
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information of adjacent word pairs (collocation
+    mining for tokenizer/vocabulary construction):
+    ``(w1, w2, n_ab, pmi)`` for every bigram with ``n_ab >= min_count``,
+    ``pmi = ln((n_ab/B) / ((n_a/T)·(n_b/T)))`` over corpus totals T
+    (tokens) and B (bigrams).
+
+    Pure counting + one log — three count shuffles (unigrams, bigrams,
+    totals ride on the same aggregates) and two broadcast-sized joins of
+    the bigram table against the unigram counts; the min_count filter
+    prunes the Zipf tail before the joins. Output is filtered only by the
+    integer count, so the result SET is exact and engine-independent; the
+    pmi value is deterministic double math (rounded by callers for
+    cross-engine comparison).
+    """
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    toks = F.split(F.trim(norm), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(idx, lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        )),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("n_w"))
+    )
+    total_t = uni.agg(F.sum("n_w").alias("t"))
+    bi = (
+        df.select(F.explode(grams).alias("g"))
+        .select("g.w1", "g.w2")
+        .groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+    )
+    total_b = bi.agg(F.sum("n_ab").alias("b"))
+    out = (
+        bi.filter(F.col("n_ab") >= min_count)
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1")
+                          .withColumnRenamed("n_w", "n_a")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2")
+                          .withColumnRenamed("n_w", "n_b")), "w2")
+        .crossJoin(F.broadcast(total_t))
+        .crossJoin(F.broadcast(total_b))
+        .select(
+            "w1", "w2", "n_ab",
+            F.log(
+                (F.col("n_ab") / F.col("b"))
+                / ((F.col("n_a") / F.col("t")) * (F.col("n_b") / F.col("t")))
+            ).alias("pmi"),
+        )
+    )
+    return out

@@ -107,3 +107,29 @@ def test_top_ngrams_counts_and_ties(spark):
     out2 = corpus.top_ngrams(df, n=2, topk=10, min_count=1).collect()
     grams = {r.ngram for r in out2}
     assert "one" not in grams and "" not in grams
+
+
+def test_collocations_pmi_math(spark):
+    # corpus: "x y" appears 3x, tokens: x:3, y:3, b:2 -> T=8, B=5
+    df = spark.createDataFrame(
+        [(1, "x y b"), (2, "x y b"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    out = corpus.collocations(df, min_count=2)
+    got = {(r.w1, r.w2): (r.n_ab, r.pmi) for r in out.collect()}
+    import math
+    T, B = 8.0, 5.0
+    assert got[("x", "y")][0] == 3
+    assert got[("x", "y")][1] == pytest.approx(
+        math.log((3 / B) / ((3 / T) * (3 / T))), rel=1e-12
+    )
+    assert got[("y", "b")][0] == 2
+    assert ("b", "x") not in got  # never adjacent within a doc
+
+
+def test_collocations_min_count_prunes(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y")], "doc_id long, text string"
+    )
+    assert corpus.collocations(df, min_count=2).count() == 1  # only "a b"
+    assert corpus.collocations(df, min_count=3).count() == 0
