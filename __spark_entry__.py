@@ -354,6 +354,23 @@ def _q_local_clustering(spark, sf_dir):
     )
 
 
+def _q_link_prediction(spark, sf_dir):
+    """Adamic-Adar / common-neighbor link prediction: top-20 non-adjacent
+    pairs by AA score over the undirected graph1000. Ranked by the ROUNDED
+    score (+ (x, y) tie-break) so Spark's and DuckDB's float summation
+    order can't flip the top-k boundary."""
+    out = algorithms.link_prediction(_graph1000(spark, sf_dir), topk=None)
+    return (
+        out.select(
+            "x", "y", "common",
+            F.round("aa_score", 6).alias("aa_score"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy(F.col("aa_score").desc(), "x", "y")
+        .limit(20)
+    )
+
+
 NEIGHBORHOOD_H = 3
 HADI_LG_K = 12
 
@@ -807,6 +824,30 @@ def _q_collocations(spark, sf_dir):
     return out.select("w1", "w2", "n_ab", F.round("pmi", 6).alias("pmi"))
 
 
+def _q_unigram_logprob(spark, sf_dir):
+    """Unigram-LM document quality scores (CCNet-style): mean token
+    log-probability under the corpus's own unigram distribution."""
+    out = corpus.unigram_logprob(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+        F.round("ppl", 4).alias("ppl"),
+    )
+
+
+PACK_MAX_TOKENS = 512
+
+
+def _q_pack_documents(spark, sf_dir):
+    """Deterministic sequential packing into 512-token bins per language
+    (n_shards=0: one stream per lang — the oracle-exact configuration)."""
+    return corpus.pack_documents(
+        _t(spark, sf_dir, "documents"),
+        max_tokens=PACK_MAX_TOKENS,
+        group_cols=["lang"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_supplier_part": _q_edges,
@@ -831,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits4": _q_hits4,
         "kcore": _q_kcore,
         "local_clustering": _q_local_clustering,
+        "link_prediction": _q_link_prediction,
         "neighborhood3": _q_neighborhood3,
         "hadi_precision": _q_hadi_precision,
         "hadi_series": _q_hadi_series,
@@ -868,6 +910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "top_bigrams": _q_top_bigrams,
         "collocations": _q_collocations,
+        "unigram_logprob": _q_unigram_logprob,
+        "pack_documents": _q_pack_documents,
         "event_window_counts": _q_event_windows,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
@@ -1311,7 +1355,7 @@ def _random_walks_sql(edge_sql: str, walk_length: int, num_walks: int,
 
 
 _COLLOCATIONS_SQL = r"""
-with n as (select trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) as norm
+with n as (select trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) as norm
            from documents),
 t as (select string_split(norm, ' ') as toks from n),
 uni as materialized (select w, count(*)::bigint as n_w from
@@ -1329,6 +1373,58 @@ from bi b1
 join uni a on a.w = b1.w1
 join uni c on c.w = b1.w2, tt, tb
 where b1.n_ab >= 5
+"""
+
+
+_LINK_PRED_SQL = f"""
+with e as ({G1000_SQL}),
+und as (select least(src, dst) as a, greatest(src, dst) as b from e group by 1, 2),
+deg as (select v, count(*) as d from
+  (select a as v from und union all select b from und) group by v),
+adj as (select a as z, b as n from und union all select b, a from und),
+br as (select adj.z, adj.n, deg.d as dz from adj join deg on deg.v = adj.z),
+pairs as (select l.n as x, r.n as y, count(*)::bigint as common,
+                 sum(1.0 / ln(l.dz)) as aa
+          from br l join br r on l.z = r.z and l.n < r.n
+          group by 1, 2),
+open_pairs as (select p.* from pairs p
+  left join und on und.a = p.x and und.b = p.y where und.a is null)
+select o.x, o.y, o.common, round(o.aa, 6) as aa_score,
+       round(o.common / (dx.d + dy.d - o.common)::double, 6) as jaccard
+from open_pairs o
+join deg dx on dx.v = o.x
+join deg dy on dy.v = o.y
+order by round(o.aa, 6) desc, o.x, o.y
+limit 20
+"""
+
+
+_UNIGRAM_LP_SQL = r"""
+with n as (select doc_id, trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) as norm
+           from documents),
+t as (select doc_id, unnest(string_split(norm, ' ')) as w from n),
+tok as (select * from t where w <> ''),
+uni as materialized (select w, count(*)::bigint as n_w from tok group by w),
+tt as (select sum(n_w)::double as t from uni),
+pd as (select doc_id, count(*)::bigint as n_tokens, avg(ln(n_w / tt.t)) as alp
+       from tok join uni using (w), tt group by doc_id)
+select d.doc_id, coalesce(pd.n_tokens, 0) as n_tokens,
+       round(pd.alp, 6) as avg_logprob, round(exp(-pd.alp), 4) as ppl
+from (select doc_id from documents) d left join pd using (doc_id)
+"""
+
+_PACK_SQL = r"""
+with n as (select doc_id, lang,
+           trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) as norm
+           from documents),
+tk as (select doc_id, lang,
+       len(list_filter(string_split(norm, ' '), w -> w <> ''))::int as n_tokens
+       from n)
+select doc_id, lang, 0 as shard, n_tokens,
+  floor(coalesce(sum(n_tokens) over (partition by lang order by doc_id
+          rows between unbounded preceding and 1 preceding), 0)
+        / 512.0)::bigint as bin
+from tk
 """
 
 
@@ -1491,6 +1587,7 @@ def oracle_sql() -> dict[str, str]:
         "hits4": _hits_sql(G1000_SQL, HITS_ITERS),
         "kcore": _kcore_sql(G1000_SQL, KCORE_K, KCORE_ROUNDS),
         "local_clustering": _LCC_SQL,
+        "link_prediction": _LINK_PRED_SQL,
         "neighborhood3": _neighborhood_sql(G1000_SQL, NEIGHBORHOOD_H),
         "hadi_precision": (
             "select cast(null as integer) as h, "
@@ -1577,6 +1674,8 @@ from documents
         "sample_stratified": _SAMPLE_SQL,
         "top_bigrams": _TOP_BIGRAMS_SQL,
         "collocations": _COLLOCATIONS_SQL,
+        "unigram_logprob": _UNIGRAM_LP_SQL,
+        "pack_documents": _PACK_SQL,
         # Omitted on purpose (engine-side hashing / randomized projections
         # that DuckDB cannot reproduce): near_dup_minhash (LSH banding over
         # xxhash64 signatures; its precision invariant IS gated above and

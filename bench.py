@@ -206,6 +206,24 @@ def main() -> None:
         lambda: textops.chunk_documents(docs)
         .agg(F.count("*"), F.sum("n_chunk_tokens")).first(),
     )
+    # bridge cap 64 bounds the wedge fan-out (sum of deg^2 over bridges) on
+    # the skewed supplier->part graph; 1/ln(deg) weights make the cap cheap
+    timed(
+        "link_prediction_top20",
+        lambda: algorithms.link_prediction(
+            edges, topk=20, max_bridge_degree=64
+        ).count(),
+    )
+    timed(
+        "unigram_logprob_scan",
+        lambda: corpus.unigram_logprob(docs).agg(F.avg("ppl")).first(),
+    )
+    timed(
+        "pack_documents",
+        lambda: corpus.pack_documents(
+            docs, max_tokens=2048, group_cols=["lang"], n_shards=8
+        ).agg(F.count("*"), F.max("bin")).first(),
+    )
     timed(
         "emb_neardup_lsh",
         lambda: textops.embedding_near_duplicates(

@@ -248,3 +248,100 @@ def collocations(
         )
     )
     return out
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    lm_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document unigram language-model score — the classic cheap
+    quality signal (CCNet-style: documents whose tokens are improbable
+    under a corpus LM are boilerplate/garbage): ``(doc_id, n_tokens,
+    avg_logprob, ppl)`` with ``avg_logprob = mean(ln(n_w / T))`` over the
+    document's whitespace tokens and ``ppl = exp(-avg_logprob)``.
+
+    ``lm_counts`` (w, n_w) lets callers score against an LM trained on a
+    DIFFERENT (e.g. reference/clean) corpus; default trains on ``df``
+    itself, where every token has n_w >= 1 so no smoothing is needed.
+    Scale shape: one token-count aggregation (map-side combine absorbs the
+    Zipf head), then a shuffle join of exploded tokens against the count
+    table keyed by token — AQE's skew split handles the stop-word keys —
+    and one per-doc mean. Empty documents score NULL logprob, n_tokens 0.
+    """
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    toks = F.split(F.trim(norm), " ")
+    tok = df.select("doc_id", F.explode(toks).alias("w")).filter(F.col("w") != "")
+    if lm_counts is None:
+        lm_counts = tok.groupBy("w").agg(F.count("*").alias("n_w"))
+    total = lm_counts.agg(F.sum("n_w").alias("t"))
+    scored = (
+        tok.join(lm_counts, "w")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("n_w") / F.col("t")).alias("lp"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"), F.avg("lp").alias("avg_logprob")
+    )
+    return (
+        df.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "avg_logprob",
+            F.exp(-F.col("avg_logprob")).alias("ppl"),
+        )
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    max_tokens: int,
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+    n_shards: int = 0,
+) -> DataFrame:
+    """Deterministic sequential packing of documents into fixed-size token
+    bins (pretraining batch construction): ``(doc_id, <groups>, shard,
+    n_tokens, bin)`` where documents ordered by doc_id within a
+    (group, shard) stream are assigned ``bin = floor(cum_prev / max_tokens)``
+    — each bin takes consecutive documents until their running token total
+    reaches ``max_tokens`` (a document longer than ``max_tokens`` occupies
+    its own bin and overflows it; chunk first via
+    :func:`flexgraph_spark.textops.chunk_documents` if that matters).
+
+    Scale shape: the running sum is a window ordered by doc_id, which sorts
+    WITHIN each (group, shard) partition only — ``n_shards > 0`` splits
+    each group into ``pmod(xxhash64(doc_id), n_shards)`` streams so no
+    single window sees more than corpus/(groups·shards) rows and the sort
+    stays parallel (bins never cross shards by construction, so packing
+    quality is unchanged; determinism is unchanged because the shard of a
+    doc is a pure hash). With ``n_shards = 0`` (tests/oracle) each group is
+    one stream — exact but single-reducer, small-data only.
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    n_tok = F.size(F.filter(F.split(F.trim(norm), " "), lambda w: w != ""))
+    base = df.select("doc_id", *groups, n_tok.alias("n_tokens"))
+    shard = (
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_shards))
+        if n_shards > 0
+        else F.lit(0)
+    )
+    base = base.withColumn("shard", shard.cast("int"))
+    w = (
+        Window.partitionBy(*(groups + ["shard"]))
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "doc_id",
+        *groups,
+        "shard",
+        "n_tokens",
+        F.floor(cum_prev / F.lit(max_tokens)).cast("long").alias("bin"),
+    )

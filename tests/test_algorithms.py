@@ -148,3 +148,29 @@ def test_random_walks_salt_changes_walks(spark):
     a = sorted(map(tuple, algorithms.random_walks(e, 4, 1, salt="a").collect()))
     b = sorted(map(tuple, algorithms.random_walks(e, 4, 1, salt="b").collect()))
     assert a != b
+
+
+def test_link_prediction_adamic_adar_golden(spark):
+    """Square 1-2-4-3-1 with diagonal 2-3: the only non-adjacent pair is
+    (1, 4) with common neighbors {2, 3} (both degree 3)."""
+    import math
+
+    pairs = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    out = algorithms.link_prediction(_edges(spark, pairs), topk=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.x, r.y, r.common) == (1, 4, 2)
+    assert r.aa_score == pytest.approx(2.0 / math.log(3.0), rel=1e-12)
+    assert r.jaccard == pytest.approx(2.0 / (2 + 2 - 2), rel=1e-12)
+
+
+def test_link_prediction_bridge_cap_and_direction_blind(spark):
+    """max_bridge_degree excludes hub bridges; reversed/duplicate edges
+    collapse to the same undirected simple graph."""
+    pairs = [(1, 2), (2, 1), (1, 3), (2, 3), (2, 4), (4, 3), (3, 3)]
+    out = algorithms.link_prediction(_edges(spark, pairs), topk=10)
+    assert [(r.x, r.y, r.common) for r in out.collect()] == [(1, 4, 2)]
+    capped = algorithms.link_prediction(
+        _edges(spark, pairs), topk=10, max_bridge_degree=2
+    )
+    assert capped.count() == 0

@@ -133,3 +133,70 @@ def test_collocations_min_count_prunes(spark):
     )
     assert corpus.collocations(df, min_count=2).count() == 1  # only "a b"
     assert corpus.collocations(df, min_count=3).count() == 0
+
+
+def test_unigram_logprob_golden(spark):
+    # corpus tokens: a:3, b:2, c:1 -> T=6
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c"), (3, "")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in corpus.unigram_logprob(df).collect()}
+    lp = {"a": math.log(3 / 6), "b": math.log(2 / 6), "c": math.log(1 / 6)}
+    exp1 = (2 * lp["a"] + lp["b"]) / 3
+    exp2 = (lp["a"] + lp["b"] + lp["c"]) / 3
+    assert got[1].n_tokens == 3
+    assert got[1].avg_logprob == pytest.approx(exp1, rel=1e-12)
+    assert got[1].ppl == pytest.approx(math.exp(-exp1), rel=1e-12)
+    assert got[2].avg_logprob == pytest.approx(exp2, rel=1e-12)
+    assert got[3].n_tokens == 0 and got[3].avg_logprob is None
+    # external LM: score doc 1 under counts where "a" dominates
+    lm = spark.createDataFrame([("a", 9), ("b", 1)], "w string, n_w long")
+    ext = {r.doc_id: r for r in corpus.unigram_logprob(df, lm_counts=lm).collect()}
+    exp_ext = (2 * math.log(0.9) + math.log(0.1)) / 3
+    assert ext[1].avg_logprob == pytest.approx(exp_ext, rel=1e-12)
+
+
+def test_pack_documents_sequential_bins(spark):
+    # per-lang streams, max_tokens=4: cum_prev drives the bin boundary
+    rows = [
+        (1, "en", "t t t"),      # 3 toks, cum_prev 0 -> bin 0
+        (2, "en", "t t"),        # cum_prev 3 -> bin 0
+        (3, "en", "t"),          # cum_prev 5 -> bin 1
+        (4, "en", "t t t t t"),  # cum_prev 6 -> bin 1 (overflows it alone)
+        (5, "en", "t"),          # cum_prev 11 -> bin 2
+        (6, "de", "t t"),        # separate stream -> bin 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = corpus.pack_documents(df, max_tokens=4, group_cols=["lang"])
+    got = {r.doc_id: (r.lang, r.n_tokens, r.bin) for r in out.collect()}
+    assert got == {
+        1: ("en", 3, 0), 2: ("en", 2, 0), 3: ("en", 1, 1),
+        4: ("en", 5, 1), 5: ("en", 1, 2), 6: ("de", 2, 0),
+    }
+
+
+def test_pack_documents_sharding_deterministic_and_bounded(spark):
+    rows = [(i, "en", "w " * (i % 7 + 1)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    a = corpus.pack_documents(df, max_tokens=16, group_cols=["lang"], n_shards=4)
+    b = corpus.pack_documents(df, max_tokens=16, group_cols=["lang"], n_shards=4)
+    ra = sorted(map(tuple, a.collect()))
+    assert ra == sorted(map(tuple, b.collect()))  # pure-hash shard => rerunnable
+    import collections
+
+    per_bin = collections.Counter()
+    docs = {r.doc_id: r for r in a.collect()}
+    for r in docs.values():
+        per_bin[(r.shard, r.bin)] += r.n_tokens
+    # every bin except possibly the last of each shard stream holds >= 16
+    # tokens only via its final overflowing doc; start offsets stay < 16*bin+16
+    for (shard, bin_), _tot in per_bin.items():
+        stream = sorted(
+            (r.doc_id for r in docs.values() if r.shard == shard), key=int
+        )
+        cum = 0
+        for d in stream:
+            assert docs[d].bin == cum // 16
+            cum += docs[d].n_tokens
