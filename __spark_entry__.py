@@ -190,6 +190,16 @@ def _q_cc_sizes(spark, sf_dir):
     )
 
 
+def _q_cc_star(spark, sf_dir):
+    """Alternating large-star/small-star contraction — O(log n) rounds vs
+    HashMin's O(diameter); identical min-label output, so the same
+    recursive-CTE oracle gates both paths."""
+    res = algorithms.connected_components_star(
+        _graph1000(spark, sf_dir), max_iter=50
+    )
+    return res.state.select("vertex", F.col("value").cast("long").alias("label"))
+
+
 def _q_pagerank10(spark, sf_dir):
     res = algorithms.pagerank(
         _edges_sp(spark, sf_dir), threshold=0.0, max_iter=PAGERANK_ITERS
@@ -857,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_modules": _q_link_modules,
         "link_graph_size": _q_link_graph_size,
         "cc_labels": _q_cc_labels,
+        "cc_star": _q_cc_star,
         "cc_sizes": _q_cc_sizes,
         "pagerank10": _q_pagerank10,
         "rwr10": _q_rwr10,
@@ -1560,6 +1571,7 @@ def oracle_sql() -> dict[str, str]:
         "link_modules": _LINK_MODULES_SQL,
         "link_graph_size": _LINK_SIZE_SQL,
         "cc_labels": _CC_SQL,
+        "cc_star": _CC_SQL,
         "cc_sizes": (
             f"with labels as ({_CC_SQL}) "
             "select label, count(*)::bigint as size from labels group by label"

@@ -121,6 +121,12 @@ def main() -> None:
         ).state.count(),
     )
     timed(
+        "cc_star_converged",
+        lambda: algorithms.connected_components_star(
+            edges, num_partitions=gp
+        ).state.count(),
+    )
+    timed(
         "lp_4it",
         lambda: algorithms.label_propagation(
             g5000, max_iter=4, num_partitions=gp

@@ -800,3 +800,121 @@ def link_prediction(
     out = _materialize(out)
     und.unpersist()
     return out
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every vertex u connects its strictly-LARGER
+    neighbors to min(N(u) ∪ {u}). Emitted edges keep the (u > v)
+    orientation invariant."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient every edge large→small, then each vertex u
+    connects its (all smaller) neighbors and itself to the minimum one."""
+    o = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    j = o.join(o.groupBy("u").agg(F.min("v").alias("m")), "u")
+    nbr = j.where(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    own = j.select("u", F.col("m").alias("v")).distinct()
+    return nbr.union(own).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame, max_iter: int = 50, num_partitions: int | None = None
+) -> GimvResult:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — O(log² n) rounds worst case, ~log n observed,
+    versus HashMin GIM-V's O(diameter) rounds.
+
+    Why it exists next to ``connected_components``: at 10^12-file link
+    scale the graph has chain-shaped tails (page chains, monotone ID
+    ranges) whose diameter is easily 10³⁺, and every HashMin superstep is
+    a full E-scan even with delta messaging (the frontier walks the chain
+    one hop per round). Star contraction instead halves long paths every
+    round and operates on a SHRINKING edge set, so total work is
+    O(E log n) with geometrically-decaying rounds. The output contract is
+    identical — label = min vertex id of the component — so the same
+    recursive-CTE oracle gates both (cc_labels / cc_star rows).
+
+    Scale notes: the per-round ``groupBy(u).min`` is partially
+    aggregatable (map-side combine absorbs hub fan-in); the mins join
+    duplicates one m per neighbor, which is the algorithm's required
+    output size, and AQE's skew-join split handles hub u keys. Each round
+    is cut from the lineage via truncate_plan (same compounding-statistics
+    trap as the GIM-V loop, gimv.truncate_plan docstring). Convergence is
+    detected by edge-set fixpoint via (count, Σ xxhash64) signature — no
+    exceptAll shuffle; a signature collision would need a 64-bit hash-sum
+    tie on different sets.
+
+    Reference parity: same result as FlexGraph's HashMin cc
+    (PageRankComputation-family min semi-ring, SURVEY §2.2); this is the
+    contraction-style alternative the reference runs diameter rounds for.
+    """
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v"))
+        .distinct()
+    )
+    if num_partitions:
+        e = e.repartition(num_partitions, "u")
+    e = truncate_plan(e)
+    sig = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)).alias("h"),
+    ).first()
+    metrics: list[IterationMetrics] = []
+    converged = False
+    rounds = 0
+    for i in range(max_iter):
+        t0 = time.time()
+        prev, prev_sig = e, sig
+        e = truncate_plan(_small_star(_large_star(prev)))
+        sig = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)).alias("h"),
+        ).first()
+        prev.unpersist(blocking=False)
+        rounds = i + 1
+        changed = 0 if (sig.n, sig.h) == (prev_sig.n, prev_sig.h) else int(sig.n)
+        metrics.append(
+            IterationMetrics(
+                iteration=rounds,
+                messages_shuffled=int(sig.n),
+                changed=changed,
+                edges_scanned=int(prev_sig.n),
+                seconds=time.time() - t0,
+            )
+        )
+        if changed == 0:
+            converged = True
+            break
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    labels = (
+        verts.join(
+            e.select(F.col("u").alias("vertex"), F.col("v").alias("label")),
+            "vertex",
+            "left",
+        )
+        .select("vertex", F.coalesce("label", "vertex").alias("value"))
+    )
+    return GimvResult(
+        state=labels, iterations=rounds, converged=converged, metrics=metrics
+    )

@@ -174,3 +174,47 @@ def test_link_prediction_bridge_cap_and_direction_blind(spark):
         _edges(spark, pairs), topk=10, max_bridge_degree=2
     )
     assert capped.count() == 0
+
+
+def test_cc_star_path_graph_log_rounds(spark):
+    """A 199-hop path needs 199 HashMin supersteps but only O(log n) star
+    rounds — the algorithm's reason to exist. Also checks labels, the
+    isolated self-loop vertex, and the separate triangle component."""
+    pairs = [(i, i + 1) for i in range(199)]
+    pairs += [(500, 501), (501, 502), (502, 500), (900, 900)]
+    res = algorithms.connected_components_star(_edges(spark, pairs))
+    assert res.converged
+    assert res.iterations <= 12  # 2*log2(200) + slack; observed 9
+    out = {r.vertex: int(r.value) for r in res.state.collect()}
+    assert all(out[i] == 0 for i in range(200))
+    assert out[500] == out[501] == out[502] == 500
+    assert out[900] == 900
+
+
+def test_cc_star_matches_hashmin(spark):
+    """Label parity with the GIM-V HashMin engine on a random multigraph
+    (self-loops, parallel edges, both directions)."""
+    import random
+
+    rng = random.Random(11)
+    pairs = [(rng.randrange(250), rng.randrange(250)) for _ in range(350)]
+    e = _edges(spark, pairs)
+    a = {
+        r.vertex: int(r.value)
+        for r in algorithms.connected_components(e, max_iter=80).state.collect()
+    }
+    b = {
+        r.vertex: int(r.value)
+        for r in algorithms.connected_components_star(e).state.collect()
+    }
+    assert a == b
+
+
+def test_cc_star_empty_and_selfloop_only(spark):
+    e = _edges(spark, [(3, 3)])
+    res = algorithms.connected_components_star(e)
+    assert res.converged
+    assert [(r.vertex, int(r.value)) for r in res.state.collect()] == [(3, 3)]
+    empty = _edges(spark, []).filter("src > 0")
+    res2 = algorithms.connected_components_star(empty)
+    assert res2.converged and res2.state.count() == 0
