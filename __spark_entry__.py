@@ -25,6 +25,7 @@ rounded to 6 dp on both sides because summation order is engine-specific.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -458,6 +459,17 @@ def _q_content_invariant(spark, sf_dir):
     return content_fingerprint(files).select("repo", "path", "sha256")
 
 
+BM25_QUERY = "spark table join window"
+
+
+def _q_bm25_top20(spark, sf_dir):
+    return textops.bm25_rank(_t(spark, sf_dir, "documents"), BM25_QUERY, topk=20)
+
+
+def _q_tfidf_terms(spark, sf_dir):
+    return textops.tfidf_top_terms(_t(spark, sf_dir, "documents"), per_doc_k=3)
+
+
 def _q_token_stats(spark, sf_dir):
     return textops.token_stats(_t(spark, sf_dir, "documents"))
 
@@ -889,6 +901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hadi_series": _q_hadi_series,
         "triangles": _q_triangles,
         "content_invariant": _q_content_invariant,
+        "bm25_top20": _q_bm25_top20,
+        "tfidf_terms": _q_tfidf_terms,
         "token_stats": _q_token_stats,
         "regex_tokens": _q_regex_tokens,
         "quality_scores": _q_quality,
@@ -1138,6 +1152,69 @@ e as (select distinct doc_id as s, (doc_id * 7) % nd as t from d)
 select (select count(*) from d) as n_vertices,
        (select count(*) from e) as n_edges,
        (select count(*) from d) - 1 as max_vertex_id
+"""
+
+def _bm25_sql(query: str, k1: float = 1.2, b: float = 0.75, topk: int = 20) -> str:
+    """Okapi BM25 oracle — conditional-aggregation shape identical to
+    textops.bm25_rank (one per-doc agg, corpus stats, closed-form score)."""
+    terms = sorted({t for t in re.split("[^a-z0-9]+", query.lower()) if t})
+    tf_cols = ",\n    ".join(
+        f"sum(case when term = '{t}' then 1 else 0 end) as tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n    ".join(
+        f"sum(case when tf_{i} > 0 then 1 else 0 end) as df_{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln(1 + (n_docs - df_{i} + 0.5)/(df_{i} + 0.5)) * tf_{i} * ({k1} + 1) "
+        f"/ (tf_{i} + {k1} * (1 - {b} + {b} * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    return f"""
+with tok as (
+  select doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) as term
+  from documents
+),
+per_doc as (
+  select doc_id, count(*) as dl,
+    {tf_cols}
+  from tok where term <> '' group by doc_id
+),
+stats as (
+  select count(*) as n_docs, avg(dl) as avgdl,
+    {df_cols}
+  from per_doc
+)
+select doc_id, round({score}, 6) as bm25
+from per_doc cross join stats
+where {score} > 0
+order by bm25 desc, doc_id limit {topk}
+"""
+
+
+_TFIDF_SQL = """
+with tok as (
+  select doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) as term
+  from documents
+),
+tf as (
+  select doc_id, term, count(*)::bigint as tf
+  from tok where term <> '' group by doc_id, term
+),
+dft as (select term, count(*) as df_t from tf group by term),
+scored as (
+  select doc_id, term, tf,
+    round(tf * (ln(((select count(*) from documents) + 1.0) / (df_t + 1)) + 1),
+          6) as tfidf
+  from tf join dft using (term)
+),
+r as (
+  select *, row_number() over (
+    partition by doc_id order by tfidf desc, term asc) as rank
+  from scored
+)
+select doc_id, term, tf, tfidf, rank::int as rank from r where rank <= 3
 """
 
 _TOKEN_STATS_SQL = """
@@ -1614,6 +1691,8 @@ select 'repo' || (doc_id % 10) as repo,
               ((doc_id * 7) % nd) || ' import x') as sha256
 from d
 """,
+        "bm25_top20": _bm25_sql(BM25_QUERY),
+        "tfidf_terms": _TFIDF_SQL,
         "token_stats": _TOKEN_STATS_SQL,
         "regex_tokens": _REGEX_TOKENS_SQL,
         "quality_scores": _QUALITY_SQL,

@@ -200,6 +200,16 @@ def main() -> None:
         .first(),
     )
     timed(
+        "bm25_top20",
+        lambda: textops.bm25_rank(
+            docs, "spark table join window", topk=20
+        ).count(),
+    )
+    timed(
+        "tfidf_terms",
+        lambda: textops.tfidf_top_terms(docs, per_doc_k=3).count(),
+    )
+    timed(
         "winnow_fp_scan",
         lambda: textops.winnow_fingerprints(docs).agg(F.sum("n_fps")).first(),
     )

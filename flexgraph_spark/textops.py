@@ -1144,3 +1144,126 @@ def extract_media_features(media: DataFrame, feature_dim: int = 8, real_decode: 
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Lexical relevance: BM25 ranking and tf-idf keyword extraction
+# ---------------------------------------------------------------------------
+
+_WORD_SPLIT = "[^a-z0-9]+"
+
+
+def _terms(df: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, term) rows — lowercase alphanumeric word tokenization,
+    identical on the DuckDB oracle side (string_split_regex)."""
+    return (
+        df.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col(text_col)), _WORD_SPLIT)).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``topk`` documents for ``query`` by Okapi BM25:
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+        idf(t)   = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+
+    Output (doc_id, bm25) with bm25 rounded to 6 decimals; deterministic
+    (bm25 desc, doc_id) order.
+
+    Scale: ONE shuffle total. Per-document term frequencies for the q
+    query terms are conditional aggregates in a single ``groupBy(doc_id)``
+    pass over the exploded tokens (no (doc, term) key space, no join),
+    which also yields dl; the corpus constants (N, avgdl, per-term df)
+    reduce from that table in a second tiny agg — a scalar driver fetch at
+    setup, never per-row. Works for query lengths up to a few hundred
+    terms (one aggregate column each); document search over a 100 TB
+    corpus shuffles only doc_id-keyed partial aggregates.
+    """
+    import re as _re
+
+    terms = sorted({t for t in _re.split(_WORD_SPLIT, query.lower()) if t})
+    if not terms:
+        raise ValueError("query has no alphanumeric terms")
+    tok = _terms(df, text_col)
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    ).first()
+    n_docs, avgdl = stats.n_docs, stats.avgdl
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        dfi = stats[f"df_{i}"]
+        idf = float(np.log1p((n_docs - dfi + 0.5) / (dfi + 0.5)))
+        tf = F.col(f"tf_{i}").cast("double")
+        score = score + F.lit(idf) * tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
+        )
+    return (
+        per_doc.select("doc_id", F.round(score, 6).alias("bm25"))
+        .where(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(topk)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, per_doc_k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document keyword extraction: the ``per_doc_k`` highest-tf-idf
+    terms of each document, smooth-idf (sklearn convention):
+
+        tfidf = tf · (ln((N + 1)/(df_t + 1)) + 1)
+
+    Output (doc_id, term, tf, tfidf, rank), tfidf rounded to 6 decimals,
+    ties broken by term ascending.
+
+    Scale: tf is one (doc_id, term) aggregation (partial map-side combine
+    absorbs within-doc repeats); document frequency is one more agg over
+    that table keyed by term alone — the Zipf head (stop words) is a
+    SUM-shaped agg, not a join fan-out — then a broadcast-sized? no: a
+    shuffle join back on term where AQE's skew split handles the head; the
+    per-doc top-k is a window over doc_id partitions (uniform).
+    """
+    tok = _terms(df, text_col)
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dft = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    n_docs = df.count()
+    scored = tf.join(dft, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(float(n_docs + 1))) / (F.col("df_t") + 1)) + 1),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= per_doc_k)
+        .select("doc_id", "term", F.col("tf").cast("long").alias("tf"), "tfidf",
+                F.col("rank").cast("int").alias("rank"))
+    )

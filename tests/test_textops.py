@@ -457,3 +457,68 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = _mini_docs(spark)
     with pytest.raises(ValueError):
         textops.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_bm25_golden_hand_computed(spark):
+    """Three tiny docs, two-term query — score recomputed by hand with the
+    same Okapi formula (k1=1.2, b=0.75)."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.bm25
+        for r in textops.bm25_rank(docs, "apple cherry", topk=10).collect()
+    }
+    n, avgdl = 3, 3.0
+    k1, b = 1.2, 0.75
+
+    def sc(tf, dl, dft):
+        idf = math.log(1 + (n - dft + 0.5) / (dft + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert out[1] == round(sc(2, 3, 1), 6)          # apple only
+    assert out[2] == round(sc(1, 2, 2), 6)          # cherry only
+    assert out[3] == round(sc(3, 4, 2), 6)          # cherry only
+    # doc with no query terms is excluded
+    out2 = textops.bm25_rank(docs, "date", topk=10).collect()
+    assert [r.doc_id for r in out2] == [3]
+
+
+def test_bm25_rejects_empty_query(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        textops.bm25_rank(docs, "!!! ???")
+
+
+def test_tfidf_top_terms_golden(spark):
+    """tf-idf with smooth idf; the doc-frequent term ranks below the rare
+    one even at equal tf; ties break by term ascending."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare1 common"),
+            (2, "common rare2"),
+            (3, "common other"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textops.tfidf_top_terms(docs, per_doc_k=2)
+    rows = {(r.doc_id, r.rank): (r.term, r.tfidf, r.tf) for r in out.collect()}
+
+    def idf(dft):
+        return math.log((3 + 1) / (dft + 1)) + 1
+
+    # doc 1: common tf=2 df=3 -> 2*idf(3); rare1 tf=1 df=1 -> idf(1)
+    assert rows[(1, 1)] == ("common", round(2 * idf(3), 6), 2)
+    assert rows[(1, 2)] == ("rare1", round(idf(1), 6), 1)
+    # doc 2: rare2 beats common (idf(1) > idf(3))
+    assert rows[(2, 1)][0] == "rare2"
+    assert rows[(2, 2)][0] == "common"
