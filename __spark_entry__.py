@@ -459,6 +459,17 @@ def _q_content_invariant(spark, sf_dir):
     return content_fingerprint(files).select("repo", "path", "sha256")
 
 
+def _q_co_occurrence(spark, sf_dir):
+    """Supplier co-occurrence graph: suppliers sharing >= 2 parts, parts
+    capped at fanout 20 (the quadratic-hub guard the projection exists
+    for)."""
+    from flexgraph_spark.graph import bipartite_projection
+
+    return bipartite_projection(
+        _edges_sp(spark, sf_dir), side="src", max_fanout=20, min_weight=2
+    )
+
+
 BM25_QUERY = "spark table join window"
 
 
@@ -901,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hadi_series": _q_hadi_series,
         "triangles": _q_triangles,
         "content_invariant": _q_content_invariant,
+        "co_occurrence": _q_co_occurrence,
         "bm25_top20": _q_bm25_top20,
         "tfidf_terms": _q_tfidf_terms,
         "token_stats": _q_token_stats,
@@ -1690,6 +1702,16 @@ select 'repo' || (doc_id % 10) as repo,
        sha256('from repo' || (((doc_id * 7) % nd) % 10) || '.f' ||
               ((doc_id * 7) % nd) || ' import x') as sha256
 from d
+""",
+        "co_occurrence": """
+with e as (select distinct l_suppkey as m, l_partkey as k from lineitem),
+ok as (select k from e group by k having count(*) <= 20),
+f as (select e.m, e.k from e join ok using (k))
+select x.m as a, y.m as b, count(*)::bigint as weight
+from f x join f y using (k)
+where x.m < y.m
+group by x.m, y.m
+having count(*) >= 2
 """,
         "bm25_top20": _bm25_sql(BM25_QUERY),
         "tfidf_terms": _TFIDF_SQL,

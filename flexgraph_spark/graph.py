@@ -283,3 +283,45 @@ def read_adjacency_list_text(
             )
         ).alias("e"),
     ).select("src", "e.dst", "e.weight")
+
+
+def bipartite_projection(
+    edges: DataFrame,
+    side: str = "src",
+    max_fanout: int | None = None,
+    min_weight: int = 1,
+) -> DataFrame:
+    """Project a bipartite ``(src, dst)`` edge list onto one side:
+    ``(a, b, weight)`` with ``a < b`` and weight = number of opposite-side
+    vertices the two share (co-occurrence / co-citation graph — suppliers
+    sharing parts, pages sharing outlinks, repos sharing imports).
+
+    Scale: the pair fan-out through an opposite-side vertex of degree d is
+    d(d−1)/2, so hubs dominate quadratically — ``max_fanout`` drops
+    opposite-side vertices above a degree cap BEFORE the self-join (same
+    principle as link_prediction's bridge cap: a shared neighbor with
+    10⁶ co-members tells you ~nothing about any pair). With the cap, the
+    join output is bounded by Σ_{d ≤ cap} d² and the groupBy shuffles
+    uniform (a, b) pair keys; ``min_weight`` prunes the long 1-share tail
+    at the aggregate, after map-side combine.
+    """
+    if side not in ("src", "dst"):
+        raise ValueError(f"side must be 'src' or 'dst', got {side!r}")
+    key, other = ("dst", "src") if side == "src" else ("src", "dst")
+    adj = edges.select(F.col(other).alias("m"), F.col(key).alias("k")).distinct()
+    if max_fanout is not None:
+        ok = (
+            adj.groupBy("k").agg(F.count("*").alias("fanout"))
+            .where(F.col("fanout") <= max_fanout)
+            .select("k")
+        )
+        adj = adj.join(ok, "k")
+    left = adj.select("k", F.col("m").alias("a"))
+    right = adj.select("k", F.col("m").alias("b"))
+    return (
+        left.join(right, "k")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("weight"))
+        .where(F.col("weight") >= min_weight)
+    )

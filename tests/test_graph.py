@@ -155,3 +155,26 @@ def test_sssp_undirected_weighted(spark):
     res = algorithms.sssp(expand_direction(df, "undirected"), 0, max_iter=10)
     got = {r["vertex"]: r["value"] for r in res.state.collect()}
     assert got[1] == 5.0 and got[2] == 12.0
+
+
+def test_bipartite_projection_golden(spark):
+    from flexgraph_spark.graph import bipartite_projection
+
+    # parts: p1 shared by s1,s2,s3; p2 by s1,s2; p3 only s3; p4 (hub) by all
+    rows = [(1, 10), (2, 10), (3, 10), (1, 20), (2, 20), (3, 30),
+            (1, 40), (2, 40), (3, 40), (4, 40)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    out = {(r.a, r.b): r.weight
+           for r in bipartite_projection(e, side="src").collect()}
+    assert out == {(1, 2): 3, (1, 3): 2, (2, 3): 2, (1, 4): 1, (2, 4): 1,
+                   (3, 4): 1}
+    # fanout cap drops part 40 (4 suppliers) and part 10 (3): only p2 left
+    capped = {(r.a, r.b): r.weight
+              for r in bipartite_projection(e, side="src", max_fanout=2)
+              .collect()}
+    assert capped == {(1, 2): 1}
+    # dst-side projection: parts sharing suppliers
+    dst_side = {(r.a, r.b): r.weight
+                for r in bipartite_projection(e, side="dst", min_weight=3)
+                .collect()}
+    assert dst_side == {(10, 40): 3}
