@@ -459,6 +459,13 @@ def _q_content_invariant(spark, sf_dir):
     return content_fingerprint(files).select("repo", "path", "sha256")
 
 
+def _q_closeness4(spark, sf_dir):
+    """Exact bounded harmonic closeness (<=4 hops) — the oracle-scale face
+    of hadi(with_closeness=True); graph1000's diameter is 3 at sf0.01 so
+    the cap is not binding and the empty-level early-exit is exercised."""
+    return algorithms.closeness_exact(_graph1000(spark, sf_dir), max_h=4)
+
+
 def _q_co_occurrence(spark, sf_dir):
     """Supplier co-occurrence graph: suppliers sharing >= 2 parts, parts
     capped at fanout 20 (the quadratic-hub guard the projection exists
@@ -912,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hadi_series": _q_hadi_series,
         "triangles": _q_triangles,
         "content_invariant": _q_content_invariant,
+        "closeness4": _q_closeness4,
         "co_occurrence": _q_co_occurrence,
         "bm25_top20": _q_bm25_top20,
         "tfidf_terms": _q_tfidf_terms,
@@ -1702,6 +1710,39 @@ select 'repo' || (doc_id % 10) as repo,
        sha256('from repo' || (((doc_id * 7) % nd) % 10) || '.f' ||
               ((doc_id * 7) % nd) || ' import x') as sha256
 from d
+""",
+        # unrolled layered BFS to depth 4 (graph1000 diameter is 3);
+        # levels must be `as materialized` — DuckDB inlines CTEs and the
+        # plan doubles per level otherwise
+        "closeness4": f"""
+with e as materialized ({G1000_SQL}),
+l1 as materialized (select distinct src as v, dst as u from e),
+c2 as materialized (
+  select distinct l1.v, e.dst as u from l1 join e on l1.u = e.src
+  where e.dst <> l1.v),
+l2 as materialized (select v, u from c2 except select v, u from l1),
+c3 as materialized (
+  select distinct l2.v, e.dst as u from l2 join e on l2.u = e.src
+  where e.dst <> l2.v),
+l3 as materialized (
+  select v, u from c3
+  except (select v, u from l1 union all select v, u from l2)),
+c4 as materialized (
+  select distinct l3.v, e.dst as u from l3 join e on l3.u = e.src
+  where e.dst <> l3.v),
+l4 as materialized (
+  select v, u from c4
+  except (select v, u from l1 union all select v, u from l2
+          union all select v, u from l3)),
+dist as (
+  select v, u, 1 as d from l1 union all
+  select v, u, 2 from l2 union all
+  select v, u, 3 from l3 union all
+  select v, u, 4 from l4),
+verts as (select src as vertex from e union select dst from e),
+agg as (select v, sum(1.0 / d) as h_raw from dist group by v)
+select vertex, round(coalesce(h_raw, 0.0), 6) as harmonic
+from verts left join agg on agg.v = verts.vertex
 """,
         "co_occurrence": """
 with e as (select distinct l_suppkey as m, l_partkey as k from lineitem),

@@ -488,6 +488,7 @@ class HadiResult:
     iterations: int
     converged: bool
     metrics: list[IterationMetrics] = field(default_factory=list)
+    closeness: DataFrame | None = None
 
 
 def hadi(
@@ -496,6 +497,7 @@ def hadi(
     lg_k: int = 12,
     ratio: float = 0.9,
     num_partitions: int | None = None,
+    with_closeness: bool = False,
 ) -> HadiResult:
     """HADI-style effective-diameter estimation (Kang et al., the PEGASUS /
     GIM-V lineage the reference descends from — gim_v's 4th classic
@@ -532,9 +534,20 @@ def hadi(
         .distinct()
         .repartition(p, "vertex")
     )
-    state = truncate_plan(
-        verts.groupBy("vertex").agg(F.hll_sketch_agg("vertex", F.lit(lg_k)).alias("sk"))
+    init = verts.groupBy("vertex").agg(
+        F.hll_sketch_agg("vertex", F.lit(lg_k)).alias("sk")
     )
+    if with_closeness:
+        # per-vertex effective closeness (Kang et al. centralities work,
+        # same sketch lineage): harmonic(v) ~= sum_h (N_v(h)-N_v(h-1))/h —
+        # accumulate the per-vertex estimate delta each superstep, all
+        # JVM-side column arithmetic riding on the existing state pass
+        init = init.select(
+            "vertex", "sk",
+            F.hll_sketch_estimate("sk").alias("est"),
+            F.lit(0.0).alias("harm"),
+        )
+    state = truncate_plan(init)
     frontier = state
     n_frontier = state.count()
     first_est = state.agg(
@@ -558,18 +571,30 @@ def hadi(
                 .groupBy(F.col("src").alias("vertex"))
                 .agg(F.hll_union_agg("sk").alias("msg"))
             )
+            new_sk = F.when(F.col("msg").isNull(), F.col("sk")).otherwise(
+                F.hll_union("sk", "msg")
+            )
+            cols = [
+                F.col("vertex"),
+                new_sk.alias("sk"),
+                (
+                    F.col("msg").isNotNull()
+                    & (F.hll_union("sk", "msg") != F.col("sk"))
+                ).cast("int").alias("_changed"),
+            ]
+            if with_closeness:
+                est_new = F.hll_sketch_estimate(new_sk)
+                cols += [
+                    est_new.alias("est"),
+                    (
+                        F.col("harm")
+                        + F.greatest(est_new - F.col("est"), F.lit(0.0))
+                        / F.lit(float(it))
+                    ).alias("harm"),
+                ]
             new_state = truncate_plan(
                 state.join(msgs.hint("shuffle_hash"), "vertex", "left")
-                .select(
-                    "vertex",
-                    F.when(F.col("msg").isNull(), F.col("sk"))
-                    .otherwise(F.hll_union("sk", "msg"))
-                    .alias("sk"),
-                    (
-                        F.col("msg").isNotNull()
-                        & (F.hll_union("sk", "msg") != F.col("sk"))
-                    ).cast("int").alias("_changed"),
-                )
+                .select(*cols)
             )
             row = new_state.agg(
                 F.sum(F.hll_sketch_estimate("sk")).alias("n"),
@@ -596,6 +621,11 @@ def hadi(
                 break
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    closeness = None
+    if with_closeness:
+        closeness = truncate_plan(
+            state.select("vertex", F.round("harm", 6).alias("harmonic"))
+        )
     e.unpersist()
     state.unpersist()
     n_max = series[-1][1]
@@ -612,6 +642,7 @@ def hadi(
         iterations=it,
         converged=converged,
         metrics=metrics,
+        closeness=closeness,
     )
 
 
@@ -812,7 +843,9 @@ def _large_star(e: DataFrame) -> DataFrame:
         sym.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
+        # no distinct here: output is already (u > v)-oriented, so the
+        # small-star that always follows dedups it in its own first
+        # shuffle — a distinct here would be a whole extra exchange
     )
 
 
@@ -824,11 +857,15 @@ def _small_star(e: DataFrame) -> DataFrame:
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    j = o.join(o.groupBy("u").agg(F.min("v").alias("m")), "u")
-    nbr = j.where(F.col("v") != F.col("m")).select(
-        F.col("v").alias("u"), F.col("m").alias("v")
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    nbr = (
+        o.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
-    own = j.select("u", F.col("m").alias("v")).distinct()
+    # (u, m) "own" edges are exactly the mins table — one row per u
+    # already, no distinct needed on that side
+    own = mins.select("u", F.col("m").alias("v"))
     return nbr.union(own).distinct()
 
 
@@ -918,3 +955,75 @@ def connected_components_star(
     return GimvResult(
         state=labels, iterations=rounds, converged=converged, metrics=metrics
     )
+
+
+def closeness_exact(
+    edges: DataFrame, max_h: int, num_partitions: int | None = None
+) -> DataFrame:
+    """EXACT bounded harmonic (effective) closeness over out-distances:
+
+        harmonic(v) = Σ_{u ≠ v, dist(v,u) ≤ max_h} 1 / dist(v,u)
+
+    (vertex, harmonic) rows, harmonic rounded to 6 decimals; vertices that
+    reach nothing within ``max_h`` get 0.0.
+
+    Validation-scale face of ``hadi(with_closeness=True)`` — it
+    materializes the full (v, u, dist) reachable-pair set via layered
+    frontier BFS (new pairs anti-joined against known pairs each hop),
+    which is O(V · avg-reach) rows: fine at oracle scale, unaffordable at
+    100 TB, where the HLL accumulator (O(V) state) is the real path. This
+    face exists to oracle-gate the semantics.
+    """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(p, "src")
+        .persist()
+    )
+    e.count()
+    # vertex universe from the UNFILTERED edges: a self-loop-only vertex
+    # still exists (harmonic 0), it just reaches nothing
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    known = truncate_plan(
+        e.select(F.col("src").alias("v"), F.col("dst").alias("u"), F.lit(1).alias("d"))
+    )
+    frontier = known
+    for h in range(2, max_h + 1):
+        cand = (
+            frontier.select("v", F.col("u").alias("src"))
+            .join(e.hint("shuffle_hash"), "src")
+            .select("v", F.col("dst").alias("u"))
+            .where(F.col("v") != F.col("u"))
+            .distinct()
+        )
+        new = cand.join(known.select("v", "u"), ["v", "u"], "left_anti").select(
+            "v", "u", F.lit(h).alias("d")
+        )
+        new_known = truncate_plan(known.union(new))
+        n_new = new_known.count() - known.count()
+        known.unpersist()
+        known = new_known
+        frontier = known.where(F.col("d") == h)
+        if n_new == 0:
+            break
+    out = (
+        verts.join(
+            known.groupBy(F.col("v").alias("vertex")).agg(
+                F.sum(1.0 / F.col("d")).alias("h_raw")
+            ),
+            "vertex",
+            "left",
+        )
+        .select("vertex", F.round(F.coalesce("h_raw", F.lit(0.0)), 6).alias("harmonic"))
+    )
+    out = truncate_plan(out)
+    known.unpersist()
+    e.unpersist()
+    return out

@@ -218,3 +218,68 @@ def test_cc_star_empty_and_selfloop_only(spark):
     empty = _edges(spark, []).filter("src > 0")
     res2 = algorithms.connected_components_star(empty)
     assert res2.converged and res2.state.count() == 0
+
+
+def _harmonic_exact(pairs, max_h):
+    """NumPy BFS harmonic closeness over out-edges, reference for both
+    faces."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    verts = set()
+    for s, d in pairs:
+        verts.update((s, d))
+        if s != d:
+            adj[s].add(d)
+    out = {}
+    for v in sorted(verts):
+        dist = {v: 0}
+        q = [v]
+        h = 0
+        while q and h < max_h:
+            h += 1
+            q = [u for x in q for u in adj[x] if u not in dist]
+            for u in q:
+                dist[u] = h
+            q = list(dict.fromkeys(q))
+        out[v] = round(sum(1.0 / d for u, d in dist.items() if d), 6)
+    return out
+
+
+def test_closeness_exact_golden(spark):
+    pairs = [(1, 2), (2, 3), (3, 4), (1, 4), (5, 5), (6, 1)]
+    out = {
+        r.vertex: r.harmonic
+        for r in algorithms.closeness_exact(_edges(spark, pairs), max_h=8).collect()
+    }
+    assert out == _harmonic_exact(pairs, 8)
+    # bounded horizon: only 1-hop neighbors count at max_h=1
+    out1 = {
+        r.vertex: r.harmonic
+        for r in algorithms.closeness_exact(_edges(spark, pairs), max_h=1).collect()
+    }
+    assert out1 == _harmonic_exact(pairs, 1)
+
+
+def test_hadi_closeness_matches_exact_small(spark):
+    """HLL sketches are exact at tiny cardinalities, so the accumulator
+    must reproduce the exact face on a small digraph."""
+    import random
+
+    rng = random.Random(5)
+    pairs = list({(rng.randrange(30), rng.randrange(30)) for _ in range(60)})
+    res = algorithms.hadi(
+        _edges(spark, pairs), max_h=10, lg_k=12, with_closeness=True
+    )
+    assert res.closeness is not None
+    got = {r.vertex: r.harmonic for r in res.closeness.collect()}
+    want = _harmonic_exact(pairs, 10)
+    # drop pure-self-loop vertices missing from either side
+    for v, w in want.items():
+        assert abs(got[v] - w) < 1e-6, (v, got[v], w)
+
+
+def test_hadi_without_closeness_unchanged(spark):
+    res = algorithms.hadi(_edges(spark, [(1, 2), (2, 3)]), max_h=4)
+    assert res.closeness is None
+    assert res.converged
