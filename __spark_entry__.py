@@ -459,6 +459,23 @@ def _q_content_invariant(spark, sf_dir):
     return content_fingerprint(files).select("repo", "path", "sha256")
 
 
+# k-truss: k-2 = 7 sits at the 5th percentile of graph1000's edge-support
+# distribution at sf0.01, so peeling cascades (measured drops/round:
+# 1644, 518, 243, 136, 94). Fixpoint is deeper than 5 rounds; both sides
+# cap at KTRUSS_ROUNDS — peeling is monotone + deterministic, so an
+# equally-unrolled oracle matches an unconverged engine run exactly (same
+# trick as the kcore gate).
+KTRUSS_K = 9
+KTRUSS_ROUNDS = 5
+
+
+def _q_ktruss(spark, sf_dir):
+    res = algorithms.ktruss(
+        _graph1000(spark, sf_dir), k=KTRUSS_K, max_rounds=KTRUSS_ROUNDS
+    )
+    return res.state
+
+
 def _q_closeness4(spark, sf_dir):
     """Exact bounded harmonic closeness (<=4 hops) — the oracle-scale face
     of hadi(with_closeness=True); graph1000's diameter is 3 at sf0.01 so
@@ -919,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hadi_series": _q_hadi_series,
         "triangles": _q_triangles,
         "content_invariant": _q_content_invariant,
+        "ktruss": _q_ktruss,
         "closeness4": _q_closeness4,
         "co_occurrence": _q_co_occurrence,
         "bm25_top20": _q_bm25_top20,
@@ -1173,6 +1191,38 @@ select (select count(*) from d) as n_vertices,
        (select count(*) from e) as n_edges,
        (select count(*) from d) - 1 as max_vertex_id
 """
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Unrolled k-truss peel: each round enumerates triangles x<y<z among
+    the surviving edges, counts per-edge support over the three sides, and
+    keeps edges with support >= k-2. Levels `as materialized` (DuckDB
+    inlines CTEs otherwise — 2^rounds blowup)."""
+    parts = [
+        "e0 as materialized (select distinct least(src, dst) as a, "
+        f"greatest(src, dst) as b from ({G1000_SQL}))"
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"tri{r} as materialized (\n"
+            f"  select e1.a as x, e1.b as y, e2.b as z\n"
+            f"  from e{p} e1 join e{p} e2 on e1.a = e2.a and e1.b < e2.b\n"
+            f"  join e{p} e3 on e3.a = e1.b and e3.b = e2.b)"
+        )
+        parts.append(
+            f"sup{r} as materialized (\n"
+            f"  select a, b, count(*) as s from (\n"
+            f"    select x as a, y as b from tri{r}\n"
+            f"    union all select x as a, z as b from tri{r}\n"
+            f"    union all select y as a, z as b from tri{r}) t\n"
+            f"  group by a, b)"
+        )
+        parts.append(
+            f"e{r} as materialized (select e.a, e.b from e{p} e "
+            f"join sup{r} using (a, b) where s >= {k - 2})"
+        )
+    return "with " + ",\n".join(parts) + f"\nselect a, b from e{rounds}"
+
 
 def _bm25_sql(query: str, k1: float = 1.2, b: float = 0.75, topk: int = 20) -> str:
     """Okapi BM25 oracle — conditional-aggregation shape identical to
@@ -1711,6 +1761,7 @@ select 'repo' || (doc_id % 10) as repo,
               ((doc_id * 7) % nd) || ' import x') as sha256
 from d
 """,
+        "ktruss": _ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS),
         # unrolled layered BFS to depth 4 (graph1000 diameter is 3);
         # levels must be `as materialized` — DuckDB inlines CTEs and the
         # plan doubles per level otherwise

@@ -153,6 +153,10 @@ def main() -> None:
         ).state.count(),
     )
     timed("local_clustering", lambda: algorithms.local_clustering(g5000).count())
+    timed(
+        "ktruss_peel",
+        lambda: algorithms.ktruss(g5000, k=4, max_rounds=4).state.count(),
+    )
     # 4 PPR columns in one job — compare against pagerank_flat_10it to see
     # the amortization (4 sources ≪ 4x the single-source wall time)
     timed(

@@ -1027,3 +1027,73 @@ def closeness_exact(
     known.unpersist()
     e.unpersist()
     return out
+
+
+def ktruss(
+    edges: DataFrame, k: int, max_rounds: int = 50
+) -> GimvResult:
+    """k-truss subgraph by iterative support peeling: keep an (undirected,
+    simple) edge only while it participates in >= k-2 triangles among the
+    SURVIVING edges; repeat until fixpoint (or ``max_rounds``). Returns
+    GimvResult whose state is the surviving edge set (a, b) with a < b —
+    the truss-decomposition building block one level up from k-core
+    (vertex peeling, :func:`kcore`) and the standard cohesive-subgraph
+    query over a link graph.
+
+    Scale notes: every round re-runs the degree-oriented triangle plan
+    (:func:`triangle_count`'s wedge join — work concentrates on low-degree
+    endpoints, hub-skew-safe) on a SHRINKING edge set, then one support
+    aggregation keyed by the (a, b) edge pair (uniform) and an inner join
+    back. Peeling is monotone and deterministic, so a bounded
+    ``max_rounds`` run is exactly reproducible by an equally-unrolled
+    oracle even before the fixpoint (same trick as the kcore gate).
+    """
+    if k < 3:
+        raise ValueError(f"k-truss needs k >= 3, got {k}")
+    und = truncate_plan(
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    n = und.count()
+    metrics: list[IterationMetrics] = []
+    converged = False
+    rounds = 0
+    for r in range(1, max_rounds + 1):
+        t0 = time.time()
+        oriented, closed, _deg = _oriented_triangles(
+            und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        )
+        tri = closed.select("u", "w1", "w2")
+        sides = (
+            tri.select(F.least("u", "w1").alias("a"), F.greatest("u", "w1").alias("b"))
+            .unionAll(
+                tri.select(F.least("u", "w2").alias("a"), F.greatest("u", "w2").alias("b"))
+            )
+            .unionAll(tri.select(F.col("w1").alias("a"), F.col("w2").alias("b")))
+        )
+        strong = (
+            sides.groupBy("a", "b")
+            .agg(F.count("*").alias("support"))
+            .where(F.col("support") >= k - 2)
+            .select("a", "b")
+        )
+        kept = truncate_plan(und.join(strong, ["a", "b"]))
+        m = kept.count()
+        oriented.unpersist()
+        und.unpersist()
+        rounds = r
+        metrics.append(
+            IterationMetrics(
+                iteration=r,
+                messages_shuffled=m,
+                changed=n - m,
+                edges_scanned=n,
+                seconds=time.time() - t0,
+            )
+        )
+        und, dropped, n = kept, n - m, m
+        if dropped == 0 or n == 0:
+            converged = True
+            break
+    return GimvResult(state=und, iterations=rounds, converged=converged, metrics=metrics)

@@ -283,3 +283,42 @@ def test_hadi_without_closeness_unchanged(spark):
     res = algorithms.hadi(_edges(spark, [(1, 2), (2, 3)]), max_h=4)
     assert res.closeness is None
     assert res.converged
+
+
+def test_ktruss_golden(spark):
+    """K4 plus a pendant triangle sharing vertex 1: every K4 edge has
+    support 2; the pendant triangle's edges have support 1, except (1,2)…
+    hand-derived peel below."""
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    pendant = [(1, 5), (2, 5)]  # triangle (1,2,5)
+    e = _edges(spark, k4 + pendant)
+    # k=4 (support >= 2): (1,5),(2,5) have support 1 -> peeled round 1;
+    # K4 edges keep support 2 afterwards ((1,2) drops from 3 to 2)
+    res = algorithms.ktruss(e, k=4)
+    assert res.converged
+    assert sorted((r.a, r.b) for r in res.state.collect()) == sorted(k4)
+    # k=5 (support >= 3): only (1,2) has support 3 in round 1; everything
+    # peels (no edge set where all edges have support 3)
+    res5 = algorithms.ktruss(e, k=5)
+    assert res5.converged and res5.state.count() == 0
+    # k=3 (support >= 1): everything is in a triangle, nothing peels
+    res3 = algorithms.ktruss(e, k=3)
+    assert res3.converged and res3.state.count() == len(k4 + pendant)
+    # invalid k
+    with pytest.raises(ValueError):
+        algorithms.ktruss(e, k=2)
+
+
+def test_ktruss_capped_rounds_match_unrolled(spark):
+    """A chain of diamonds peels one diamond per round at k=4; capping
+    max_rounds reproduces the same prefix the oracle unrolls."""
+    # diamond i: vertices (2i, 2i+1) shared path; build a strip where
+    # peeling cascades: triangles t_i = (i, i+1, i+2) for i in 0..5
+    strip = [(i, i + 1) for i in range(7)] + [(i, i + 2) for i in range(6)]
+    e = _edges(spark, strip)
+    full = algorithms.ktruss(e, k=4)
+    capped = algorithms.ktruss(e, k=4, max_rounds=1)
+    assert not capped.converged or full.converged
+    # round 1 keeps strictly more edges than the fixpoint (cascade exists)
+    assert capped.state.count() >= full.state.count()
+    assert full.converged
