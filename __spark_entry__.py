@@ -208,6 +208,16 @@ def _q_pagerank10(spark, sf_dir):
     return res.state.select("vertex", F.round("value", 6).alias("pr"))
 
 
+def _q_wpagerank10(spark, sf_dir):
+    """Weighted PageRank: rank distributed proportionally to edge weight,
+    normalizer = weighted out-degree; same teleport/normalize semantics."""
+    res = algorithms.pagerank(
+        _graph1000_w(spark, sf_dir), threshold=0.0, max_iter=PAGERANK_ITERS,
+        weighted=True,
+    )
+    return res.state.select("vertex", F.round("value", 6).alias("pr"))
+
+
 def _q_rwr10(spark, sf_dir):
     """RWR / personalized PageRank: 1.0 at the lowest supplier id, uniform
     (1-α)/n teleport per the reference's quirk (PageRankComputation.java:157-171
@@ -917,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_star": _q_cc_star,
         "cc_sizes": _q_cc_sizes,
         "pagerank10": _q_pagerank10,
+        "wpagerank10": _q_wpagerank10,
         "rwr10": _q_rwr10,
         "pagerank_converged_top20": _q_pagerank_converged_top20,
         "pagerank10_blocked": _q_pagerank10_blocked,
@@ -986,25 +997,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def _pagerank_sql(edge_sql: str, iters: int, alpha: float = 0.85,
-                  personalized: bool = False) -> str:
+                  personalized: bool = False, weighted: bool = False) -> str:
     init = (
         "it0 as (select v, case when v = (select min(src) from e) "
         "then 1.0 else 0.0 end as r from verts)"
         if personalized
         else "it0 as (select v, (select 1.0/n from nn) as r from verts)"
     )
+    # weighted: edge_sql must provide (src, dst, w); rank distributes
+    # proportionally to w and the normalizer is the weighted out-degree
+    deg_cte = (
+        "deg as materialized (select src, sum(w)::double as d from e group by src)"
+        if weighted
+        else "deg as materialized (select src, count(*)::double as d from e group by src)"
+    )
+    msg_term = "p.r*e.w/deg.d" if weighted else "p.r/deg.d"
     ctes = [
         f"e as materialized ({edge_sql})",
         "verts as (select src as v from e union select dst from e)",
         "nn as (select count(*)::double as n from verts)",
-        "deg as materialized (select src, count(*)::double as d from e group by src)",
+        deg_cte,
         init,
     ]
     for k in range(1, iters + 1):
         ctes.append(
             f"it{k} as materialized (select s.v, {alpha}*coalesce(m.msg, 0.0) + "
             f"(1.0-{alpha})*(select 1.0/n from nn) as r from it{k-1} s "
-            f"left join (select e.dst as v, sum(p.r/deg.d) as msg from e "
+            f"left join (select e.dst as v, sum({msg_term}) as msg from e "
             f"join it{k-1} p on p.v = e.src join deg on deg.src = e.src "
             f"group by e.dst) m on m.v = s.v)"
         )
@@ -1724,6 +1743,7 @@ def oracle_sql() -> dict[str, str]:
             "select label, count(*)::bigint as size from labels group by label"
         ),
         "pagerank10": _pagerank_sql(SSP_EDGES_SQL, PAGERANK_ITERS),
+        "wpagerank10": _pagerank_sql(G1000_W_SQL, PAGERANK_ITERS, weighted=True),
         "rwr10": _pagerank_sql(SSP_EDGES_SQL, PAGERANK_ITERS, personalized=True),
         "pagerank_converged_top20": (
             # engine converges (all |Δ| <= 1e-8) at iteration

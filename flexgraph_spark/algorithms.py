@@ -71,9 +71,21 @@ def pagerank(
     source_vertex: int | None = None,
     checkpointer=None,
     engine: str = "flat",
+    weighted: bool = False,
     **kw,
 ) -> gimv.GimvResult:
-    prog = gimv.PageRank(alpha=alpha, threshold=threshold, source_vertex=source_vertex)
+    """``weighted=True`` distributes rank proportionally to edge weight
+    (gimv.WeightedPageRank — flat engine only); requires a weight column."""
+    if weighted:
+        if "weight" not in edges.columns:
+            raise ValueError("weighted PageRank needs a 'weight' column")
+        prog = gimv.WeightedPageRank(
+            alpha=alpha, threshold=threshold, source_vertex=source_vertex
+        )
+    else:
+        prog = gimv.PageRank(
+            alpha=alpha, threshold=threshold, source_vertex=source_vertex
+        )
     return _dispatch(edges, prog, engine, max_iter, checkpointer, kw)
 
 

@@ -223,6 +223,31 @@ class PageRank(VertexProgram):
         return np.abs(new - old) > self.threshold
 
 
+class WeightedPageRank(PageRank):
+    """PageRank over a weighted digraph: a source distributes its rank in
+    proportion to edge weight — message = value·w(u,v)/Σ_v w(u,·) — with
+    the same teleport/convergence/normalization semantics as
+    :class:`PageRank` (reference PageRankComputation.java:202-256; the
+    reference itself is unweighted, this is the weighted-matrix GIM-V
+    instantiation its WeightedGraphPrepartitioning feeds into SSSP only).
+
+    Flat engine only for now (``supports_blocked=False``): the blocked CSR
+    kernels carry unweighted global-degree arrays; a weighted-degree
+    sidecar is a straightforward extension, not yet needed at the tested
+    scales. ``weighted_degree`` makes gimv.run compute out_degree as
+    sum(weight), so dangling handling and zero-weight guards match the
+    unweighted plan shape exactly.
+    """
+
+    name = "weighted_pagerank"
+    weighted = True
+    weighted_degree = True
+    supports_blocked = False
+
+    def message(self) -> F.Column:
+        return F.col("value") * F.col("weight") / F.col("out_degree")
+
+
 class BatchPPR(VertexProgram):
     """Multi-source personalized PageRank: the state value is an
     array<double> of length k (one PPR column per source), so ONE edge
@@ -463,7 +488,14 @@ def run(
     edge_cols = ["src", "dst"] + (["weight"] if program.weighted else [])
     e = edges.select(*edge_cols)
     if program.needs_out_degree:
-        deg = e.groupBy("src").agg(F.count("*").alias("out_degree"))
+        # weighted programs that normalize by weight mass (weighted
+        # PageRank) need sum(weight), not the edge count
+        deg_expr = (
+            F.sum("weight")
+            if program.weighted and getattr(program, "weighted_degree", False)
+            else F.count("*")
+        )
+        deg = e.groupBy("src").agg(deg_expr.alias("out_degree"))
         e = e.join(deg, "src")
     e = e.repartition(p, "src").persist()
     edges_count = e.count()  # materialize once; also = edges scanned / superstep

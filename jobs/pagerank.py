@@ -21,6 +21,11 @@ def main() -> None:
     p.add_argument("--alpha", type=float, default=0.85)
     p.add_argument("--threshold", type=float, default=1e-8)
     p.add_argument("--source-vertex", type=int, default=None, help="RWR source")
+    p.add_argument(
+        "--weighted", action="store_true",
+        help="distribute rank proportionally to edge weight "
+             "(needs a weight column; flat engine only)",
+    )
     args = p.parse_args()
 
     spark = get_session("flexgraph-pagerank")
@@ -33,6 +38,7 @@ def main() -> None:
         threshold=args.threshold,
         max_iter=args.max_iter,
         source_vertex=args.source_vertex,
+        weighted=args.weighted,
         checkpointer=make_checkpointer(args, edges),
         engine=args.engine,
         **engine_kwargs(spark, args),

@@ -235,3 +235,56 @@ def test_cc_delta_checkpoint_resume_without_active(spark, tmp_path):
     res2 = algorithms.connected_components(df, max_iter=30, checkpointer=ck)
     assert res2.converged
     assert _collect_values(res2) == expected
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    """Weighted PageRank vs a NumPy power-iteration with the identical
+    recurrence (alpha*W^T r + (1-alpha)/n, W row-normalized by weight)."""
+    import numpy as np
+
+    from flexgraph_spark import algorithms
+
+    rows = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0), (3, 0, 5.0)]
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    res = algorithms.pagerank(e, threshold=0.0, max_iter=10, weighted=True)
+    got = {r.vertex: r.value for r in res.state.collect()}
+
+    n = 4
+    w = np.zeros((n, n))
+    for s, d, wt in rows:
+        w[s, d] = wt
+    p = w / np.maximum(w.sum(axis=1, keepdims=True), 1e-300)
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        r = 0.85 * (p.T @ r) + 0.15 / n
+    r = r / r.sum()
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
+
+
+def test_weighted_pagerank_requires_weight_column(spark):
+    import pytest as _pytest
+
+    from flexgraph_spark import algorithms
+
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with _pytest.raises(ValueError):
+        algorithms.pagerank(e, weighted=True)
+
+
+def test_weighted_pagerank_unit_weights_equal_unweighted(spark):
+    from pyspark.sql import functions as F
+
+    from flexgraph_spark import algorithms
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 2)], "src long, dst long"
+    ).withColumn("weight", F.lit(1.0))
+    a = {r.vertex: r.value
+         for r in algorithms.pagerank(e, threshold=0.0, max_iter=6,
+                                      weighted=True).state.collect()}
+    b = {r.vertex: r.value
+         for r in algorithms.pagerank(e.drop("weight"), threshold=0.0,
+                                      max_iter=6).state.collect()}
+    for v in a:
+        assert abs(a[v] - b[v]) < 1e-12
