@@ -469,6 +469,21 @@ def _q_content_invariant(spark, sf_dir):
     return content_fingerprint(files).select("repo", "path", "sha256")
 
 
+def _q_contract50(spark, sf_dir):
+    """Quotient graph: graph1000 contracted by the vertex%50 rollup —
+    the file→module→repo aggregation as one operator."""
+    from flexgraph_spark.graph import contract_graph
+
+    g = _graph1000_w(spark, sf_dir)
+    verts = (
+        g.select(F.col("src").alias("vertex"))
+        .union(g.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    mapping = verts.select("vertex", (F.col("vertex") % 50).alias("label"))
+    return contract_graph(g, mapping)
+
+
 # k-truss: k-2 = 7 sits at the 5th percentile of graph1000's edge-support
 # distribution at sf0.01, so peeling cascades (measured drops/round:
 # 1644, 518, 243, 136, 94). Fixpoint is deeper than 5 rounds; both sides
@@ -947,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hadi_series": _q_hadi_series,
         "triangles": _q_triangles,
         "content_invariant": _q_content_invariant,
+        "contract50": _q_contract50,
         "ktruss": _q_ktruss,
         "closeness4": _q_closeness4,
         "co_occurrence": _q_co_occurrence,
@@ -1780,6 +1796,13 @@ select 'repo' || (doc_id % 10) as repo,
        sha256('from repo' || (((doc_id * 7) % nd) % 10) || '.f' ||
               ((doc_id * 7) % nd) || ' import x') as sha256
 from d
+""",
+        "contract50": f"""
+with e as materialized ({G1000_W_SQL})
+select src % 50 as src, dst % 50 as dst,
+       count(*)::bigint as n_edges, sum(w)::double as weight
+from e where src % 50 <> dst % 50
+group by 1, 2
 """,
         "ktruss": _ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS),
         # unrolled layered BFS to depth 4 (graph1000 diameter is 3);

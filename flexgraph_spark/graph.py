@@ -325,3 +325,48 @@ def bipartite_projection(
         .agg(F.count("*").cast("long").alias("weight"))
         .where(F.col("weight") >= min_weight)
     )
+
+
+def contract_graph(
+    edges: DataFrame,
+    mapping: DataFrame,
+    drop_self: bool = True,
+) -> DataFrame:
+    """Quotient (contracted) graph under a vertex → label mapping: every
+    edge (src, dst[, weight]) becomes (label(src), label(dst)) and parallel
+    edges aggregate to one row with ``n_edges`` (count) and ``weight``
+    (sum; = count when the input is unweighted). ``mapping`` is
+    (vertex, label) — a CC/LP/star result, a module table, any rollup.
+    Unmapped endpoints keep their own id as label (coalesce), so partial
+    mappings contract only the covered region.
+
+    The file→module→repo rollup: contract the file link graph by module,
+    then by repo, and PageRank each level — all one shuffle per level
+    (two label joins + one aggregate; the label join is a plain hash join
+    that AQE skew-splits when one label covers a hub's worth of
+    vertices).
+    """
+    m = mapping.select(F.col("vertex"), F.col("label"))
+    w = (
+        F.col("weight").cast("double")
+        if "weight" in edges.columns
+        else F.lit(1.0)
+    )
+    e = edges.select("src", "dst", w.alias("w"))
+    out = (
+        e.join(m.withColumnRenamed("vertex", "src")
+               .withColumnRenamed("label", "src_label"), "src", "left")
+        .join(m.withColumnRenamed("vertex", "dst")
+              .withColumnRenamed("label", "dst_label"), "dst", "left")
+        .select(
+            F.coalesce("src_label", "src").alias("src"),
+            F.coalesce("dst_label", "dst").alias("dst"),
+            "w",
+        )
+    )
+    if drop_self:
+        out = out.where(F.col("src") != F.col("dst"))
+    return out.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum("w").alias("weight"),
+    )

@@ -178,3 +178,36 @@ def test_bipartite_projection_golden(spark):
                 for r in bipartite_projection(e, side="dst", min_weight=3)
                 .collect()}
     assert dst_side == {(10, 40): 3}
+
+
+def test_contract_graph_golden(spark):
+    from pyspark.sql import functions as F
+
+    from flexgraph_spark.graph import contract_graph
+
+    e = spark.createDataFrame(
+        [(1, 2, 2.0), (1, 3, 1.0), (2, 3, 4.0), (3, 4, 1.0), (4, 1, 1.0)],
+        "src long, dst long, weight double",
+    )
+    # map {1,2}->10, {3,4}->20
+    m = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 20)], "vertex long, label long"
+    )
+    out = {(r.src, r.dst): (r.n_edges, r.weight)
+           for r in contract_graph(e, m).collect()}
+    # 1->2 is intra-label (dropped); 1->3 and 2->3 merge; 3->4 intra; 4->1
+    assert out == {(10, 20): (2, 5.0), (20, 10): (1, 1.0)}
+    # keep self-loops when asked
+    with_self = {(r.src, r.dst): r.n_edges
+                 for r in contract_graph(e, m, drop_self=False).collect()}
+    assert with_self[(10, 10)] == 1 and with_self[(20, 20)] == 1
+    # partial mapping: unmapped vertices keep their own id
+    m2 = spark.createDataFrame([(1, 10), (2, 10)], "vertex long, label long")
+    partial = {(r.src, r.dst): r.n_edges
+               for r in contract_graph(e, m2).collect()}
+    assert partial == {(10, 3): 2, (3, 4): 1, (4, 10): 1}
+    # unweighted input: weight == n_edges
+    eu = e.select("src", "dst")
+    unw = {(r.src, r.dst): (r.n_edges, r.weight)
+           for r in contract_graph(eu, m).collect()}
+    assert unw == {(10, 20): (2, 2.0), (20, 10): (1, 1.0)}
