@@ -49,6 +49,24 @@ PAGERANK_ITERS = 10
 SSSP_ITERS = 8
 LP_ITERS = 4
 HITS_ITERS = 4
+SALSA_ITERS = 4
+# α·λ_max(graph1000) ≈ 0.01·53 ≈ 0.53 < 1: the Katz series converges and
+# values stay O(1), so round(·,6) comparability never meets double-sum
+# noise (at α·λ_max > 1 values blow past 1e4 and the 1e-6 rounding
+# boundary sits inside reorder-noise territory).
+KATZ_ALPHA = 0.01
+KATZ_ITERS = 8
+# SCC fixture: 10 blocks of 50 vertices; intra-block edges come straight
+# from lineitem pairs (dense enough at sf>=0.01 that each block is one
+# SCC), cross-block edges only flow low→high block and are 97×-sparsified
+# — a DAG of ~10 SCCs, so both the coloring engine and the
+# transitive-closure oracle stay cheap while the answer is non-trivial.
+GSCC_SQL = (
+    "select distinct src, dst from ("
+    "select l_orderkey % 500 as src, l_partkey % 500 as dst from lineitem"
+    ") t where src <> dst and ((src // 50 = dst // 50) or "
+    "(src // 50 < dst // 50 and (src + dst) % 97 = 0))"
+)
 # k-core: k sits inside the symmetrized-degree distribution of graph1000 at
 # sf0.01 (quantiles 79..148, median 113) so peeling cascades for several
 # rounds — measured: changed=[18,4,1,1,1,0], fixpoint at round 6 with a
@@ -351,6 +369,71 @@ def _q_hits4(spark, sf_dir):
     """HITS hubs & authorities, fixed 4-iteration recurrence (L2-normalized
     half-steps) — oracle = the same recurrence unrolled in SQL."""
     res = algorithms.hits(_graph1000(spark, sf_dir), max_iter=HITS_ITERS)
+    return res.state.select(
+        "vertex",
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    )
+
+
+def _graph_scc(spark, sf_dir) -> DataFrame:
+    """The GSCC_SQL fixture graph (see constant comment): 10 intra-dense
+    blocks chained by sparse forward-only cross edges."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            (F.col("l_orderkey") % 500).alias("src"),
+            (F.col("l_partkey") % 500).alias("dst"),
+        )
+        .distinct()
+    )
+    sb = F.floor(F.col("src") / F.lit(50.0))
+    db = F.floor(F.col("dst") / F.lit(50.0))
+    return e.filter(
+        (F.col("src") != F.col("dst"))
+        & ((sb == db) | ((sb < db) & ((F.col("src") + F.col("dst")) % 97 == 0)))
+    )
+
+
+def _q_scc(spark, sf_dir):
+    """Strongly connected components (coloring + color-local backward
+    reach, algorithms.scc). Label contract: scc_id = min member id — the
+    oracle computes the same from DuckDB's recursive-CTE transitive
+    closure via mutual reachability, so this row gates the whole
+    forward-flood/backward-BFS machinery exactly."""
+    res = algorithms.scc(_graph_scc(spark, sf_dir), max_outer=100)
+    return res.state.select("vertex", F.col("value").alias("scc_id"))
+
+
+def _q_katz8(spark, sf_dir):
+    """Truncated Katz centrality, fixed 8-iteration recurrence
+    (gimv.Katz on the flat plan) — oracle = the recurrence unrolled."""
+    res = algorithms.katz(
+        _graph1000(spark, sf_dir), alpha=KATZ_ALPHA, max_iter=KATZ_ITERS
+    )
+    return res.state.select("vertex", F.round("value", 6).alias("katz"))
+
+
+def _q_katz8_blocked(spark, sf_dir):
+    """Same Katz recurrence on the blocked CSR engine (scalar sum
+    semi-ring, no degree factor — exercises the blocked kernels with a
+    non-PageRank signal fn), gated by the identical unrolled oracle."""
+    e2, mapping = remap_contiguous(_graph1000(spark, sf_dir))
+    res = algorithms.katz(
+        e2, alpha=KATZ_ALPHA, max_iter=KATZ_ITERS, engine="blocked",
+        p=BLOCKED_P, dense_threshold=BLOCKED_DENSE_THRESHOLD,
+    )
+    return (
+        res.state.join(mapping, "vertex")
+        .select(F.col("orig").alias("vertex"), F.round("value", 6).alias("katz"))
+    )
+
+
+def _q_salsa4(spark, sf_dir):
+    """SALSA hubs & authorities (stochastic HITS variant), fixed
+    4-iteration recurrence — oracle = the same recurrence unrolled with
+    degree-normalized half-steps."""
+    res = algorithms.salsa(_graph1000(spark, sf_dir), max_iter=SALSA_ITERS)
     return res.state.select(
         "vertex",
         F.round("hub", 6).alias("hub"),
@@ -963,6 +1046,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": _q_triangles,
         "content_invariant": _q_content_invariant,
         "contract50": _q_contract50,
+        "scc": _q_scc,
+        "katz8": _q_katz8,
+        "katz8_blocked": _q_katz8_blocked,
+        "salsa4": _q_salsa4,
         "ktruss": _q_ktruss,
         "closeness4": _q_closeness4,
         "co_occurrence": _q_co_occurrence,
@@ -1127,6 +1214,91 @@ def _hits_sql(edge_sql: str, iters: int) -> str:
         + f"\nselect h.v as vertex, round(h.hub, 6) as hub, "
         f"round(a.auth, 6) as auth from h{iters} h join a{iters} a on a.v = h.v"
     )
+
+
+def _katz_sql(edge_sql: str, iters: int, alpha: float) -> str:
+    """Unrolled Katz recurrence x_{t+1}(v) = α·Σ_{u→v}(1 + x_t(u)), x₀=0."""
+    ctes = [
+        f"e as materialized ({edge_sql})",
+        "verts as (select src as v from e union select dst from e)",
+        "x0 as (select v, 0.0 as x from verts)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"xr{k} as materialized (select e.dst as v, sum(1.0 + x.x) as raw "
+            f"from e join x{k-1} x on x.v = e.src group by e.dst)"
+        )
+        ctes.append(
+            f"x{k} as (select verts.v, {alpha!r} * coalesce(xr{k}.raw, 0.0) "
+            f"as x from verts left join xr{k} on xr{k}.v = verts.v)"
+        )
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect v as vertex, round(x, 6) as katz from x{iters}"
+    )
+
+
+def _salsa_sql(edge_sql: str, iters: int) -> str:
+    """Unrolled SALSA recurrence: auth(v) = Σ_{u→v} hub(u)/outdeg(u) then
+    hub(u) = Σ_{u→v} auth(v)/indeg(v); init hub = 1, no normalization
+    (both half-step matrices are column-stochastic)."""
+    ctes = [
+        f"e as materialized ({edge_sql})",
+        "verts as (select src as v from e union select dst from e)",
+        "od as (select src, count(*)::double as odeg from e group by src)",
+        "idg as (select dst, count(*)::double as ideg from e group by dst)",
+        "h0 as (select v, 1.0 as hub from verts)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"ar{k} as materialized (select e.dst as v, "
+            f"sum(h.hub / od.odeg) as raw from e "
+            f"join h{k-1} h on h.v = e.src join od on od.src = e.src "
+            f"group by e.dst)"
+        )
+        ctes.append(
+            f"a{k} as (select verts.v, coalesce(ar{k}.raw, 0.0) as auth "
+            f"from verts left join ar{k} on ar{k}.v = verts.v)"
+        )
+        ctes.append(
+            f"hr{k} as materialized (select e.src as v, "
+            f"sum(a.auth / idg.ideg) as raw from e "
+            f"join a{k} a on a.v = e.dst join idg on idg.dst = e.dst "
+            f"group by e.src)"
+        )
+        ctes.append(
+            f"h{k} as (select verts.v, coalesce(hr{k}.raw, 0.0) as hub "
+            f"from verts left join hr{k} on hr{k}.v = verts.v)"
+        )
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect h.v as vertex, round(h.hub, 6) as hub, "
+        f"round(a.auth, 6) as auth from h{iters} h join a{iters} a on a.v = h.v"
+    )
+
+
+def _scc_sql(edge_sql: str) -> str:
+    """Exact SCC labels from the transitive closure: scc_id(v) = min over
+    {v} ∪ {u : u ⇒ v and v ⇒ u}. The closure is a recursive CTE (DuckDB
+    dedups the UNION per step), feasible because the GSCC fixture caps the
+    vertex universe at 500."""
+    return f"""
+with recursive
+e as materialized ({edge_sql}),
+v as (select src as vertex from e union select dst from e),
+reach(s, d) as (
+  select src, dst from e
+  union
+  select r.s, e.dst from reach r join e on r.d = e.src
+),
+mutual as materialized (
+  select a.s as u, a.d as w from reach a join reach b on b.s = a.d and b.d = a.s
+)
+select v.vertex as vertex,
+       least(v.vertex, coalesce(min(m.w), v.vertex)) as scc_id
+from v left join mutual m on m.u = v.vertex
+group by v.vertex
+"""
 
 
 def _kcore_sql(edge_sql: str, k: int, rounds: int) -> str:
@@ -1804,6 +1976,10 @@ select src % 50 as src, dst % 50 as dst,
 from e where src % 50 <> dst % 50
 group by 1, 2
 """,
+        "scc": _scc_sql(GSCC_SQL),
+        "katz8": _katz_sql(G1000_SQL, KATZ_ITERS, KATZ_ALPHA),
+        "katz8_blocked": _katz_sql(G1000_SQL, KATZ_ITERS, KATZ_ALPHA),
+        "salsa4": _salsa_sql(G1000_SQL, SALSA_ITERS),
         "ktruss": _ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS),
         # unrolled layered BFS to depth 4 (graph1000 diameter is 3);
         # levels must be `as materialized` — DuckDB inlines CTEs and the

@@ -10,7 +10,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from flexgraph_spark import gimv
@@ -1109,3 +1109,335 @@ def ktruss(
             converged = True
             break
     return GimvResult(state=und, iterations=rounds, converged=converged, metrics=metrics)
+
+
+def katz(
+    edges: DataFrame,
+    alpha: float = 0.05,
+    threshold: float = 0.0,
+    max_iter: int = 10,
+    checkpointer=None,
+    engine: str = "flat",
+    **kw,
+) -> gimv.GimvResult:
+    """Truncated Katz centrality (gimv.Katz): after ``max_iter`` supersteps
+    the value is Σ_{k≤max_iter} α^k · #paths-of-length-k ending at the
+    vertex. threshold=0.0 runs the full fixed depth (the oracle-unrollable
+    contract); pass a positive threshold to stop at the |Δ| fixpoint
+    instead. Both engines (scalar sum semi-ring)."""
+    return _dispatch(
+        edges, gimv.Katz(alpha=alpha, threshold=threshold),
+        engine, max_iter, checkpointer, kw,
+    )
+
+
+def salsa(
+    edges: DataFrame, max_iter: int = 10, num_partitions: int | None = None
+) -> GimvResult:
+    """SALSA (Lempel & Moran, stochastic HITS): per iteration
+    ``auth(v) = Σ_{u→v} hub(u)/outdeg(u)`` then
+    ``hub(u) = Σ_{u→v} auth(v)/indeg(v)``; init hub = 1. Both half-step
+    matrices are column-stochastic, so no per-iteration normalization is
+    needed (total hub mass is conserved onto non-dangling vertices) — the
+    recommender-graph variant of :func:`hits` that damps the
+    high-degree-hub dominance HITS suffers on skewed link graphs.
+    Runs a FIXED ``max_iter`` recurrence (oracle-unrollable).
+
+    Scale shape mirrors :func:`hits`: TWO pinned edge copies (by src and
+    by dst) so neither half-step reshuffles the edge table — only the
+    small vertex states move; shuffle_hash hints keep Catalyst from
+    broadcasting the edge side. Degrees are computed ONCE and ride inside
+    the pinned edge copies as extra columns (``odeg`` on the src copy,
+    ``ideg`` on the dst copy), so supersteps never join a degree table —
+    the same degrees-ride-with-the-edges trick as the blocked engine's
+    ``gdeg`` arrays (blocks.py).
+    """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst").distinct()
+    odeg = e.groupBy("src").agg(F.count("*").cast("double").alias("odeg"))
+    ideg = e.groupBy("dst").agg(F.count("*").cast("double").alias("ideg"))
+    e_src = (
+        e.join(odeg, "src").select("src", "dst", "odeg")
+        .repartition(p, "src").persist()
+    )
+    n_edges = e_src.count()
+    e_dst = (
+        e.join(ideg, "dst").select("src", "dst", "ideg")
+        .repartition(p, "dst").persist()
+    )
+    e_dst.count()
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .union(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .repartition(p, "vertex")
+        .persist()
+    )
+    n = verts.count()
+    if n == 0:
+        for df in (e_src, e_dst, verts):
+            df.unpersist()
+        empty = spark.createDataFrame([], "vertex long, hub double, auth double")
+        return GimvResult(state=empty, iterations=0, converged=True, metrics=[])
+
+    def _complete(raw: DataFrame, out_col: str) -> DataFrame:
+        raw = truncate_plan(raw)
+        return raw, verts.join(raw, "vertex", "left").select(
+            "vertex", F.coalesce("raw", F.lit(0.0)).alias(out_col)
+        )
+
+    hub = truncate_plan(verts.select("vertex", F.lit(1.0).alias("hub")))
+    auth = None
+    cached: list[DataFrame] = []
+    metrics: list[IterationMetrics] = []
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for it in range(1, max_iter + 1):
+            t0 = time.time()
+            a_raw, new_auth = _complete(
+                e_src.join(
+                    hub.withColumnRenamed("vertex", "src").hint("shuffle_hash"),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("vertex"))
+                .agg(F.sum(F.col("hub") / F.col("odeg")).alias("raw")),
+                "auth",
+            )
+            h_raw, new_hub = _complete(
+                e_dst.join(
+                    new_auth.withColumnRenamed("vertex", "dst").hint("shuffle_hash"),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("vertex"))
+                .agg(F.sum(F.col("auth") / F.col("ideg")).alias("raw")),
+                "hub",
+            )
+            for old in cached:
+                old.unpersist()
+            if it == 1:
+                hub.unpersist()
+            cached = [a_raw, h_raw]
+            hub, auth = new_hub, new_auth
+            metrics.append(
+                IterationMetrics(
+                    iteration=it,
+                    messages_shuffled=2 * n_edges,
+                    changed=n,
+                    edges_scanned=2 * n_edges,
+                    seconds=time.time() - t0,
+                )
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    state = hub.join(auth, "vertex")
+    e_src.unpersist()
+    e_dst.unpersist()
+    verts.unpersist()
+    return GimvResult(state=state, iterations=max_iter, converged=False, metrics=metrics)
+
+
+def scc(
+    edges: DataFrame,
+    max_outer: int = 50,
+    max_inner: int = 200,
+    num_partitions: int | None = None,
+) -> GimvResult:
+    """Strongly connected components by iterative coloring + color-local
+    backward reach (Orzan's coloring / FW-BW family): each outer round
+    (1) floods ``color(v) = min active vertex that reaches v`` forward to
+    fixpoint (HashMin over the live subgraph), (2) for every root
+    (``color(v) == v``) collects its SCC as the vertices that reach the
+    root through SAME-COLOR vertices (frontier BFS over the intra-color
+    edge subset — exact: any vertex on a path v ⇒ root inside a root's
+    color class is itself colored by the root, see Orzan 2004), then
+    (3) removes the extracted SCCs and repeats on the shrinking remainder.
+    Returns state (vertex, value) with value = min member id of the SCC —
+    the same label contract as :func:`connected_components`, so the oracle
+    is the transitive-closure mutual-reachability SQL.
+
+    Scale notes: every outer round shrinks BOTH the vertex and edge sets
+    (at minimum the global-min vertex's SCC and everything it colors out);
+    the forward HashMin fixpoint is frontier/delta-style — only vertices
+    whose color changed last step re-send — and the backward pass joins
+    only the NEW frontier against the intra-color edges, so the tail
+    iterations touch O(frontier), not O(E). All fixpoints cut lineage via
+    truncate_plan. Worst case (a path graph) degenerates to O(n) rounds
+    like every label-propagation SCC; real link graphs with one giant SCC
+    finish in 1-2 outer rounds.
+    """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    live_e = truncate_plan(
+        edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+        .distinct().repartition(p, "src")
+    )
+    live_v = truncate_plan(
+        live_e.select(F.col("src").alias("vertex"))
+        .union(live_e.select(F.col("dst").alias("vertex")))
+        .distinct().repartition(p, "vertex")
+    )
+    n_live = live_v.count()
+    assigned: list[DataFrame] = []
+    metrics: list[IterationMetrics] = []
+    converged = False
+    rounds = 0
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for outer in range(1, max_outer + 1):
+            if n_live == 0:
+                converged = True
+                break
+            t0 = time.time()
+            edges_scanned = 0
+            # (1) forward min-color flood, frontier-only after step 1. The
+            # changed count rides on the SAME job that materializes the new
+            # color state (Observation on truncate_plan's eager
+            # localCheckpoint — the gimv.run convergence-vote trick), so
+            # each flood step is exactly ONE Spark job.
+            color = truncate_plan(
+                live_v.select("vertex", F.col("vertex").alias("color"))
+            )
+            frontier = color  # every vertex "changed" at init
+            for _ in range(max_inner):
+                inc = (
+                    live_e.join(
+                        frontier.select(
+                            F.col("vertex").alias("src"), "color"
+                        ).hint("shuffle_hash"),
+                        "src",
+                    )
+                    .groupBy(F.col("dst").alias("vertex"))
+                    .agg(F.min("color").alias("inc"))
+                )
+                obs = Observation()
+                new_color = truncate_plan(
+                    color.join(inc.hint("shuffle_hash"), "vertex", "left")
+                    .select(
+                        "vertex",
+                        F.least("color", F.coalesce("inc", "color")).alias("color"),
+                        (F.coalesce("inc", "color") < F.col("color")).alias("chg"),
+                    )
+                    .observe(obs, F.sum(F.col("chg").cast("int")).alias("c"))
+                )
+                n_chg = int(obs.get["c"] or 0)
+                edges_scanned += n_chg
+                color.unpersist()
+                color = new_color.select("vertex", "color")
+                # lazy filter over the checkpointed new_color — no extra job
+                frontier = new_color.filter("chg").select("vertex", "color")
+                if n_chg == 0:
+                    break
+            # (2) intra-color edges + backward frontier BFS from the roots
+            intra = truncate_plan(
+                live_e.join(
+                    color.select(F.col("vertex").alias("src"),
+                                 F.col("color").alias("c_src")).hint("shuffle_hash"),
+                    "src",
+                )
+                .join(
+                    color.select(F.col("vertex").alias("dst"),
+                                 F.col("color").alias("c_dst")).hint("shuffle_hash"),
+                    "dst",
+                )
+                .filter(F.col("c_src") == F.col("c_dst"))
+                .select("src", "dst")
+                .repartition(p, "dst")
+            )
+            # ``reached`` is the lazy union of checkpointed BFS layers — the
+            # anti-join sees a shallow union plan (each layer is an
+            # in-memory LogicalRDD), so no per-step re-materialization of
+            # the accumulated set is needed. New-layer counts ride on the
+            # layer's own truncate job as Observations.
+            roots = truncate_plan(
+                color.filter(F.col("vertex") == F.col("color")).select("vertex")
+            )
+            layers = [roots]
+            reached = roots
+            bfront = roots
+            for _ in range(max_inner):
+                obs = Observation()
+                nxt = truncate_plan(
+                    intra.join(
+                        bfront.select(F.col("vertex").alias("dst")).hint(
+                            "shuffle_hash"
+                        ),
+                        "dst",
+                    )
+                    .select(F.col("src").alias("vertex"))
+                    .distinct()
+                    .join(reached, "vertex", "left_anti")
+                    .observe(obs, F.count(F.lit(1)).alias("c"))
+                )
+                n_new = int(obs.get["c"] or 0)
+                if n_new == 0:
+                    nxt.unpersist()
+                    break
+                layers.append(nxt)
+                reached = reached.union(nxt)
+                bfront = nxt
+            # (3) extract, shrink. ``assigned`` stays a list of checkpointed
+            # per-round extracts (consumed only at the very end — no
+            # per-round union re-materialization); the live-vertex count
+            # rides on new_live_v's truncate job as an Observation.
+            obs_got = Observation()
+            got = truncate_plan(
+                reached.join(color, "vertex")
+                .select("vertex", F.col("color").alias("value"))
+                .observe(obs_got, F.count(F.lit(1)).alias("c"))
+            )
+            n_got = int(obs_got.get["c"] or 0)
+            assigned.append(got)
+            obs_live = Observation()
+            new_live_v = truncate_plan(
+                live_v.join(reached, "vertex", "left_anti")
+                .observe(obs_live, F.count(F.lit(1)).alias("c"))
+            )
+            new_live_e = truncate_plan(
+                live_e.join(new_live_v.withColumnRenamed("vertex", "src"), "src")
+                .join(new_live_v.withColumnRenamed("vertex", "dst"), "dst")
+                .select("src", "dst")
+                .repartition(p, "src")
+            )
+            for df in (live_v, live_e, color, intra, *layers):
+                df.unpersist()
+            live_v, live_e = new_live_v, new_live_e
+            n_prev, n_live = n_live, int(obs_live.get["c"] or 0)
+            rounds = outer
+            metrics.append(
+                IterationMetrics(
+                    iteration=outer,
+                    messages_shuffled=edges_scanned,
+                    changed=n_got,
+                    edges_scanned=n_prev,
+                    seconds=time.time() - t0,
+                )
+            )
+            if n_live == 0:
+                converged = True
+                break
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    live_v.unpersist()
+    live_e.unpersist()
+    if assigned:
+        labels = assigned[0]
+        for frame in assigned[1:]:
+            labels = labels.union(frame)
+    else:
+        labels = spark.createDataFrame([], "vertex long, value long")
+    # vertices that only ever appear as isolated endpoints of self-loops /
+    # filtered edges: everything in the original edge set must get a label
+    all_v = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    state = all_v.join(labels, "vertex", "left").select(
+        "vertex", F.coalesce("value", "vertex").alias("value")
+    )
+    return GimvResult(
+        state=state, iterations=rounds, converged=converged, metrics=metrics
+    )

@@ -319,6 +319,61 @@ class BatchPPR(VertexProgram):
         return state.select("vertex", arr.alias("value"))
 
 
+class Katz(VertexProgram):
+    """Katz centrality: ``x_{t+1}(v) = α · Σ_{u→v} (1 + x_t(u))``, x₀ = 0 —
+    after t iterations x_t(v) = Σ_{k=1..t} α^k · (#paths of length k ending
+    at v), the truncated Katz series. α must sit below 1/λ_max(A) for the
+    infinite series to converge; callers either run to the |Δ| ≤ threshold
+    fixpoint or a fixed recurrence depth (the oracle contract, like
+    pagerank10). Plain scalar sum semi-ring with NO degree factor
+    (message = 1 + value), so both engines run it unchanged — another
+    GIM-V instantiation in the reference's sense (SURVEY §2.1: combine2 =
+    α-scaled path count, combineAll = sum), not in the reference's own
+    algorithm set."""
+
+    name = "katz"
+    needs_out_degree = False
+
+    def __init__(self, alpha: float = 0.05, threshold: float = CONVERGE_THRESHOLD):
+        self.alpha = alpha
+        self.threshold = threshold
+
+    def init_state(self, vertices, n):
+        return vertices.select("vertex", F.lit(0.0).alias("value"))
+
+    def message(self):
+        return F.lit(1.0) + F.col("value")
+
+    def reduce_expr(self):
+        return F.sum("msg")
+
+    def apply(self, old, msg, n):
+        return self.alpha * F.coalesce(msg, F.lit(0.0))
+
+    def changed(self, old, new):
+        return F.abs(new - old) > self.threshold
+
+    # --- blocked-path NumPy kernels ---
+    reduce_np = "sum"
+    identity = 0.0
+
+    def np_init(self, global_ids, n):
+        import numpy as np
+
+        return np.zeros(len(global_ids), dtype=np.float64)
+
+    def np_signal(self, values, out_degree):
+        return 1.0 + values
+
+    def np_apply(self, old, msg, has_msg, n):
+        return self.alpha * msg
+
+    def np_changed(self, old, new):
+        import numpy as np
+
+        return np.abs(new - old) > self.threshold
+
+
 class ConnectedComponents(VertexProgram):
     """HashMin / PEGASUS CC (CCComputation.java:140-197): propagate min
     label; exact fixpoint. Caller must symmetrize edges for WCC."""

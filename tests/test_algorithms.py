@@ -322,3 +322,126 @@ def test_ktruss_capped_rounds_match_unrolled(spark):
     # round 1 keeps strictly more edges than the fixpoint (cascade exists)
     assert capped.state.count() >= full.state.count()
     assert full.converged
+
+
+def test_katz_matches_numpy_recurrence(spark):
+    """x_{t+1} = alpha * A^T (1 + x_t), x0 = 0 — dense NumPy recompute."""
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (1, 3), (2, 3)]
+    res = algorithms.katz(_edges(spark, pairs), alpha=0.1, max_iter=6)
+    got = {r["vertex"]: r["value"] for r in res.state.collect()}
+    n = 4
+    A = np.zeros((n, n))
+    for s, d in pairs:
+        A[s, d] = 1.0
+    x = np.zeros(n)
+    for _ in range(6):
+        x = 0.1 * (A.T @ (1.0 + x))
+    for v in range(n):
+        assert got[v] == pytest.approx(x[v], abs=1e-12)
+    assert res.iterations == 6
+
+
+def test_katz_blocked_matches_flat(spark):
+    pairs = [(i % 7, (i * 3 + 1) % 7) for i in range(25)]
+    # drop self-loops but keep every id 0..6 present (the blocked engine's
+    # contiguous-id precondition — driver queries remap_contiguous first)
+    pairs = [(s, d) for s, d in pairs if s != d] + [(3, 0)]
+    flat = algorithms.katz(_edges(spark, pairs), alpha=0.05, max_iter=5)
+    blocked = algorithms.katz(
+        _edges(spark, pairs), alpha=0.05, max_iter=5,
+        engine="blocked", p=2, dense_threshold=3,
+    )
+    f = {r["vertex"]: r["value"] for r in flat.state.collect()}
+    b = {r["vertex"]: r["value"] for r in blocked.state.collect()}
+    assert set(f) == set(b)
+    for v in f:
+        assert f[v] == pytest.approx(b[v], abs=1e-12)
+
+
+def test_salsa_matches_numpy_recurrence(spark):
+    """auth = col-normalized A^T hub; hub = col-normalized A auth."""
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (1, 3)]
+    res = algorithms.salsa(_edges(spark, pairs), max_iter=4)
+    got = {r["vertex"]: (r["hub"], r["auth"]) for r in res.state.collect()}
+    n = 4
+    A = np.zeros((n, n))
+    for s, d in pairs:
+        A[s, d] = 1.0
+    od = A.sum(axis=1)
+    idg = A.sum(axis=0)
+    hub = np.ones(n)
+    for _ in range(4):
+        auth = A.T @ np.divide(hub, od, out=np.zeros(n), where=od > 0)
+        # engine joins on edges, so od>0 wherever A has a row
+        hub = A @ np.divide(auth, idg, out=np.zeros(n), where=idg > 0)
+    for v in range(n):
+        assert got[v][0] == pytest.approx(hub[v], abs=1e-12)
+        assert got[v][1] == pytest.approx(auth[v], abs=1e-12)
+    # column-stochastic half-steps conserve hub mass onto non-dangling rows
+    assert res.iterations == 4
+
+
+def test_salsa_empty(spark):
+    res = algorithms.salsa(_edges(spark, []), max_iter=3)
+    assert res.state.count() == 0 and res.converged
+
+
+def _scc_labels(spark, pairs, **kw):
+    res = algorithms.scc(_edges(spark, pairs), **kw)
+    return {r["vertex"]: r["value"] for r in res.state.collect()}, res
+
+
+def test_scc_dag_of_cycles(spark):
+    """Two 3-cycles joined by a one-way bridge + a tail vertex: the bridge
+    must NOT merge the cycles (that is the CC-vs-SCC distinction)."""
+    c1 = [(0, 1), (1, 2), (2, 0)]
+    c2 = [(10, 11), (11, 12), (12, 10)]
+    bridge = [(2, 10)]
+    tail = [(12, 20)]
+    labels, res = _scc_labels(spark, c1 + c2 + bridge + tail)
+    assert labels == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10, 20: 20}
+    assert res.converged
+
+
+def test_scc_matches_brute_force(spark):
+    """Pseudo-random digraph vs a closure-based NumPy brute force."""
+    rng = np.random.RandomState(7)
+    n = 24
+    pairs = set()
+    for _ in range(60):
+        s, d = rng.randint(0, n), rng.randint(0, n)
+        if s != d:
+            pairs.add((int(s), int(d)))
+    pairs = sorted(pairs)
+    labels, res = _scc_labels(spark, pairs)
+    # brute force: boolean transitive closure
+    R = np.eye(n, dtype=bool)
+    A = np.zeros((n, n), dtype=bool)
+    for s, d in pairs:
+        A[s, d] = True
+    R = R | A
+    for _ in range(n):
+        R = R | (R @ R)
+    verts = sorted({v for p in pairs for v in p})
+    expect = {}
+    for v in verts:
+        members = [u for u in verts if R[u, v] and R[v, u]]
+        expect[v] = min(members)
+    assert labels == expect
+    assert res.converged
+
+
+def test_scc_giant_cycle_one_round(spark):
+    """A single strongly connected graph extracts in ONE outer round."""
+    n = 12
+    pairs = [(i, (i + 1) % n) for i in range(n)] + [(0, 6), (6, 0)]
+    labels, res = _scc_labels(spark, pairs)
+    assert set(labels.values()) == {0}
+    assert res.iterations == 1
+
+
+def test_scc_self_loops_and_empty(spark):
+    labels, res = _scc_labels(spark, [(5, 5), (5, 6)])
+    assert labels == {5: 5, 6: 6}
+    res2 = algorithms.scc(_edges(spark, []))
+    assert res2.state.count() == 0 and res2.converged
