@@ -405,6 +405,13 @@ def _q_scc(spark, sf_dir):
     return res.state.select("vertex", F.col("value").alias("scc_id"))
 
 
+def _q_cond_levels(spark, sf_dir):
+    """SCC condensation + longest-path topological levels
+    (algorithms.condensation_levels): gates scc, contract_graph, AND the
+    max-semi-ring layering in one composed row."""
+    return algorithms.condensation_levels(_graph_scc(spark, sf_dir))
+
+
 def _q_katz8(spark, sf_dir):
     """Truncated Katz centrality, fixed 8-iteration recurrence
     (gimv.Katz on the flat plan) — oracle = the recurrence unrolled."""
@@ -1047,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_invariant": _q_content_invariant,
         "contract50": _q_contract50,
         "scc": _q_scc,
+        "cond_levels": _q_cond_levels,
         "katz8": _q_katz8,
         "katz8_blocked": _q_katz8_blocked,
         "salsa4": _q_salsa4,
@@ -1298,6 +1306,48 @@ select v.vertex as vertex,
        least(v.vertex, coalesce(min(m.w), v.vertex)) as scc_id
 from v left join mutual m on m.u = v.vertex
 group by v.vertex
+"""
+
+
+def _cond_levels_sql(edge_sql: str) -> str:
+    """SCC labels from the transitive closure (see _scc_sql), then the
+    condensation DAG's longest-path levels via a second recursive CTE
+    (``walk`` enumerates (node, depth) pairs — finite because the
+    condensation is acyclic; level = max depth)."""
+    return f"""
+with recursive
+e as materialized ({edge_sql}),
+v as (select src as vertex from e union select dst from e),
+reach(s, d) as (
+  select src, dst from e
+  union
+  select r.s, e.dst from reach r join e on r.d = e.src
+),
+mutual as materialized (
+  select a.s as u, a.d as w from reach a join reach b on b.s = a.d and b.d = a.s
+),
+labels as materialized (
+  select v.vertex as vertex,
+         least(v.vertex, coalesce(min(m.w), v.vertex)) as scc_id
+  from v left join mutual m on m.u = v.vertex
+  group by v.vertex
+),
+cedges as materialized (
+  select distinct ls.scc_id as s, ld.scc_id as d
+  from e
+  join labels ls on ls.vertex = e.src
+  join labels ld on ld.vertex = e.dst
+  where ls.scc_id <> ld.scc_id
+),
+walk(node, dpth) as (
+  select s, 0 from cedges union select d, 0 from cedges
+  union
+  select c.d, w.dpth + 1 from walk w join cedges c on c.s = w.node
+),
+lvl as (select node, max(dpth) as level from walk group by node)
+select l.vertex as vertex, l.scc_id as scc_id,
+       coalesce(lv.level, 0)::int as level
+from labels l left join lvl lv on lv.node = l.scc_id
 """
 
 
@@ -1977,6 +2027,7 @@ from e where src % 50 <> dst % 50
 group by 1, 2
 """,
         "scc": _scc_sql(GSCC_SQL),
+        "cond_levels": _cond_levels_sql(GSCC_SQL),
         "katz8": _katz_sql(G1000_SQL, KATZ_ITERS, KATZ_ALPHA),
         "katz8_blocked": _katz_sql(G1000_SQL, KATZ_ITERS, KATZ_ALPHA),
         "salsa4": _salsa_sql(G1000_SQL, SALSA_ITERS),

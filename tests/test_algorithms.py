@@ -445,3 +445,27 @@ def test_scc_self_loops_and_empty(spark):
     assert labels == {5: 5, 6: 6}
     res2 = algorithms.scc(_edges(spark, []))
     assert res2.state.count() == 0 and res2.converged
+
+
+def test_condensation_levels_golden(spark):
+    """Two 3-cycles bridged one-way + a tail: condensation is the 3-chain
+    SCC(0) -> SCC(10) -> {20}, so levels are 0, 1, 2."""
+    pairs = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10),
+             (2, 10), (12, 20)]
+    out = algorithms.condensation_levels(_edges(spark, pairs))
+    rows = {r["vertex"]: (r["scc_id"], r["level"]) for r in out.collect()}
+    assert rows == {
+        0: (0, 0), 1: (0, 0), 2: (0, 0),
+        10: (10, 1), 11: (10, 1), 12: (10, 1),
+        20: (20, 2),
+    }
+
+
+def test_condensation_levels_accepts_precomputed_labels(spark):
+    pairs = [(0, 1), (1, 0), (1, 2)]
+    labels = algorithms.scc(_edges(spark, pairs)).state
+    out = algorithms.condensation_levels(
+        _edges(spark, pairs), scc_labels=labels
+    )
+    rows = {r["vertex"]: (r["scc_id"], r["level"]) for r in out.collect()}
+    assert rows == {0: (0, 0), 1: (0, 0), 2: (2, 1)}
