@@ -67,6 +67,15 @@ GSCC_SQL = (
     ") t where src <> dst and ((src // 50 = dst // 50) or "
     "(src // 50 < dst // 50 and (src + dst) % 97 = 0))"
 )
+# Sparse fixture (avg degree ~3 at sf0.01): MIS layers are wide and the
+# Luby rounds stay in single digits — measured rounds 2 (sf0.001),
+# 3 (sf0.01), 5 (sf0.1); MIS_ROUNDS caps both sides comfortably above.
+GSPARSE_SQL = (
+    "select distinct l_orderkey % 2000 as src, l_partkey % 2000 as dst "
+    "from lineitem where l_orderkey % 2000 <> l_partkey % 2000 "
+    "and (l_orderkey % 2000 * 31 + l_partkey % 2000) % 23 = 0"
+)
+MIS_ROUNDS = 8
 # k-core: k sits inside the symmetrized-degree distribution of graph1000 at
 # sf0.01 (quantiles 79..148, median 113) so peeling cascades for several
 # rounds — measured: changed=[18,4,1,1,1,0], fixpoint at round 6 with a
@@ -403,6 +412,30 @@ def _q_scc(spark, sf_dir):
     forward-flood/backward-BFS machinery exactly."""
     res = algorithms.scc(_graph_scc(spark, sf_dir), max_outer=100)
     return res.state.select("vertex", F.col("value").alias("scc_id"))
+
+
+def _graph_sparse2000(spark, sf_dir) -> DataFrame:
+    """The GSPARSE_SQL fixture graph (sparse: MIS/coloring-style layer
+    algorithms are only interesting below the dense regime)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.col("l_orderkey") % 2000
+    d = F.col("l_partkey") % 2000
+    return (
+        li.select(s.alias("src"), d.alias("dst"))
+        .filter((F.col("src") != F.col("dst"))
+                & ((F.col("src") * 31 + F.col("dst")) % 23 == 0))
+        .distinct()
+    )
+
+
+def _q_mis(spark, sf_dir):
+    """Luby-style maximal independent set (deterministic by-id
+    priorities), both sides capped at MIS_ROUNDS rounds — value = the
+    round each member joined."""
+    res = algorithms.maximal_independent_set(
+        _graph_sparse2000(spark, sf_dir), max_rounds=MIS_ROUNDS
+    )
+    return res.state.select("vertex", F.col("value").alias("mis_round"))
 
 
 def _q_cond_levels(spark, sf_dir):
@@ -1054,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_invariant": _q_content_invariant,
         "contract50": _q_contract50,
         "scc": _q_scc,
+        "mis": _q_mis,
         "cond_levels": _q_cond_levels,
         "katz8": _q_katz8,
         "katz8_blocked": _q_katz8_blocked,
@@ -1307,6 +1341,40 @@ select v.vertex as vertex,
 from v left join mutual m on m.u = v.vertex
 group by v.vertex
 """
+
+
+def _mis_sql(edge_sql: str, rounds: int) -> str:
+    """Unrolled Luby MIS with by-id priorities: per round, live local
+    minima join (get the round number), then joiners + their neighbors
+    leave the live set."""
+    ctes = [
+        f"e0 as materialized ({edge_sql})",
+        "se as materialized (select src, dst from e0 where src <> dst "
+        "union select dst, src from e0 where src <> dst)",
+        "a0 as (select distinct src as v from se)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"s{r} as materialized (select a.v, {r} as mis_round "
+            f"from a{r-1} a left join ("
+            f"select se.src as v, min(se.dst) as m from se "
+            f"join a{r-1} x on x.v = se.src "
+            f"join a{r-1} y on y.v = se.dst group by se.src"
+            f") nm on nm.v = a.v where nm.m is null or a.v < nm.m)"
+        )
+        ctes.append(
+            f"a{r} as materialized (select a.v from a{r-1} a "
+            f"where a.v not in (select v from s{r}) "
+            f"and a.v not in (select se.dst from se "
+            f"join s{r} s on s.v = se.src))"
+        )
+    union = " union all ".join(
+        f"select v, mis_round from s{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect v as vertex, mis_round from ({union}) t"
+    )
 
 
 def _cond_levels_sql(edge_sql: str) -> str:
@@ -2027,6 +2095,7 @@ from e where src % 50 <> dst % 50
 group by 1, 2
 """,
         "scc": _scc_sql(GSCC_SQL),
+        "mis": _mis_sql(GSPARSE_SQL, MIS_ROUNDS),
         "cond_levels": _cond_levels_sql(GSCC_SQL),
         "katz8": _katz_sql(G1000_SQL, KATZ_ITERS, KATZ_ALPHA),
         "katz8_blocked": _katz_sql(G1000_SQL, KATZ_ITERS, KATZ_ALPHA),

@@ -1533,3 +1533,113 @@ def condensation_levels(
     dag.unpersist()
     labels.unpersist()
     return out
+
+
+def maximal_independent_set(
+    edges: DataFrame, max_rounds: int = 50, num_partitions: int | None = None
+) -> GimvResult:
+    """Maximal independent set by Luby-style rounds with deterministic
+    by-id priorities: each round, every live vertex whose id is smaller
+    than ALL its live neighbors' ids joins the MIS, then the joiners AND
+    their neighbors retire. Terminates when no vertex is live; the result
+    is independent (no two adjacent members) and maximal (every
+    non-member lost to a member neighbor). Self-loops are dropped (a
+    vertex adjacent to itself could never join) and direction is ignored.
+    Returns state (vertex, value) where value = the round the vertex
+    joined — capping ``max_rounds`` yields exactly the first k layers on
+    any engine (deterministic, so an equally-capped oracle unroll
+    compares equal; the kcore/ktruss comparability contract).
+
+    Scale notes: the live edge set SHRINKS geometrically (each round
+    removes the joiners' whole neighborhoods); per round one map-side
+    combined min-aggregate keyed by src + two anti-joins, with loop
+    counts riding on the truncate jobs as Observations. By-id priorities
+    are deterministic and need zero extra state; on adversarial chains
+    they degrade toward O(n) rounds where Luby's random priorities give
+    O(log n) — swap the priority to a per-round multiplicative hash of
+    the id if that ever bites (same plan shape, still deterministic).
+    """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    live_e = truncate_plan(
+        symmetrize(
+            edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+        ).repartition(p, "src")
+    )
+    active = truncate_plan(
+        live_e.select(F.col("src").alias("vertex")).distinct()
+        .repartition(p, "vertex")
+    )
+    n_active = active.count()
+    layers: list[DataFrame] = []
+    metrics: list[IterationMetrics] = []
+    converged = False
+    rounds = 0
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for r in range(1, max_rounds + 1):
+            if n_active == 0:
+                converged = True
+                break
+            t0 = time.time()
+            nbr_min = live_e.groupBy(F.col("src").alias("vertex")).agg(
+                F.min("dst").alias("m")
+            )
+            obs_s = Observation()
+            joined = truncate_plan(
+                active.join(nbr_min.hint("shuffle_hash"), "vertex", "left")
+                .where(F.col("m").isNull() | (F.col("vertex") < F.col("m")))
+                .select("vertex", F.lit(r).alias("value"))
+                .observe(obs_s, F.count(F.lit(1)).alias("c"))
+            )
+            n_joined = int(obs_s.get["c"] or 0)
+            layers.append(joined)
+            retire = joined.select("vertex").union(
+                live_e.join(
+                    joined.select(F.col("vertex").alias("src")).hint(
+                        "shuffle_hash"
+                    ),
+                    "src",
+                ).select(F.col("dst").alias("vertex"))
+            ).distinct()
+            obs_a = Observation()
+            new_active = truncate_plan(
+                active.join(retire, "vertex", "left_anti")
+                .observe(obs_a, F.count(F.lit(1)).alias("c"))
+            )
+            new_live_e = truncate_plan(
+                live_e.join(new_active.withColumnRenamed("vertex", "src"), "src")
+                .join(new_active.withColumnRenamed("vertex", "dst"), "dst")
+                .select("src", "dst")
+                .repartition(p, "src")
+            )
+            active.unpersist()
+            live_e.unpersist()
+            active, live_e = new_active, new_live_e
+            n_prev, n_active = n_active, int(obs_a.get["c"] or 0)
+            rounds = r
+            metrics.append(
+                IterationMetrics(
+                    iteration=r,
+                    messages_shuffled=n_joined,
+                    changed=n_prev - n_active,
+                    edges_scanned=n_prev,
+                    seconds=time.time() - t0,
+                )
+            )
+        else:
+            converged = n_active == 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    active.unpersist()
+    live_e.unpersist()
+    if layers:
+        state = layers[0]
+        for frame in layers[1:]:
+            state = state.union(frame)
+    else:
+        state = spark.createDataFrame([], "vertex long, value int")
+    return GimvResult(
+        state=state, iterations=rounds, converged=converged, metrics=metrics
+    )

@@ -469,3 +469,51 @@ def test_condensation_levels_accepts_precomputed_labels(spark):
     )
     rows = {r["vertex"]: (r["scc_id"], r["level"]) for r in out.collect()}
     assert rows == {0: (0, 0), 1: (0, 0), 2: (2, 1)}
+
+
+def test_mis_path_graph_golden(spark):
+    """Path 0-1-2-3: round 1 joins {0} (local min), retires 1; round 2
+    joins {2}, retires 3. MIS = {0, 2}."""
+    res = algorithms.maximal_independent_set(
+        _edges(spark, [(0, 1), (1, 2), (2, 3)])
+    )
+    rows = {r["vertex"]: r["value"] for r in res.state.collect()}
+    assert rows == {0: 1, 2: 2}
+    assert res.converged and res.iterations >= 2
+
+
+def test_mis_independent_and_maximal(spark):
+    rng = np.random.RandomState(11)
+    pairs = sorted({(int(a), int(b))
+                    for a, b in rng.randint(0, 40, size=(120, 2)) if a != b})
+    res = algorithms.maximal_independent_set(_edges(spark, pairs))
+    mis = {r["vertex"] for r in res.state.collect()}
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    # independent: no two members adjacent
+    for v in mis:
+        assert not (adj[v] & mis)
+    # maximal: every non-member has a member neighbor
+    for v in adj:
+        assert v in mis or (adj[v] & mis)
+    assert res.converged
+
+
+def test_mis_capped_rounds_prefix(spark):
+    """max_rounds=1 returns exactly the first layer of the full run."""
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]
+    full = algorithms.maximal_independent_set(_edges(spark, pairs))
+    capped = algorithms.maximal_independent_set(
+        _edges(spark, pairs), max_rounds=1
+    )
+    f = {r["vertex"]: r["value"] for r in full.state.collect()}
+    c = {r["vertex"]: r["value"] for r in capped.state.collect()}
+    assert c == {v: rd for v, rd in f.items() if rd == 1}
+    assert not capped.converged
+
+
+def test_mis_empty_and_selfloop(spark):
+    res = algorithms.maximal_independent_set(_edges(spark, [(7, 7)]))
+    assert res.state.count() == 0 and res.converged
