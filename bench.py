@@ -138,6 +138,30 @@ def main() -> None:
         lambda: algorithms.hits(g5000, max_iter=4, num_partitions=gp)
         .state.agg(F.sum("auth")).first(),
     )
+    timed(
+        "salsa_4it",
+        lambda: algorithms.salsa(g5000, max_iter=4, num_partitions=gp)
+        .state.agg(F.sum("auth")).first(),
+    )
+    timed(
+        "katz_10it",
+        lambda: algorithms.katz(
+            edges, alpha=0.01, max_iter=PAGERANK_ITERS, num_partitions=gp
+        ).state.count(),
+    )
+    # g5000 is dense (avg degree >100), so it is one giant SCC plus
+    # stragglers: scc exercises the full flood + backward machinery in few
+    # outer rounds, and MIS retires most of the graph in round 1
+    timed(
+        "scc",
+        lambda: algorithms.scc(g5000, num_partitions=gp).state.count(),
+    )
+    timed(
+        "mis",
+        lambda: algorithms.maximal_independent_set(
+            g5000, num_partitions=gp
+        ).state.count(),
+    )
     # k at the 25th degree percentile: enough peeling to cascade without
     # collapsing the whole graph (computed outside the timed region)
     kq = (
