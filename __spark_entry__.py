@@ -56,6 +56,11 @@ SALSA_ITERS = 4
 # boundary sits inside reorder-noise territory).
 KATZ_ALPHA = 0.01
 KATZ_ITERS = 8
+# Brandes sampled betweenness: 8 fixed sources, depth-bounded at 4 (the
+# graph1000 diameter is 3, so the bound is not binding at sf0.01; at other
+# SFs both sides truncate identically — the closeness4 contract).
+BETW_SOURCES = list(range(8))
+BETW_DEPTH = 4
 # SCC fixture: 10 blocks of 50 vertices; intra-block edges come straight
 # from lineitem pairs (dense enough at sf>=0.01 that each block is one
 # SCC), cross-block edges only flow low→high block and are 97×-sparsified
@@ -243,6 +248,23 @@ def _q_wpagerank10(spark, sf_dir):
         weighted=True,
     )
     return res.state.select("vertex", F.round("value", 6).alias("pr"))
+
+
+def _q_wpagerank10_blocked(spark, sf_dir):
+    """Weighted PageRank on the blocked CSR engine: weights pre-normalized
+    to per-source fractions (gimv.NormalizedWeightedPageRank), so the
+    kernel reuses the weighted block format SSSP already exercises — same
+    unrolled oracle as the flat row."""
+    e2, mapping = remap_contiguous(_graph1000_w(spark, sf_dir))
+    res = algorithms.pagerank(
+        e2, threshold=0.0, max_iter=PAGERANK_ITERS, weighted=True,
+        engine="blocked", p=BLOCKED_P,
+        dense_threshold=BLOCKED_DENSE_THRESHOLD,
+    )
+    return (
+        res.state.join(mapping, "vertex")
+        .select(F.col("orig").alias("vertex"), F.round("value", 6).alias("pr"))
+    )
 
 
 def _q_rwr10(spark, sf_dir):
@@ -466,6 +488,16 @@ def _q_katz8_blocked(spark, sf_dir):
     return (
         res.state.join(mapping, "vertex")
         .select(F.col("orig").alias("vertex"), F.round("value", 6).alias("katz"))
+    )
+
+
+def _q_betweenness8(spark, sf_dir):
+    """Source-sampled depth-bounded Brandes betweenness (8 sources, ≤4
+    hops): forward σ layers + backward δ accumulation, all sources
+    batched in one (s, v)-keyed DataFrame. Oracle = the same recurrence
+    unrolled layer by layer."""
+    return algorithms.betweenness_sampled(
+        _graph1000(spark, sf_dir), BETW_SOURCES, max_depth=BETW_DEPTH
     )
 
 
@@ -1040,6 +1072,34 @@ def _q_unigram_logprob(spark, sf_dir):
     )
 
 
+def _q_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram-LM document scores (λ=0.7 bigram + 0.3 unigram
+    backoff), trained on the corpus itself — the next quality-ladder rung
+    above unigram_logprob. Oracle rebuilds the same counts with DuckDB
+    list_zip adjacent pairing."""
+    out = corpus.bigram_logprob(_t(spark, sf_dir, "documents"), lam=0.7)
+    return out.select(
+        "doc_id", "n_bigrams",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+        F.round("ppl", 4).alias("ppl"),
+    )
+
+
+def _q_mixture_weights(spark, sf_dir):
+    """Temperature-flattened (τ=0.7) language-mixture weights + per-group
+    keep rates — the multilingual rebalancing table fed to
+    deterministic_sample."""
+    out = corpus.mixture_weights(
+        _t(spark, sf_dir, "documents"), group_col="lang", temperature=0.7
+    )
+    return out.select(
+        "group", "n_rows",
+        F.round("nat_share", 6).alias("nat_share"),
+        F.round("weight", 6).alias("weight"),
+        F.round("rate", 6).alias("rate"),
+    )
+
+
 PACK_MAX_TOKENS = 512
 
 
@@ -1066,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_sizes": _q_cc_sizes,
         "pagerank10": _q_pagerank10,
         "wpagerank10": _q_wpagerank10,
+        "wpagerank10_blocked": _q_wpagerank10_blocked,
         "rwr10": _q_rwr10,
         "pagerank_converged_top20": _q_pagerank_converged_top20,
         "pagerank10_blocked": _q_pagerank10_blocked,
@@ -1092,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz8": _q_katz8,
         "katz8_blocked": _q_katz8_blocked,
         "salsa4": _q_salsa4,
+        "betweenness8": _q_betweenness8,
         "ktruss": _q_ktruss,
         "closeness4": _q_closeness4,
         "co_occurrence": _q_co_occurrence,
@@ -1130,6 +1192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigrams": _q_top_bigrams,
         "collocations": _q_collocations,
         "unigram_logprob": _q_unigram_logprob,
+        "bigram_logprob": _q_bigram_logprob,
+        "mixture_weights": _q_mixture_weights,
         "pack_documents": _q_pack_documents,
         "event_window_counts": _q_event_windows,
         "event_sessions": _q_event_sessions,
@@ -1374,6 +1438,51 @@ def _mis_sql(edge_sql: str, rounds: int) -> str:
     return (
         "with " + ",\n".join(ctes)
         + f"\nselect v as vertex, mis_round from ({union}) t"
+    )
+
+
+def _betweenness_sql(edge_sql: str, sources: list[int], depth: int) -> str:
+    """Unrolled sampled Brandes: forward σ layers (anti-joined against all
+    earlier layers — layer membership defines the shortest-path DAG), then
+    backward δ accumulation from the deepest layer up."""
+    vals = ", ".join(f"({int(s)})" for s in sources)
+    ctes = [
+        f"e as materialized ({edge_sql})",
+        "verts as (select src as v from e union select dst from e)",
+        f"l0 as (select s, s as v, 1.0 as sigma from (values {vals}) t(s))",
+    ]
+    seen = "select s, v from l0"
+    for d in range(1, depth + 1):
+        ctes.append(
+            f"l{d} as materialized (select * from ("
+            f"select f.s, e.dst as v, sum(f.sigma) as sigma "
+            f"from l{d-1} f join e on e.src = f.v group by 1, 2) x "
+            f"where not exists (select 1 from ({seen}) sn "
+            f"where sn.s = x.s and sn.v = x.v))"
+        )
+        seen += f" union all select s, v from l{d}"
+    for d in range(depth - 1, -1, -1):
+        if d == depth - 1:
+            dw, lj = "0.0", ""
+        else:
+            dw = "coalesce(dw.delta, 0.0)"
+            lj = f"left join dl{d+1} dw on dw.s = w.s and dw.v = w.v "
+        ctes.append(
+            f"dl{d} as materialized (select c.s, c.v, "
+            f"sum(c.sigma / w.sigma * (1.0 + {dw})) as delta "
+            f"from l{d} c join e on e.src = c.v "
+            f"join l{d+1} w on w.s = c.s and w.v = e.dst {lj}group by 1, 2)"
+        )
+    union = " union all ".join(f"select s, v, delta from dl{d}" for d in range(depth))
+    return (
+        "with " + ",\n".join(ctes)
+        + f"""
+select verts.v as vertex,
+       round(coalesce(b.b, 0.0), 6) as betweenness
+from verts left join (
+  select v, sum(delta) as b from ({union}) t where s <> v group by v
+) b on b.v = verts.v
+"""
     )
 
 
@@ -1896,6 +2005,42 @@ select d.doc_id, coalesce(pd.n_tokens, 0) as n_tokens,
 from (select doc_id from documents) d left join pd using (doc_id)
 """
 
+_BIGRAM_LP_SQL = r"""
+with n as (select doc_id, trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) as norm
+           from documents),
+l as (select doc_id, list_filter(string_split(norm, ' '), w -> w <> '') as t from n),
+bi0 as (select doc_id, unnest(list_zip(t[:len(t)-1], t[2:])) as b from l
+        where len(t) >= 2),
+bt as materialized (select doc_id, b[1] as w1, b[2] as w2 from bi0),
+big as materialized (select w1, w2, count(*)::bigint as n_big from bt group by 1, 2),
+ctx as materialized (select w1, count(*)::bigint as n_ctx from bt group by 1),
+tok as (select unnest(t) as w from l),
+uni as materialized (select w, count(*)::bigint as n_w from tok group by 1),
+tt as (select sum(n_w)::double as t from uni),
+sc as (select bt.doc_id,
+              ln(0.7 * coalesce(big.n_big / ctx.n_ctx, 0.0)
+                 + (1.0 - 0.7) * coalesce(uni.n_w / tt.t, 0.0)) as lp
+       from bt
+       left join big using (w1, w2)
+       left join ctx using (w1)
+       left join uni on uni.w = bt.w2, tt),
+pd as (select doc_id, count(*)::bigint as n_bigrams, avg(lp) as alp
+       from sc group by 1)
+select d.doc_id, coalesce(pd.n_bigrams, 0) as n_bigrams,
+       round(pd.alp, 6) as avg_logprob, round(exp(-pd.alp), 4) as ppl
+from (select doc_id from documents) d left join pd using (doc_id)
+"""
+
+_MIXTURE_SQL = r"""
+with c as (select lang as grp, count(*)::bigint as n_rows from documents group by 1),
+t as (select sum(n_rows)::double as t, sum(pow(n_rows::double, 0.7)) as z from c)
+select grp as "group", n_rows,
+       round(n_rows / t.t, 6) as nat_share,
+       round(pow(n_rows::double, 0.7) / t.z, 6) as weight,
+       round(least(1.0, pow(n_rows::double, 0.7) / t.z * t.t / n_rows), 6) as rate
+from c, t
+"""
+
 _PACK_SQL = r"""
 with n as (select doc_id, lang,
            trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) as norm
@@ -2050,6 +2195,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank10": _pagerank_sql(SSP_EDGES_SQL, PAGERANK_ITERS),
         "wpagerank10": _pagerank_sql(G1000_W_SQL, PAGERANK_ITERS, weighted=True),
+        "wpagerank10_blocked": _pagerank_sql(
+            G1000_W_SQL, PAGERANK_ITERS, weighted=True
+        ),
         "rwr10": _pagerank_sql(SSP_EDGES_SQL, PAGERANK_ITERS, personalized=True),
         "pagerank_converged_top20": (
             # engine converges (all |Δ| <= 1e-8) at iteration
@@ -2100,6 +2248,7 @@ group by 1, 2
         "katz8": _katz_sql(G1000_SQL, KATZ_ITERS, KATZ_ALPHA),
         "katz8_blocked": _katz_sql(G1000_SQL, KATZ_ITERS, KATZ_ALPHA),
         "salsa4": _salsa_sql(G1000_SQL, SALSA_ITERS),
+        "betweenness8": _betweenness_sql(G1000_SQL, BETW_SOURCES, BETW_DEPTH),
         "ktruss": _ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS),
         # unrolled layered BFS to depth 4 (graph1000 diameter is 3);
         # levels must be `as materialized` — DuckDB inlines CTEs and the
@@ -2219,6 +2368,8 @@ from documents
         "top_bigrams": _TOP_BIGRAMS_SQL,
         "collocations": _COLLOCATIONS_SQL,
         "unigram_logprob": _UNIGRAM_LP_SQL,
+        "bigram_logprob": _BIGRAM_LP_SQL,
+        "mixture_weights": _MIXTURE_SQL,
         "pack_documents": _PACK_SQL,
         # Omitted on purpose (engine-side hashing / randomized projections
         # that DuckDB cannot reproduce): near_dup_minhash (LSH banding over

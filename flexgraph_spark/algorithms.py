@@ -74,14 +74,29 @@ def pagerank(
     weighted: bool = False,
     **kw,
 ) -> gimv.GimvResult:
-    """``weighted=True`` distributes rank proportionally to edge weight
-    (gimv.WeightedPageRank — flat engine only); requires a weight column."""
+    """``weighted=True`` distributes rank proportionally to edge weight;
+    requires a weight column. The flat engine runs gimv.WeightedPageRank
+    (weighted out-degree in the join); other engines pre-normalize the
+    weights to per-source fractions once (one setup join) and run
+    gimv.NormalizedWeightedPageRank, whose kernels need no
+    weighted-degree sidecar — so the blocked CSR plan serves weighted
+    PageRank with the SAME block format it uses for SSSP."""
     if weighted:
         if "weight" not in edges.columns:
             raise ValueError("weighted PageRank needs a 'weight' column")
-        prog = gimv.WeightedPageRank(
-            alpha=alpha, threshold=threshold, source_vertex=source_vertex
-        )
+        if engine == "flat":
+            prog = gimv.WeightedPageRank(
+                alpha=alpha, threshold=threshold, source_vertex=source_vertex
+            )
+        else:
+            wsum = edges.groupBy("src").agg(F.sum("weight").alias("_wsum"))
+            edges = edges.join(wsum, "src").select(
+                "src", "dst",
+                (F.col("weight") / F.col("_wsum")).alias("weight"),
+            )
+            prog = gimv.NormalizedWeightedPageRank(
+                alpha=alpha, threshold=threshold, source_vertex=source_vertex
+            )
     else:
         prog = gimv.PageRank(
             alpha=alpha, threshold=threshold, source_vertex=source_vertex
@@ -1643,3 +1658,124 @@ def maximal_independent_set(
     return GimvResult(
         state=state, iterations=rounds, converged=converged, metrics=metrics
     )
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    sources: list[int],
+    max_depth: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Source-sampled, depth-bounded betweenness centrality (Brandes'
+    dependency accumulation over the shortest-path DAG, truncated at
+    ``max_depth`` hops — the standard approximation for graphs where exact
+    betweenness' all-pairs cost is unpayable): forward layered BFS from
+    every source AT ONCE carrying per-(source, vertex) shortest-path
+    counts σ, then backward accumulation
+    ``δ(v) = Σ_{w ∈ succ(v)} σ(v)/σ(w) · (1 + δ(w))`` layer by layer.
+    Returns (vertex, betweenness) with
+    ``betweenness(v) = Σ_{s ∈ sources, v ≠ s} δ_s(v)``, rounded to 6.
+
+    Directed, unweighted. The depth bound makes the result a documented
+    truncation (pairs farther than ``max_depth`` contribute nothing) —
+    exactly unrollable by a fixed-depth oracle, the closeness4 contract.
+
+    Scale shape: all sources ride one DataFrame keyed by (s, v) — one
+    edge join per BFS layer serves every source (the BatchPPR batching
+    trick), and layer membership IS the shortest-path-DAG filter (an edge
+    from depth d to depth d+1 is a DAG edge by definition), so the
+    backward pass is one join per depth against the cached layers with no
+    per-pair predecessor lists. Work is O(Σ_s |reach_≤D(s)| · avg_deg);
+    the (s, v) key spreads hub load across sources, AQE splits what's
+    left. σ/δ stay exact longs/doubles — no sketching.
+    """
+    if not sources:
+        raise ValueError("betweenness_sampled needs at least one source")
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = truncate_plan(
+        edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+        .distinct().repartition(p, "src")
+    )
+    src_rows = [(int(s),) for s in sources]
+    l0 = truncate_plan(
+        spark.createDataFrame(src_rows, "s long")
+        .select("s", F.col("s").alias("v"), F.lit(1.0).alias("sigma"))
+    )
+    layers = [l0]
+    seen = l0.select("s", "v")
+    frontier = l0
+    for _ in range(1, max_depth + 1):
+        obs = Observation()
+        nxt = truncate_plan(
+            frontier.select("s", F.col("v").alias("src"), "sigma")
+            .join(e.hint("shuffle_hash"), "src")
+            .groupBy("s", F.col("dst").alias("v"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(seen, ["s", "v"], "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("c"))
+        )
+        if int(obs.get["c"] or 0) == 0:
+            nxt.unpersist()
+            break
+        layers.append(nxt)
+        seen = seen.union(nxt.select("s", "v"))
+        frontier = nxt
+    # backward: delta of the deepest layer is 0; accumulate upward
+    delta = None  # (s, v, delta) for layers below the current one
+    acc: list[DataFrame] = []
+    for d in range(len(layers) - 2, -1, -1):
+        cur, below = layers[d], layers[d + 1]
+        wdelta = below.select("s", "v", "sigma")
+        if delta is not None:
+            wdelta = wdelta.join(delta, ["s", "v"], "left").select(
+                "s", "v", "sigma",
+                F.coalesce("delta", F.lit(0.0)).alias("delta"),
+            )
+        else:
+            wdelta = wdelta.select("s", "v", "sigma", F.lit(0.0).alias("delta"))
+        contrib = (
+            cur.select("s", F.col("v").alias("src"), "sigma")
+            .join(e.hint("shuffle_hash"), "src")
+            .join(
+                wdelta.select(
+                    "s", F.col("v").alias("dst"),
+                    F.col("sigma").alias("sigma_w"),
+                    F.col("delta").alias("delta_w"),
+                ),
+                ["s", "dst"],
+            )
+            .groupBy("s", F.col("src").alias("v"))
+            .agg(
+                F.sum(
+                    F.col("sigma") / F.col("sigma_w")
+                    * (F.lit(1.0) + F.col("delta_w"))
+                ).alias("delta")
+            )
+        )
+        delta = truncate_plan(contrib)
+        acc.append(delta)
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    if acc:
+        alldelta = acc[0]
+        for frame in acc[1:]:
+            alldelta = alldelta.union(frame)
+        per_v = (
+            alldelta.where(F.col("s") != F.col("v"))
+            .groupBy(F.col("v").alias("vertex"))
+            .agg(F.sum("delta").alias("b"))
+        )
+    else:
+        per_v = spark.createDataFrame([], "vertex long, b double")
+    out = verts.join(per_v, "vertex", "left").select(
+        "vertex", F.round(F.coalesce("b", F.lit(0.0)), 6).alias("betweenness")
+    )
+    out = truncate_plan(out)
+    for frame in layers + acc:
+        frame.unpersist()
+    e.unpersist()
+    return out

@@ -345,3 +345,133 @@ def pack_documents(
         "n_tokens",
         F.floor(cum_prev / F.lit(max_tokens)).cast("long").alias("bin"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    lam: float = 0.7,
+    lm_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document interpolated bigram LM score — one rung above
+    :func:`unigram_logprob` on the CCNet-style quality ladder:
+
+        lp(w_i | w_{i-1}) = ln( λ·n(w_{i-1},w_i)/n_ctx(w_{i-1})
+                               + (1-λ)·n(w_i)/T )
+
+    over positions i ≥ 2; ``(doc_id, n_bigrams, avg_logprob, ppl)``.
+    The unigram backoff term makes every in-vocabulary continuation finite
+    (an unseen bigram whose w_i exists still scores), so no extra
+    smoothing is needed when scoring the training corpus itself.
+    ``lm_docs`` trains the counts on a different corpus.
+
+    Scale shape: adjacent pairing happens INSIDE the token array (one
+    ``transform`` over a slice — no positional self-join, no window
+    shuffle), then one bigram-count aggregation (map-side combine soaks
+    the Zipf head), one join of exploded bigrams against the count tables
+    keyed by (w1, w2) and w2 (AQE skew-splits stop-word keys), one
+    per-doc mean.
+    """
+    def toks_col(frame):
+        norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+        return F.filter(F.split(F.trim(norm), " "), lambda w: w != "")
+
+    def bigrams(frame):
+        # slice(t, 1, size-1) needs size >= 2 (negative lengths raise in
+        # ANSI mode); shorter docs have no bigrams anyway
+        t = frame.select("doc_id", toks_col(frame).alias("t")).where(
+            F.size("t") >= 2
+        )
+        pairs = F.expr(
+            "transform(slice(t, 1, size(t) - 1), "
+            "(x, i) -> struct(x as w1, element_at(t, i + 2) as w2))"
+        )
+        return t.select("doc_id", F.explode(pairs).alias("b")).select(
+            "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+        )
+
+    lm_src = df if lm_docs is None else lm_docs
+    lm_bi = bigrams(lm_src)
+    big = lm_bi.groupBy("w1", "w2").agg(F.count("*").alias("n_big"))
+    ctx = lm_bi.groupBy("w1").agg(F.count("*").alias("n_ctx"))
+    tok = lm_src.select(F.explode(toks_col(lm_src)).alias("w"))
+    uni = tok.groupBy("w").agg(F.count("*").alias("n_w"))
+    total = uni.agg(F.sum("n_w").alias("t"))
+
+    doc_bi = bigrams(df)
+    lam_c = F.lit(float(lam))
+    scored = (
+        doc_bi.join(big, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(uni.withColumnRenamed("w", "w2"), "w2", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log(
+                lam_c * F.coalesce(F.col("n_big") / F.col("n_ctx"), F.lit(0.0))
+                + (1.0 - lam_c)
+                * F.coalesce(F.col("n_w") / F.col("t"), F.lit(0.0))
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.avg("lp").alias("avg_logprob")
+    )
+    return (
+        df.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_logprob",
+            F.exp(-F.col("avg_logprob")).alias("ppl"),
+        )
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str = "lang",
+    temperature: float = 0.7,
+    target_rows: int | None = None,
+) -> DataFrame:
+    """Temperature-flattened mixture weights per group — the multilingual /
+    multi-domain rebalancing rule (sample probability ∝ count^τ, τ < 1
+    upsamples tails, τ = 1 keeps natural proportions): returns one row per
+    group ``(group, n_rows, nat_share, weight, rate)`` where ``weight`` is
+    the normalized count^τ share and ``rate = min(1, target_rows·weight /
+    n_rows)`` is the per-group keep fraction a sampler should apply
+    (``target_rows`` defaults to the corpus size). Feed ``rate`` straight
+    into :func:`deterministic_sample` (rates dict) for an auditable
+    end-to-end rebalanced sample.
+
+    One aggregation + one broadcast of the (tiny) per-group table; pure
+    column math, no UDFs.
+    """
+    cnt = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count("*").alias("n_rows")
+    )
+    tot = cnt.agg(
+        F.sum("n_rows").alias("t"),
+        F.sum(F.pow(F.col("n_rows").cast("double"), float(temperature))).alias(
+            "z"
+        ),
+    )
+    tgt = F.lit(int(target_rows)) if target_rows is not None else F.col("t")
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "group",
+            "n_rows",
+            (F.col("n_rows") / F.col("t")).alias("nat_share"),
+            (
+                F.pow(F.col("n_rows").cast("double"), float(temperature))
+                / F.col("z")
+            ).alias("weight"),
+            F.least(
+                F.lit(1.0),
+                F.pow(F.col("n_rows").cast("double"), float(temperature))
+                / F.col("z") * tgt / F.col("n_rows"),
+            ).alias("rate"),
+        )
+    )

@@ -231,12 +231,14 @@ class WeightedPageRank(PageRank):
     reference itself is unweighted, this is the weighted-matrix GIM-V
     instantiation its WeightedGraphPrepartitioning feeds into SSSP only).
 
-    Flat engine only for now (``supports_blocked=False``): the blocked CSR
-    kernels carry unweighted global-degree arrays; a weighted-degree
-    sidecar is a straightforward extension, not yet needed at the tested
-    scales. ``weighted_degree`` makes gimv.run compute out_degree as
-    sum(weight), so dangling handling and zero-weight guards match the
-    unweighted plan shape exactly.
+    This class is the FLAT-plan face (``supports_blocked=False``): the
+    blocked CSR kernels carry unweighted global-degree arrays, so the
+    blocked engine instead runs :class:`NormalizedWeightedPageRank` over
+    pre-normalized weights (algorithms.pagerank routes automatically) —
+    same semantics, no weighted-degree sidecar needed.
+    ``weighted_degree`` makes gimv.run compute out_degree as sum(weight),
+    so dangling handling and zero-weight guards match the unweighted plan
+    shape exactly.
     """
 
     name = "weighted_pagerank"
@@ -246,6 +248,36 @@ class WeightedPageRank(PageRank):
 
     def message(self) -> F.Column:
         return F.col("value") * F.col("weight") / F.col("out_degree")
+
+
+class NormalizedWeightedPageRank(PageRank):
+    """Weighted PageRank over PRE-NORMALIZED weights — the blocked-engine
+    face of :class:`WeightedPageRank`. algorithms.pagerank divides each
+    weight by its source's weight sum once at setup (one join, before
+    prepartitioning), after which the recurrence is
+    ``message = value · w'`` with NO degree factor — so the blocked CSR
+    kernels need no weighted-degree sidecar: signal = value and the
+    per-edge multiply uses the weight arrays the weighted block format
+    already carries for SSSP (blocks.prepartition ``weighted=True``).
+    Same semantics as WeightedPageRank (v·w/Σw vs v·(w/Σw) differ only in
+    rounding order); weights must be positive — a zero weight-sum source
+    produces null fractions, matching the flat plan's division-by-zero
+    nulls. Works on BOTH engines.
+    """
+
+    name = "weighted_pagerank_norm"
+    weighted = True
+    supports_blocked = True
+    needs_out_degree = False
+
+    def message(self) -> F.Column:
+        return F.col("value") * F.col("weight")
+
+    def np_signal(self, values, out_degree):
+        return values
+
+    def np_message(self, signal_at_src, weights):
+        return signal_at_src * weights
 
 
 class BatchPPR(VertexProgram):

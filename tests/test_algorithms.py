@@ -517,3 +517,90 @@ def test_mis_capped_rounds_prefix(spark):
 def test_mis_empty_and_selfloop(spark):
     res = algorithms.maximal_independent_set(_edges(spark, [(7, 7)]))
     assert res.state.count() == 0 and res.converged
+
+
+def test_weighted_pagerank_blocked_matches_flat(spark):
+    """Blocked weighted PageRank (pre-normalized fractions) reproduces the
+    flat weighted plan (weighted out-degree divide) to float tolerance."""
+    pairs = [(0, 1, 2.0), (0, 2, 1.0), (1, 2, 4.0), (2, 0, 1.5),
+             (3, 2, 1.0), (1, 3, 2.5), (3, 0, 0.5), (2, 3, 1.0)]
+    e = spark.createDataFrame(pairs, "src long, dst long, weight double")
+    flat = algorithms.pagerank(e, weighted=True, threshold=0.0, max_iter=8)
+    blocked = algorithms.pagerank(
+        e, weighted=True, threshold=0.0, max_iter=8,
+        engine="blocked", p=2, dense_threshold=2,
+    )
+    f = {r.vertex: r.value for r in flat.state.collect()}
+    b = {r.vertex: r.value for r in blocked.state.collect()}
+    assert set(f) == set(b)
+    for v in f:
+        assert b[v] == pytest.approx(f[v], rel=1e-9)
+
+
+def _brandes_ref(pairs, sources, max_depth):
+    """Depth-bounded Brandes reference (per-source BFS + accumulation)."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    for s, d in pairs:
+        if s != d:
+            adj[s].append(d)
+    bt = defaultdict(float)
+    for s in sources:
+        dist, sigma, order = {s: 0}, {s: 1.0}, []
+        dq = deque([s])
+        while dq:
+            v = dq.popleft()
+            order.append(v)
+            if dist[v] == max_depth:
+                continue
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0.0
+                    dq.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = defaultdict(float)
+        for v in reversed(order):
+            for w in adj[v]:
+                if dist.get(w) == dist[v] + 1:
+                    delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if v != s:
+                bt[v] += delta[v]
+    return bt
+
+
+def test_betweenness_matches_brandes_reference(spark):
+    rng = np.random.RandomState(3)
+    pairs = sorted({(int(a), int(b))
+                    for a, b in rng.randint(0, 25, size=(80, 2)) if a != b})
+    sources = [0, 1, 2]
+    out = algorithms.betweenness_sampled(
+        _edges(spark, pairs), sources, max_depth=4
+    )
+    got = {r["vertex"]: r["betweenness"] for r in out.collect()}
+    ref = _brandes_ref(pairs, sources, 4)
+    verts = {v for p in pairs for v in p}
+    assert set(got) == verts
+    for v in verts:
+        assert got[v] == pytest.approx(round(ref.get(v, 0.0), 6), abs=2e-6)
+
+
+def test_betweenness_path_golden(spark):
+    """Path 0->1->2->3, source 0: delta(2)=1 (for 3), delta(1)=2 (for 2,3)."""
+    out = algorithms.betweenness_sampled(
+        _edges(spark, [(0, 1), (1, 2), (2, 3)]), [0], max_depth=4
+    )
+    got = {r["vertex"]: r["betweenness"] for r in out.collect()}
+    assert got == {0: 0.0, 1: 2.0, 2: 1.0, 3: 0.0}
+
+
+def test_betweenness_depth_truncation(spark):
+    """max_depth=1: no vertex lies strictly between the source and a
+    reachable target, so every delta is 0."""
+    out = algorithms.betweenness_sampled(
+        _edges(spark, [(0, 1), (1, 2), (2, 3)]), [0], max_depth=1
+    )
+    got = {r["vertex"]: r["betweenness"] for r in out.collect()}
+    assert set(got.values()) == {0.0}

@@ -200,3 +200,66 @@ def test_pack_documents_sharding_deterministic_and_bounded(spark):
         for d in stream:
             assert docs[d].bin == cum // 16
             cum += docs[d].n_tokens
+
+
+def test_bigram_logprob_golden(spark):
+    """Hand-computed interpolated bigram scores on a 2-doc corpus."""
+    import math
+
+    d = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in corpus.bigram_logprob(d, lam=0.5).collect()}
+    # corpus bigrams: (a,b) x2, (b,a) x1, (a,a) x1; ctx: a->3, b->1
+    # unigrams: a->4, b->2, T=6
+    lp_ab = math.log(0.5 * (2 / 3) + 0.5 * (2 / 6))
+    lp_ba = math.log(0.5 * (1 / 1) + 0.5 * (4 / 6))
+    lp_aa = math.log(0.5 * (1 / 3) + 0.5 * (4 / 6))
+    exp1 = (lp_ab + lp_ba + lp_ab) / 3
+    assert out[1].n_bigrams == 3
+    assert out[1].avg_logprob == pytest.approx(exp1, abs=1e-12)
+    assert out[1].ppl == pytest.approx(math.exp(-exp1), abs=1e-9)
+    assert out[2].n_bigrams == 1
+    assert out[2].avg_logprob == pytest.approx(lp_aa, abs=1e-12)
+
+
+def test_bigram_logprob_short_and_external_lm(spark):
+    d = spark.createDataFrame(
+        [(1, "single"), (2, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in corpus.bigram_logprob(d).collect()}
+    assert out[1].n_bigrams == 0 and out[1].avg_logprob is None
+    assert out[2].n_bigrams == 0
+    # external LM: score doc against a different corpus's counts
+    lm = spark.createDataFrame([(9, "x y x y")], "doc_id long, text string")
+    d2 = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    import math
+    r = corpus.bigram_logprob(d2, lam=0.5, lm_docs=lm).collect()[0]
+    # lm bigrams: (x,y) x2, (y,x) x1; ctx x->2; uni x->2 y->2 T=4
+    assert r.avg_logprob == pytest.approx(
+        math.log(0.5 * (2 / 2) + 0.5 * (2 / 4)), abs=1e-12
+    )
+
+
+def test_mixture_weights_golden(spark):
+    import math
+
+    d = spark.createDataFrame(
+        [(i, "en" if i < 90 else "fr") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    out = {r.group: r for r in
+           corpus.mixture_weights(d, "lang", temperature=0.5).collect()}
+    z = math.sqrt(90) + math.sqrt(10)
+    assert out["en"].n_rows == 90 and out["fr"].n_rows == 10
+    assert out["en"].nat_share == pytest.approx(0.9)
+    assert out["en"].weight == pytest.approx(math.sqrt(90) / z, abs=1e-12)
+    assert out["fr"].weight == pytest.approx(math.sqrt(10) / z, abs=1e-12)
+    # tau<1 upsamples the tail: fr rate is capped at 1 only if demanded
+    # rows exceed available; here fr gets weight*100/10 ~ 2.6x -> capped
+    assert out["fr"].rate == 1.0
+    assert out["en"].rate == pytest.approx(
+        math.sqrt(90) / z * 100 / 90, abs=1e-12
+    )
+    # weights sum to 1
+    assert out["en"].weight + out["fr"].weight == pytest.approx(1.0)
