@@ -944,6 +944,27 @@ def _q_url_domains(spark, sf_dir):
     return textops.url_stats(_dirty_docs(spark, sf_dir))
 
 
+def _q_edge_window_degrees(spark, sf_dir):
+    """Batch face of the streaming windowed-degree operator over a
+    timestamped edge feed derived from events (user → event-bucket edges):
+    per tumbling hour, each source's edge count and weight mass. The
+    identical plan runs incrementally (tests/test_streaming.py proves
+    stream ≡ batch)."""
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        (F.col("event_id") % 97).alias("dst"),
+        F.col("value").alias("weight"),
+        "ts",
+    )
+    out = streaming.windowed_degrees(edges)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "vertex", "n_edges",
+        F.round("w_degree", 6).alias("w_degree"),
+    )
+
+
 def _q_event_windows(spark, sf_dir):
     """Batch face of the streaming windowed aggregation (the identical plan
     runs incrementally via readStream — tests/test_streaming.py proves
@@ -1196,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": _q_mixture_weights,
         "pack_documents": _q_pack_documents,
         "event_window_counts": _q_event_windows,
+        "edge_window_degrees": _q_edge_window_degrees,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
     }
@@ -2335,6 +2357,14 @@ select strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
        event_type,
        count(*)::bigint as n_events,
        round(sum(value), 6) as sum_value
+from events group by 1, 2
+""",
+        "edge_window_degrees": """
+select strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+         as window_start,
+       user_id as vertex,
+       count(*)::bigint as n_edges,
+       round(sum(value), 6) as w_degree
 from events group by 1, 2
 """,
         "event_sessions": """

@@ -370,3 +370,46 @@ def contract_graph(
         F.count("*").cast("long").alias("n_edges"),
         F.sum("w").alias("weight"),
     )
+
+
+REPO_TABLE_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+
+def read_repo_table(spark, source: str, fmt: str = "auto"):
+    """Load the (repo, path, commit, lang, content) source table the link
+    graph derives from — the north-rule input is an ICEBERG table of
+    source-code repositories, so ``fmt='iceberg'`` reads through
+    ``spark.read.format('iceberg')`` (catalog identifier like
+    ``cat.db.repo_files`` or a table path; needs the iceberg-spark
+    runtime on the cluster classpath — Iceberg scans give the engine
+    snapshot isolation, hidden-partition pruning, and metadata-only
+    planning for free). ``fmt='parquet'`` reads a parquet directory.
+    ``fmt='auto'`` tries Iceberg first and falls back to parquet when the
+    Iceberg data source is not on the classpath (this sandbox) or the
+    identifier is not an Iceberg table. Validates the five required
+    columns either way; extra columns pass through.
+    """
+    def _load_iceberg():
+        return spark.read.format("iceberg").load(source)
+
+    def _load_parquet():
+        return spark.read.parquet(source)
+
+    if fmt == "iceberg":
+        df = _load_iceberg()
+    elif fmt == "parquet":
+        df = _load_parquet()
+    elif fmt == "auto":
+        try:
+            df = _load_iceberg()
+        except Exception:
+            df = _load_parquet()
+    else:
+        raise ValueError(f"unknown repo-table format {fmt!r}")
+    missing = [c for c in REPO_TABLE_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"repo table at {source!r} lacks required columns {missing} "
+            f"(expected {list(REPO_TABLE_COLUMNS)})"
+        )
+    return df

@@ -149,3 +149,45 @@ def run_to_memory(stream_df: DataFrame, query_name: str, mode: str = "update"):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_degrees(
+    edges: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str | None = "2 hours",
+    ts_col: str = "ts",
+    direction: str = "out",
+) -> DataFrame:
+    """Windowed vertex degrees over a TIMESTAMPED edge stream — the
+    incremental face of graph.degrees for a link graph that arrives as an
+    append-only crawl feed: per tumbling window, the (exact) number of
+    edges and distinct neighbors each vertex emitted (direction='out') or
+    received ('in'). Batch and streaming share the plan; on a stream the
+    watermark bounds the per-(window, vertex) state.
+
+    Scale shape: one shuffle on (window, vertex) with map-side partial
+    aggregation; hub vertices are one hot key per window — AQE skew-split
+    territory, same as the batch degree job. Aggregates are
+    streaming-legal (count + sum — exact DISTINCT aggregation is not
+    supported on streams; chain a watermarked ``dropDuplicates`` upstream
+    or use ``approx_count_distinct`` for neighbor cardinality).
+    """
+    key = "src" if direction == "out" else "dst"
+    df = edges
+    if df.isStreaming and watermark:
+        df = df.withWatermark(ts_col, watermark)
+    w = (
+        F.sum("weight")
+        if "weight" in df.columns
+        else F.count("*").cast("double")
+    )
+    return (
+        df.groupBy(F.window(ts_col, window_duration).alias("w"),
+                   F.col(key).alias("vertex"))
+        .agg(F.count("*").alias("n_edges"), w.alias("w_degree"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "vertex", "n_edges", "w_degree",
+        )
+    )

@@ -64,9 +64,11 @@ def load_edges(spark: SparkSession, args) -> DataFrame:
     if args.edges:
         edges = spark.read.parquet(args.edges)
     else:
-        files = spark.read.parquet(args.repo_table)
-        from flexgraph_spark.graph import derive_graph
+        from flexgraph_spark.graph import derive_graph, read_repo_table
 
+        # Iceberg identifier/path or parquet dir — read_repo_table probes
+        # Iceberg first (the north-rule input shape) and falls back
+        files = read_repo_table(spark, args.repo_table)
         _, edges = derive_graph(files)
     mode = getattr(args, "expand", "directed")
     if mode != "directed":

@@ -211,3 +211,28 @@ def test_contract_graph_golden(spark):
     unw = {(r.src, r.dst): (r.n_edges, r.weight)
            for r in contract_graph(eu, m).collect()}
     assert unw == {(10, 20): (2, 2.0), (20, 10): (1, 1.0)}
+
+
+def test_read_repo_table_parquet_fallback(spark, tmp_path):
+    from flexgraph_spark import fixtures
+    from flexgraph_spark.graph import read_repo_table
+
+    df, _ = fixtures.repo_files_df(spark, n_repos=2, files_per_repo=20)
+    n = df.count()
+    p = str(tmp_path / "repo_files")
+    df.write.parquet(p)
+    # auto: Iceberg runtime absent in this sandbox -> parquet fallback
+    got = read_repo_table(spark, p)
+    assert got.count() == n
+    assert set(("repo", "path", "commit", "lang", "content")) <= set(got.columns)
+    # explicit parquet
+    assert read_repo_table(spark, p, fmt="parquet").count() == n
+    # column validation
+    bad = str(tmp_path / "bad")
+    df.drop("content").write.parquet(bad)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="content"):
+        read_repo_table(spark, bad)
+    with _pytest.raises(ValueError):
+        read_repo_table(spark, p, fmt="nope")

@@ -90,3 +90,43 @@ def test_running_user_totals_stateful(spark, event_dir):
     )
     exp = {r["user_id"]: (r["n"], round(r["t"], 6)) for r in exp_rows}
     assert got == exp
+
+
+def test_windowed_degrees_stream_equals_batch(spark, event_dir):
+    """Edge stream derived from events (user -> event-bucket): the
+    incremental windowed-degree plan equals the batch plan."""
+    from pyspark.sql import functions as F
+
+    def as_edges(df):
+        return df.select(
+            F.col("user_id").alias("src"),
+            (F.col("event_id") % 97).alias("dst"),
+            F.col("value").alias("weight"),
+            "ts",
+        )
+
+    batch = streaming.windowed_degrees(as_edges(spark.read.parquet(event_dir)))
+    stream = streaming.windowed_degrees(
+        as_edges(streaming.read_event_stream(spark, event_dir, max_files_per_trigger=1))
+    )
+    q = streaming.run_to_memory(stream, "wdeg", mode="complete")
+    _drain(q)
+    got = _rows(spark.table("wdeg"))
+    exp = _rows(batch)
+    assert got == exp and len(exp) > 0
+
+
+def test_windowed_degrees_unweighted_in_direction(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = [
+        (1, 2, datetime(2026, 1, 1, 10, 5)),
+        (3, 2, datetime(2026, 1, 1, 10, 50)),
+        (4, 2, datetime(2026, 1, 1, 11, 5)),
+    ]
+    e = spark.createDataFrame(rows, "src long, dst long, ts timestamp")
+    out = {(r.vertex, r.window_start.hour): (r.n_edges, r.w_degree)
+           for r in streaming.windowed_degrees(e, direction="in").collect()}
+    assert out == {(2, 10): (2, 2.0), (2, 11): (1, 1.0)}
