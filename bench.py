@@ -162,6 +162,12 @@ def main() -> None:
             g5000, num_partitions=gp
         ).state.count(),
     )
+    timed(
+        "betweenness8",
+        lambda: algorithms.betweenness_sampled(
+            g5000, list(range(8)), max_depth=4, num_partitions=gp
+        ).count(),
+    )
     # k at the 25th degree percentile: enough peeling to cascade without
     # collapsing the whole graph (computed outside the timed region)
     kq = (
