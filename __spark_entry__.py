@@ -491,6 +491,24 @@ def _q_katz8_blocked(spark, sf_dir):
     )
 
 
+def _q_gstats(spark, sf_dir):
+    """Global link-graph profile: counts + reciprocity + out-in degree
+    assortativity in one single-pass row (graph.graph_stats)."""
+    from flexgraph_spark.graph import graph_stats
+
+    return graph_stats(_graph1000(spark, sf_dir))
+
+
+def _q_shuffle_order(spark, sf_dir):
+    """Deterministic pre-training shuffle order (corpus.deterministic_
+    shuffle): shard + in-shard rank as a pure function of (doc_id, salt) —
+    the oracle replays the identical sha256 ranking in SQL."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return corpus.deterministic_shuffle(docs, n_shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
 def _q_betweenness8(spark, sf_dir):
     """Source-sampled depth-bounded Brandes betweenness (8 sources, ≤4
     hops): forward σ layers + backward δ accumulation, all sources
@@ -1175,6 +1193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz8_blocked": _q_katz8_blocked,
         "salsa4": _q_salsa4,
         "betweenness8": _q_betweenness8,
+        "gstats": _q_gstats,
+        "shuffle_order": _q_shuffle_order,
         "ktruss": _q_ktruss,
         "closeness4": _q_closeness4,
         "co_occurrence": _q_co_occurrence,
@@ -2271,6 +2291,32 @@ group by 1, 2
         "katz8_blocked": _katz_sql(G1000_SQL, KATZ_ITERS, KATZ_ALPHA),
         "salsa4": _salsa_sql(G1000_SQL, SALSA_ITERS),
         "betweenness8": _betweenness_sql(G1000_SQL, BETW_SOURCES, BETW_DEPTH),
+        "gstats": f"""
+with e as materialized ({G1000_SQL}),
+od as (select src, count(*)::bigint as odeg from e group by src),
+idg as (select dst, count(*)::bigint as ideg from e group by dst),
+j as (select e.src, e.dst, od.odeg, idg.ideg,
+             case when exists (select 1 from e r
+                               where r.src = e.dst and r.dst = e.src)
+                  then 1 else 0 end as recip
+      from e join od on od.src = e.src join idg on idg.dst = e.dst)
+select (select count(*) from (select src as v from e union select dst from e))
+         as n_vertices,
+       count(*)::bigint as n_edges,
+       round(sum(recip) / count(*), 6) as reciprocity,
+       round(corr(odeg::double, ideg::double), 6) as assortativity
+from j
+""",
+        "shuffle_order": """
+with h as (select doc_id,
+                  sha256('shuf:' || doc_id::varchar) as hx,
+                  (('0x' || substr(sha256('shuf:' || doc_id::varchar), 1, 8))
+                   ::ubigint % 8)::int as shard
+           from documents)
+select doc_id, shard,
+       row_number() over (partition by shard order by hx, doc_id)::bigint as pos
+from h
+""",
         "ktruss": _ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS),
         # unrolled layered BFS to depth 4 (graph1000 diameter is 3);
         # levels must be `as materialized` — DuckDB inlines CTEs and the

@@ -475,3 +475,40 @@ def mixture_weights(
             ).alias("rate"),
         )
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuf",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Reproducible global training order — the "shuffle the corpus before
+    epoch 0" step, as a pure function of (id, salt) instead of an RNG:
+    each row gets ``shard = first32bits(sha256(salt:id)) mod n_shards``
+    and ``pos`` = its rank within the shard ordered by (hash, id). Readers
+    consume shards round-robin (or concatenated) for a stable pseudo-random
+    order that survives reruns, repartitions, and engine versions — the
+    same auditability argument as :func:`deterministic_sample`. Re-salt to
+    get a fresh epoch order.
+
+    Scale shape: one hash per row, one shuffle keyed by shard, one
+    within-shard sort (window rank) — set ``n_shards`` to O(cores ×
+    shards-per-core) so each shard's sort fits an executor; no global
+    total order is ever materialized.
+    """
+    from pyspark.sql import Window
+
+    h = F.sha2(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")), 256
+    )
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_h")
+    )

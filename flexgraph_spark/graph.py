@@ -413,3 +413,49 @@ def read_repo_table(spark, source: str, fmt: str = "auto"):
             f"(expected {list(REPO_TABLE_COLUMNS)})"
         )
     return df
+
+
+def graph_stats(edges: DataFrame) -> DataFrame:
+    """One-row global link-graph profile — the cheap health dashboard a
+    crawl/link pipeline runs before anything iterative:
+
+    * ``n_vertices`` / ``n_edges`` of the simple digraph (self-loops and
+      duplicates dropped),
+    * ``reciprocity`` — fraction of edges whose reverse edge also exists
+      (mutual-link rate; near 1 on social graphs, near 0 on strict
+      hierarchies),
+    * ``assortativity`` — Pearson correlation of (out-degree(src),
+      in-degree(dst)) over edges (positive: hubs link to hubs).
+
+    Scale shape: two degree aggregations (map-side combined), one
+    self-join on the edge key for reciprocity (hash join, uniform keys),
+    one corr aggregate — all single-pass, no iteration, no collect.
+    """
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    od = e.groupBy("src").agg(F.count("*").alias("odeg"))
+    idg = e.groupBy("dst").agg(F.count("*").alias("ideg"))
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    base = (
+        e.join(od, "src")
+        .join(idg, "dst")
+        .join(rev.withColumn("recip", F.lit(1)), ["src", "dst"], "left")
+    )
+    agg = base.agg(
+        F.count("*").alias("n_edges"),
+        F.sum(F.coalesce("recip", F.lit(0))).alias("_n_recip"),
+        F.corr(F.col("odeg").cast("double"), F.col("ideg").cast("double")).alias(
+            "_assort"
+        ),
+    )
+    nv = verts.agg(F.count("*").alias("n_vertices"))
+    return nv.crossJoin(agg).select(
+        "n_vertices",
+        "n_edges",
+        F.round(F.col("_n_recip") / F.col("n_edges"), 6).alias("reciprocity"),
+        F.round("_assort", 6).alias("assortativity"),
+    )

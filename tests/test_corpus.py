@@ -263,3 +263,24 @@ def test_mixture_weights_golden(spark):
     )
     # weights sum to 1
     assert out["en"].weight + out["fr"].weight == pytest.approx(1.0)
+
+
+def test_deterministic_shuffle_stable_and_complete(spark):
+    d = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = corpus.deterministic_shuffle(d, n_shards=4)
+    b = corpus.deterministic_shuffle(d.repartition(13), n_shards=4)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    # partitioning-invariant and a permutation: every doc once, positions
+    # within each shard are 1..len(shard)
+    assert ra == rb
+    assert len(ra) == 200 and len({t[0] for t in ra}) == 200
+    by_shard = {}
+    for doc, shard, pos in ra:
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # re-salting gives a different order
+    c = sorted(map(tuple, corpus.deterministic_shuffle(
+        d, salt="epoch1", n_shards=4).collect()))
+    assert c != ra

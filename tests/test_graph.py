@@ -236,3 +236,19 @@ def test_read_repo_table_parquet_fallback(spark, tmp_path):
         read_repo_table(spark, bad)
     with _pytest.raises(ValueError):
         read_repo_table(spark, p, fmt="nope")
+
+
+def test_graph_stats_golden(spark):
+    from flexgraph_spark.graph import graph_stats
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 2), (1, 1), (1, 2)],  # self-loop + dup dropped
+        "src long, dst long",
+    )
+    r = graph_stats(e).collect()[0]
+    assert (r.n_vertices, r.n_edges) == (3, 4)
+    # mutual pair (1,2)/(2,1) -> 2 of 4 edges reciprocated
+    assert r.reciprocity == 0.5
+    # odeg(src): 1->2, 2->1, 3->1; ideg(dst): 1->1, 2->2, 3->1
+    # per-edge (odeg, ideg): (2,2), (1,1), (2,1), (1,2) -> corr = 0
+    assert r.assortativity == 0.0
