@@ -983,6 +983,25 @@ def _q_edge_window_degrees(spark, sf_dir):
     )
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _q_funnel(spark, sf_dir):
+    """Ordered min-timestamp funnel view→click→purchase over events
+    (flexgraph_spark.analytics.funnel)."""
+    from flexgraph_spark import analytics
+
+    return analytics.funnel(_t(spark, sf_dir, "events"), FUNNEL_STEPS)
+
+
+def _q_retention(spark, sf_dir):
+    """Daily cohort retention over events (analytics.retention): cohort =
+    first-activity day, n_users active at each day offset."""
+    from flexgraph_spark import analytics
+
+    return analytics.retention(_t(spark, sf_dir, "events"), period="day")
+
+
 def _q_event_windows(spark, sf_dir):
     """Batch face of the streaming windowed aggregation (the identical plan
     runs incrementally via readStream — tests/test_streaming.py proves
@@ -1238,6 +1257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": _q_pack_documents,
         "event_window_counts": _q_event_windows,
         "edge_window_degrees": _q_edge_window_degrees,
+        "funnel": _q_funnel,
+        "retention": _q_retention,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
     }
@@ -2412,6 +2433,30 @@ select strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
        count(*)::bigint as n_edges,
        round(sum(value), 6) as w_degree
 from events group by 1, 2
+""",
+        "funnel": """
+with s0 as (select user_id, min(ts) as t from events
+            where event_type = 'view' group by 1),
+s1 as (select e.user_id, min(e.ts) as t from events e
+       join s0 on s0.user_id = e.user_id
+       where e.event_type = 'click' and e.ts > s0.t group by 1),
+s2 as (select e.user_id, min(e.ts) as t from events e
+       join s1 on s1.user_id = e.user_id
+       where e.event_type = 'purchase' and e.ts > s1.t group by 1)
+select 0 as step_idx, 'view' as step, (select count(*) from s0)::bigint as n_users
+union all
+select 1, 'click', (select count(*) from s1)::bigint
+union all
+select 2, 'purchase', (select count(*) from s2)::bigint
+""",
+        "retention": """
+with f as (select user_id, min(date_trunc('day', ts)) as cohort
+           from events group by 1),
+a as (select distinct user_id, date_trunc('day', ts) as p from events)
+select strftime(f.cohort, '%Y-%m-%d') as cohort,
+       date_diff('day', f.cohort, a.p)::int as offset,
+       count(*)::bigint as n_users
+from a join f using (user_id) group by 1, 2
 """,
         "event_sessions": """
 with o as (

@@ -1,0 +1,91 @@
+"""Batch analytics over the events table: ordered funnels and cohort
+retention — the two workhorse product-analytics queries an engine at this
+tier is expected to answer over trillions of events. Pure DataFrame plans
+(joins + aggregations, no UDFs), each with an exact DuckDB oracle row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel: a user reaches step k iff they emitted ``steps[k]``
+    STRICTLY AFTER their earliest completion of step k-1 (the classic
+    min-timestamp funnel — insensitive to repeats, deterministic).
+    Returns (step_idx, step, n_users), one row per step.
+
+    Scale shape: per step one filtered scan + one (user ⨝ user) hash join
+    against the (shrinking) reached-set and one min-aggregate — k steps =
+    k joins keyed on the uniform user id, never a per-user event-sequence
+    sort. The per-step counts union into ONE DataFrame so the whole
+    funnel is a single job.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    u, t = F.col(user_col), F.col(ts_col)
+    reached = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(t).alias("_t"))
+    )
+    parts = [
+        reached.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(0).alias("step_idx"), F.lit(steps[0]).alias("step"), "n_users"
+        )
+    ]
+    for i, s in enumerate(steps[1:], 1):
+        nxt = (
+            events.where(F.col(type_col) == s)
+            .join(reached.withColumnRenamed("_t", "_prev"), user_col)
+            .where(t > F.col("_prev"))
+            .groupBy(user_col)
+            .agg(F.min(t).alias("_t"))
+        )
+        parts.append(
+            nxt.agg(F.count("*").cast("long").alias("n_users")).select(
+                F.lit(i).alias("step_idx"), F.lit(s).alias("step"), "n_users"
+            )
+        )
+        reached = nxt
+    out = parts[0]
+    for frame in parts[1:]:
+        out = out.union(frame)
+    return out
+
+
+def retention(
+    events: DataFrame,
+    period: str = "day",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: cohort = the user's first-activity period
+    (day/week/month via ``date_trunc``); a cohort "retains" a user at
+    offset k if the user was active k periods after the cohort period.
+    Returns (cohort, offset, n_users) with cohort formatted yyyy-MM-dd.
+
+    Scale shape: one min-aggregate for first-touch, one distinct on
+    (user, period) — both map-side combined, keyed by the uniform user
+    id — then a join and a count aggregation. Offsets are day-based
+    (date_diff), so week/month cohorts still report exact day offsets of
+    the period starts.
+    """
+    per = F.date_trunc(period, F.col(ts_col))
+    first = events.groupBy(user_col).agg(F.min(per).alias("_cohort"))
+    act = events.select(F.col(user_col), per.alias("_p")).distinct()
+    return (
+        act.join(first, user_col)
+        .groupBy(
+            F.date_format("_cohort", "yyyy-MM-dd").alias("cohort"),
+            F.datediff(F.col("_p"), F.col("_cohort")).alias("offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

@@ -1,0 +1,67 @@
+"""Funnel + retention golden tests (hand-derived)."""
+
+from datetime import datetime
+
+import pytest
+
+from flexgraph_spark import analytics
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+
+
+def test_funnel_golden(spark):
+    d = datetime
+    rows = [
+        # user 1 completes the whole funnel in order
+        (1, "view", d(2026, 1, 1, 10)),
+        (1, "click", d(2026, 1, 1, 11)),
+        (1, "buy", d(2026, 1, 1, 12)),
+        # user 2 clicks BEFORE viewing -> stops after view
+        (2, "click", d(2026, 1, 1, 9)),
+        (2, "view", d(2026, 1, 1, 10)),
+        # user 3 views + clicks, never buys
+        (3, "view", d(2026, 1, 1, 8)),
+        (3, "click", d(2026, 1, 1, 9)),
+        # user 4 never views
+        (4, "click", d(2026, 1, 1, 8)),
+        (4, "buy", d(2026, 1, 1, 9)),
+    ]
+    out = {r.step_idx: (r.step, r.n_users)
+           for r in analytics.funnel(_ev(spark, rows),
+                                     ["view", "click", "buy"]).collect()}
+    assert out == {0: ("view", 3), 1: ("click", 2), 2: ("buy", 1)}
+    # strictly-after rule: a click at the exact view timestamp doesn't count
+    tie = [(7, "view", d(2026, 1, 1, 10)), (7, "click", d(2026, 1, 1, 10))]
+    out2 = {r.step_idx: r.n_users
+            for r in analytics.funnel(_ev(spark, tie), ["view", "click"]).collect()}
+    assert out2 == {0: 1, 1: 0}
+    with pytest.raises(ValueError):
+        analytics.funnel(_ev(spark, tie), [])
+
+
+def test_retention_golden(spark):
+    d = datetime
+    rows = [
+        # cohort Jan 1: users 1, 2; user 1 returns day 1 and 3, user 2 never
+        (1, "view", d(2026, 1, 1, 10)),
+        (1, "view", d(2026, 1, 2, 10)),
+        (1, "click", d(2026, 1, 2, 12)),  # same day, counted once
+        (1, "view", d(2026, 1, 4, 10)),
+        (2, "view", d(2026, 1, 1, 23)),
+        # cohort Jan 3: user 5
+        (5, "view", d(2026, 1, 3, 1)),
+        (5, "view", d(2026, 1, 4, 1)),
+    ]
+    out = {(r.cohort, r.offset): r.n_users
+           for r in analytics.retention(_ev(spark, rows)).collect()}
+    assert out == {
+        ("2026-01-01", 0): 2,
+        ("2026-01-01", 1): 1,
+        ("2026-01-01", 3): 1,
+        ("2026-01-03", 0): 1,
+        ("2026-01-03", 1): 1,
+    }
