@@ -1066,6 +1066,37 @@ def _q_batch_ppr10(spark, sf_dir):
     )
 
 
+def _q_batch_ppr10_blocked(spark, sf_dir):
+    """The same k-column batch PPR on the blocked CSR engine's 'batch'
+    kernel family — flattened (n_local × k) matrices per block, one
+    skew-aware gather-scatter per superstep for all k sources — under the
+    identical per-(vertex, source) unrolled oracle.
+
+    Note batch_ppr's threshold default applies per column: threshold=0.0
+    pins the full 10-iteration recurrence on both engines."""
+    e2, mapping = remap_contiguous(_graph1000(spark, sf_dir))
+    src_map = {r["orig"]: r["vertex"] for r in
+               mapping.join(
+                   mapping.sparkSession.createDataFrame(
+                       [(int(s),) for s in BATCH_PPR_SOURCES], "orig long"
+                   ), "orig").collect()}
+    remapped_sources = [src_map[s] for s in BATCH_PPR_SOURCES]
+    res = algorithms.batch_ppr(
+        e2, remapped_sources, max_iter=10, threshold=0.0,
+        engine="blocked", p=BLOCKED_P,
+        dense_threshold=BLOCKED_DENSE_THRESHOLD,
+    )
+    out = algorithms.ppr_long(res, BATCH_PPR_SOURCES)
+    return (
+        out.join(mapping, "vertex")
+        .select(
+            F.col("orig").alias("vertex"),
+            F.col("source").cast("long").alias("source"),
+            F.round("ppr", 6).alias("ppr"),
+        )
+    )
+
+
 def _q_random_walks(spark, sf_dir):
     """Hash-seeded deterministic uniform random walks (DeepWalk corpus
     step): next = neighbor at sha256(salt:start:walk:step) mod degree in
@@ -1245,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "url_domains": _q_url_domains,
         "batch_ppr10": _q_batch_ppr10,
+        "batch_ppr10_blocked": _q_batch_ppr10_blocked,
         "random_walks": _q_random_walks,
         "dedup_clusters": _q_dedup_clusters,
         "decontaminate": _q_decontaminate,
@@ -2482,6 +2514,7 @@ select doc_id as media_id,
 from documents
 """,
         "batch_ppr10": _batch_ppr_sql(G1000_SQL, 10, BATCH_PPR_SOURCES),
+        "batch_ppr10_blocked": _batch_ppr_sql(G1000_SQL, 10, BATCH_PPR_SOURCES),
         "random_walks": _random_walks_sql(G1000_SQL, 4, 2),
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "decontaminate": _DECONTAM_SQL,

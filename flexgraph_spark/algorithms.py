@@ -160,16 +160,20 @@ def batch_ppr(
     alpha: float = gimv.PAGERANK_ALPHA,
     threshold: float = gimv.CONVERGE_THRESHOLD,
     checkpointer=None,
+    engine: str = "flat",
     **kw,
 ) -> gimv.GimvResult:
     """Personalized PageRank for ALL ``sources`` in one job: the GIM-V
     state carries a k-vector per vertex, so every superstep is still one
-    edge scan + one state shuffle (see gimv.BatchPPR). Result state value
-    is array<double> aligned with ``sources``; use :func:`ppr_long` for
-    the exploded (vertex, source, ppr) face."""
+    edge scan + one state shuffle (see gimv.BatchPPR). ``engine='blocked'``
+    runs the 'batch' CSR kernel family — a flattened (n_local × k) matrix
+    per block, one skew-aware gather-scatter per superstep for all k
+    columns. Result state value is array<double> aligned with
+    ``sources``; use :func:`ppr_long` for the exploded
+    (vertex, source, ppr) face."""
     return _dispatch(
         edges, gimv.BatchPPR(sources, alpha=alpha, threshold=threshold),
-        "flat", max_iter, checkpointer, kw,
+        engine, max_iter, checkpointer, kw,
     )
 
 

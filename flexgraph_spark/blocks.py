@@ -339,8 +339,12 @@ def _hub_sig(
         return np.zeros(0, dtype=np.float64)
     sig = np.asarray(program.np_signal(values[locs], gdeg), dtype=np.float64)
     if active_mask is not None:
-        sig = np.where(active_mask[locs], sig, identity)
-    return sig
+        m = active_mask[locs]
+        if sig.ndim == 2:
+            m = m[:, None]
+        sig = np.where(m, sig, identity)
+    # batch family: signals are (hubs, k) — flattened for the Arrow column
+    return sig.ravel()
 
 
 # merged-column schema: one row per block_col; dense merges additionally
@@ -454,9 +458,16 @@ def run_blocked(
     """
     if not program.supports_blocked:
         raise ValueError(f"{program.name} does not support the blocked plan")
-    if program.blocked_kind not in ("scalar", "label_count"):
+    if program.blocked_kind not in ("scalar", "label_count", "batch"):
         raise ValueError(f"unknown blocked kernel family {program.blocked_kind!r}")
     label_count = program.blocked_kind == "label_count"
+    # 'batch' family: the state is a FLATTENED (n_local × k) row-major
+    # matrix; kernels see (rows, k) 2-D views. Sum semi-ring only (the
+    # per-row compaction and delta identity tricks assume it).
+    batch = program.blocked_kind == "batch"
+    bk = int(getattr(program, "k", 1)) if batch else 1
+    if batch and program.reduce_np != "sum":
+        raise ValueError("batch blocked kernels support the sum semi-ring only")
     spark = edges.sparkSession
     import time as _time
 
@@ -551,6 +562,15 @@ def run_blocked(
         nz = np.nonzero(part != identity)[0]
         return nz.astype(np.int32), part[nz]
 
+    def _scatter_batch(dst_l, contrib2d):
+        """Sum-scatter (nnz, k) contributions into per-dst k-rows; compact
+        to dsts with ANY nonzero column, values flattened row-major."""
+        size = int(dst_l.max()) + 1 if len(dst_l) else 0
+        part = np.full((size, bk), identity)
+        np.add.at(part, dst_l, contrib2d)
+        nz = np.nonzero((part != identity).any(axis=1))[0]
+        return nz.astype(np.int32), part[nz].ravel()
+
     def _scatter_label(dst_l, lab):
         """Per-(dst, label) counts for one row-block slice."""
         order = np.lexsort((lab, dst_l))
@@ -587,12 +607,23 @@ def run_blocked(
                 w_all = pdf["weight"].iloc[i]
                 w_all = np.asarray(w_all, dtype=np.float64) if w_all is not None else None
                 # whole-column vectorized signal + message
-                sig_src = np.asarray(
-                    program.np_signal(vals[src_all], gdeg_all), dtype=np.float64
-                )
-                if delta:
-                    sig_src = np.where(src_act, sig_src, identity)
-                contrib_all = program.np_message(np.repeat(sig_src, deg_all), w_all)
+                if batch:
+                    sig_src = np.asarray(
+                        program.np_signal(vals.reshape(-1, bk)[src_all], gdeg_all),
+                        dtype=np.float64,
+                    )
+                    contrib_all = program.np_message(
+                        np.repeat(sig_src, deg_all, axis=0), w_all
+                    )
+                else:
+                    sig_src = np.asarray(
+                        program.np_signal(vals[src_all], gdeg_all), dtype=np.float64
+                    )
+                    if delta:
+                        sig_src = np.where(src_act, sig_src, identity)
+                    contrib_all = program.np_message(
+                        np.repeat(sig_src, deg_all), w_all
+                    )
                 no = np.concatenate(([0], np.cumsum(nnzs)))
                 for j in range(len(row_blocks)):
                     sl = slice(no[j], no[j + 1])
@@ -601,6 +632,11 @@ def run_blocked(
                         continue
                     if label_count:
                         d, v, l = _scatter_label(dst_l, contrib_all[sl])
+                    elif batch:
+                        d, v = _scatter_batch(dst_l, contrib_all[sl])
+                        l = None
+                        if len(d) == 0:
+                            continue
                     else:
                         d, v = _scatter_scalar(dst_l, contrib_all[sl])
                         l = None
@@ -642,7 +678,14 @@ def run_blocked(
                 w_all = np.asarray(w_all, dtype=np.float64) if w_all is not None else None
                 # hub signal lookup: src_local -> position in sorted hub list
                 pos = np.searchsorted(locs, src_all)
-                contrib_all = program.np_message(np.repeat(sigs[pos], deg_all), w_all)
+                if batch:
+                    contrib_all = program.np_message(
+                        np.repeat(sigs.reshape(-1, bk)[pos], deg_all, axis=0), w_all
+                    )
+                else:
+                    contrib_all = program.np_message(
+                        np.repeat(sigs[pos], deg_all), w_all
+                    )
                 no = np.concatenate(([0], np.cumsum(nnzs)))
                 for j in range(len(row_blocks)):
                     sl = slice(no[j], no[j + 1])
@@ -651,6 +694,11 @@ def run_blocked(
                         continue
                     if label_count:
                         d, v, l = _scatter_label(dst_l, contrib_all[sl])
+                    elif batch:
+                        d, v = _scatter_batch(dst_l, contrib_all[sl])
+                        l = None
+                        if len(d) == 0:
+                            continue
                     else:
                         d, v = _scatter_scalar(dst_l, contrib_all[sl])
                         l = None
@@ -686,6 +734,25 @@ def run_blocked(
         b = int(state_pdf["block"].iloc[0])
         old = np.asarray(state_pdf["values"].iloc[0], dtype=np.float64)
         locs, gd = _row_hub_arrays(state_pdf)
+        if batch:
+            old2 = old.reshape(-1, bk)
+            acc = np.full(old2.shape, identity)
+            for dst_l, vals in zip(part_pdf["dst_local"], part_pdf["vals"]):
+                dst_l = np.asarray(dst_l)
+                np.add.at(
+                    acc, dst_l,
+                    np.asarray(vals, dtype=np.float64).reshape(-1, bk),
+                )
+            has = (acc != identity).any(axis=1)
+            new2 = program.np_apply(old2, acc, has, n)
+            mask = np.asarray(program.np_changed(old2, new2), dtype=bool)
+            changed = int(mask.sum())
+            hs = _hub_sig(program, new2, locs, gd, identity=identity)
+            return pd.DataFrame(
+                {"block": [b], "values": [new2.ravel()], "hub_sigs": [hs],
+                 "active": [np.ones(len(new2), dtype=bool)],
+                 "changed": [changed]}
+            )
         acc = np.full(len(old), identity)
         for dst_l, vals in zip(part_pdf["dst_local"], part_pdf["vals"]):
             dst_l = np.asarray(dst_l)
@@ -766,9 +833,9 @@ def run_blocked(
                 vals = np.asarray(program.np_init(ids, n), dtype=np.float64)
                 locs = _as_array(pdf["hub_locals"].iloc[i], np.int64)
                 gd = _as_array(pdf["hub_gdeg"].iloc[i], np.float64)
-                out.append(vals)
+                out.append(vals.ravel())
                 hubs.append(_hub_sig(program, vals, locs, gd, identity=identity))
-                acts.append(np.ones(len(vals), dtype=bool))
+                acts.append(np.ones(len(ids), dtype=bool))
             return pd.DataFrame(
                 {"block": pdf["block"], "values": out,
                  "hub_sigs": hubs, "active": acts}
@@ -787,6 +854,8 @@ def run_blocked(
             hubs, acts = [], []
             for i in range(len(pdf)):
                 vals = np.asarray(pdf["values"].iloc[i], dtype=np.float64)
+                if batch:
+                    vals = vals.reshape(-1, bk)
                 locs = _as_array(pdf["hub_locals"].iloc[i], np.int64)
                 gd = _as_array(pdf["hub_gdeg"].iloc[i], np.float64)
                 hubs.append(_hub_sig(program, vals, locs, gd, identity=identity))
@@ -904,9 +973,21 @@ def run_blocked(
                 break
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
-    flat = state.select(
-        "block", F.posexplode("values").alias("local", "value")
-    ).select(
+    if batch:
+        # re-chunk the flattened (n_local × k) matrix into one k-array per
+        # local vertex before exploding
+        chunked = F.expr(
+            f"transform(sequence(0, int(size(values) / {bk}) - 1), "
+            f"i -> slice(values, i * {bk} + 1, {bk}))"
+        )
+        flat = state.select(
+            "block", F.posexplode(chunked).alias("local", "value")
+        )
+    else:
+        flat = state.select(
+            "block", F.posexplode("values").alias("local", "value")
+        )
+    flat = flat.select(
         (F.col("local").cast("long") * p + F.col("block")).alias("vertex"), "value"
     )
     result = program.finalize(flat)

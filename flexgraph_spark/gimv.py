@@ -292,15 +292,19 @@ class BatchPPR(VertexProgram):
     (1-α)/n teleport quirk and per-column rank-sum normalization), which
     is what the oracle unrolls per (vertex, source) pair.
 
-    Flat engine only: the blocked NumPy kernels are scalar-valued
-    (``supports_blocked=False``); a k-column blocked kernel would carry
-    (n_local, k) matrices per block — a natural extension, not yet
-    needed at the tested scales.
+    Blocked engine: the ``batch`` kernel family (blocks.run_blocked)
+    carries a FLATTENED (n_local × k) row-major matrix per block — the
+    np_* kernels below see (rows, k) 2-D views, so one CSR gather-scatter
+    per superstep still serves all k PPR columns (the reference's
+    block-method multi-vector trick, now on the skew-aware plan).
     """
 
     name = "batch_ppr"
     needs_out_degree = True
-    supports_blocked = False
+    supports_blocked = True
+    blocked_kind = "batch"
+    reduce_np = "sum"
+    identity = 0.0
 
     def __init__(self, sources: list[int], alpha: float = PAGERANK_ALPHA,
                  threshold: float = CONVERGE_THRESHOLD):
@@ -349,6 +353,29 @@ class BatchPPR(VertexProgram):
             for i in range(self.k)
         ])
         return state.select("vertex", arr.alias("value"))
+
+    # --- blocked 'batch' kernels: values arrive as (rows, k) 2-D views ---
+    def np_init(self, global_ids, n):
+        import numpy as np
+
+        mat = np.zeros((len(global_ids), self.k), dtype=np.float64)
+        for j, s in enumerate(self.sources):
+            mat[global_ids == s, j] = 1.0
+        return mat
+
+    def np_signal(self, values, out_degree):
+        import numpy as np
+
+        deg = np.asarray(out_degree, dtype=np.float64)[:, None]
+        return np.divide(values, deg, out=np.zeros_like(values), where=deg > 0)
+
+    def np_apply(self, old, msg, has_msg, n):
+        return self.alpha * msg + (1.0 - self.alpha) / n
+
+    def np_changed(self, old, new):
+        import numpy as np
+
+        return (np.abs(new - old) > self.threshold).any(axis=1)
 
 
 class Katz(VertexProgram):

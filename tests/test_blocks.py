@@ -196,3 +196,28 @@ def test_suggest_dense_threshold(spark):
     t = blocks.suggest_dense_threshold(df, hub_fraction=0.005)
     b = blocks.prepartition(df, 4, dense_threshold=t)
     assert b.filter("is_dense").agg(F.sum(F.size("dst_local"))).first()[0] == 199
+
+
+def test_batch_ppr_blocked_matches_flat(spark):
+    """The 'batch' kernel family: flattened (n_local x k) matrices per
+    block reproduce the flat array-state plan per column."""
+    import pytest as _pytest
+
+    from flexgraph_spark import algorithms
+
+    pairs = [(i % 9, (i * 4 + 1) % 9) for i in range(40)]
+    pairs = [(s, d) for s, d in pairs if s != d] + [(4, 0), (8, 1)]
+    e = spark.createDataFrame(sorted(set(pairs)), "src long, dst long")
+    sources = [0, 2, 5]
+    flat = algorithms.batch_ppr(e, sources, max_iter=6, threshold=0.0)
+    blocked = algorithms.batch_ppr(
+        e, sources, max_iter=6, threshold=0.0,
+        engine="blocked", p=2, dense_threshold=4,
+    )
+    f = {r.vertex: list(r.value) for r in flat.state.collect()}
+    b = {r.vertex: list(r.value) for r in blocked.state.collect()}
+    assert set(f) == set(b)
+    for v in f:
+        assert len(f[v]) == len(sources)
+        for j in range(len(sources)):
+            assert b[v][j] == _pytest.approx(f[v][j], rel=1e-12, abs=1e-15)
