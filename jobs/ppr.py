@@ -13,7 +13,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from jobs.common import base_parser, get_session, load_edges, make_checkpointer
+from jobs.common import (
+    base_parser, engine_kwargs, get_session, load_edges, make_checkpointer,
+)
 
 
 def main() -> None:
@@ -31,19 +33,18 @@ def main() -> None:
     edges = load_edges(spark, args)
     from flexgraph_spark import algorithms
 
-    if args.engine == "blocked":
-        raise SystemExit(
-            "batch_ppr runs on the flat engine only (array-valued state; "
-            "the blocked NumPy kernels are scalar) — use --engine flat"
-        )
+    # --engine blocked runs the 'batch' CSR kernel family (flattened
+    # (n_local x k) matrices per block) — requires contiguous ids like
+    # every blocked job
     res = algorithms.batch_ppr(
         edges,
         sources,
         alpha=args.alpha,
         threshold=args.threshold,
         max_iter=args.max_iter,
+        engine=args.engine,
         checkpointer=make_checkpointer(args, edges),
-        num_partitions=args.num_partitions,
+        **engine_kwargs(spark, args),
     )
     out = algorithms.ppr_long(res, sources)
     out.write.mode("overwrite").parquet(args.output)

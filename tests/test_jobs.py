@@ -79,10 +79,15 @@ def test_batch_ppr_job(spark, edges_parquet, tmp_path):
     df = spark.read.parquet(out)
     assert set(df.columns) == {"vertex", "source", "ppr"}
     assert df.select("source").distinct().count() == 3
-    # blocked engine is rejected explicitly (array-valued state)
-    with pytest.raises(SystemExit):
-        _run(ppr_job, ["--edges", edges_parquet, "--output", out,
-                       "--sources", "0", "--engine", "blocked"])
+    # blocked engine: the 'batch' kernel family (k-column matrices per
+    # block) serves the same job
+    out_b = str(tmp_path / "ppr_blocked")
+    _run(ppr_job, ["--edges", edges_parquet, "--output", out_b,
+                   "--sources", "0,1,2", "--max-iter", "5",
+                   "--engine", "blocked", "--num-partitions", "2"])
+    dfb = spark.read.parquet(out_b)
+    assert set(dfb.columns) == {"vertex", "source", "ppr"}
+    assert dfb.select("source").distinct().count() == 3
 
 
 def test_walks_job(spark, edges_parquet, tmp_path):
