@@ -31,7 +31,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flexgraph_spark import algorithms, corpus, gimv, streaming, textops
+from flexgraph_spark import algorithms, codeops, corpus, gimv, streaming, textops
 from flexgraph_spark.graph import derive_graph, remap_contiguous
 
 SSP_EDGES_SQL = "select distinct l_suppkey as src, l_partkey as dst from lineitem"
@@ -159,6 +159,81 @@ def _repo_files(spark, sf_dir) -> DataFrame:
     )
 
 
+def _repo_files_rich(spark, sf_dir) -> DataFrame:
+    """Code-shaped repo table for the codeops gate: same (repo, path,
+    commit, lang, content) shape as ``_repo_files`` but with content that
+    actually exercises the quality filters — license headers (doc_id%7),
+    autogen markers (%11), comment runs (%4), documented functions
+    (py ∧ %5), long lines (%13), hex blobs (%17), and the document text as
+    a trailing comment. Mirrored verbatim by ``_REPO_RICH_SQL`` so every
+    downstream metric is DuckDB-checkable."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    nl = F.lit("\n")
+    lang = (
+        F.when(d % 3 == 0, "py").when(d % 3 == 1, "c").otherwise("js")
+    )
+    pfx = F.when(lang == "py", "# ").otherwise("// ")
+    ds = d.cast("string")
+    lic = F.when(
+        d % 7 == 0,
+        F.concat(
+            pfx,
+            F.when(F.floor(d / 7) % 3 == 0, "SPDX-License-Identifier: MIT")
+            .when(
+                F.floor(d / 7) % 3 == 1,
+                "Licensed under the Apache License, Version 2.0",
+            )
+            .otherwise(
+                "This file is free software under the GNU General Public License"
+            ),
+            nl,
+        ),
+    ).otherwise("")
+    autog = F.when(
+        d % 11 == 0,
+        F.concat(pfx, F.lit("Auto-generated by codegen. DO NOT EDIT!"), nl),
+    ).otherwise("")
+    comments = F.repeat(
+        F.concat(pfx, F.lit("helper comment"), nl), (d % 4).cast("int")
+    )
+    docfn = F.when(
+        (lang == "py") & (d % 5 == 0),
+        F.concat(
+            F.lit("def g"), ds, F.lit("():"), nl,
+            F.lit('    """Cached value for g'), ds, F.lit('."""'), nl,
+            F.lit("    return 2"), nl,
+        ),
+    ).otherwise("")
+    body = F.repeat(
+        F.concat(F.lit("val_"), ds, F.lit(" = "), ds, F.lit(";"), nl),
+        (d % 5 + 1).cast("int"),
+    )
+    longline = F.when(
+        d % 13 == 0,
+        F.concat(
+            F.lit('s = "'),
+            F.repeat(F.lit("a"), (d % 200 + 120).cast("int")),
+            F.lit('"'),
+            nl,
+        ),
+    ).otherwise("")
+    hexblob = F.when(
+        d % 17 == 0,
+        F.concat(F.lit('h = "'), F.repeat(F.lit("deadbeef"), 40), F.lit('"'), nl),
+    ).otherwise("")
+    tail = F.concat(pfx, F.coalesce(F.col("text"), F.lit("")))
+    return docs.select(
+        F.concat(F.lit("repo"), (d % 10).cast("string")).alias("repo"),
+        F.concat(F.lit("src/f"), ds, F.lit("."), lang).alias("path"),
+        F.lit("c0").alias("commit"),
+        lang.alias("lang"),
+        F.concat(
+            lic, autog, comments, docfn, body, longline, hexblob, tail
+        ).alias("content"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries(): Spark side
 # ---------------------------------------------------------------------------
@@ -208,6 +283,39 @@ def _q_link_graph_size(spark, sf_dir):
     return spark.createDataFrame(
         [(nv, ne, int(mx))], "n_vertices long, n_edges long, max_vertex_id long"
     )
+
+
+def _q_code_stats(spark, sf_dir):
+    return codeops.code_line_stats(_repo_files_rich(spark, sf_dir))
+
+
+def _q_comment_stats(spark, sf_dir):
+    return codeops.comment_stats(_repo_files_rich(spark, sf_dir))
+
+
+def _q_license_detect(spark, sf_dir):
+    return codeops.detect_license(_repo_files_rich(spark, sf_dir))
+
+
+# Thresholds sit inside the rich fixture's metric distributions so every
+# reason fires on some rows and most rows still pass (tuned at sf0.001/0.01;
+# asserted by tests/test_codeops.py::test_quality_reasons_all_fire).
+CODEQ_KWARGS = dict(
+    max_line_len=480,
+    max_avg_line_len=120.0,
+    min_alnum_ratio=0.7,
+    max_hex_ratio=0.7,
+)
+
+
+def _q_code_quality(spark, sf_dir):
+    return codeops.code_quality_filter(
+        _repo_files_rich(spark, sf_dir), **CODEQ_KWARGS
+    )
+
+
+def _q_docstring_pairs(spark, sf_dir):
+    return codeops.docstring_pairs(_repo_files_rich(spark, sf_dir))
 
 
 def _q_cc_labels(spark, sf_dir):
@@ -1209,6 +1317,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "in_degree_hist": _q_degree_hist,
         "total_degree": _q_total_degree,
         "link_modules": _q_link_modules,
+        "code_stats": _q_code_stats,
+        "comment_stats": _q_comment_stats,
+        "license_detect": _q_license_detect,
+        "code_quality": _q_code_quality,
+        "docstring_pairs": _q_docstring_pairs,
         "link_graph_size": _q_link_graph_size,
         "cc_labels": _q_cc_labels,
         "cc_star": _q_cc_star,
@@ -1711,6 +1824,147 @@ select distinct
   'repo' || (doc_id % 10) || '.f' || doc_id as src_module,
   'repo' || (((doc_id * 7) % nd) % 10) || '.f' || ((doc_id * 7) % nd) as dst_module
 from d
+"""
+
+# DuckDB twin of _repo_files_rich — same residue-class construction, chr(10)
+# for '\n'. NOTE: DuckDB regexp_replace needs the 'g' flag to match Spark's
+# replace-all default.
+_REPO_RICH_SQL = """
+select
+  'repo' || (doc_id % 10) as repo,
+  'src/f' || doc_id || '.' || lang as path,
+  lang,
+  (case when doc_id % 7 = 0 then pfx || (case (doc_id // 7) % 3
+      when 0 then 'SPDX-License-Identifier: MIT'
+      when 1 then 'Licensed under the Apache License, Version 2.0'
+      else 'This file is free software under the GNU General Public License'
+      end) || chr(10) else '' end)
+  || (case when doc_id % 11 = 0
+      then pfx || 'Auto-generated by codegen. DO NOT EDIT!' || chr(10)
+      else '' end)
+  || repeat(pfx || 'helper comment' || chr(10), (doc_id % 4)::int)
+  || (case when lang = 'py' and doc_id % 5 = 0
+      then 'def g' || doc_id || '():' || chr(10)
+           || '    \"\"\"Cached value for g' || doc_id || '.\"\"\"' || chr(10)
+           || '    return 2' || chr(10)
+      else '' end)
+  || repeat('val_' || doc_id || ' = ' || doc_id || ';' || chr(10),
+            (1 + doc_id % 5)::int)
+  || (case when doc_id % 13 = 0
+      then 's = "' || repeat('a', (120 + doc_id % 200)::int) || '"' || chr(10)
+      else '' end)
+  || (case when doc_id % 17 = 0
+      then 'h = "' || repeat('deadbeef', 40) || '"' || chr(10)
+      else '' end)
+  || pfx || coalesce(text, '') as content
+from (
+  select doc_id, text,
+    case when doc_id % 3 = 0 then 'py'
+         when doc_id % 3 = 1 then 'c' else 'js' end as lang,
+    case when doc_id % 3 = 0 then '# ' else '// ' end as pfx
+  from documents
+)
+"""
+
+_CODE_STATS_SQL = f"""
+with files as ({_REPO_RICH_SQL}),
+s as (
+  select repo, path, lang, content,
+    string_split(content, chr(10)) as lns,
+    length(content) as n_chars
+  from files
+)
+select repo, path, lang,
+  len(lns)::bigint as n_lines,
+  n_chars::bigint as n_chars,
+  list_max(list_transform(lns, l -> length(l)))::bigint as max_line_len,
+  round(case when len(lns) > 0
+        then (n_chars - (len(lns) - 1)) / len(lns) else 0.0 end, 6)
+    as avg_line_len,
+  round(case when n_chars > 0
+        then length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g')) / n_chars
+        else 0.0 end, 6) as alnum_ratio,
+  round(case when n_chars > 0
+        then length(regexp_replace(content, '[^0-9a-fA-F]', '', 'g')) / n_chars
+        else 0.0 end, 6) as hex_ratio
+from s
+"""
+
+_COMMENT_STATS_SQL = f"""
+with files as ({_REPO_RICH_SQL}),
+s as (
+  select repo, path, lang,
+    string_split(content, chr(10)) as lns,
+    case when lang in ('py', 'sh') then '^\\s*#' else '^\\s*//' end as pat
+  from files
+)
+select repo, path, lang,
+  len(lns)::bigint as n_lines,
+  len(list_filter(lns, l -> regexp_matches(l, pat)))::bigint
+    as n_comment_lines,
+  round(case when len(lns) > 0
+        then len(list_filter(lns, l -> regexp_matches(l, pat))) / len(lns)
+        else 0.0 end, 6) as comment_ratio
+from s
+"""
+
+_LICENSE_SQL = f"""
+with files as ({_REPO_RICH_SQL})
+select repo, path,
+  case when contains(content, 'SPDX-License-Identifier: MIT') then 'mit'
+       when contains(content, 'Apache License') then 'apache-2.0'
+       when contains(content, 'GNU General Public License') then 'gpl'
+       else 'unknown' end as license
+from files
+"""
+
+_CODE_QUALITY_SQL = f"""
+with files as ({_REPO_RICH_SQL}),
+s as (
+  select repo, path, lang, content,
+    string_split(content, chr(10)) as lns,
+    length(content) as n_chars
+  from files
+),
+m as (
+  select repo, path, lang, content,
+    list_max(list_transform(lns, l -> length(l))) as max_line_len,
+    round(case when len(lns) > 0
+          then (n_chars - (len(lns) - 1)) / len(lns) else 0.0 end, 6)
+      as avg_line_len,
+    round(case when n_chars > 0
+          then length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g'))
+               / n_chars else 0.0 end, 6) as alnum_ratio,
+    round(case when n_chars > 0
+          then length(regexp_replace(content, '[^0-9a-fA-F]', '', 'g'))
+               / n_chars else 0.0 end, 6) as hex_ratio
+  from s
+),
+r as (
+  select repo, path, lang,
+    concat_ws(',',
+      case when regexp_matches(content,
+           '(?i)(auto-generated|do not edit|generated by)')
+           then 'autogen' end,
+      case when avg_line_len > {CODEQ_KWARGS["max_avg_line_len"]} then 'avg_line' end,
+      case when hex_ratio > {CODEQ_KWARGS["max_hex_ratio"]} then 'hex' end,
+      case when max_line_len > {CODEQ_KWARGS["max_line_len"]} then 'long_line' end,
+      case when alnum_ratio < {CODEQ_KWARGS["min_alnum_ratio"]} then 'low_alnum' end) as reasons
+  from m
+)
+select repo, path, lang, reasons = '' as keep, reasons from r
+"""
+
+_DOCSTRING_SQL = f"""
+with files as ({_REPO_RICH_SQL})
+select repo, path,
+  unnest(regexp_extract_all(content,
+    'def ([A-Za-z_][A-Za-z0-9_]*)\\(\\):\\n\\s+\"\"\"([^\"]+)\"\"\"', 1))
+    as func_name,
+  unnest(regexp_extract_all(content,
+    'def ([A-Za-z_][A-Za-z0-9_]*)\\(\\):\\n\\s+\"\"\"([^\"]+)\"\"\"', 2))
+    as docstring
+from files where lang = 'py'
 """
 
 _LINK_SIZE_SQL = """
@@ -2281,6 +2535,11 @@ def oracle_sql() -> dict[str, str]:
             "select vertex, count(*)::bigint as degree from u group by vertex"
         ),
         "link_modules": _LINK_MODULES_SQL,
+        "code_stats": _CODE_STATS_SQL,
+        "comment_stats": _COMMENT_STATS_SQL,
+        "license_detect": _LICENSE_SQL,
+        "code_quality": _CODE_QUALITY_SQL,
+        "docstring_pairs": _DOCSTRING_SQL,
         "link_graph_size": _LINK_SIZE_SQL,
         "cc_labels": _CC_SQL,
         "cc_star": _CC_SQL,
