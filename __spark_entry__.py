@@ -735,6 +735,49 @@ def _q_lp4(spark, sf_dir):
     return res.state.select("vertex", F.col("value").cast("long").alias("label"))
 
 
+def _q_lp_modularity(spark, sf_dir):
+    """Modularity of the LP4 partition — composes two oracled operators
+    (the unrolled-LP labels and the partition-score formula) into one
+    gate row, so the score itself is exact-checked, not just the labels."""
+    e = _graph1000(spark, sf_dir)
+    res = algorithms.label_propagation(e, max_iter=LP_ITERS)
+    labels = res.state.select("vertex", F.col("value").cast("long").alias("label"))
+    return algorithms.modularity(e, labels)
+
+
+COLORING_ROUNDS = 200
+
+
+def _q_coloring_gate(spark, sf_dir):
+    """Jones–Plassmann coloring validity gate: the coloring itself is
+    hash-priority-driven (xxhash64 — not DuckDB-expressible), but its
+    CORRECTNESS contract is: zero monochromatic edges, every edge-list
+    vertex colored, ≤ Δ+1 colors. Those are deterministic constants the
+    oracle pins (the minhash_precision pattern)."""
+    from flexgraph_spark.graph import symmetrize
+
+    e = _graph1000(spark, sf_dir)
+    res = algorithms.greedy_coloring(e, max_rounds=COLORING_ROUNDS)
+    col = res.state
+    se = symmetrize(e.where(F.col("src") != F.col("dst")))
+    conflicts = (
+        se.join(col.withColumnRenamed("vertex", "src")
+                .withColumnRenamed("value", "c1"), "src")
+        .join(col.withColumnRenamed("vertex", "dst")
+              .withColumnRenamed("value", "c2"), "dst")
+        .where(F.col("c1") == F.col("c2"))
+        .count()
+    )
+    n_vertices = se.select("src").distinct().count()
+    n_colored = col.count()
+    n_colors = col.select("value").distinct().count()
+    max_deg = se.groupBy("src").count().agg(F.max("count")).first()[0]
+    return spark.createDataFrame(
+        [(int(conflicts), n_colored == n_vertices, n_colors <= max_deg + 1)],
+        "conflicts long, all_colored boolean, within_bound boolean",
+    )
+
+
 def _q_triangles(spark, sf_dir):
     n = algorithms.triangle_count(_graph1000(spark, sf_dir))
     return spark.createDataFrame([(int(n),)], "triangles long")
@@ -1339,6 +1382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wdegree_out": _q_wdegree_out,
         "sssp8": _q_sssp8,
         "lp4": _q_lp4,
+        "lp_modularity": _q_lp_modularity,
+        "coloring_gate": _q_coloring_gate,
         "hits4": _q_hits4,
         "kcore": _q_kcore,
         "local_clustering": _q_local_clustering,
@@ -2571,6 +2616,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sssp8": _sssp_sql(G1000_W_SQL, SSSP_ITERS),
         "lp4": _lp_sql(G1000_SQL, LP_ITERS),
+        "lp_modularity": f"""
+with labels as ({_lp_sql(G1000_SQL, LP_ITERS)}),
+e0 as ({G1000_SQL}),
+se as (select src, dst from e0 union select dst, src from e0),
+e2 as (select ls.label as sl, ld.label as dl
+       from se join labels ls on ls.vertex = se.src
+               join labels ld on ld.vertex = se.dst),
+per as (select sl, count(*) as deg_c,
+               sum(case when dl = sl then 1 else 0 end) as intra_c
+        from e2 group by sl)
+select round(sum(intra_c)::double / sum(deg_c)::double
+       - sum(deg_c * deg_c)::double
+         / (sum(deg_c)::double * sum(deg_c)::double), 6) as modularity,
+       (select count(distinct label) from labels)::bigint as n_communities
+from per
+""",
+        # coloring is hash-priority-driven (xxhash64 not in DuckDB); its
+        # correctness contract — proper, total, <= Δ+1 colors — is exact
+        # and the oracle pins it (the minhash_precision gate pattern).
+        "coloring_gate": (
+            "select 0::bigint as conflicts, true as all_colored, "
+            "true as within_bound"
+        ),
         "hits4": _hits_sql(G1000_SQL, HITS_ITERS),
         "kcore": _kcore_sql(G1000_SQL, KCORE_K, KCORE_ROUNDS),
         "local_clustering": _LCC_SQL,

@@ -1783,3 +1783,190 @@ def betweenness_sampled(
         frame.unpersist()
     e.unpersist()
     return out
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a vertex partition on the undirected simple
+    graph: one row ``(modularity double, n_communities long)``.
+
+    Q = Σ_c [ intra_c / M − (deg_c / M)² ] over the SYMMETRIZED edge list
+    (M = directed edge count = 2m, intra_c = within-community directed
+    edges, deg_c = community degree sum) — the standard quality score for
+    any community assignment (LP labels, CC components, a module rollup).
+    ``labels`` is (vertex, label); vertices missing from it contribute
+    nothing (inner join), so a partial labeling scores its covered
+    subgraph.
+
+    Exactness: per-community tallies are integer aggregates summed as
+    decimal(38,0) (order-independent, overflow-proof at 10^12 edges); the
+    only float ops are two final divisions, so the result is bit-stable
+    across partitionings and an unrolled SQL oracle matches without
+    rounding games (rounded to 6 anyway for the repo-wide hash contract).
+    Plan: two hash joins + one groupBy + a one-row final aggregate.
+    """
+    se = symmetrize(
+        edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    )
+    lab = labels.select("vertex", "label")
+    e2 = (
+        se.join(lab.withColumnRenamed("vertex", "src")
+                .withColumnRenamed("label", "sl"), "src")
+        .join(lab.withColumnRenamed("vertex", "dst")
+              .withColumnRenamed("label", "dl"), "dst")
+    )
+    per = e2.groupBy("sl").agg(
+        F.count(F.lit(1)).alias("deg_c"),
+        F.sum(F.when(F.col("dl") == F.col("sl"), 1).otherwise(0)).alias(
+            "intra_c"
+        ),
+    )
+    n_comm = lab.select("label").distinct().count()
+    dec = "decimal(38,0)"
+    tot = per.agg(
+        F.sum(F.col("deg_c").cast(dec)).alias("m_dir"),
+        F.sum(F.col("intra_c").cast(dec)).alias("intra"),
+        F.sum((F.col("deg_c") * F.col("deg_c")).cast(dec)).alias("deg_sq"),
+    )
+    return tot.select(
+        F.round(
+            F.col("intra").cast("double") / F.col("m_dir").cast("double")
+            - F.col("deg_sq").cast("double")
+            / (F.col("m_dir").cast("double") * F.col("m_dir").cast("double")),
+            6,
+        ).alias("modularity"),
+        F.lit(n_comm).cast("long").alias("n_communities"),
+    )
+
+
+def greedy_coloring(
+    edges: DataFrame, max_rounds: int = 100, num_partitions: int | None = None
+) -> GimvResult:
+    """Distributed greedy graph coloring (Jones–Plassmann): each round,
+    every uncolored vertex that is a local priority maximum among its
+    uncolored neighbors takes the smallest color unused by its already-
+    colored neighbors. Priorities are ``(xxhash64(vertex), vertex)`` —
+    deterministic, so the whole coloring is a pure function of the edge
+    set — and hash order breaks the adversarial chains that make by-id
+    priorities take O(n) rounds (expected rounds O(log n / log log n)).
+    Proper by construction: simultaneous winners are never adjacent
+    (local maxima), and each winner excludes every earlier neighbor color
+    via the mex; the color count is ≤ Δ+1 by the same argument as
+    sequential greedy. Self-loops dropped, direction ignored; isolated
+    vertices never reach the edge list and are the caller's trivial
+    color-0 case.
+
+    Returns state (vertex, value=color int), iterations = rounds used.
+
+    Scale shape (the MIS loop's): the live edge set shrinks as winners
+    retire, per round one max-aggregate (map-side combined) + one
+    bucketed color-set join against the colored table — no collect, no
+    per-row Python; the mex is an array expression over the neighbor
+    color set, whose size is ≤ degree (bounded by Δ, and hub colors
+    resolve early because high degree ≠ low priority).
+    """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def pri(v):
+        return F.struct(F.xxhash64(v).alias("h"), v.alias("v"))
+
+    se = truncate_plan(
+        symmetrize(
+            edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+        ).repartition(p, "src")
+    )
+    active = truncate_plan(
+        se.select(F.col("src").alias("vertex")).distinct()
+        .repartition(p, "vertex")
+    )
+    live_e = se
+    n_active = active.count()
+    colored = spark.createDataFrame([], "vertex long, value int")
+    metrics: list[IterationMetrics] = []
+    converged = False
+    rounds = 0
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for r in range(1, max_rounds + 1):
+            if n_active == 0:
+                converged = True
+                break
+            t0 = time.time()
+            nbr_max = live_e.groupBy(F.col("src").alias("vertex")).agg(
+                F.max(pri(F.col("dst"))).alias("m")
+            )
+            winners = (
+                active.join(nbr_max.hint("shuffle_hash"), "vertex", "left")
+                .where(F.col("m").isNull() | (pri(F.col("vertex")) > F.col("m")))
+                .select("vertex")
+            )
+            nbr_colors = (
+                se.join(winners.withColumnRenamed("vertex", "src"), "src")
+                .join(
+                    colored.withColumnRenamed("vertex", "dst")
+                    .withColumnRenamed("value", "c"),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("vertex"))
+                .agg(F.collect_set("c").alias("carr"))
+            )
+            mex = F.coalesce(
+                F.element_at(
+                    F.filter(
+                        F.sequence(F.lit(0), F.size("carr")),
+                        lambda x: ~F.array_contains(F.col("carr"), x),
+                    ),
+                    1,
+                ),
+                F.lit(0),
+            )
+            obs_w = Observation()
+            new_colored = truncate_plan(
+                winners.join(nbr_colors, "vertex", "left")
+                .select("vertex", mex.cast("int").alias("value"))
+                .observe(obs_w, F.count(F.lit(1)).alias("c"))
+            )
+            n_won = int(obs_w.get["c"] or 0)
+            prev_colored = colored
+            colored = truncate_plan(colored.union(new_colored))
+            prev_colored.unpersist()
+            obs_a = Observation()
+            new_active = truncate_plan(
+                active.join(
+                    new_colored.select("vertex"), "vertex", "left_anti"
+                ).observe(obs_a, F.count(F.lit(1)).alias("c"))
+            )
+            new_live_e = truncate_plan(
+                live_e.join(new_active.withColumnRenamed("vertex", "src"), "src")
+                .join(new_active.withColumnRenamed("vertex", "dst"), "dst")
+                .select("src", "dst")
+                .repartition(p, "src")
+            )
+            active.unpersist()
+            if live_e is not se:
+                live_e.unpersist()
+            new_colored.unpersist()
+            active, live_e = new_active, new_live_e
+            n_prev, n_active = n_active, int(obs_a.get["c"] or 0)
+            rounds = r
+            metrics.append(
+                IterationMetrics(
+                    iteration=r,
+                    messages_shuffled=n_won,
+                    changed=n_prev - n_active,
+                    edges_scanned=n_prev,
+                    seconds=time.time() - t0,
+                )
+            )
+        else:
+            converged = n_active == 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    active.unpersist()
+    if live_e is not se:
+        live_e.unpersist()
+    se.unpersist()
+    return GimvResult(
+        state=colored, iterations=rounds, converged=converged, metrics=metrics
+    )

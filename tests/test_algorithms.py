@@ -604,3 +604,100 @@ def test_betweenness_depth_truncation(spark):
     )
     got = {r["vertex"]: r["betweenness"] for r in out.collect()}
     assert set(got.values()) == {0.0}
+
+
+def test_modularity_two_cliques_golden(spark):
+    """Two triangles joined by one bridge, labeled by clique: numpy-exact
+    Q on the symmetrized edge list."""
+    pairs = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 1), (4, 1), (5, 1)],
+        "vertex long, label long",
+    )
+    out = algorithms.modularity(_edges(spark, pairs), labels).first()
+    # symmetrized M = 14; per community: deg = 7, intra = 6
+    expected = round(12 / 14 - 2 * (7 / 14) ** 2, 6)
+    assert out["modularity"] == pytest.approx(expected, abs=1e-9)
+    assert out["n_communities"] == 2
+
+
+def test_modularity_single_community_is_zero(spark):
+    pairs = [(0, 1), (1, 2), (2, 0)]
+    labels = spark.createDataFrame(
+        [(v, 42) for v in range(3)], "vertex long, label long"
+    )
+    out = algorithms.modularity(_edges(spark, pairs), labels).first()
+    assert out["modularity"] == pytest.approx(0.0, abs=1e-9)
+    assert out["n_communities"] == 1
+
+
+def test_modularity_singleton_partition(spark):
+    """Every vertex its own community: Q = -sum(deg^2)/M^2 (no intra)."""
+    pairs = [(0, 1), (1, 2)]
+    labels = spark.createDataFrame(
+        [(v, v) for v in range(3)], "vertex long, label long"
+    )
+    out = algorithms.modularity(_edges(spark, pairs), labels).first()
+    expected = round(0.0 - (1 + 4 + 1) / 16.0, 6)
+    assert out["modularity"] == pytest.approx(expected, abs=1e-9)
+    assert out["n_communities"] == 3
+
+
+def _coloring_checks(pairs, col, rounds_converged):
+    adj = {}
+    for s, d in pairs:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    assert set(col) == set(adj), "every edge-list vertex gets a color"
+    for v, ns in adj.items():
+        for u in ns:
+            assert col[v] != col[u], f"monochromatic edge {v}-{u}"
+    max_deg = max(len(ns) for ns in adj.values())
+    assert len(set(col.values())) <= max_deg + 1
+    assert rounds_converged
+
+
+def test_coloring_proper_total_bounded_random(spark):
+    rng = np.random.RandomState(7)
+    pairs = sorted({(int(a), int(b))
+                    for a, b in rng.randint(0, 50, size=(200, 2)) if a != b})
+    res = algorithms.greedy_coloring(_edges(spark, pairs))
+    col = {r["vertex"]: r["value"] for r in res.state.collect()}
+    _coloring_checks(pairs, col, res.converged)
+
+
+def test_coloring_complete_graph_uses_n_colors(spark):
+    """K5: every pair adjacent, so all 5 colors 0..4 appear (= Delta+1)."""
+    pairs = [(i, j) for i in range(5) for j in range(5) if i < j]
+    res = algorithms.greedy_coloring(_edges(spark, pairs))
+    col = {r["vertex"]: r["value"] for r in res.state.collect()}
+    _coloring_checks(pairs, col, res.converged)
+    assert sorted(col.values()) == [0, 1, 2, 3, 4]
+
+
+def test_coloring_deterministic_across_runs(spark):
+    """Pure function of the edge set: two runs agree color-for-color."""
+    rng = np.random.RandomState(3)
+    pairs = sorted({(int(a), int(b))
+                    for a, b in rng.randint(0, 30, size=(80, 2)) if a != b})
+    a = algorithms.greedy_coloring(_edges(spark, pairs))
+    b = algorithms.greedy_coloring(_edges(spark, pairs))
+    ca = {r["vertex"]: r["value"] for r in a.state.collect()}
+    cb = {r["vertex"]: r["value"] for r in b.state.collect()}
+    assert ca == cb
+
+
+def test_coloring_star_two_colors(spark):
+    """Star K1,6: hub and leaves split into exactly 2 color classes."""
+    pairs = [(0, i) for i in range(1, 7)]
+    res = algorithms.greedy_coloring(_edges(spark, pairs))
+    col = {r["vertex"]: r["value"] for r in res.state.collect()}
+    _coloring_checks(pairs, col, res.converged)
+    assert len(set(col.values())) == 2
+
+
+def test_coloring_empty_and_selfloop(spark):
+    res = algorithms.greedy_coloring(_edges(spark, [(9, 9)]))
+    assert res.state.count() == 0 and res.converged
