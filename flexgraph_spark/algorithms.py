@@ -1839,31 +1839,45 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
 
 
 def greedy_coloring(
-    edges: DataFrame, max_rounds: int = 100, num_partitions: int | None = None
+    edges: DataFrame,
+    max_rounds: int = 100,
+    num_partitions: int | None = None,
+    strategy: str = "palette",
 ) -> GimvResult:
-    """Distributed greedy graph coloring (Jones–Plassmann): each round,
-    every uncolored vertex that is a local priority maximum among its
-    uncolored neighbors takes the smallest color unused by its already-
-    colored neighbors. Priorities are ``(xxhash64(vertex), vertex)`` —
-    deterministic, so the whole coloring is a pure function of the edge
-    set — and hash order breaks the adversarial chains that make by-id
-    priorities take O(n) rounds (expected rounds O(log n / log log n)).
-    Proper by construction: simultaneous winners are never adjacent
-    (local maxima), and each winner excludes every earlier neighbor color
-    via the mex; the color count is ≤ Δ+1 by the same argument as
-    sequential greedy. Self-loops dropped, direction ignored; isolated
+    """Distributed (Δ+1) graph coloring, deterministic (a pure function
+    of the edge set — every random choice is an ``xxhash64`` of vertex
+    id and round). Self-loops dropped, direction ignored; isolated
     vertices never reach the edge list and are the caller's trivial
-    color-0 case.
+    color-0 case. Returns state (vertex, value=color int), iterations =
+    rounds used.
 
-    Returns state (vertex, value=color int), iterations = rounds used.
+    ``strategy='palette'`` (default — Johansson's randomized coloring):
+    each round EVERY uncolored vertex picks a hash-indexed color from
+    ``{0..deg(v)}`` minus its colored neighbors' colors (non-empty: at
+    most deg(v) exclusions from a deg(v)+1 palette); adjacent same-pick
+    pairs are resolved by hash priority (the loser re-rolls next round).
+    Expected conflicting neighbors ≤ 1 for ANY degree (a pick collides
+    with prob ≤ 1/min(palette sizes)), so a constant fraction of the
+    frontier retires per round: O(log n) rounds independent of density.
+    Proper: earlier colors are excluded via the forbidden set, same-round
+    ties lose on priority; ≤ Δ+1 colors since picks never exceed deg(v).
 
-    Scale shape (the MIS loop's): the live edge set shrinks as winners
-    retire, per round one max-aggregate (map-side combined) + one
-    bucketed color-set join against the colored table — no collect, no
-    per-row Python; the mex is an array expression over the neighbor
-    color set, whose size is ≤ degree (bounded by Δ, and hub colors
-    resolve early because high degree ≠ low priority).
+    ``strategy='jp'`` (Jones–Plassmann): only local priority maxima
+    among uncolored neighbors color (with the mex of colored-neighbor
+    colors). Fewer, lower colors and cheaper rounds on SPARSE graphs, but
+    round count follows the longest hash-decreasing path — O(Δ)-ish on
+    dense graphs (measured: ~130 rounds on a 1000-vertex avg-degree-120
+    gate graph vs ~15 for palette), so it is the wrong default at scale.
+
+    Scale shape (both): the live edge set shrinks as winners retire;
+    per round a bounded number of hash joins + one map-side-combined
+    aggregate — no collect, no per-row Python. Array expressions are
+    bounded by deg(v) (palette pick / mex), so a 10^6-degree hub
+    materializes an O(deg) array in the pick stage only — the same
+    few-hubs premise as the blocked engine's dense rows.
     """
+    if strategy not in ("palette", "jp"):
+        raise ValueError(f"unknown coloring strategy {strategy!r}")
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -1877,6 +1891,11 @@ def greedy_coloring(
     )
     active = truncate_plan(
         se.select(F.col("src").alias("vertex")).distinct()
+        .repartition(p, "vertex")
+    )
+    degs = truncate_plan(
+        se.groupBy(F.col("src").alias("vertex"))
+        .agg(F.count(F.lit(1)).cast("int").alias("deg"))
         .repartition(p, "vertex")
     )
     live_e = se
@@ -1893,16 +1912,11 @@ def greedy_coloring(
                 converged = True
                 break
             t0 = time.time()
-            nbr_max = live_e.groupBy(F.col("src").alias("vertex")).agg(
-                F.max(pri(F.col("dst"))).alias("m")
-            )
-            winners = (
-                active.join(nbr_max.hint("shuffle_hash"), "vertex", "left")
-                .where(F.col("m").isNull() | (pri(F.col("vertex")) > F.col("m")))
-                .select("vertex")
-            )
-            nbr_colors = (
-                se.join(winners.withColumnRenamed("vertex", "src"), "src")
+            # forbidden sets: colors already fixed in the neighborhood
+            # (restricted to live sources — the join shrinks with the
+            # frontier, not with total E)
+            forb = (
+                se.join(active.withColumnRenamed("vertex", "src"), "src")
                 .join(
                     colored.withColumnRenamed("vertex", "dst")
                     .withColumnRenamed("value", "c"),
@@ -1911,22 +1925,73 @@ def greedy_coloring(
                 .groupBy(F.col("src").alias("vertex"))
                 .agg(F.collect_set("c").alias("carr"))
             )
-            mex = F.coalesce(
-                F.element_at(
+            carr = F.coalesce(F.col("carr"), F.array().cast("array<int>"))
+            obs_w = Observation()
+            if strategy == "palette":
+                allowed = F.filter(
+                    F.sequence(F.lit(0), F.col("deg")),
+                    lambda x: ~F.array_contains(carr, x),
+                )
+                idx = F.pmod(
+                    F.xxhash64(F.col("vertex"), F.lit(r)), F.size(allowed)
+                )
+                cand = (
+                    active.join(degs.hint("shuffle_hash"), "vertex")
+                    .join(forb.hint("shuffle_hash"), "vertex", "left")
+                    .select(
+                        "vertex",
+                        F.element_at(allowed, (idx + 1).cast("int"))
+                        .cast("int")
+                        .alias("value"),
+                    )
+                )
+                losers = (
+                    live_e.join(
+                        cand.withColumnRenamed("vertex", "src")
+                        .withColumnRenamed("value", "cs")
+                        .hint("shuffle_hash"),
+                        "src",
+                    )
+                    .join(
+                        cand.withColumnRenamed("vertex", "dst")
+                        .withColumnRenamed("value", "cd")
+                        .hint("shuffle_hash"),
+                        "dst",
+                    )
+                    .where(
+                        (F.col("cs") == F.col("cd"))
+                        & (pri(F.col("src")) < pri(F.col("dst")))
+                    )
+                    .select(F.col("src").alias("vertex"))
+                    .distinct()
+                )
+                new_colored = truncate_plan(
+                    cand.join(losers, "vertex", "left_anti")
+                    .observe(obs_w, F.count(F.lit(1)).alias("c"))
+                )
+            else:
+                nbr_max = live_e.groupBy(F.col("src").alias("vertex")).agg(
+                    F.max(pri(F.col("dst"))).alias("m")
+                )
+                winners = (
+                    active.join(nbr_max.hint("shuffle_hash"), "vertex", "left")
+                    .where(
+                        F.col("m").isNull() | (pri(F.col("vertex")) > F.col("m"))
+                    )
+                    .select("vertex")
+                )
+                mex = F.element_at(
                     F.filter(
-                        F.sequence(F.lit(0), F.size("carr")),
-                        lambda x: ~F.array_contains(F.col("carr"), x),
+                        F.sequence(F.lit(0), F.size(carr)),
+                        lambda x: ~F.array_contains(carr, x),
                     ),
                     1,
-                ),
-                F.lit(0),
-            )
-            obs_w = Observation()
-            new_colored = truncate_plan(
-                winners.join(nbr_colors, "vertex", "left")
-                .select("vertex", mex.cast("int").alias("value"))
-                .observe(obs_w, F.count(F.lit(1)).alias("c"))
-            )
+                )
+                new_colored = truncate_plan(
+                    winners.join(forb, "vertex", "left")
+                    .select("vertex", mex.cast("int").alias("value"))
+                    .observe(obs_w, F.count(F.lit(1)).alias("c"))
+                )
             n_won = int(obs_w.get["c"] or 0)
             prev_colored = colored
             colored = truncate_plan(colored.union(new_colored))
@@ -1967,6 +2032,7 @@ def greedy_coloring(
     if live_e is not se:
         live_e.unpersist()
     se.unpersist()
+    degs.unpersist()
     return GimvResult(
         state=colored, iterations=rounds, converged=converged, metrics=metrics
     )

@@ -659,40 +659,49 @@ def _coloring_checks(pairs, col, rounds_converged):
     assert rounds_converged
 
 
-def test_coloring_proper_total_bounded_random(spark):
+@pytest.mark.parametrize("strategy", ["palette", "jp"])
+def test_coloring_proper_total_bounded_random(spark, strategy):
     rng = np.random.RandomState(7)
     pairs = sorted({(int(a), int(b))
                     for a, b in rng.randint(0, 50, size=(200, 2)) if a != b})
-    res = algorithms.greedy_coloring(_edges(spark, pairs))
+    res = algorithms.greedy_coloring(_edges(spark, pairs), strategy=strategy)
     col = {r["vertex"]: r["value"] for r in res.state.collect()}
     _coloring_checks(pairs, col, res.converged)
+    if strategy == "palette":
+        # the density-independent round bound is the point of the default
+        # strategy (measured 3 here vs 13 for jp; deterministic hashes)
+        assert res.iterations <= 8
 
 
-def test_coloring_complete_graph_uses_n_colors(spark):
+@pytest.mark.parametrize("strategy", ["palette", "jp"])
+def test_coloring_complete_graph_uses_n_colors(spark, strategy):
     """K5: every pair adjacent, so all 5 colors 0..4 appear (= Delta+1)."""
     pairs = [(i, j) for i in range(5) for j in range(5) if i < j]
-    res = algorithms.greedy_coloring(_edges(spark, pairs))
+    res = algorithms.greedy_coloring(_edges(spark, pairs), strategy=strategy)
     col = {r["vertex"]: r["value"] for r in res.state.collect()}
     _coloring_checks(pairs, col, res.converged)
     assert sorted(col.values()) == [0, 1, 2, 3, 4]
 
 
-def test_coloring_deterministic_across_runs(spark):
+@pytest.mark.parametrize("strategy", ["palette", "jp"])
+def test_coloring_deterministic_across_runs(spark, strategy):
     """Pure function of the edge set: two runs agree color-for-color."""
     rng = np.random.RandomState(3)
     pairs = sorted({(int(a), int(b))
                     for a, b in rng.randint(0, 30, size=(80, 2)) if a != b})
-    a = algorithms.greedy_coloring(_edges(spark, pairs))
-    b = algorithms.greedy_coloring(_edges(spark, pairs))
+    a = algorithms.greedy_coloring(_edges(spark, pairs), strategy=strategy)
+    b = algorithms.greedy_coloring(_edges(spark, pairs), strategy=strategy)
     ca = {r["vertex"]: r["value"] for r in a.state.collect()}
     cb = {r["vertex"]: r["value"] for r in b.state.collect()}
     assert ca == cb
 
 
-def test_coloring_star_two_colors(spark):
-    """Star K1,6: hub and leaves split into exactly 2 color classes."""
+def test_coloring_jp_star_two_colors(spark):
+    """Star K1,6 under JP: the mex packs hub + leaves into exactly 2
+    color classes (palette may legally spread leaves across its
+    degree-sized palette, so this invariant is JP-specific)."""
     pairs = [(0, i) for i in range(1, 7)]
-    res = algorithms.greedy_coloring(_edges(spark, pairs))
+    res = algorithms.greedy_coloring(_edges(spark, pairs), strategy="jp")
     col = {r["vertex"]: r["value"] for r in res.state.collect()}
     _coloring_checks(pairs, col, res.converged)
     assert len(set(col.values())) == 2
@@ -701,3 +710,5 @@ def test_coloring_star_two_colors(spark):
 def test_coloring_empty_and_selfloop(spark):
     res = algorithms.greedy_coloring(_edges(spark, [(9, 9)]))
     assert res.state.count() == 0 and res.converged
+    with pytest.raises(ValueError):
+        algorithms.greedy_coloring(_edges(spark, [(0, 1)]), strategy="rainbow")
