@@ -409,6 +409,51 @@ def _q_pagerank_converged_top20(spark, sf_dir):
     )
 
 
+def _q_pagerank_warm_start(spark, sf_dir):
+    """Incremental-recompute invariant gate: converge PageRank on a 90%
+    edge sample ("yesterday's graph"), warm-start on the full graph from
+    that state, and compare against a cold converged run. The fixpoint is
+    unique (contraction), so warm == cold: both iterates sit within
+    α/(1-α)·threshold ≈ 5.7e-7 of the fixpoint at threshold=1e-7, so the
+    1e-5 comparison tolerance has >4x headroom. Spark-side invariant (the
+    sample hash is xxhash64 — not DuckDB-expressible); the oracle pins
+    the exact constants, the precision-gate pattern."""
+    thr = 1e-7
+    e_new = _graph1000(spark, sf_dir)
+    e_old = e_new.where(F.pmod(F.xxhash64("src", "dst"), F.lit(10)) != 0)
+    base = algorithms.pagerank(e_old, threshold=thr, max_iter=100)
+    warm = algorithms.pagerank(
+        e_new, threshold=thr, max_iter=100, initial_state=base.state
+    )
+    cold = algorithms.pagerank(e_new, threshold=thr, max_iter=100)
+    n_diff = (
+        warm.state.withColumnRenamed("value", "w")
+        .join(cold.state.withColumnRenamed("value", "c"), "vertex", "full")
+        .where(
+            F.abs(F.coalesce("w", F.lit(0.0)) - F.coalesce("c", F.lit(0.0)))
+            > 1e-5
+        )
+        .count()
+    )
+    return spark.createDataFrame(
+        [(int(n_diff), warm.iterations <= cold.iterations)],
+        "n_diff long, warm_not_slower boolean",
+    )
+
+
+BLOCK_CUT_P = 8
+
+
+def _q_block_cut_stats(spark, sf_dir):
+    """Pre-build partitioning diagnostics of the pmod grid (blocks.
+    partition_cut_stats): diagonal-block fraction and cell skew — the
+    numbers a user reads before choosing p. Integer-exact aggregates,
+    fully DuckDB-expressible."""
+    from flexgraph_spark.blocks import partition_cut_stats
+
+    return partition_cut_stats(_graph1000(spark, sf_dir), BLOCK_CUT_P)
+
+
 def _q_pagerank10_blocked(spark, sf_dir):
     """The blocked CSR engine (flexgraph_spark.blocks — the re-expression of
     ComputationMapper.java:173-240) under the oracle gate: remap to
@@ -775,6 +820,44 @@ def _q_coloring_gate(spark, sf_dir):
     return spark.createDataFrame(
         [(int(conflicts), n_colored == n_vertices, n_colors <= max_deg + 1)],
         "conflicts long, all_colored boolean, within_bound boolean",
+    )
+
+
+MOVES_ROUNDS = 2
+
+
+def _q_modularity_moves2(spark, sf_dir):
+    """Synchronous Louvain local-move rounds (raw recurrence face of
+    algorithms.louvain): integer-exact gain argmax + the Grappolo
+    singleton-swap guard make the per-round state a pure function of the
+    edge set, so a fixed-depth SQL unroll (the lp4 pattern) is a
+    bit-exact oracle."""
+    return algorithms.modularity_local_moves(
+        _graph1000(spark, sf_dir), rounds=MOVES_ROUNDS
+    )
+
+
+def _q_louvain_gate(spark, sf_dir):
+    """Multi-level Louvain invariant gate: the returned labeling's
+    modularity (scored by the oracled modularity operator) must beat
+    both the singleton baseline and the oracled 2-round local-move
+    prefix — louvain() is argmax over a superset of those candidates, so
+    the booleans pin that the best-Q tracking and contraction machinery
+    never lose to their own ingredients. Q itself is data-dependent
+    (oracle pins the booleans, the precision-gate pattern); the
+    label-level recurrence is oracle-checked by modularity_moves2."""
+    e = _graph1000(spark, sf_dir)
+    res = algorithms.louvain(e, levels=2, rounds=3)
+    q_singleton = res.history[0][2]
+    m2 = algorithms.modularity_local_moves(e, rounds=MOVES_ROUNDS)
+    q_m2 = algorithms.modularity(e, m2).first()["modularity"]
+    return spark.createDataFrame(
+        [(
+            bool(res.modularity >= q_singleton),
+            bool(res.modularity >= q_m2),
+            res.n_communities >= 1,
+        )],
+        "q_ge_singleton boolean, q_ge_moves2 boolean, has_communities boolean",
     )
 
 
@@ -1384,6 +1467,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp4": _q_lp4,
         "lp_modularity": _q_lp_modularity,
         "coloring_gate": _q_coloring_gate,
+        "pagerank_warm_start": _q_pagerank_warm_start,
+        "block_cut_stats": _q_block_cut_stats,
+        "modularity_moves2": _q_modularity_moves2,
+        "louvain_gate": _q_louvain_gate,
         "hits4": _q_hits4,
         "kcore": _q_kcore,
         "local_clustering": _q_local_clustering,
@@ -1797,6 +1884,56 @@ def _kcore_sql(edge_sql: str, k: int, rounds: int) -> str:
             f"group by se.src having count(*) >= {k})"
         )
     return "with " + ",\n".join(ctes) + f"\nselect v as vertex from a{rounds}"
+
+
+def _moves_sql(edge_sql: str, rounds: int) -> str:
+    """Unrolled synchronous Louvain local-move recurrence (see
+    algorithms._moves_round): hugeint gain arithmetic reproduces the
+    Spark side's decimal(38,0) argmax bit-for-bit; the singleton-swap
+    guard and the (score desc, label asc) tie-break are encoded
+    identically. Equivalence note: Spark filters score > 0 before the
+    window, the SQL ranks guard-passing rows then keeps rn=1 AND s>0 —
+    the global argmax is the argmax-among-positives whenever any
+    positive row exists, so the two forms pick the same row."""
+    ctes = [
+        f"e0 as materialized ({edge_sql})",
+        "se as materialized (select src, dst from e0 union select dst, src from e0)",
+        "verts as (select src as v from se union select dst from se)",
+        "mdeg as materialized (select src as v, count(*)::hugeint as d from se group by 1)",
+        "mtot as (select sum(d) as m from mdeg)",
+        "l0 as (select v, v as lab from verts)",
+    ]
+    for k in range(1, rounds + 1):
+        score = (
+            f"(k.lk - o.lk_a) * (select m from mtot) "
+            f"- o.dv * (cc.cd - (o.cd_a - o.dv))"
+        )
+        ctes += [
+            f"cd{k} as materialized (select l.lab, sum(d.d) as cd, "
+            f"count(*) as cs from l{k-1} l join mdeg d on d.v = l.v group by 1)",
+            f"lk{k} as materialized (select se.src as v, l.lab as c, "
+            f"count(*)::hugeint as lk from se join l{k-1} l on l.v = se.dst "
+            f"group by 1, 2)",
+            f"own{k} as (select l.v, l.lab, d.d as dv, cd.cd as cd_a, "
+            f"cd.cs as size_a, coalesce(lo.lk, 0::hugeint) as lk_a "
+            f"from l{k-1} l join mdeg d on d.v = l.v "
+            f"join cd{k} cd on cd.lab = l.lab "
+            f"left join lk{k} lo on lo.v = l.v and lo.c = l.lab)",
+            f"best{k} as (select v, c from ("
+            f"select o.v, k.c, {score} as s, "
+            f"row_number() over (partition by o.v order by ({score}) desc, "
+            f"k.c asc) as rn "
+            f"from lk{k} k join own{k} o on o.v = k.v "
+            f"join cd{k} cc on cc.lab = k.c "
+            f"where k.c <> o.lab and (o.size_a > 1 or cc.cs > 1 or k.c < o.lab)"
+            f") t where rn = 1 and s > 0)",
+            f"l{k} as materialized (select l.v, coalesce(b.c, l.lab) as lab "
+            f"from l{k-1} l left join best{k} b on b.v = l.v)",
+        ]
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect v as vertex, lab as label from l{rounds}"
+    )
 
 
 def _lp_sql(edge_sql: str, iters: int) -> str:
@@ -2639,6 +2776,36 @@ from per
             "select 0::bigint as conflicts, true as all_colored, "
             "true as within_bound"
         ),
+        # warm-vs-cold PageRank is a Spark-side invariant (the 90% edge
+        # sample is xxhash64-keyed); the oracle pins the contract: zero
+        # >1e-5 divergences and no extra supersteps from the warm start.
+        "pagerank_warm_start": (
+            "select 0::bigint as n_diff, true as warm_not_slower"
+        ),
+        "modularity_moves2": _moves_sql(G1000_SQL, MOVES_ROUNDS),
+        # louvain's argmax-Q is over a candidate superset of {singleton,
+        # moves2}; the oracle pins those dominance invariants (the raw
+        # recurrence itself is bit-checked by modularity_moves2 above).
+        "louvain_gate": (
+            "select true as q_ge_singleton, true as q_ge_moves2, "
+            "true as has_communities"
+        ),
+        "block_cut_stats": f"""
+with e as ({G1000_SQL}),
+cells as (select src % {BLOCK_CUT_P} as bc, dst % {BLOCK_CUT_P} as br,
+                 count(*) as c
+          from e group by 1, 2)
+select {BLOCK_CUT_P} as p,
+       sum(c)::bigint as n_edges,
+       sum(case when br = bc then c else 0 end)::bigint as intra_edges,
+       round(1.0 - sum(case when br = bc then c else 0 end)::double
+             / sum(c)::double, 6) as cut_frac,
+       max(c)::bigint as max_cell,
+       round(sum(c)::double / {BLOCK_CUT_P * BLOCK_CUT_P}, 6) as mean_cell,
+       round(max(c)::double * {BLOCK_CUT_P * BLOCK_CUT_P}
+             / sum(c)::double, 6) as cell_skew
+from cells
+""",
         "hits4": _hits_sql(G1000_SQL, HITS_ITERS),
         "kcore": _kcore_sql(G1000_SQL, KCORE_K, KCORE_ROUNDS),
         "local_clustering": _LCC_SQL,

@@ -168,6 +168,14 @@ def main() -> None:
             g5000, list(range(8)), max_depth=4, num_partitions=gp
         ).count(),
     )
+    # dense g5000 is the adversarial case for coloring round counts —
+    # the palette default stays O(log n) there (see BENCH/BASELINE.md A/B)
+    timed(
+        "coloring",
+        lambda: algorithms.greedy_coloring(
+            g5000, num_partitions=gp
+        ).state.count(),
+    )
     # k at the 25th degree percentile: enough peeling to cascade without
     # collapsing the whole graph (computed outside the timed region)
     kq = (

@@ -50,6 +50,11 @@ def _dispatch(edges, prog, engine, max_iter, checkpointer, kw) -> gimv.GimvResul
         from flexgraph_spark import blocks
 
         bkw = dict(kw)
+        if bkw.pop("initial_state", None) is not None:
+            raise ValueError(
+                "warm start (initial_state) is a flat-engine feature; the "
+                "blocked engine resumes from durable checkpoints instead"
+            )
         if "num_partitions" in bkw:
             bkw["p"] = bkw.pop("num_partitions")
         return blocks.run_blocked(
@@ -2035,4 +2040,294 @@ def greedy_coloring(
     degs.unpersist()
     return GimvResult(
         state=colored, iterations=rounds, converged=converged, metrics=metrics
+    )
+
+
+_DEC = "decimal(38,0)"
+
+
+def _moves_round(off: DataFrame, deg: DataFrame, lab: DataFrame, m_total: int) -> DataFrame:
+    """One synchronous round of Louvain phase-1 local moves on the
+    doubled symmetric edge list ``off`` (src, dst, w — no self rows).
+
+    Every vertex simultaneously evaluates moving to each NEIGHBOR
+    community c: the gain, scaled by M²/2 to stay integer-exact
+    (decimal(38,0) — no float ordering, so a SQL oracle reproduces the
+    argmax bit-for-bit), is
+
+        score(v, a→c) = (lk_c − lk_a)·M − d_v·(cd_c − (cd_a − d_v))
+
+    with lk_* = edge weight from v into the community, d_v the doubled
+    degree (self-loops count twice — they move with v, so they cancel in
+    the gain), cd_* community degree sums, M the total doubled weight.
+    v moves to the highest-score community (ties → smallest label) when
+    score > 0, else stays — EXCEPT singleton→singleton moves toward a
+    larger label (Grappolo's swap guard: two symmetric singletons
+    otherwise trade places forever under synchronous updates; directing
+    the merge at the smaller label makes round 1 from singleton init
+    deterministic AND productive). Plan per round: two hash joins + two
+    aggregates + one window argmax — all shuffles on vertex/label keys.
+    """
+    comdeg = (
+        lab.join(deg, "vertex")
+        .groupBy("label")
+        .agg(
+            F.sum("d").cast(_DEC).alias("cd"),
+            F.count(F.lit(1)).alias("csize"),
+        )
+    )
+    links = (
+        off.join(
+            lab.withColumnRenamed("vertex", "dst").withColumnRenamed("label", "c"),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("vertex"), "c")
+        .agg(F.sum("w").cast(_DEC).alias("lk"))
+    )
+    own = (
+        lab.join(deg, "vertex")
+        .join(comdeg, "label")
+        .join(
+            links.withColumnRenamed("c", "label").withColumnRenamed("lk", "lk_a"),
+            ["vertex", "label"],
+            "left",
+        )
+        .select(
+            "vertex",
+            "label",
+            F.col("d").cast(_DEC).alias("dv"),
+            F.col("cd").alias("cd_a"),
+            F.col("csize").alias("size_a"),
+            F.coalesce("lk_a", F.lit(0).cast(_DEC)).alias("lk_a"),
+        )
+    )
+    md = F.lit(int(m_total)).cast(_DEC)
+    score = (F.col("lk") - F.col("lk_a")) * md - F.col("dv") * (
+        F.col("cd") - (F.col("cd_a") - F.col("dv"))
+    )
+    from pyspark.sql import Window
+
+    best = (
+        links.join(own, "vertex")
+        .where(F.col("c") != F.col("label"))
+        .join(
+            comdeg.withColumnRenamed("label", "c")
+            .withColumnRenamed("csize", "size_c"),
+            "c",
+        )
+        .where(
+            (F.col("size_a") > 1)
+            | (F.col("size_c") > 1)
+            | (F.col("c") < F.col("label"))
+        )
+        .select("vertex", "c", score.alias("s"))
+        .where(F.col("s") > 0)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vertex").orderBy(F.desc("s"), F.asc("c"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("vertex", F.col("c").alias("_new"))
+    )
+    return lab.join(best, "vertex", "left").select(
+        "vertex", F.coalesce("_new", "label").alias("label")
+    )
+
+
+def modularity_local_moves(
+    edges: DataFrame,
+    rounds: int = 2,
+    labels: DataFrame | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``rounds`` synchronous Louvain local-move rounds on the simple
+    undirected graph, from singleton communities (or ``labels``).
+    Deterministic — the per-round recurrence is a pure function of the
+    edge set with integer-exact gain comparisons, so a fixed-depth SQL
+    unroll is a bit-exact oracle (the lp4 pattern). Returns
+    (vertex, label) after exactly ``rounds`` rounds: the raw recurrence
+    face — :func:`louvain` adds best-Q tracking and multi-level
+    contraction on top. Synchronous moves may oscillate (two vertices
+    swapping communities), which is why louvain() scores every round and
+    keeps the argmax rather than trusting the last state.
+    """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    off = truncate_plan(
+        symmetrize(
+            edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+        )
+        .withColumn("w", F.lit(1).cast("long"))
+        .repartition(p, "src")
+    )
+    deg = truncate_plan(
+        off.groupBy(F.col("src").alias("vertex"))
+        .agg(F.sum("w").alias("d"))
+        .repartition(p, "vertex")
+    )
+    m_total = deg.agg(F.sum("d")).first()[0] or 0
+    lab = truncate_plan(
+        labels.select("vertex", "label")
+        if labels is not None
+        else deg.select("vertex", F.col("vertex").alias("label"))
+    )
+    if m_total:
+        for _ in range(rounds):
+            new_lab = truncate_plan(_moves_round(off, deg, lab, m_total))
+            lab.unpersist()
+            lab = new_lab
+    off.unpersist()
+    deg.unpersist()
+    return lab
+
+
+@dataclass
+class LouvainResult:
+    """labels = the best-modularity assignment SEEN (argmax over every
+    scored round, including the singleton baseline — Q never regresses
+    by construction); history = (level, round, Q) per scored round."""
+
+    labels: DataFrame
+    modularity: float
+    n_communities: int
+    levels: int
+    history: list[tuple[int, int, float]] = field(default_factory=list)
+
+
+def louvain(
+    edges: DataFrame,
+    levels: int = 2,
+    rounds: int = 3,
+    num_partitions: int | None = None,
+) -> LouvainResult:
+    """Multi-level Louvain community detection, deterministic and
+    synchronous: per level run ``rounds`` local-move rounds
+    (:func:`_moves_round`), score EVERY round's partition on the
+    ORIGINAL graph with :func:`modularity`, then contract the level's
+    best partition into a weighted quotient graph (intra-community
+    weight becomes a doubled self-loop feeding the coarse degrees —
+    contraction preserves M) and repeat. Returns the argmax-Q labeling
+    over all scored rounds plus the singleton baseline, so the result
+    can only improve on both the trivial partition and any prefix of the
+    schedule; synchronous-move oscillation (the classic parallel-Louvain
+    failure) therefore costs rounds, never correctness.
+
+    Scale shape: each round is joins/aggregates on (vertex|label) keys;
+    each level shrinks the graph to one row per community pair; driver
+    traffic is one 1-row modularity scalar per round (loop control, the
+    engine-wide pattern). Levels stop early when a level moves nothing.
+    """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    simple = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    off = truncate_plan(
+        symmetrize(simple).withColumn("w", F.lit(1).cast("long")).repartition(p, "src")
+    )
+    selfd = spark.createDataFrame([], "vertex long, sd long")
+    cur_map = truncate_plan(
+        off.select(F.col("src").alias("vertex")).distinct()
+        .select("vertex", F.col("vertex").alias("cur"))
+        .repartition(p, "vertex")
+    )
+    singleton = cur_map.select("vertex", F.col("vertex").alias("label"))
+    best_labels = truncate_plan(singleton)
+    m_total = off.agg(F.sum("w")).first()[0] or 0
+    if not m_total:
+        return LouvainResult(
+            labels=best_labels, modularity=0.0,
+            n_communities=best_labels.count(), levels=0,
+            history=[(0, 0, 0.0)],
+        )
+    best_q = modularity(simple, singleton).first()["modularity"]
+    history = [(0, 0, float(best_q))]
+    levels_run = 0
+    for level in range(1, levels + 1):
+        deg = truncate_plan(
+            off.groupBy(F.col("src").alias("vertex"))
+            .agg(F.sum("w").alias("d"))
+            .join(selfd, "vertex", "left")
+            .select(
+                "vertex",
+                (F.col("d") + F.coalesce("sd", F.lit(0))).alias("d"),
+            )
+            .repartition(p, "vertex")
+        )
+        lab = truncate_plan(deg.select("vertex", F.col("vertex").alias("label")))
+        level_best_q, level_best_lab = None, None
+        for r in range(1, rounds + 1):
+            new_lab = truncate_plan(_moves_round(off, deg, lab, m_total))
+            if lab is not level_best_lab:
+                lab.unpersist()
+            lab = new_lab
+            orig_lab = cur_map.join(
+                lab.withColumnRenamed("vertex", "cur"), "cur"
+            ).select("vertex", "label")
+            q = modularity(simple, orig_lab).first()["modularity"]
+            history.append((level, r, float(q)))
+            if q > best_q:
+                best_q = q
+                prev = best_labels
+                best_labels = truncate_plan(orig_lab)
+                prev.unpersist()
+            if level_best_q is None or q > level_best_q:
+                level_best_q, level_best_lab = q, lab
+        levels_run = level
+        moved = level_best_lab.where(F.col("label") != F.col("vertex")).count()
+        if moved == 0 or level == levels:
+            deg.unpersist()
+            lab.unpersist()
+            if level_best_lab is not lab:
+                level_best_lab.unpersist()
+            break
+        # contract the level's best partition: off-diagonal rows become
+        # the coarse symmetric edges, diagonal + mapped old self-loops
+        # become the coarse (doubled) self weight — M is invariant
+        m = level_best_lab
+        msrc = m.withColumnRenamed("vertex", "src").withColumnRenamed("label", "ls")
+        mdst = m.withColumnRenamed("vertex", "dst").withColumnRenamed("label", "ld")
+        off_all = truncate_plan(
+            off.join(msrc, "src").join(mdst, "dst")
+            .groupBy(F.col("ls").alias("src"), F.col("ld").alias("dst"))
+            .agg(F.sum("w").alias("w"))
+            .repartition(p, "src")
+        )
+        new_selfd = truncate_plan(
+            off_all.where(F.col("src") == F.col("dst"))
+            .select(F.col("src").alias("vertex"), F.col("w").alias("sd"))
+            .union(
+                selfd.join(m, "vertex").groupBy(F.col("label").alias("vertex"))
+                .agg(F.sum("sd").alias("sd"))
+            )
+            .groupBy("vertex")
+            .agg(F.sum("sd").alias("sd"))
+        )
+        new_off = truncate_plan(
+            off_all.where(F.col("src") != F.col("dst")).repartition(p, "src")
+        )
+        new_map = truncate_plan(
+            cur_map.join(m.withColumnRenamed("vertex", "cur"), "cur")
+            .select("vertex", F.col("label").alias("cur"))
+            .repartition(p, "vertex")
+        )
+        off.unpersist()
+        off_all.unpersist()
+        selfd.unpersist()
+        cur_map.unpersist()
+        deg.unpersist()
+        lab.unpersist()
+        if level_best_lab is not lab:
+            level_best_lab.unpersist()
+        off, selfd, cur_map = new_off, new_selfd, new_map
+    off.unpersist()
+    selfd.unpersist()
+    cur_map.unpersist()
+    n_comm = best_labels.select("label").distinct().count()
+    return LouvainResult(
+        labels=best_labels,
+        modularity=float(best_q),
+        n_communities=int(n_comm),
+        levels=levels_run,
+        history=history,
     )

@@ -227,6 +227,53 @@ def block_stats(blocks: DataFrame) -> dict:
     }
 
 
+def partition_cut_stats(edges: DataFrame, p: int) -> DataFrame:
+    """Edge-cut / balance diagnostics of the pmod p×p block grid (the
+    grid :func:`prepartition` builds): one row
+
+    ``(p, n_edges, intra_edges, cut_frac, max_cell, mean_cell, cell_skew)``
+
+    - ``intra_edges``: edges on the grid diagonal (pmod(src,p) ==
+      pmod(dst,p)) — the fraction of messages that stay within their own
+      state partition; ``cut_frac = 1 - intra/total`` is what the
+      superstep's state shuffle actually moves.
+    - ``cell_skew``: max cell count over the uniform-fill mean
+      (n_edges/p²) — the straggler predictor the reference sizes its
+      dense-block machinery against (skew_ratio in the _STATS sidecar is
+      the post-build equivalent; this one is a pre-build, pure-SQL scan).
+
+    One groupBy over p² cells, integer-exact, no collect — run it before
+    committing to a p at scale; doubles rounded to 6 for oracle parity.
+    """
+    cells = (
+        edges.groupBy(
+            F.pmod(F.col("src"), F.lit(p)).alias("bc"),
+            F.pmod(F.col("dst"), F.lit(p)).alias("br"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cells.agg(
+        F.lit(p).cast("int").alias("p"),
+        F.sum("c").cast("long").alias("n_edges"),
+        F.sum(F.when(F.col("br") == F.col("bc"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("intra_edges"),
+        F.round(
+            1.0
+            - F.sum(
+                F.when(F.col("br") == F.col("bc"), F.col("c")).otherwise(0)
+            ).cast("double")
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("cut_frac"),
+        F.max("c").cast("long").alias("max_cell"),
+        F.round(F.sum("c").cast("double") / (p * p), 6).alias("mean_cell"),
+        F.round(
+            F.max("c").cast("double") * (p * p) / F.sum("c").cast("double"), 6
+        ).alias("cell_skew"),
+    )
+
+
 def _hadoop_path(spark, path_str: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path_str)

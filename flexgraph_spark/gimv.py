@@ -577,12 +577,24 @@ def run(
     checkpointer: "Checkpointer | None" = None,
     vertices: DataFrame | None = None,
     with_skew_metric: bool = False,
+    initial_state: DataFrame | None = None,
 ) -> GimvResult:
     """Run a vertex program to convergence with the flat plan.
 
     ``edges``: (src, dst[, weight]). ``checkpointer``: optional
     flexgraph_spark.checkpoint.Checkpointer for durable resume; without it,
     lineage is truncated via localCheckpoint each superstep.
+
+    ``initial_state``: optional (vertex, value) warm start — e.g.
+    yesterday's converged state before today's crawl delta. Vertices
+    missing from it fall back to the program's own init (new vertices get
+    the cold-start value); vertices in it but absent from the graph are
+    dropped. For contraction fixpoints (PageRank/RWR) the fixpoint is
+    unique, so a warm start converges to the SAME answer in fewer
+    supersteps — incremental recompute without incremental bookkeeping.
+    Ignored when a checkpoint resume is available (resume is the stronger
+    contract). Delta messaging restarts conservatively (everyone re-sends
+    once).
     """
     from flexgraph_spark.checkpoint import Checkpointer  # noqa: F401 (typing)
 
@@ -634,7 +646,20 @@ def run(
                 # one conservative superstep)
                 state = state.withColumn("_active", F.lit(1))
     if state is None:
-        state = program.init_state(vertices, n).repartition(p, "vertex")
+        state = program.init_state(vertices, n)
+        if initial_state is not None:
+            # warm start: prior values win where present, cold init fills
+            # the gap; inner-join on vertices drops departed vertices
+            state = (
+                state.withColumnRenamed("value", "_cold")
+                .join(
+                    initial_state.select("vertex", F.col("value").alias("_warm")),
+                    "vertex",
+                    "left",
+                )
+                .select("vertex", F.coalesce("_warm", "_cold").alias("value"))
+            )
+        state = state.repartition(p, "vertex")
         if delta:
             state = state.withColumn("_active", F.lit(1))
         state = truncate_plan(state)

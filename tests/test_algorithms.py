@@ -712,3 +712,96 @@ def test_coloring_empty_and_selfloop(spark):
     assert res.state.count() == 0 and res.converged
     with pytest.raises(ValueError):
         algorithms.greedy_coloring(_edges(spark, [(0, 1)]), strategy="rainbow")
+
+
+def _sim_moves(pairs, rounds):
+    """Exact Python mirror of algorithms._moves_round (integer scores,
+    Grappolo singleton guard, (score desc, label asc) tie-break)."""
+    se = set()
+    for s, d in pairs:
+        if s != d:
+            se.add((s, d))
+            se.add((d, s))
+    verts = sorted({v for ed in se for v in ed})
+    deg = {v: 0 for v in verts}
+    for s, _ in se:
+        deg[s] += 1
+    m_tot = sum(deg.values())
+    lab = {v: v for v in verts}
+    for _ in range(rounds):
+        cd, cs, lk = {}, {}, {}
+        for v in verts:
+            cd[lab[v]] = cd.get(lab[v], 0) + deg[v]
+            cs[lab[v]] = cs.get(lab[v], 0) + 1
+        for s, d in se:
+            key = (s, lab[d])
+            lk[key] = lk.get(key, 0) + 1
+        new = {}
+        for v in verts:
+            a = lab[v]
+            lk_a = lk.get((v, a), 0)
+            best = None
+            for (vv, c), k in lk.items():
+                if vv != v or c == a:
+                    continue
+                if not (cs[a] > 1 or cs[c] > 1 or c < a):
+                    continue
+                s_ = (k - lk_a) * m_tot - deg[v] * (cd[c] - (cd[a] - deg[v]))
+                if s_ <= 0:
+                    continue
+                if best is None or (s_, -c) > (best[0], -best[1]):
+                    best = (s_, c)
+            new[v] = best[1] if best else a
+        lab = new
+    return lab
+
+
+@pytest.mark.parametrize("rounds", [1, 2, 3])
+def test_modularity_moves_matches_bruteforce(spark, rounds):
+    rng = np.random.RandomState(19)
+    pairs = sorted({(int(a), int(b))
+                    for a, b in rng.randint(0, 40, size=(130, 2)) if a != b})
+    got = {
+        r["vertex"]: r["label"]
+        for r in algorithms.modularity_local_moves(
+            _edges(spark, pairs), rounds=rounds
+        ).collect()
+    }
+    assert got == _sim_moves(pairs, rounds)
+
+
+def test_louvain_two_cliques_golden(spark):
+    """Two triangles + bridge: level-1 moves get Q=0.1735, the level-2
+    contraction merges to the ideal 2-community split Q=5/14-... =
+    0.357143 — the multi-level machinery demonstrably beats one level."""
+    pairs = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    res = algorithms.louvain(_edges(spark, pairs), levels=2, rounds=3)
+    assert res.modularity == pytest.approx(round(12 / 14 - 2 * (7 / 14) ** 2, 6))
+    assert res.n_communities == 2
+    lab = {r["vertex"]: r["label"] for r in res.labels.collect()}
+    assert lab[0] == lab[1] == lab[2] != lab[3]
+    assert lab[3] == lab[4] == lab[5]
+    # Q history: never-regressing argmax, level 2 strictly better here
+    assert max(q for _, _, q in res.history) == pytest.approx(res.modularity)
+    q_l1 = max(q for lv, _, q in res.history if lv <= 1)
+    assert res.modularity > q_l1
+
+
+def test_louvain_dominates_prefixes_random(spark):
+    rng = np.random.RandomState(23)
+    pairs = sorted({(int(a), int(b))
+                    for a, b in rng.randint(0, 30, size=(70, 2)) if a != b})
+    e = _edges(spark, pairs)
+    res = algorithms.louvain(e, levels=2, rounds=2)
+    q_singleton = res.history[0][2]
+    m2 = algorithms.modularity_local_moves(e, rounds=2)
+    q_m2 = algorithms.modularity(e, m2).first()["modularity"]
+    assert res.modularity >= q_singleton
+    assert res.modularity >= q_m2 - 1e-9
+    # labels cover every vertex exactly once
+    assert res.labels.count() == len({v for ed in pairs for v in ed})
+
+
+def test_louvain_empty_and_selfloop(spark):
+    res = algorithms.louvain(_edges(spark, [(4, 4)]), levels=2, rounds=2)
+    assert res.labels.count() == 0 and res.levels == 0

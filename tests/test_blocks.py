@@ -221,3 +221,20 @@ def test_batch_ppr_blocked_matches_flat(spark):
         assert len(f[v]) == len(sources)
         for j in range(len(sources)):
             assert b[v][j] == _pytest.approx(f[v][j], rel=1e-12, abs=1e-15)
+
+
+def test_partition_cut_stats_golden(spark):
+    """Hand-computed 2x2 grid: 5 edges, diagonal cells hold the two
+    even-even + one odd-odd edges."""
+    from flexgraph_spark.blocks import partition_cut_stats
+
+    e = spark.createDataFrame(
+        [(0, 2), (2, 4), (1, 3), (0, 1), (1, 2)], "src long, dst long"
+    )
+    row = partition_cut_stats(e, 2).first()
+    assert row["p"] == 2 and row["n_edges"] == 5
+    assert row["intra_edges"] == 3  # (0,2),(2,4) even-even; (1,3) odd-odd
+    assert row["cut_frac"] == round(1 - 3 / 5, 6)
+    assert row["max_cell"] == 2  # cell (bc=0,br=0) holds (0,2),(2,4)
+    assert row["mean_cell"] == round(5 / 4, 6)
+    assert row["cell_skew"] == round(2 * 4 / 5, 6)

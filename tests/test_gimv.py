@@ -288,3 +288,71 @@ def test_weighted_pagerank_unit_weights_equal_unweighted(spark):
                                       max_iter=6).state.collect()}
     for v in a:
         assert abs(a[v] - b[v]) < 1e-12
+
+
+def test_pagerank_warm_start_matches_cold(spark):
+    """Warm start from a subgraph's converged state reaches the same
+    fixpoint as a cold run on the full graph (unique contraction
+    fixpoint), within the two-sided threshold bound."""
+    from flexgraph_spark import algorithms
+
+    full = [(0, 1), (1, 2), (2, 0), (3, 2), (1, 3), (3, 0), (2, 3)]
+    old = spark.createDataFrame(full[:-2], "src long, dst long")
+    new = spark.createDataFrame(full, "src long, dst long")
+    base = algorithms.pagerank(old, threshold=1e-7, max_iter=100)
+    warm = algorithms.pagerank(
+        new, threshold=1e-7, max_iter=100, initial_state=base.state
+    )
+    cold = algorithms.pagerank(new, threshold=1e-7, max_iter=100)
+    w = {r["vertex"]: r["value"] for r in warm.state.collect()}
+    c = {r["vertex"]: r["value"] for r in cold.state.collect()}
+    assert set(w) == set(c)
+    for v in c:
+        assert w[v] == pytest.approx(c[v], abs=1e-5)
+    assert warm.converged and cold.converged
+
+
+def test_pagerank_warm_start_identical_graph_one_superstep(spark):
+    """Re-running on the UNCHANGED graph from its own converged state
+    converges after a single verification superstep."""
+    from flexgraph_spark import algorithms
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 2), (1, 3)], "src long, dst long"
+    )
+    base = algorithms.pagerank(e, threshold=1e-7, max_iter=100)
+    warm = algorithms.pagerank(
+        e, threshold=1e-7, max_iter=100, initial_state=base.state
+    )
+    assert warm.converged and warm.iterations == 1
+    assert base.iterations > 1
+
+
+def test_pagerank_warm_start_new_vertices_get_cold_init(spark):
+    """Vertices absent from the warm state fall back to the program's
+    init and still converge to the cold answer."""
+    from flexgraph_spark import algorithms
+
+    old = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    new = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 0)], "src long, dst long"
+    )
+    base = algorithms.pagerank(old, threshold=1e-7, max_iter=100)
+    warm = algorithms.pagerank(
+        new, threshold=1e-7, max_iter=100, initial_state=base.state
+    )
+    cold = algorithms.pagerank(new, threshold=1e-7, max_iter=100)
+    w = {r["vertex"]: r["value"] for r in warm.state.collect()}
+    c = {r["vertex"]: r["value"] for r in cold.state.collect()}
+    assert 2 in w
+    for v in c:
+        assert w[v] == pytest.approx(c[v], abs=1e-5)
+
+
+def test_warm_start_rejected_on_blocked_engine(spark):
+    from flexgraph_spark import algorithms
+
+    e = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    st = spark.createDataFrame([(0, 0.5), (1, 0.5)], "vertex long, value double")
+    with pytest.raises(ValueError, match="flat-engine"):
+        algorithms.pagerank(e, engine="blocked", p=2, initial_state=st)
