@@ -118,3 +118,18 @@ def test_dedup_job(spark, tmp_path):
     df = spark.read.parquet(out)
     got = {r.doc_id: (r.cluster_id, r.is_canonical) for r in df.collect()}
     assert got[0] == (0, True) and got[1] == (0, False) and got[2] == (2, True)
+
+
+def test_louvain_job(spark, edges_parquet, tmp_path):
+    import jobs.louvain as louvain_job
+
+    out = str(tmp_path / "communities")
+    _run(louvain_job, ["--edges", edges_parquet, "--output", out,
+                       "--levels", "2", "--rounds", "2"])
+    df = spark.read.parquet(out)
+    assert set(df.columns) == {"vertex", "label"}
+    assert df.count() == df.select("vertex").distinct().count()
+    # blocked engine is rejected explicitly (label-keyed joins)
+    with pytest.raises(SystemExit):
+        _run(louvain_job, ["--edges", edges_parquet, "--output", out,
+                           "--engine", "blocked"])
