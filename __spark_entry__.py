@@ -441,6 +441,38 @@ def _q_pagerank_warm_start(spark, sf_dir):
     )
 
 
+def _q_cc_warm_start(spark, sf_dir):
+    """Incremental HashMin CC: warm-start from the converged labels of a
+    90% edge sample. Exact for edge ADDITIONS — old labels are per-vertex
+    upper bounds on the true min-id, and the HashMin update is monotone
+    non-increasing from any upper-bound init, so the warm run lands on
+    the identical fixpoint (integer-exact, no tolerance needed). The
+    sample key is xxhash64 (not DuckDB-expressible): oracle pins the
+    invariant, the precision-gate pattern; cc_labels gates the underlying
+    operator."""
+    e_new = _graph1000(spark, sf_dir)
+    e_old = e_new.where(F.pmod(F.xxhash64("src", "dst"), F.lit(10)) != 0)
+    base = algorithms.connected_components(e_old, max_iter=100)
+    warm = algorithms.connected_components(
+        e_new, max_iter=100, initial_state=base.state
+    )
+    cold = algorithms.connected_components(e_new, max_iter=100)
+    n_diff = (
+        warm.state.withColumnRenamed("value", "w")
+        .join(cold.state.withColumnRenamed("value", "c"), "vertex", "full")
+        .where(
+            F.col("w").isNull()
+            | F.col("c").isNull()
+            | (F.col("w") != F.col("c"))
+        )
+        .count()
+    )
+    return spark.createDataFrame(
+        [(int(n_diff), warm.iterations <= cold.iterations)],
+        "n_diff long, warm_not_slower boolean",
+    )
+
+
 BLOCK_CUT_P = 8
 
 
@@ -1468,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_modularity": _q_lp_modularity,
         "coloring_gate": _q_coloring_gate,
         "pagerank_warm_start": _q_pagerank_warm_start,
+        "cc_warm_start": _q_cc_warm_start,
         "block_cut_stats": _q_block_cut_stats,
         "modularity_moves2": _q_modularity_moves2,
         "louvain_gate": _q_louvain_gate,
@@ -2780,6 +2813,12 @@ from per
         # sample is xxhash64-keyed); the oracle pins the contract: zero
         # >1e-5 divergences and no extra supersteps from the warm start.
         "pagerank_warm_start": (
+            "select 0::bigint as n_diff, true as warm_not_slower"
+        ),
+        # warm HashMin from upper-bound labels is pointwise-dominated by
+        # the cold run and both land on the unique min fixpoint, so zero
+        # diffs and no extra supersteps are THEOREMS the gate pins.
+        "cc_warm_start": (
             "select 0::bigint as n_diff, true as warm_not_slower"
         ),
         "modularity_moves2": _moves_sql(G1000_SQL, MOVES_ROUNDS),

@@ -176,6 +176,12 @@ def main() -> None:
             g5000, num_partitions=gp
         ).state.count(),
     )
+    timed(
+        "louvain",
+        lambda: algorithms.louvain(
+            g5000, levels=2, rounds=2, num_partitions=gp
+        ).labels.count(),
+    )
     # k at the 25th degree percentile: enough peeling to cascade without
     # collapsing the whole graph (computed outside the timed region)
     kq = (

@@ -356,3 +356,25 @@ def test_warm_start_rejected_on_blocked_engine(spark):
     st = spark.createDataFrame([(0, 0.5), (1, 0.5)], "vertex long, value double")
     with pytest.raises(ValueError, match="flat-engine"):
         algorithms.pagerank(e, engine="blocked", p=2, initial_state=st)
+
+
+def test_cc_warm_start_exact_for_additions(spark):
+    """HashMin warm-started from a subgraph's labels (per-vertex upper
+    bounds) lands on the identical fixpoint, in no more supersteps:
+    warm_k <= cold_k pointwise under the monotone min update, so when
+    the cold run reaches the fixpoint the warm run already has."""
+    from flexgraph_spark import algorithms
+
+    old_pairs = [(0, 1), (2, 3), (4, 5), (6, 7)]
+    new_pairs = old_pairs + [(1, 2), (5, 6)]  # merge {0..3} and {4..7}
+    old = spark.createDataFrame(old_pairs, "src long, dst long")
+    new = spark.createDataFrame(new_pairs, "src long, dst long")
+    base = algorithms.connected_components(old, max_iter=50)
+    warm = algorithms.connected_components(
+        new, max_iter=50, initial_state=base.state
+    )
+    cold = algorithms.connected_components(new, max_iter=50)
+    w = {r["vertex"]: r["value"] for r in warm.state.collect()}
+    c = {r["vertex"]: r["value"] for r in cold.state.collect()}
+    assert w == c == {v: 0 for v in range(4)} | {v: 4 for v in range(4, 8)}
+    assert warm.converged and warm.iterations <= cold.iterations
