@@ -855,6 +855,62 @@ def _q_coloring_gate(spark, sf_dir):
     )
 
 
+CORENESS_ROUNDS = 4
+
+
+def _q_coreness4(spark, sf_dir):
+    """Montresor h-index coreness after exactly CORENESS_ROUNDS rounds
+    (early convergence is safe: the fixpoint is stable, so a deeper
+    unroll is a no-op — the kcore capped-round pattern). Bit-exact
+    all-integer recurrence vs the SQL unroll."""
+    res = algorithms.coreness(
+        _graph1000(spark, sf_dir), max_rounds=CORENESS_ROUNDS
+    )
+    return res.state.select("vertex", F.col("value").alias("core"))
+
+
+def _q_coreness_kcore_consistency(spark, sf_dir):
+    """Cross-operator consistency gate: {v : coreness(v) >= k} must equal
+    the (independently oracle-gated) converged k-core vertex set — the
+    defining property of the core decomposition. Spark-side invariant;
+    the oracle pins zero mismatches + convergence."""
+    e = _graph1000(spark, sf_dir)
+    cor = algorithms.coreness(e, max_rounds=100)
+    kc = algorithms.kcore(e, k=KCORE_K, max_rounds=100)
+    from_cor = cor.state.where(F.col("value") >= KCORE_K).select("vertex")
+    n_mismatch = (
+        from_cor.exceptAll(kc.state.select("vertex")).count()
+        + kc.state.select("vertex").exceptAll(from_cor).count()
+    )
+    return spark.createDataFrame(
+        [(int(n_mismatch), cor.converged and kc.converged)],
+        "n_mismatch long, both_converged boolean",
+    )
+
+
+def _coreness_sql(edge_sql: str, rounds: int) -> str:
+    """Unrolled h-index recurrence (see algorithms.coreness) — integer-
+    only, order-independent, so DuckDB reproduces it bit-for-bit."""
+    ctes = [
+        f"e0 as materialized ({edge_sql})",
+        "se as materialized (select src, dst from e0 union select dst, src from e0)",
+        "est0 as (select src as v, count(*)::bigint as est from se group by 1)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes += [
+            f"rk{k} as (select se.src as v, e.est as ne, "
+            f"row_number() over (partition by se.src order by e.est desc)::bigint as rn "
+            f"from se join est{k-1} e on e.v = se.dst)",
+            f"h{k} as (select v, max(least(rn, ne)) as h from rk{k} group by v)",
+            f"est{k} as materialized (select e.v, least(e.est, h.h) as est "
+            f"from est{k-1} e join h{k} h on h.v = e.v)",
+        ]
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect v as vertex, est as core from est{rounds}"
+    )
+
+
 MOVES_ROUNDS = 2
 
 
@@ -1502,6 +1558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_warm_start": _q_pagerank_warm_start,
         "cc_warm_start": _q_cc_warm_start,
         "block_cut_stats": _q_block_cut_stats,
+        "coreness4": _q_coreness4,
+        "coreness_kcore_consistency": _q_coreness_kcore_consistency,
         "modularity_moves2": _q_modularity_moves2,
         "louvain_gate": _q_louvain_gate,
         "hits4": _q_hits4,
@@ -2822,6 +2880,12 @@ from per
             "select 0::bigint as n_diff, true as warm_not_slower"
         ),
         "modularity_moves2": _moves_sql(G1000_SQL, MOVES_ROUNDS),
+        "coreness4": _coreness_sql(G1000_SQL, CORENESS_ROUNDS),
+        # {coreness >= k} == converged k-core is the decomposition's
+        # defining identity; both operators are independently gated.
+        "coreness_kcore_consistency": (
+            "select 0::bigint as n_mismatch, true as both_converged"
+        ),
         # louvain's argmax-Q is over a candidate superset of {singleton,
         # moves2}; the oracle pins those dominance invariants (the raw
         # recurrence itself is bit-checked by modularity_moves2 above).

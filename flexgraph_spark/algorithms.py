@@ -115,7 +115,14 @@ def connected_components(
     """True WCC: symmetrizes explicitly (the reference's cc.sh does not —
     SURVEY.md §3.2 discrepancy). Weights are irrelevant to CC and would
     turn the (src, dst)-distinct into per-weight parallel edges, so they
-    are dropped before symmetrizing."""
+    are dropped before symmetrizing.
+
+    ``initial_state=`` (via the generic warm start in gimv.run) makes
+    this incremental for edge ADDITIONS: old labels are per-vertex upper
+    bounds on the true min-id and HashMin is monotone from any
+    upper-bound init, so the warm run reaches the identical fixpoint in
+    no more supersteps (pointwise dominance). After edge DELETIONS old
+    labels can undershoot — recompute cold."""
     return _dispatch(
         symmetrize(edges.select("src", "dst")), gimv.ConnectedComponents(),
         engine, max_iter, checkpointer, kw,
@@ -2331,3 +2338,99 @@ def louvain(
         levels=levels_run,
         history=history,
     )
+
+
+def coreness(
+    edges: DataFrame, max_rounds: int = 50, num_partitions: int | None = None
+) -> GimvResult:
+    """Per-vertex core number (degeneracy decomposition) by the
+    distributed h-index iteration (Montresor, De Pellegrini & Miorandi,
+    "Distributed k-core decomposition", 2011):
+
+        est_0(v)   = deg(v)
+        est_t+1(v) = min(est_t(v), H{est_t(u) : u ~ v})
+
+    where H is the h-index (the largest h such that at least h neighbors
+    have estimate ≥ h). Estimates are monotone non-increasing, bounded
+    below by the true coreness, and the fixpoint IS the coreness — so
+    a capped run is a valid upper bound and a fixed-round SQL unroll is
+    a bit-exact oracle (all-integer arithmetic, order-independent
+    h-index). Direction ignored, self-loops dropped; runs on the simple
+    graph. Returns state (vertex, value = core number long).
+
+    Scale shape: one state join against src-pinned edges + one
+    window-sort of neighbor estimates per round (the sort key is the
+    bounded per-vertex degree, not n); convergence votes ride the state
+    materialization as an Observation — the GIM-V loop discipline.
+    Unlike k-phase peeling (O(n) cascades on a path), rounds track how
+    fast estimates settle — typically O(diameter)-ish in practice.
+    """
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = truncate_plan(
+        symmetrize(
+            edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+        ).repartition(p, "src")
+    )
+    est = truncate_plan(
+        und.groupBy(F.col("src").alias("vertex"))
+        .agg(F.count(F.lit(1)).cast("long").alias("value"))
+        .repartition(p, "vertex")
+    )
+    metrics: list[IterationMetrics] = []
+    converged = False
+    rounds = 0
+    n_edges = und.count()
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for r in range(1, max_rounds + 1):
+            t0 = time.time()
+            nbr = und.join(
+                est.withColumnRenamed("vertex", "dst")
+                .withColumnRenamed("value", "ne")
+                .hint("shuffle_hash"),
+                "dst",
+            ).select(F.col("src").alias("vertex"), "ne")
+            ranked = nbr.withColumn(
+                "rn",
+                F.row_number()
+                .over(Window.partitionBy("vertex").orderBy(F.desc("ne")))
+                .cast("long"),
+            )
+            h = ranked.groupBy("vertex").agg(
+                F.max(F.least(F.col("rn"), F.col("ne"))).alias("h")
+            )
+            obs = Observation()
+            new_est = truncate_plan(
+                est.join(h.hint("shuffle_hash"), "vertex")
+                .select(
+                    "vertex",
+                    F.least(F.col("value"), F.col("h")).alias("value"),
+                    (F.col("h") < F.col("value")).cast("int").alias("_chg"),
+                )
+                .observe(obs, F.sum("_chg").alias("c"))
+                .drop("_chg")
+            )
+            est.unpersist()
+            est = new_est
+            changed = int(obs.get["c"] or 0)
+            rounds = r
+            metrics.append(
+                IterationMetrics(
+                    iteration=r,
+                    messages_shuffled=n_edges,
+                    changed=changed,
+                    edges_scanned=n_edges,
+                    seconds=time.time() - t0,
+                )
+            )
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    und.unpersist()
+    return GimvResult(state=est, iterations=rounds, converged=converged, metrics=metrics)

@@ -805,3 +805,60 @@ def test_louvain_dominates_prefixes_random(spark):
 def test_louvain_empty_and_selfloop(spark):
     res = algorithms.louvain(_edges(spark, [(4, 4)]), levels=2, rounds=2)
     assert res.labels.count() == 0 and res.levels == 0
+
+
+def _brute_coreness(pairs):
+    """Textbook sequential peeling: repeatedly remove a minimum-degree
+    vertex; its core number is the running maximum of those minimums."""
+    adj = {}
+    for s, d in pairs:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    core, k = {}, 0
+    live = {v: set(ns) for v, ns in adj.items()}
+    while live:
+        v = min(live, key=lambda x: (len(live[x]), x))
+        k = max(k, len(live[v]))
+        core[v] = k
+        for u in live[v]:
+            live[u].discard(v)
+        del live[v]
+    return core
+
+
+def test_coreness_matches_sequential_peeling(spark):
+    rng = np.random.RandomState(31)
+    pairs = sorted({(int(a), int(b))
+                    for a, b in rng.randint(0, 45, size=(180, 2)) if a != b})
+    res = algorithms.coreness(_edges(spark, pairs), max_rounds=100)
+    got = {r["vertex"]: r["value"] for r in res.state.collect()}
+    assert res.converged
+    assert got == _brute_coreness(pairs)
+
+
+def test_coreness_golden_triangle_with_tail(spark):
+    """Triangle 0-1-2 (core 2) with path tail 2-3-4 (core 1)."""
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    res = algorithms.coreness(_edges(spark, pairs), max_rounds=20)
+    got = {r["vertex"]: r["value"] for r in res.state.collect()}
+    assert got == {0: 2, 1: 2, 2: 2, 3: 1, 4: 1}
+    assert res.converged
+
+
+def test_coreness_capped_rounds_upper_bound(spark):
+    """A capped run is a valid pointwise upper bound on the fixpoint
+    (estimates are monotone non-increasing from degree)."""
+    pairs = [(i, i + 1) for i in range(30)]  # path: everyone core 1
+    capped = algorithms.coreness(_edges(spark, pairs), max_rounds=1)
+    got = {r["vertex"]: r["value"] for r in capped.state.collect()}
+    assert all(v >= 1 for v in got.values())
+    full = algorithms.coreness(_edges(spark, pairs), max_rounds=50)
+    fin = {r["vertex"]: r["value"] for r in full.state.collect()}
+    assert set(fin.values()) == {1}
+    assert all(got[v] >= fin[v] for v in fin)
+
+
+def test_coreness_empty_and_selfloop(spark):
+    res = algorithms.coreness(_edges(spark, [(3, 3)]), max_rounds=5)
+    assert res.state.count() == 0 and res.converged
