@@ -949,6 +949,34 @@ def _q_louvain_gate(spark, sf_dir):
     )
 
 
+TRI_SAMPLE_FRAC = 0.2
+POWERLAW_DMIN = 2
+
+
+def _q_triangles_sampled(spark, sf_dir):
+    """DOULION edge-sampled triangle estimate (1/p³-scaled exact count of
+    the sparsified graph). The sampler is */%-arithmetic on the canonical
+    endpoints precisely so DuckDB replays the identical edge sample and
+    the oracle is exact, not statistical; p=0.2 makes 1/p³=125 so the
+    scaled estimate is float-exact."""
+    est, t = algorithms.triangle_count_sampled(
+        _graph1000(spark, sf_dir), TRI_SAMPLE_FRAC
+    )
+    return spark.createDataFrame(
+        [(float(est), int(t))], "estimate double, sampled long"
+    )
+
+
+def _q_powerlaw_alpha(spark, sf_dir):
+    """Clauset-Shalizi-Newman continuous MLE of the degree power-law
+    exponent — the pre-flight skew diagnostic for the dense-threshold
+    choice. Exact aggregates; ln/÷ reorder noise absorbed by round-6
+    (the PageRank oracle convention)."""
+    return algorithms.degree_powerlaw_alpha(
+        _graph1000(spark, sf_dir), "both", d_min=POWERLAW_DMIN
+    )
+
+
 def _q_triangles(spark, sf_dir):
     n = algorithms.triangle_count(_graph1000(spark, sf_dir))
     return spark.createDataFrame([(int(n),)], "triangles long")
@@ -1570,6 +1598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hadi_precision": _q_hadi_precision,
         "hadi_series": _q_hadi_series,
         "triangles": _q_triangles,
+        "triangles_sampled": _q_triangles_sampled,
+        "powerlaw_alpha": _q_powerlaw_alpha,
         "content_invariant": _q_content_invariant,
         "contract50": _q_contract50,
         "scc": _q_scc,
@@ -2919,6 +2949,33 @@ from cells
             "cast(null as double) as rel_err where 1 = 0"
         ),
         "triangles": _TRIANGLES_SQL,
+        "triangles_sampled": f"""
+with e as ({G1000_SQL}),
+und as (select least(src, dst) as a, greatest(src, dst) as b from e group by 1, 2),
+kept as (select a, b from und
+         where (a::hugeint * 2654435761 + b::hugeint * 40503)
+               % {algorithms.TRIANGLE_SAMPLE_MOD}
+               < {int(TRI_SAMPLE_FRAC * algorithms.TRIANGLE_SAMPLE_MOD)}),
+t as (select count(*)::bigint as c
+      from kept e1
+      join kept e2 on e2.a = e1.b
+      join kept e3 on e3.a = e1.a and e3.b = e2.b)
+select (c * 125.0)::double as estimate, c as sampled from t
+""",
+        "powerlaw_alpha": f"""
+with e as ({G1000_SQL}),
+d as (select v, count(*)::bigint as degree
+      from (select src as v from e union all select dst as v from e)
+      group by v),
+t as (select degree from d where degree >= {POWERLAW_DMIN})
+select count(*)::bigint as n_tail,
+       {POWERLAW_DMIN} as d_min,
+       round(1.0 + count(*) / sum(ln(degree::double / {POWERLAW_DMIN - 0.5})), 6)
+         as alpha,
+       round((count(*) / sum(ln(degree::double / {POWERLAW_DMIN - 0.5})))
+             / sqrt(count(*)::double), 6) as sigma
+from t
+""",
         "content_invariant": """
 with d as (select doc_id, (select count(*) from documents) as nd from documents)
 select 'repo' || (doc_id % 10) as repo,

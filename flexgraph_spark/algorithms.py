@@ -2434,3 +2434,79 @@ def coreness(
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     und.unpersist()
     return GimvResult(state=est, iterations=rounds, converged=converged, metrics=metrics)
+
+
+TRIANGLE_SAMPLE_MOD = 1_000_000
+
+
+def triangle_count_sampled(edges: DataFrame, sample_frac: float = 0.1) -> tuple[float, int]:
+    """DOULION (Tsourakakis et al., KDD'09) approximate triangle count:
+    keep each UNDIRECTED simple edge independently with probability p and
+    scale the exact count of the sparsified graph by 1/p³ — an unbiased
+    estimator whose variance vanishes on triangle-rich graphs while the
+    wedge-join work drops by ~p² (at 100 TB: count on a 1% sample, ~10⁻⁴
+    of the join cost). The sampling key is a deterministic integer mix of
+    the canonical (min, max) endpoints — NOT engine randomness — so the
+    estimate is a pure function of the edge set, reproducible bit-for-bit
+    by a SQL oracle (the key uses only */%/+ arithmetic on purpose; a
+    xxhash64 key would be stronger mixing but untestable in DuckDB).
+    Returns (estimate, sampled_exact_count).
+    """
+    if not (0.0 < sample_frac <= 1.0):
+        raise ValueError("sample_frac must be in (0, 1]")
+    a = F.least(F.col("src"), F.col("dst"))
+    b = F.greatest(F.col("src"), F.col("dst"))
+    # Knuth multiplicative mixes on both endpoints; cast through decimal
+    # to dodge ANSI long overflow at 10^10+ vertex ids
+    key = F.pmod(
+        a.cast("decimal(38,0)") * 2654435761 + b.cast("decimal(38,0)") * 40503,
+        F.lit(TRIANGLE_SAMPLE_MOD),
+    )
+    cutoff = int(sample_frac * TRIANGLE_SAMPLE_MOD)
+    kept = edges.where(F.col("src") != F.col("dst")).where(key < cutoff)
+    t = triangle_count(kept)
+    # (1/p)**3, not t/p**3: for p=0.2 the reciprocal 1/0.2 rounds to
+    # exactly 5.0 so the scale is the exact 125.0 the SQL oracle uses,
+    # while 0.2**3 is 0.008000000000000002
+    return float(t) * (1.0 / sample_frac) ** 3, int(t)
+
+
+def degree_powerlaw_alpha(
+    edges: DataFrame, direction: str = "both", d_min: int = 1
+) -> DataFrame:
+    """Power-law exponent of the degree distribution by the
+    Clauset-Shalizi-Newman continuous MLE over degrees ≥ ``d_min``:
+
+        α = 1 + n / Σ ln(d_i / (d_min − ½)),   σ = (α − 1)/√n
+
+    One degree aggregate + one scan — the pre-flight skew diagnostic for
+    choosing the blocked engine's dense threshold (α near 2 ⇒ heavy
+    hubs ⇒ the hybrid dense/sparse split pays for itself; α ≥ 3 ⇒ thin
+    tail ⇒ flat plan wins; pairs with blocks.suggest_dense_threshold and
+    partition_cut_stats). Exact aggregates, ln is IEEE-deterministic:
+    DuckDB reproduces it (rounded to 6). Returns one row
+    (n_tail, d_min, alpha, sigma).
+    """
+    from flexgraph_spark.graph import degrees
+
+    deg = degrees(edges, direction)
+    tail = deg.where(F.col("degree") >= d_min)
+    shift = float(d_min) - 0.5
+    return tail.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.lit(d_min).cast("int").alias("d_min"),
+        F.round(
+            1.0
+            + F.count(F.lit(1))
+            / F.sum(F.log(F.col("degree").cast("double") / shift)),
+            6,
+        ).alias("alpha"),
+        F.round(
+            (
+                F.count(F.lit(1))
+                / F.sum(F.log(F.col("degree").cast("double") / shift))
+            )
+            / F.sqrt(F.count(F.lit(1)).cast("double")),
+            6,
+        ).alias("sigma"),
+    )

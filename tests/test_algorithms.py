@@ -862,3 +862,52 @@ def test_coreness_capped_rounds_upper_bound(spark):
 def test_coreness_empty_and_selfloop(spark):
     res = algorithms.coreness(_edges(spark, [(3, 3)]), max_rounds=5)
     assert res.state.count() == 0 and res.converged
+
+
+def test_triangle_sampled_full_fraction_is_exact(spark):
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (0, 3)]
+    e = _edges(spark, pairs)
+    exact = algorithms.triangle_count(e)
+    est, t = algorithms.triangle_count_sampled(e, sample_frac=1.0)
+    assert t == exact and est == float(exact)
+    with pytest.raises(ValueError):
+        algorithms.triangle_count_sampled(e, sample_frac=0.0)
+
+
+def test_triangle_sampled_deterministic_and_sane(spark):
+    """K25 (2300 triangles): the hash-sampled estimate is a pure function
+    of the edge set (two runs identical) and lands within a loose
+    unbiased-estimator window."""
+    pairs = [(i, j) for i in range(25) for j in range(25) if i < j]
+    e = _edges(spark, pairs)
+    exact = algorithms.triangle_count(e)
+    a = algorithms.triangle_count_sampled(e, sample_frac=0.5)
+    b = algorithms.triangle_count_sampled(e.repartition(5), sample_frac=0.5)
+    assert a == b
+    assert 0.3 * exact <= a[0] <= 3.0 * exact
+
+
+def test_powerlaw_alpha_star_golden(spark):
+    """Star K1,8, d_min=1: degrees are hub 8 + eight 1s;
+    alpha = 1 + 9 / (ln 16 + 8 ln 2) = 1 + 9/(12 ln 2)."""
+    import math
+
+    pairs = [(0, i) for i in range(1, 9)]
+    row = algorithms.degree_powerlaw_alpha(
+        _edges(spark, pairs), "both", d_min=1
+    ).first()
+    expected = 1.0 + 9.0 / (12.0 * math.log(2.0))
+    assert row["n_tail"] == 9
+    assert row["alpha"] == pytest.approx(round(expected, 6), abs=2e-6)
+    assert row["sigma"] == pytest.approx(
+        round((expected - 1.0) / 3.0, 6), abs=2e-6
+    )
+
+
+def test_powerlaw_alpha_dmin_filters_tail(spark):
+    pairs = [(0, i) for i in range(1, 9)] + [(1, 2)]
+    row = algorithms.degree_powerlaw_alpha(
+        _edges(spark, pairs), "both", d_min=2
+    ).first()
+    assert row["n_tail"] == 3  # hub deg 8, vertices 1 and 2 deg 2
+    assert row["d_min"] == 2
