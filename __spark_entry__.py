@@ -1024,6 +1024,51 @@ def _q_ktruss(spark, sf_dir):
     return res.state
 
 
+# Borůvka MSF: 5 rounds to fixpoint on graph1000 at sf0.01 (999 edges,
+# single component, total weight 1128); cap 8 — extra rounds see zero
+# cross-component edges and are no-ops on both the engine and the
+# equally-unrolled oracle, so comparability is sf-independent. The
+# (w, a, b) total order on edges makes the forest unique even with
+# l_quantity's heavily-tied weights.
+MSF_ROUNDS = 8
+# Densest subgraph (Bahmani greedy peel, 2(1+eps)-approx): mult = 2.2
+# (eps = 0.1) peels graph1000 in 6 rounds at sf0.01; cap 12. The peel
+# comparison is deg*n > mult*m over exact-integer doubles, so the level
+# sequence is bit-reproducible in ANSI SQL.
+DENSEST_MULT = 2.2
+DENSEST_ROUNDS = 12
+
+
+def _q_msf(spark, sf_dir):
+    """Minimum spanning forest (Borůvka + star contraction) of the
+    weighted gate graph — (a, b, w) forest edges, deterministic under
+    tied weights via the (w, a, b) edge total order."""
+    res = algorithms.boruvka_msf(_graph1000_w(spark, sf_dir), max_rounds=MSF_ROUNDS)
+    return res.state.select("a", "b", F.round("w", 2).alias("w"))
+
+
+def _q_densest_series(spark, sf_dir):
+    """Per-level (round, n, m, density) trace of the parallel greedy
+    densest-subgraph peel — the full audit trail of the approximation."""
+    d = algorithms.densest_subgraph(
+        _graph1000(spark, sf_dir), threshold_mult=DENSEST_MULT,
+        max_rounds=DENSEST_ROUNDS,
+    )
+    return d.series.select(
+        "round", "n_vertices", "n_edges", F.round("density", 6).alias("density")
+    )
+
+
+def _q_densest_members(spark, sf_dir):
+    """Vertex set of the best (max-density, earliest-round tie-break)
+    peel level — the 2(1+eps)-approximate densest subgraph itself."""
+    d = algorithms.densest_subgraph(
+        _graph1000(spark, sf_dir), threshold_mult=DENSEST_MULT,
+        max_rounds=DENSEST_ROUNDS,
+    )
+    return d.members.orderBy("vertex")
+
+
 def _q_closeness4(spark, sf_dir):
     """Exact bounded harmonic closeness (<=4 hops) — the oracle-scale face
     of hadi(with_closeness=True); graph1000's diameter is 3 at sf0.01 so
@@ -1612,6 +1657,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gstats": _q_gstats,
         "shuffle_order": _q_shuffle_order,
         "ktruss": _q_ktruss,
+        "msf": _q_msf,
+        "densest_series": _q_densest_series,
+        "densest_members": _q_densest_members,
         "closeness4": _q_closeness4,
         "co_occurrence": _q_co_occurrence,
         "bm25_top20": _q_bm25_top20,
@@ -2308,6 +2356,113 @@ def _ktruss_sql(k: int, rounds: int) -> str:
             f"join sup{r} using (a, b) where s >= {k - 2})"
         )
     return "with " + ",\n".join(parts) + f"\nselect a, b from e{rounds}"
+
+
+def _msf_sql(rounds: int) -> str:
+    """Unrolled Borůvka: per round, each component's min cross edge by the
+    (w, a, b) total order (row_number pick ≡ the engine's struct-min),
+    then hook-graph contraction to the min component id via a per-round
+    recursive reachability CTE (≡ connected_components_star's label
+    contract). Extra rounds past the fixpoint are no-ops on both sides."""
+    parts = [
+        "und as materialized (select least(src, dst) as a, greatest(src, dst) as b, "
+        f"min(cast(w as double)) as w from ({G1000_W_SQL}) group by 1, 2)",
+        "lab0 as materialized (select v, v as c from "
+        "(select a as v from und union select b from und) t)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"cr{r} as materialized (\n"
+            f"  select l1.c as ca, l2.c as cb, u.a, u.b, u.w\n"
+            f"  from und u join lab{p} l1 on l1.v = u.a\n"
+            f"  join lab{p} l2 on l2.v = u.b where l1.c <> l2.c)"
+        )
+        parts.append(
+            f"pk{r} as materialized (\n"
+            f"  select c, other, w, a, b from (\n"
+            f"    select t.*, row_number() over (partition by c order by w, a, b) as rn\n"
+            f"    from (select ca as c, cb as other, w, a, b from cr{r}\n"
+            f"          union all\n"
+            f"          select cb as c, ca as other, w, a, b from cr{r}) t) x\n"
+            f"  where rn = 1)"
+        )
+        parts.append(
+            f"reach{r}(v, u) as (\n"
+            f"  select c, c from pk{r}\n"
+            f"  union\n"
+            f"  select rr.v, hk.dst from reach{r} rr join\n"
+            f"    (select c as src, other as dst from pk{r}\n"
+            f"     union select other, c from pk{r}) hk on hk.src = rr.u)"
+        )
+        parts.append(
+            f"relab{r} as materialized (select v as oc, min(u) as nc "
+            f"from reach{r} group by v)"
+        )
+        parts.append(
+            f"lab{r} as materialized (select l.v, coalesce(rl.nc, l.c) as c "
+            f"from lab{p} l left join relab{r} rl on rl.oc = l.c)"
+        )
+    forest_union = "\n  union all ".join(
+        f"select a, b, w from pk{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "with recursive " + ",\n".join(parts)
+        + f"\nselect a, b, round(w, 2) as w from (\n"
+        f"  select distinct a, b, w from ({forest_union}) f) g"
+    )
+
+
+def _densest_sql(mult: float, rounds: int, output: str) -> str:
+    """Unrolled Bahmani greedy peel. Per level: n/m scalars over the
+    survivors, then keep vertices with deg*n > mult*m (exact-integer
+    double arithmetic, identical in Spark and DuckDB). ``output`` is
+    'series' (per-level trace) or 'members' (best level's vertex set)."""
+    parts = [
+        "e0 as materialized (select distinct least(src, dst) as a, "
+        f"greatest(src, dst) as b from ({G1000_SQL}) q)",
+        "v0 as materialized (select a as v from e0 union select b from e0)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"st{r} as materialized (select (select count(*) from v{p}) as n, "
+            f"(select count(*) from e{p}) as m)"
+        )
+        parts.append(
+            f"v{r} as materialized (\n"
+            f"  select x.v from (\n"
+            f"    select vv.v, coalesce(d.deg, 0) as deg from v{p} vv left join\n"
+            f"      (select v, count(*) as deg from (select a as v from e{p}\n"
+            f"       union all select b from e{p}) u group by v) d on d.v = vv.v) x,\n"
+            f"    st{r} s\n"
+            f"  where cast(x.deg as double) * s.n > {mult} * s.m)"
+        )
+        parts.append(
+            f"e{r} as materialized (select e.a, e.b from e{p} e "
+            f"join v{r} ka on ka.v = e.a join v{r} kb on kb.v = e.b)"
+        )
+    series_union = "\n  union all ".join(
+        f"select cast({r} as int) as round, n as n_vertices, m as n_edges, "
+        f"round(cast(m as double) / n, 6) as density from st{r} where n > 0"
+        for r in range(1, rounds + 1)
+    )
+    if output == "series":
+        return "with " + ",\n".join(parts) + f"\nselect * from ({series_union}) s"
+    mem_union = "\n  union all ".join(
+        f"select cast({r} as int) as round, v from v{r - 1}"
+        for r in range(1, rounds + 1)
+    )
+    raw_union = "\n  union all ".join(
+        f"select cast({r} as int) as round, cast(m as double) / n as d "
+        f"from st{r} where n > 0"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "with " + ",\n".join(parts)
+        + f",\nbest as (select round from ({raw_union}) z order by d desc, round asc limit 1)"
+        + f"\nselect mm.v as vertex from ({mem_union}) mm join best b on mm.round = b.round"
+    )
 
 
 def _bm25_sql(query: str, k1: float = 1.2, b: float = 0.75, topk: int = 20) -> str:
@@ -3025,6 +3180,9 @@ select doc_id, shard,
 from h
 """,
         "ktruss": _ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS),
+        "msf": _msf_sql(MSF_ROUNDS),
+        "densest_series": _densest_sql(DENSEST_MULT, DENSEST_ROUNDS, "series"),
+        "densest_members": _densest_sql(DENSEST_MULT, DENSEST_ROUNDS, "members"),
         # unrolled layered BFS to depth 4 (graph1000 diameter is 3);
         # levels must be `as materialized` — DuckDB inlines CTEs and the
         # plan doubles per level otherwise

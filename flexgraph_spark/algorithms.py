@@ -2510,3 +2510,258 @@ def degree_powerlaw_alpha(
             6,
         ).alias("sigma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Minimum spanning forest: Borůvka rounds with star-contraction merging
+# ---------------------------------------------------------------------------
+
+
+def boruvka_msf(
+    edges: DataFrame, max_rounds: int = 20, num_partitions: int | None = None
+) -> GimvResult:
+    """Minimum spanning forest by Borůvka rounds: every component picks its
+    minimum-weight incident cross edge (total order ``(w, a, b)`` makes the
+    pick — and hence the whole forest — deterministic even with tied
+    weights), the picked edges hook components together, and hooked
+    components contract to their minimum component id; repeat until no
+    cross-component edge remains. O(log n) rounds: the component count at
+    least halves each round because every surviving component hooks.
+
+    Returns a GimvResult whose state is the forest edge set
+    ``(a, b, w)`` with a < b — exactly ``n - c`` rows for a graph with
+    ``n`` non-isolated vertices and ``c`` components, and (by the matroid
+    exchange property) of the unique minimum total weight.
+
+    Input is normalized to an undirected simple weighted graph: both
+    orientations collapse to (least, greatest) keeping the MINIMUM weight
+    among parallel edges (the only one an MSF could ever use).
+
+    Scale notes: the per-round min-pick is one partially-aggregatable
+    ``groupBy(component).min(struct)`` — map-side combine absorbs hub
+    fan-in before the shuffle, the same shape as the HashMin CC superstep.
+    Contraction reuses :func:`connected_components_star`'s large/small-star
+    rounds on the HOOK graph only (<= one edge per component, geometrically
+    shrinking), never on the full edge set. The label table is the only
+    full-height state that persists across rounds; edges are re-labelled by
+    two hash joins per round and the surviving cross-edge set shrinks
+    monotonically. Reference parity: GIM-V min semi-ring lineage (SURVEY
+    §2.2 HashMin CC), extended with the weight-carrying pick the reference
+    leaves to its SSSP kernel.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.col("weight").cast("double").alias("w"),
+        )
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+    )
+    if num_partitions:
+        und = und.repartition(num_partitions, "a")
+    und = truncate_plan(und)
+
+    labels = truncate_plan(
+        und.select(F.col("a").alias("v"))
+        .union(und.select(F.col("b").alias("v")))
+        .distinct()
+        .select("v", F.col("v").alias("c"))
+    )
+    forest: DataFrame | None = None
+    metrics: list[IterationMetrics] = []
+    converged = False
+    rounds = 0
+    for r in range(1, max_rounds + 1):
+        t0 = time.time()
+        la = labels.select(F.col("v").alias("_va"), F.col("c").alias("ca"))
+        lb = labels.select(F.col("v").alias("_vb"), F.col("c").alias("cb"))
+        cross = (
+            und.join(la, und.a == F.col("_va"))
+            .join(lb, und.b == F.col("_vb"))
+            .where(F.col("ca") != F.col("cb"))
+            .select("ca", "cb", "a", "b", "w")
+        )
+        cross = truncate_plan(cross)
+        m_cross = cross.count()
+        rounds = r
+        if m_cross == 0:
+            cross.unpersist(blocking=False)
+            metrics.append(
+                IterationMetrics(
+                    iteration=r, messages_shuffled=0, changed=0,
+                    edges_scanned=0, seconds=time.time() - t0,
+                )
+            )
+            converged = True
+            break
+        incident = cross.select(
+            F.col("ca").alias("comp"), F.col("cb").alias("other"), "w", "a", "b"
+        ).unionAll(
+            cross.select(
+                F.col("cb").alias("comp"), F.col("ca").alias("other"), "w", "a", "b"
+            )
+        )
+        picked = truncate_plan(
+            incident.groupBy("comp")
+            .agg(F.min(F.struct("w", "a", "b", "other")).alias("e"))
+            .select("comp", "e.other", "e.w", "e.a", "e.b")
+        )
+        new_edges = picked.select("a", "b", "w").distinct()
+        hook = picked.select(F.col("comp").alias("src"), F.col("other").alias("dst"))
+        sub = connected_components_star(hook, max_iter=50)
+        relab = sub.state.select(
+            F.col("vertex").alias("_oc"), F.col("value").alias("_nc")
+        )
+        labels = truncate_plan(
+            labels.join(relab, labels.c == F.col("_oc"), "left")
+            .select("v", F.coalesce("_nc", "c").alias("c"))
+        )
+        forest = new_edges if forest is None else forest.unionAll(new_edges)
+        forest = truncate_plan(forest)
+        n_picked = picked.count()
+        cross.unpersist(blocking=False)
+        picked.unpersist(blocking=False)
+        metrics.append(
+            IterationMetrics(
+                iteration=r,
+                messages_shuffled=n_picked,
+                changed=n_picked,
+                edges_scanned=m_cross,
+                seconds=time.time() - t0,
+            )
+        )
+    if forest is None:
+        forest = und.select("a", "b", "w").limit(0)
+    return GimvResult(state=forest, iterations=rounds, converged=converged, metrics=metrics)
+
+
+# ---------------------------------------------------------------------------
+# Densest subgraph: greedy 2(1+eps)-approximation by parallel peeling
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DensestResult:
+    series: DataFrame          # (round, n_vertices, n_edges, density) per peel level
+    members: DataFrame         # (vertex) rows of the best level's subgraph
+    best_round: int
+    best_density: float
+    iterations: int
+    converged: bool
+    metrics: list[IterationMetrics] = field(default_factory=list)
+
+
+def densest_subgraph(
+    edges: DataFrame, threshold_mult: float = 3.0, max_rounds: int = 40
+) -> DensestResult:
+    """Densest-subgraph 2(1+ε)-approximation by parallel greedy peeling
+    (Bahmani, Kumar & Vassilvitskii, "Densest Subgraph in Streaming and
+    MapReduce", VLDB'12): repeatedly delete EVERY vertex whose degree in
+    the surviving induced subgraph is <= 2(1+ε)·ρ, where ρ = |E|/|V| is
+    the current density; the best level seen is within 2(1+ε) of the
+    optimum and the loop ends after O(log n / log(1+ε)) rounds — each
+    round removes a constant fraction of vertices, unlike sequential
+    Charikar peeling's n rounds. ``threshold_mult`` IS 2(1+ε)
+    (default 3.0 → ε = 0.5, ~13 rounds at n = 10³, ~40 at n = 10⁹).
+
+    The comparison is evaluated as ``deg·n <= mult·m`` over exact
+    integer-valued doubles, so the peel sequence is bit-reproducible by an
+    ANSI-SQL oracle at any scale. Classic link-graph application: dense
+    subgraphs of a hyperlink graph are link farms / tight communities.
+
+    Scale notes: each round is one degree aggregation (map-side
+    combinable) + one scalar agg + two semi-join filters on the shrinking
+    edge set — the kcore peel shape (:func:`kcore`) with a global
+    density threshold instead of a constant k. No collect beyond the
+    3-scalar density row; survivors stay distributed throughout.
+    """
+    und = truncate_plan(
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    verts = truncate_plan(
+        und.select(F.col("a").alias("v")).union(und.select(F.col("b").alias("v"))).distinct()
+    )
+    spark = edges.sparkSession
+    series_rows: list[tuple[int, int, int, float]] = []
+    best: tuple[int, float, DataFrame] | None = None  # (round, density, verts)
+    metrics: list[IterationMetrics] = []
+    converged = False
+    rounds = 0
+    for r in range(1, max_rounds + 1):
+        t0 = time.time()
+        stats = verts.agg(F.count("*").alias("n")).first()
+        n = int(stats.n)
+        if n == 0:
+            converged = True
+            break
+        m = und.count()
+        rho = m / n
+        rounds = r
+        series_rows.append((r, n, m, rho))
+        if best is None or rho > best[1]:
+            if best is not None:
+                best[2].unpersist(blocking=False)
+            best = (r, rho, verts)
+        deg = (
+            und.select(F.col("a").alias("v")).unionAll(und.select(F.col("b").alias("v")))
+            .groupBy("v").agg(F.count("*").alias("deg"))
+        )
+        keep = truncate_plan(
+            verts.join(deg, "v", "left")
+            .where(
+                F.coalesce("deg", F.lit(0)).cast("double") * F.lit(float(n))
+                > F.lit(threshold_mult) * F.lit(float(m))
+            )
+            .select("v")
+        )
+        ka = keep.select(F.col("v").alias("_ka"))
+        kb = keep.select(F.col("v").alias("_kb"))
+        new_und = truncate_plan(
+            und.join(ka, und.a == F.col("_ka")).join(kb, und.b == F.col("_kb"))
+            .select("a", "b")
+        )
+        n_keep = keep.count()
+        metrics.append(
+            IterationMetrics(
+                iteration=r,
+                messages_shuffled=n_keep,
+                changed=n - n_keep,
+                edges_scanned=m,
+                seconds=time.time() - t0,
+            )
+        )
+        und.unpersist(blocking=False)
+        if best is not None and verts is not best[2]:
+            verts.unpersist(blocking=False)
+        verts, und = keep, new_und
+        if n_keep == 0:
+            converged = True
+            break
+    if not series_rows:
+        empty = spark.createDataFrame(
+            [], "round int, n_vertices bigint, n_edges bigint, density double"
+        )
+        return DensestResult(
+            series=empty,
+            members=spark.createDataFrame([], "vertex bigint"),
+            best_round=0, best_density=0.0, iterations=0,
+            converged=True, metrics=metrics,
+        )
+    best_round, best_density, best_verts = best
+    series = spark.createDataFrame(
+        series_rows, "round int, n_vertices bigint, n_edges bigint, density double"
+    )
+    members = best_verts.select(F.col("v").alias("vertex"))
+    return DensestResult(
+        series=series,
+        members=members,
+        best_round=best_round,
+        best_density=float(best_density),
+        iterations=rounds,
+        converged=converged,
+        metrics=metrics,
+    )

@@ -5,6 +5,7 @@ recurrence — the driver's DuckDB gate covers the sf0.01 scale."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from flexgraph_spark import algorithms
 
@@ -911,3 +912,180 @@ def test_powerlaw_alpha_dmin_filters_tail(spark):
     ).first()
     assert row["n_tail"] == 3  # hub deg 8, vertices 1 and 2 deg 2
     assert row["d_min"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Borůvka minimum spanning forest
+# ---------------------------------------------------------------------------
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(triples, "src long, dst long, weight double")
+
+
+def _kruskal_weight(triples):
+    """Reference MSF total weight + edge count (union-find Kruskal).
+    With ties the edge SET may differ from Borůvka's, but the total
+    weight is unique (matroid exchange), so weight is the invariant."""
+    par = {}
+
+    def find(x):
+        while par.setdefault(x, x) != x:
+            par[x] = par[par[x]]
+            x = par[x]
+        return x
+
+    tot, cnt = 0.0, 0
+    for w, a, b in sorted((w, min(a, b), max(a, b)) for a, b, w in triples):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            par[ra] = rb
+            tot += w
+            cnt += 1
+    return tot, cnt
+
+
+def test_boruvka_matches_kruskal_random(spark):
+    import random
+
+    rng = random.Random(7)
+    n = 60
+    triples = []
+    seen = set()
+    for _ in range(220):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a == b:
+            continue
+        key = (min(a, b), max(a, b))
+        if key in seen:
+            continue
+        seen.add(key)
+        triples.append((a, b, float(rng.randint(1, 9))))  # heavy ties
+    res = algorithms.boruvka_msf(_wedges(spark, triples))
+    assert res.converged
+    rows = res.state.collect()
+    ref_w, ref_cnt = _kruskal_weight(triples)
+    assert len(rows) == ref_cnt
+    assert sum(r.w for r in rows) == pytest.approx(ref_w)
+    # forest property: no cycles => per-component edge count = n - c;
+    # verify against the repo's own CC labels on the forest edges
+    cc = algorithms.connected_components_star(
+        res.state.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    n_forest_verts = cc.state.count()
+    n_comps = cc.state.select("value").distinct().count()
+    assert len(rows) == n_forest_verts - n_comps
+
+
+def test_boruvka_deterministic_tie_break(spark):
+    """Triangle with all-equal weights: the (w, a, b) order keeps
+    (1,2) and (1,3), drops (2,3) — deterministic despite the tie."""
+    triples = [(1, 2, 5.0), (2, 3, 5.0), (1, 3, 5.0)]
+    res = algorithms.boruvka_msf(_wedges(spark, triples))
+    assert sorted((r.a, r.b) for r in res.state.collect()) == [(1, 2), (1, 3)]
+
+
+def test_boruvka_multi_component_and_parallel_edges(spark):
+    """Two components; parallel edges collapse to min weight; both
+    orientations of the same pair are one undirected edge."""
+    triples = [
+        (1, 2, 3.0), (2, 1, 1.0),          # parallel, keep w=1
+        (2, 3, 2.0),
+        (10, 11, 4.0),
+    ]
+    res = algorithms.boruvka_msf(_wedges(spark, triples))
+    got = sorted((r.a, r.b, r.w) for r in res.state.collect())
+    assert got == [(1, 2, 1.0), (2, 3, 2.0), (10, 11, 4.0)]
+
+
+def test_boruvka_empty(spark):
+    res = algorithms.boruvka_msf(_wedges(spark, []))
+    assert res.state.count() == 0 and res.converged
+
+
+# ---------------------------------------------------------------------------
+# Densest subgraph (Bahmani parallel greedy peel)
+# ---------------------------------------------------------------------------
+
+
+def _peel_reference(pairs, mult, max_rounds):
+    """Pure-Python replay of the exact peel recurrence."""
+    edges = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    verts = {v for e in edges for v in e}
+    series, levels = [], []
+    r = 0
+    while verts and r < max_rounds:
+        r += 1
+        n, m = len(verts), len(edges)
+        series.append((r, n, m, m / n))
+        levels.append(set(verts))
+        deg = {v: 0 for v in verts}
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {v for v in verts if deg[v] * n > mult * m}
+        edges = {(a, b) for a, b in edges if a in keep and b in keep}
+        verts = keep
+    best_round, _, _, best_d = min(series, key=lambda t: (-t[3], t[0]))
+    return series, levels[best_round - 1], best_round, best_d
+
+
+def test_densest_clique_plus_path(spark):
+    """K6 (density 2.5) + a long path: the peel strips the path and the
+    best level isolates the clique."""
+    import itertools
+
+    k6 = list(itertools.combinations(range(6), 2))
+    path = [(i, i + 1) for i in range(100, 140)]
+    pairs = k6 + path
+    d = algorithms.densest_subgraph(_edges(spark, pairs), threshold_mult=2.2)
+    ref_series, ref_members, ref_round, ref_d = _peel_reference(pairs, 2.2, 40)
+    got_series = sorted(
+        (r.round, r.n_vertices, r.n_edges, r.density) for r in d.series.collect()
+    )
+    assert [(a, b, c) for a, b, c, _ in got_series] == [
+        (a, b, c) for a, b, c, _ in ref_series
+    ]
+    for (_, _, _, gd), (_, _, _, rd) in zip(got_series, ref_series):
+        assert gd == pytest.approx(rd)
+    assert d.best_round == ref_round
+    assert d.best_density == pytest.approx(ref_d)
+    assert sorted(r.vertex for r in d.members.collect()) == sorted(ref_members)
+    assert set(ref_members) == set(range(6))  # the clique, exactly
+
+
+def test_densest_peel_reference_random(spark):
+    import random
+
+    rng = random.Random(11)
+    pairs = list(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(50), rng.randrange(50)) for _ in range(300)
+            )
+            if a != b
+        }
+    )
+    d = algorithms.densest_subgraph(_edges(spark, pairs), threshold_mult=3.0)
+    ref_series, ref_members, ref_round, ref_d = _peel_reference(pairs, 3.0, 40)
+    got = sorted((r.round, r.n_vertices, r.n_edges) for r in d.series.collect())
+    assert got == [(a, b, c) for a, b, c, _ in ref_series]
+    assert d.best_round == ref_round
+    assert sorted(r.vertex for r in d.members.collect()) == sorted(ref_members)
+
+
+def test_densest_guarantee(spark):
+    """The returned density is within 2(1+eps) of a known dense subgraph's
+    density (here the planted K8, rho = 3.5)."""
+    import itertools
+
+    k8 = list(itertools.combinations(range(8), 2))
+    spokes = [(0, 100 + i) for i in range(30)]
+    d = algorithms.densest_subgraph(_edges(spark, k8 + spokes), threshold_mult=2.2)
+    assert d.best_density >= 3.5 / 2.2
+
+
+def test_densest_empty(spark):
+    d = algorithms.densest_subgraph(_edges(spark, []))
+    assert d.series.count() == 0 and d.members.count() == 0 and d.converged
