@@ -1059,6 +1059,22 @@ def _q_densest_series(spark, sf_dir):
     )
 
 
+# node2vec: p=0.5 (return-biased) and q=2.0 (BFS-ish) exercise all three
+# weight classes; 1 walk of length 4 from every vertex. Deterministic
+# inverse-CDF picks at sha256-derived u, replayed bit-exactly by the
+# oracle (same dst-ordered cumsum, same IEEE comparisons).
+N2V_LEN = 4
+N2V_P = 0.5
+N2V_Q = 2.0
+
+
+def _q_node2vec_walks(spark, sf_dir):
+    return algorithms.node2vec_walks(
+        _graph1000(spark, sf_dir), walk_length=N2V_LEN, num_walks=1,
+        p=N2V_P, q=N2V_Q,
+    )
+
+
 def _q_densest_members(spark, sf_dir):
     """Vertex set of the best (max-density, earliest-round tie-break)
     peel level — the 2(1+eps)-approximate densest subgraph itself."""
@@ -1660,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf": _q_msf,
         "densest_series": _q_densest_series,
         "densest_members": _q_densest_members,
+        "node2vec_walks": _q_node2vec_walks,
         "closeness4": _q_closeness4,
         "co_occurrence": _q_co_occurrence,
         "bm25_top20": _q_bm25_top20,
@@ -2411,6 +2428,59 @@ def _msf_sql(rounds: int) -> str:
         + f"\nselect a, b, round(w, 2) as w from (\n"
         f"  select distinct a, b, w from ({forest_union}) f) g"
     )
+
+
+def _node2vec_sql(edge_sql: str, walk_length: int, num_walks: int,
+                  p: float, q: float, salt: str = "n2v") -> str:
+    """Replays node2vec_walks: per step, candidates = out-neighbors of
+    cur, weight 1/p | 1 | 1/q by (== prev | prev-adjacent | else),
+    inverse-CDF pick at u = sha256/2^32 over the dst-ordered cumsum —
+    the same IEEE arithmetic in the same order as the engine."""
+    wids = ", ".join(f"({w}::bigint)" for w in range(num_walks))
+    wp, wq = repr(1.0 / p), repr(1.0 / q)
+    ctes = [
+        f"e as materialized (select distinct src, dst from ({edge_sql}) q0)",
+        "verts as (select src as v from e union select dst from e)",
+        "n0 as materialized (select v as start, wid as walk_id, v as prev, "
+        f"v as cur from verts cross join (values {wids}) as w(wid))",
+    ]
+    for t in range(1, walk_length + 1):
+        u = (
+            f"(('0x' || substr(sha256('{salt}:' || c.start::varchar || ':' || "
+            f"c.walk_id::varchar || ':{t}'), 1, 8))::ubigint::double / 4294967296.0)"
+        )
+        ctes.append(
+            f"cand{t} as materialized (\n"
+            f"  select c.start, c.walk_id, c.prev, c.cur, pos.dst,\n"
+            f"    case when pos.dst = c.prev then {wp}\n"
+            f"         when adj.src is not null then 1.0\n"
+            f"         else {wq} end as wgt,\n"
+            f"    {u} as u\n"
+            f"  from n{t-1} c join e pos on pos.src = c.cur\n"
+            f"  left join e adj on adj.src = c.prev and adj.dst = pos.dst)"
+        )
+        ctes.append(
+            f"pick{t} as materialized (\n"
+            f"  select start, walk_id, dst as nxt from (\n"
+            f"    select start, walk_id, dst, wgt, u,\n"
+            f"      sum(wgt) over (partition by start, walk_id order by dst\n"
+            f"        rows between unbounded preceding and current row) as cum,\n"
+            f"      sum(wgt) over (partition by start, walk_id) as tot\n"
+            f"    from cand{t}) x\n"
+            f"  where cum > u * tot and cum - wgt <= u * tot)"
+        )
+        ctes.append(
+            f"n{t} as materialized (\n"
+            f"  select w.start, w.walk_id, w.cur as prev,\n"
+            f"    coalesce(pk.nxt, w.cur) as cur\n"
+            f"  from n{t-1} w left join pick{t} pk\n"
+            f"    on pk.start = w.start and pk.walk_id = w.walk_id)"
+        )
+    steps = " union all ".join(
+        f"select start, walk_id, {t} as step, cur as vertex from n{t}"
+        for t in range(walk_length + 1)
+    )
+    return "with " + ",\n".join(ctes) + "\n" + steps
 
 
 def _densest_sql(mult: float, rounds: int, output: str) -> str:
@@ -3181,6 +3251,7 @@ from h
 """,
         "ktruss": _ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS),
         "msf": _msf_sql(MSF_ROUNDS),
+        "node2vec_walks": _node2vec_sql(G1000_SQL, N2V_LEN, 1, N2V_P, N2V_Q),
         "densest_series": _densest_sql(DENSEST_MULT, DENSEST_ROUNDS, "series"),
         "densest_members": _densest_sql(DENSEST_MULT, DENSEST_ROUNDS, "members"),
         # unrolled layered BFS to depth 4 (graph1000 diameter is 3);

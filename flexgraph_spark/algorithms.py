@@ -2765,3 +2765,117 @@ def densest_subgraph(
         converged=converged,
         metrics=metrics,
     )
+
+
+# ---------------------------------------------------------------------------
+# node2vec second-order biased walks
+# ---------------------------------------------------------------------------
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_length: int = 4,
+    num_walks: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    salt: str = "n2v",
+) -> DataFrame:
+    """Deterministic node2vec walks (Grover & Leskovec, KDD'16): step
+    ``t >= 2`` picks the next neighbor x of ``cur`` with unnormalized
+    weight 1/p if x == prev, 1 if the edge prev→x exists, else 1/q — the
+    return / BFS / DFS bias knobs — via inverse-CDF sampling at
+    u = sha256(salt:start:walk:t)·2⁻³² over the dst-ordered cumulative
+    weights. No RNG state: reruns, stragglers and an ANSI-SQL oracle
+    replay every pick bit-exactly (the cumulative sums are evaluated in
+    the same dst order on both engines, so every IEEE comparison
+    matches). Step 1 initializes prev = start, which makes every
+    candidate "adjacent to prev" and so degenerates to the uniform pick —
+    node2vec's uniform first step through the same code path.
+
+    Returns (start, walk_id, step, vertex), step 0..walk_length; sink
+    vertices absorb the walk.
+
+    Scale shape: per step, one join frontier⋈adjacency keyed on the
+    current vertex (hot vertices fan out only by resident walk mass), one
+    broadcast-free left join flagging prev-adjacency keyed on (prev, dst),
+    and one (start, walk_id)-partitioned window cumsum whose partition
+    height is deg(cur) — never a collected neighbor array. Lineage is
+    truncated every 4 steps (the window chain grows the plan faster than
+    the uniform walker's)."""
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").distinct()
+    adj = e.select(
+        F.col("src").alias("e_src"), F.col("dst").alias("e_dst"), F.lit(1).alias("e_hit")
+    )
+    pos = e.select(F.col("src").alias("p_src"), F.col("dst").alias("p_dst")).persist()
+    verts = e.select(F.col("src").alias("v")).union(
+        e.select(F.col("dst").alias("v"))
+    ).distinct()
+    frontier = verts.crossJoin(
+        spark.range(num_walks).select(F.col("id").alias("walk_id"))
+    ).select(
+        F.col("v").alias("start"), "walk_id",
+        F.col("v").alias("prev"), F.col("v").alias("cur"),
+    )
+    out = frontier.select(
+        "start", "walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex")
+    )
+    for step in range(1, walk_length + 1):
+        h = F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat_ws(
+                        ":", F.lit(salt), F.col("start"), F.col("walk_id"),
+                        F.lit(str(step)),
+                    ),
+                    256,
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        u = h.cast("double") / F.lit(4294967296.0)
+        cand = (
+            frontier.join(pos, frontier.cur == F.col("p_src"))
+            .join(
+                adj,
+                (F.col("prev") == F.col("e_src")) & (F.col("p_dst") == F.col("e_dst")),
+                "left",
+            )
+            .withColumn(
+                "_w",
+                F.when(F.col("p_dst") == F.col("prev"), F.lit(1.0 / p))
+                .when(F.col("e_hit").isNotNull(), F.lit(1.0))
+                .otherwise(F.lit(1.0 / q)),
+            )
+        )
+        wcum = (
+            Window.partitionBy("start", "walk_id")
+            .orderBy("p_dst")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wtot = Window.partitionBy("start", "walk_id")
+        cand = cand.withColumn("_cum", F.sum("_w").over(wcum)).withColumn(
+            "_tgt", u * F.sum("_w").over(wtot)
+        )
+        picked = cand.where(
+            (F.col("_cum") > F.col("_tgt")) & (F.col("_cum") - F.col("_w") <= F.col("_tgt"))
+        ).select("start", "walk_id", F.col("p_dst").alias("_nxt"))
+        stepped = (
+            frontier.join(picked, ["start", "walk_id"], "left")
+            .select(
+                "start", "walk_id",
+                F.col("cur").alias("prev"),
+                F.coalesce("_nxt", "cur").alias("cur"),
+            )
+        )
+        frontier = truncate_plan(stepped) if step % 4 == 0 else stepped
+        out = out.union(
+            frontier.select(
+                "start", "walk_id", F.lit(step).alias("step"),
+                F.col("cur").alias("vertex"),
+            )
+        )
+    return out

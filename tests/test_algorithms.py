@@ -1089,3 +1089,81 @@ def test_densest_guarantee(spark):
 def test_densest_empty(spark):
     d = algorithms.densest_subgraph(_edges(spark, []))
     assert d.series.count() == 0 and d.members.count() == 0 and d.converged
+
+
+# ---------------------------------------------------------------------------
+# node2vec second-order biased walks
+# ---------------------------------------------------------------------------
+
+
+def _n2v_reference(pairs, walk_length, num_walks, p, q, salt="n2v"):
+    """Pure-Python replay of the exact node2vec recurrence."""
+    import hashlib
+
+    adj = {}
+    for s, d in sorted(set(pairs)):
+        adj.setdefault(s, []).append(d)
+    eset = set(pairs)
+    verts = sorted({v for e in pairs for v in e})
+    out = {}
+    for start in verts:
+        for w in range(num_walks):
+            prev, cur = start, start
+            out[(start, w, 0)] = start
+            for t in range(1, walk_length + 1):
+                nbrs = adj.get(cur, [])
+                if not nbrs:
+                    nxt = cur
+                else:
+                    u = int(
+                        hashlib.sha256(
+                            f"{salt}:{start}:{w}:{t}".encode()
+                        ).hexdigest()[:8],
+                        16,
+                    ) / 2**32
+                    ws = [
+                        (1.0 / p if x == prev
+                         else (1.0 if (prev, x) in eset else 1.0 / q))
+                        for x in nbrs
+                    ]
+                    tgt = u * sum(ws)
+                    c, nxt = 0.0, nbrs[-1]
+                    for x, wt in zip(nbrs, ws):
+                        c += wt
+                        if c > tgt:
+                            nxt = x
+                            break
+                prev, cur = cur, nxt
+                out[(start, w, t)] = cur
+    return out
+
+
+def test_node2vec_matches_reference_replay(spark):
+    """Every pick on a graph with sinks, return edges and non-neighbor
+    hops matches the pure-Python inverse-CDF replay bit-exactly."""
+    pairs = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2), (0, 2), (2, 0),
+             (3, 4)]  # 4 is a sink
+    res = algorithms.node2vec_walks(
+        _edges(spark, pairs), walk_length=5, num_walks=2, p=0.5, q=2.0
+    )
+    got = {(r.start, r.walk_id, r.step): r.vertex for r in res.collect()}
+    assert got == _n2v_reference(pairs, 5, 2, 0.5, 2.0)
+
+
+def test_node2vec_uniform_limit_matches_first_step_bias(spark):
+    """p = q = 1 collapses every weight to 1; step-1 picks must then be
+    plain inverse-CDF uniform picks over the sorted neighbor list."""
+    import hashlib
+
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 0), (2, 0), (3, 0)]
+    res = algorithms.node2vec_walks(
+        _edges(spark, pairs), walk_length=1, num_walks=4, p=1.0, q=1.0
+    )
+    got = {(r.start, r.walk_id): r.vertex
+           for r in res.where("step = 1").collect()}
+    nbrs = {0: [1, 2, 3], 1: [0], 2: [0], 3: [0]}
+    for (start, w), v in got.items():
+        u = int(hashlib.sha256(f"n2v:{start}:{w}:1".encode()).hexdigest()[:8],
+                16) / 2**32
+        ns = nbrs[start]
+        assert v == ns[min(int(u * len(ns)), len(ns) - 1)]
