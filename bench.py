@@ -214,6 +214,32 @@ def main() -> None:
         "random_walks4",
         lambda: algorithms.random_walks(edges, walk_length=4, num_walks=1).count(),
     )
+    timed(
+        "node2vec_walks4",
+        lambda: algorithms.node2vec_walks(
+            g5000, walk_length=4, num_walks=1, p=0.5, q=2.0
+        ).count(),
+    )
+    # weighted g5000 (min quantity per pair) drives the Borůvka rounds
+    g5000w = (
+        li.select(
+            (F.col("l_orderkey") % 5000).alias("src"),
+            (F.col("l_partkey") % 5000).alias("dst"),
+            F.col("l_quantity").cast("double").alias("weight"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst").agg(F.min("weight").alias("weight"))
+    )
+    timed(
+        "msf_boruvka",
+        lambda: algorithms.boruvka_msf(g5000w).state.count(),
+    )
+    timed(
+        "densest_peel",
+        lambda: algorithms.densest_subgraph(
+            g5000, threshold_mult=2.2, max_rounds=24
+        ).members.count(),
+    )
     # candidate pairs via MinHash+LSH (exact-verified inside) — the path a
     # 100 TB corpus actually runs; the exact prefix-filter join is gated for
     # correctness at sf0.01 but is CPU-bound on multi-thousand-shingle docs

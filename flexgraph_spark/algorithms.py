@@ -2609,10 +2609,50 @@ def boruvka_msf(
             .select("comp", "e.other", "e.w", "e.a", "e.b")
         )
         new_edges = picked.select("a", "b", "w").distinct()
-        hook = picked.select(F.col("comp").alias("src"), F.col("other").alias("dst"))
-        sub = connected_components_star(hook, max_iter=50)
-        relab = sub.state.select(
-            F.col("vertex").alias("_oc"), F.col("value").alias("_nc")
+        # Contraction: the pick graph is a pseudo-forest whose only cycles
+        # are 2-cycles (a directed pick cycle has non-increasing edges
+        # under the (w, a, b) TOTAL order, so all its edges are the same
+        # edge). Resolve each 2-cycle to a root (the smaller comp id),
+        # pointer-jump the #components-sized parent table to the roots in
+        # O(log depth) self-joins, then relabel every tree to its MINIMUM
+        # comp id — the same label contract as the recursive-reachability
+        # oracle and connected_components_star, at a fraction of the cost
+        # of running star contraction on the hook edges.
+        pk = picked.select(F.col("comp").alias("hc"), F.col("other").alias("ho"))
+        rev = pk.select(F.col("hc").alias("rc"), F.col("ho").alias("ro"))
+        par = truncate_plan(
+            pk.join(rev, (pk.hc == F.col("ro")) & (pk.ho == F.col("rc")), "left")
+            .select(
+                "hc",
+                F.when(
+                    F.col("rc").isNotNull() & (F.col("hc") < F.col("ho")), F.col("hc")
+                ).otherwise(F.col("ho")).alias("hp"),
+            )
+        )
+        def _psig(d):
+            return d.agg(
+                F.coalesce(
+                    F.sum(F.xxhash64("hc", "hp").cast("decimal(38,0)")), F.lit(0)
+                ).alias("h")
+            ).first().h
+
+        sig_old = _psig(par)
+        for _ in range(64):  # ceil(log2(#comps)) suffices; sig-fixpoint exits
+            p2 = par.select(F.col("hc").alias("_jc"), F.col("hp").alias("_jp"))
+            nxt = truncate_plan(
+                par.join(p2, par.hp == F.col("_jc"), "left")
+                .select("hc", F.coalesce("_jp", "hp").alias("hp"))
+            )
+            sig_new = _psig(nxt)
+            par.unpersist(blocking=False)
+            par = nxt
+            if sig_old == sig_new:
+                break
+            sig_old = sig_new
+        relab = (
+            par.groupBy("hp").agg(F.min("hc").alias("_mc"))
+            .join(par, "hp")
+            .select(F.col("hc").alias("_oc"), F.col("_mc").alias("_nc"))
         )
         labels = truncate_plan(
             labels.join(relab, labels.c == F.col("_oc"), "left")
@@ -2800,15 +2840,15 @@ def node2vec_walks(
     broadcast-free left join flagging prev-adjacency keyed on (prev, dst),
     and one (start, walk_id)-partitioned window cumsum whose partition
     height is deg(cur) — never a collected neighbor array. Lineage is
-    truncated every 4 steps (the window chain grows the plan faster than
-    the uniform walker's)."""
+    truncated every step: the output union re-executes each step's
+    snapshot, so an un-truncated chain costs O(steps²)."""
     from pyspark.sql import Window
 
     spark = edges.sparkSession
     e = edges.select("src", "dst").distinct()
     adj = e.select(
         F.col("src").alias("e_src"), F.col("dst").alias("e_dst"), F.lit(1).alias("e_hit")
-    )
+    ).persist()
     pos = e.select(F.col("src").alias("p_src"), F.col("dst").alias("p_dst")).persist()
     verts = e.select(F.col("src").alias("v")).union(
         e.select(F.col("dst").alias("v"))
@@ -2871,7 +2911,11 @@ def node2vec_walks(
                 F.coalesce("_nxt", "cur").alias("cur"),
             )
         )
-        frontier = truncate_plan(stepped) if step % 4 == 0 else stepped
+        # truncate EVERY step: the output union re-executes each step's
+        # snapshot, so an un-truncated chain costs O(steps²) work (measured
+        # 8.8/9.9/29.4 s for L=1/2/3 at sf0.1 before; linear after). The
+        # frontier is only n_vertices × num_walks rows — cheap to pin.
+        frontier = truncate_plan(stepped)
         out = out.union(
             frontier.select(
                 "start", "walk_id", F.lit(step).alias("step"),
