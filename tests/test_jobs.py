@@ -133,3 +133,34 @@ def test_louvain_job(spark, edges_parquet, tmp_path):
     with pytest.raises(SystemExit):
         _run(louvain_job, ["--edges", edges_parquet, "--output", out,
                            "--engine", "blocked"])
+
+
+def test_msf_job(spark, tmp_path):
+    import jobs.msf as msf_job
+    from flexgraph_spark import fixtures
+
+    # weighted edges: deterministic weights over a random graph
+    pairs = fixtures.rand_er(30, 0.2, seed=5)
+    wdf = spark.createDataFrame(
+        [(a, b, float((a * 7 + b * 3) % 10 + 1)) for a, b in pairs],
+        "src long, dst long, weight double",
+    )
+    src = str(tmp_path / "wedges")
+    wdf.write.parquet(src)
+    out = str(tmp_path / "forest")
+    _run(msf_job, ["--edges", src, "--output", out])
+    df = spark.read.parquet(out)
+    assert set(df.columns) == {"a", "b", "w"}
+    # forest size: n_vertices - n_components (checked via the CC engine)
+    from flexgraph_spark import algorithms
+
+    und = wdf.selectExpr("src", "dst")
+    cc = algorithms.connected_components_star(und)
+    n = cc.state.count()
+    c = cc.state.select("value").distinct().count()
+    assert df.count() == n - c
+    # unweighted input is rejected
+    unw = str(tmp_path / "unweighted")
+    wdf.select("src", "dst").write.parquet(unw)
+    with pytest.raises(SystemExit):
+        _run(msf_job, ["--edges", unw, "--output", out])
