@@ -764,6 +764,15 @@ def _q_neighborhood3(spark, sf_dir):
     )
 
 
+def _q_effective_diameter(spark, sf_dir):
+    """Exact interpolated effective diameter (ratio 0.9) from the exact
+    neighborhood function — the oracle-gated face of HADI's headline
+    output, same interpolation formula as the sketch path."""
+    return algorithms.effective_diameter_exact(
+        _graph1000(spark, sf_dir), max_h=NEIGHBORHOOD_H
+    )
+
+
 def _q_hadi_precision(spark, sf_dir):
     """Precision invariant of the HLL-sketch HADI path vs the exact
     neighborhood function, both computed in Spark: rows where the relative
@@ -1656,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_clustering": _q_local_clustering,
         "link_prediction": _q_link_prediction,
         "neighborhood3": _q_neighborhood3,
+        "effective_diameter": _q_effective_diameter,
         "hadi_precision": _q_hadi_precision,
         "hadi_series": _q_hadi_series,
         "triangles": _q_triangles,
@@ -1807,6 +1817,24 @@ def _neighborhood_sql(edge_sql: str, max_h: int) -> str:
         for k in range(max_h + 1)
     )
     return "with " + ",\n".join(ctes) + "\n" + counts
+
+
+def _effdiam_sql(edge_sql: str, max_h: int, ratio: float = 0.9) -> str:
+    """Interpolated effective diameter over the exact neighborhood series
+    — the same closed form as algorithms.effective_diameter_exact (all
+    inputs are exact-integer doubles, so every IEEE op matches)."""
+    return f"""
+with s as ({_neighborhood_sql(edge_sql, max_h)}),
+mx as (select max(n_pairs) as nmax from s),
+hit as (select min(h) as h1 from s, mx where n_pairs >= {ratio} * nmax)
+select round(case when t.h1 = 0 then 0.0
+  else (t.h1 - 1) + ({ratio} * t.nmax - t.a) / (t.b - t.a) end, 6)
+  as eff_diameter
+from (select hit.h1, mx.nmax,
+        (select n_pairs from s where h = hit.h1 - 1) as a,
+        (select n_pairs from s where h = hit.h1) as b
+      from hit, mx) t
+"""
 
 
 def _hits_sql(edge_sql: str, iters: int) -> str:
@@ -3169,6 +3197,7 @@ from cells
         "local_clustering": _LCC_SQL,
         "link_prediction": _LINK_PRED_SQL,
         "neighborhood3": _neighborhood_sql(G1000_SQL, NEIGHBORHOOD_H),
+        "effective_diameter": _effdiam_sql(G1000_SQL, NEIGHBORHOOD_H),
         "hadi_precision": (
             "select cast(null as integer) as h, "
             "cast(null as double) as rel_err where 1 = 0"

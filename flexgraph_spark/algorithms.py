@@ -2923,3 +2923,30 @@ def node2vec_walks(
             )
         )
     return out
+
+
+def effective_diameter_exact(
+    edges: DataFrame, max_h: int, ratio: float = 0.9,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact effective diameter: the linearly-interpolated smallest h with
+    N(h) >= ratio·N(max_h), computed from the EXACT neighborhood function
+    (:func:`neighborhood_function`) with the identical interpolation the
+    HADI sketch path uses (:func:`hadi`) — its oracle-gated face. Returns
+    a 1-row DataFrame (eff_diameter double, rounded 6). The interpolation
+    runs on the collected (max_h + 1)-row series — driver-side on purpose;
+    the distributed work is the pair-BFS underneath."""
+    nf = neighborhood_function(edges, max_h, num_partitions=num_partitions)
+    series = sorted((r.h, r.n_pairs) for r in nf.collect())
+    nmax = series[-1][1]
+    eff = float(series[-1][0])
+    for (h0, a), (h1, b) in zip(series, series[1:]):
+        if b >= ratio * nmax:
+            eff = h0 + (ratio * nmax - a) / (b - a) if b > a else float(h1)
+            break
+    if series[0][1] >= ratio * nmax:
+        eff = 0.0
+    spark = edges.sparkSession
+    return spark.createDataFrame([(eff,)], "eff_diameter double").select(
+        F.round("eff_diameter", 6).alias("eff_diameter")
+    )

@@ -1167,3 +1167,23 @@ def test_node2vec_uniform_limit_matches_first_step_bias(spark):
                 16) / 2**32
         ns = nbrs[start]
         assert v == ns[min(int(u * len(ns)), len(ns) - 1)]
+
+
+def test_effective_diameter_exact_path_and_clique(spark):
+    """Directed 4-path 0→1→2→3: N = [4, 7, 9, 10]; 0.9·10 = 9 ⇒ first
+    hit at h = 2 exactly (b = 9 ≥ 9), interpolated
+    eff = 1 + (9-7)/(9-7) = 2.0. Clique: everything reachable at h = 1,
+    eff = interpolation between h=0 and h=1."""
+    path = [(0, 1), (1, 2), (2, 3)]
+    got = algorithms.effective_diameter_exact(
+        _edges(spark, path), max_h=3
+    ).first().eff_diameter
+    assert got == pytest.approx(2.0)
+    import itertools
+
+    k4 = [(a, b) for a, b in itertools.permutations(range(4), 2)]
+    got_k4 = algorithms.effective_diameter_exact(
+        _edges(spark, k4), max_h=2
+    ).first().eff_diameter
+    # N(0)=4, N(1)=16=N(2); 0.9*16=14.4 -> eff = 0 + (14.4-4)/(16-4)
+    assert got_k4 == pytest.approx(round(10.4 / 12, 6))
