@@ -2549,6 +2549,8 @@ def boruvka_msf(
     §2.2 HashMin CC), extended with the weight-carrying pick the reference
     leaves to its SSSP kernel.
     """
+    if "weight" not in edges.columns:
+        raise ValueError("boruvka_msf needs a 'weight' column on the edge DataFrame")
     und = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(
