@@ -56,6 +56,14 @@ SALSA_ITERS = 4
 # boundary sits inside reorder-noise territory).
 KATZ_ALPHA = 0.01
 KATZ_ITERS = 8
+# FaBP homophily: c' = 2h/(1−4h²) ≈ 0.010 → c'·λ_max(graph1000) ≈ 0.53 < 1,
+# the same contraction margin as Katz above (beliefs stay O(φ), so the
+# round(·,6) gate never meets double-sum reorder noise).
+FABP_H = 0.005
+FABP_ITERS = 4
+FABP_SEED_MOD = 97   # seeds: v%97==0 → +φ, v%97==1 → −φ (~11 of each sign)
+FABP_SEED_VAL = 1.0
+SPECTRAL_ITERS = 5
 # Brandes sampled betweenness: 8 fixed sources, depth-bounded at 4 (the
 # graph1000 diameter is 3, so the bound is not binding at sf0.01; at other
 # SFs both sides truncate identically — the closeness4 contract).
@@ -673,6 +681,46 @@ def _q_katz8_blocked(spark, sf_dir):
     return (
         res.state.join(mapping, "vertex")
         .select(F.col("orig").alias("vertex"), F.round("value", 6).alias("katz"))
+    )
+
+
+def _q_fabp4(spark, sf_dir):
+    """FaBP semi-supervised belief propagation (gimv.FaBP via
+    algorithms.fabp), fixed 4-iteration Jacobi recurrence over the
+    symmetrized graph1000 with deterministic ±1 seeds at v%97∈{0,1} —
+    oracle = the identical recurrence unrolled in SQL."""
+    edges = _graph1000(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    priors = verts.select(
+        "vertex",
+        F.when(F.col("vertex") % FABP_SEED_MOD == 0, FABP_SEED_VAL)
+        .when(F.col("vertex") % FABP_SEED_MOD == 1, -FABP_SEED_VAL)
+        .otherwise(0.0)
+        .alias("prior"),
+    )
+    res = algorithms.fabp(
+        edges, priors, h=FABP_H, max_iter=FABP_ITERS, threshold=0.0
+    )
+    return res.state.select("vertex", F.round("value", 6).alias("belief"))
+
+
+def _q_spectral5(spark, sf_dir):
+    """Power iteration (algorithms.power_iteration): 5 normalized
+    matrix-vector products on the symmetrized graph1000 → principal
+    eigenvector components + the Rayleigh λ_max estimate. Deterministic
+    (positive start vector, nonnegative matrix), so the oracle unrolls
+    the exact recurrence including the per-step L2 normalization."""
+    state, lam, _ = algorithms.power_iteration(
+        _graph1000(spark, sf_dir), max_iter=SPECTRAL_ITERS
+    )
+    return state.select(
+        "vertex",
+        F.round("value", 6).alias("eig"),
+        F.round(F.lit(lam), 6).alias("lambda_est"),
     )
 
 
@@ -1678,6 +1726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cond_levels": _q_cond_levels,
         "katz8": _q_katz8,
         "katz8_blocked": _q_katz8_blocked,
+        "fabp4": _q_fabp4,
+        "spectral5": _q_spectral5,
         "salsa4": _q_salsa4,
         "betweenness8": _q_betweenness8,
         "gstats": _q_gstats,
@@ -1895,6 +1945,70 @@ def _katz_sql(edge_sql: str, iters: int, alpha: float) -> str:
     return (
         "with " + ",\n".join(ctes)
         + f"\nselect v as vertex, round(x, 6) as katz from x{iters}"
+    )
+
+
+def _fabp_sql(edge_sql: str, iters: int, h: float,
+              seed_mod: int, seed_val: float) -> str:
+    """Unrolled FaBP Jacobi recurrence b ← φ + c'·A·b − a·D·b over the
+    symmetrized edge set (same symmetrize semantics as graph.symmetrize:
+    union-all + distinct), b₀ = φ."""
+    hh = 4.0 * h * h
+    a = hh / (1.0 - hh)
+    c2 = 2.0 * h / (1.0 - hh)
+    ctes = [
+        f"e0 as ({edge_sql})",
+        "e as materialized (select distinct src, dst from "
+        "(select src, dst from e0 union all select dst as src, src as dst from e0))",
+        # symmetric edge set → every vertex appears as src; deg = undirected degree
+        "deg as materialized (select src as v, count(*)::double as d from e group by src)",
+        f"phi as (select v, case when v % {seed_mod} = 0 then {seed_val!r} "
+        f"when v % {seed_mod} = 1 then {-seed_val!r} else 0.0 end as p from deg)",
+        "b0 as (select v, p as b from phi)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"r{k} as materialized (select e.dst as v, sum(b.b) as nbr "
+            f"from e join b{k-1} b on b.v = e.src group by e.dst)"
+        )
+        ctes.append(
+            f"b{k} as (select phi.v, phi.p + {c2!r} * coalesce(r{k}.nbr, 0.0) "
+            f"- {a!r} * deg.d * b.b as b "
+            f"from phi join b{k-1} b on b.v = phi.v "
+            f"join deg on deg.v = phi.v left join r{k} on r{k}.v = phi.v)"
+        )
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect v as vertex, round(b, 6) as belief from b{iters}"
+    )
+
+
+def _spectral_sql(edge_sql: str, iters: int) -> str:
+    """Unrolled power iteration x ← A·x / ‖A·x‖₂ over the symmetrized edge
+    set, x₀ = 1/√n; λ estimate = the last step's pre-normalization L2 norm."""
+    ctes = [
+        f"e0 as ({edge_sql})",
+        "e as materialized (select distinct src, dst from "
+        "(select src, dst from e0 union all select dst as src, src as dst from e0))",
+        "verts as (select distinct src as v from e)",
+        "x0 as (select v, 1.0 / sqrt((select count(*)::double from verts)) "
+        "as x from verts)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"r{k} as materialized (select e.dst as v, sum(x.x) as raw "
+            f"from e join x{k-1} x on x.v = e.src group by e.dst)"
+        )
+        ctes.append(f"n{k} as (select sqrt(sum(raw * raw)) as nrm from r{k})")
+        ctes.append(
+            f"x{k} as (select verts.v, coalesce(r{k}.raw, 0.0) / "
+            f"(select nrm from n{k}) as x "
+            f"from verts left join r{k} on r{k}.v = verts.v)"
+        )
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect v as vertex, round(x, 6) as eig, "
+        f"round((select nrm from n{iters}), 6) as lambda_est from x{iters}"
     )
 
 
@@ -3250,6 +3364,10 @@ group by 1, 2
         "cond_levels": _cond_levels_sql(GSCC_SQL),
         "katz8": _katz_sql(G1000_SQL, KATZ_ITERS, KATZ_ALPHA),
         "katz8_blocked": _katz_sql(G1000_SQL, KATZ_ITERS, KATZ_ALPHA),
+        "fabp4": _fabp_sql(
+            G1000_SQL, FABP_ITERS, FABP_H, FABP_SEED_MOD, FABP_SEED_VAL
+        ),
+        "spectral5": _spectral_sql(G1000_SQL, SPECTRAL_ITERS),
         "salsa4": _salsa_sql(G1000_SQL, SALSA_ITERS),
         "betweenness8": _betweenness_sql(G1000_SQL, BETW_SOURCES, BETW_DEPTH),
         "gstats": f"""

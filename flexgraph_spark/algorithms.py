@@ -1162,6 +1162,132 @@ def katz(
     )
 
 
+def fabp(
+    edges: DataFrame,
+    priors: DataFrame,
+    h: float = 0.002,
+    threshold: float = 0.0,
+    max_iter: int = 10,
+    num_partitions: int | None = None,
+    checkpointer=None,
+) -> gimv.GimvResult:
+    """FaBP semi-supervised belief propagation (gimv.FaBP): Jacobi-iterate
+    ``b ← φ + c'·A·b − a·D·b`` on the SYMMETRIZED graph (BP runs over the
+    undirected adjacency; symmetrize matches graph.symmetrize semantics so
+    the SQL oracle can replicate the edge set exactly).
+
+    ``priors``: (vertex, prior) seed beliefs — vertices absent get φ = 0.
+    ``h``: homophily strength; keep c' = 2h/(1−4h²) below 1/λ_max(A) for a
+    contraction (Koutra et al. 2011, Lemma 1). threshold=0.0 runs the full
+    fixed depth (the oracle-unrollable contract), like katz/pagerank10.
+
+    Scale shape = gimv.run's flat plan: edges pinned by src once, only the
+    (vertex, struct) state shuffles per superstep; φ and deg ride the state
+    struct so no static-table re-join appears in the loop.
+    """
+    e = symmetrize(edges.select("src", "dst"))
+    deg = e.groupBy(F.col("src").alias("vertex")).agg(
+        F.count("*").cast("double").alias("deg")
+    )
+    pcol = [c for c in priors.columns if c != "vertex"][0]
+    prog = gimv.FaBP(
+        priors=priors.select("vertex", F.col(pcol).alias("prior")),
+        degrees=deg, h=h, threshold=threshold,
+    )
+    return gimv.run(
+        e, prog, max_iter=max_iter, num_partitions=num_partitions,
+        checkpointer=checkpointer,
+    )
+
+
+def power_iteration(
+    edges: DataFrame,
+    max_iter: int = 5,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, float, list[IterationMetrics]]:
+    """Principal eigenvector + spectral radius of the SYMMETRIZED adjacency
+    by power iteration (the HEIGEN / PEGASUS spectral-analysis headline at
+    matrix-vector-product scale): x₀ = 1/√n, then ``x ← A·x / ‖A·x‖₂``
+    for a FIXED ``max_iter`` products. Returns (state, lambda_est,
+    metrics) where state = (vertex, value) with value the final unit
+    eigenvector component and ``lambda_est = ‖A·x_{k−1}‖₂`` — the Rayleigh
+    estimate of λ_max given ‖x_{k−1}‖ = 1.
+
+    Deterministic (positive start vector on a nonnegative symmetric matrix
+    keeps every iterate nonnegative — no sign ambiguity), so the whole
+    recurrence is SQL-unrollable for the oracle gate.
+
+    Scale shape mirrors hits(): ONE edge copy pinned by src (A symmetric,
+    so the src-pinned copy serves Aᵀ = A), only the O(V) vector shuffles
+    per product, and the L2 norm rides the SAME job that materializes the
+    raw product as an Observation — one edge join, one job per iteration.
+    """
+    import math
+
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        symmetrize(edges.select("src", "dst"))
+        .repartition(p, "src")
+        .persist()
+    )
+    n_edges = e.count()
+    verts = (
+        e.select(F.col("src").alias("vertex")).distinct()
+        .repartition(p, "vertex")
+        .persist()
+    )
+    n = verts.count()
+    if n == 0:
+        e.unpersist()
+        verts.unpersist()
+        empty = spark.createDataFrame([], "vertex long, value double")
+        return empty, 0.0, []
+
+    x = truncate_plan(
+        verts.select("vertex", F.lit(1.0 / math.sqrt(n)).alias("value"))
+    )
+    lam = 0.0
+    metrics: list[IterationMetrics] = []
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for it in range(1, max_iter + 1):
+            t0 = time.time()
+            obs = Observation()
+            raw = truncate_plan(
+                e.join(
+                    x.withColumnRenamed("vertex", "src").hint("shuffle_hash"),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("vertex"))
+                .agg(F.sum("value").alias("raw"))
+                .observe(obs, F.sum(F.col("raw") * F.col("raw")).alias("ss"))
+            )
+            lam = math.sqrt(obs.get["ss"] or 0.0)
+            nrm = lam or 1.0
+            new_x = truncate_plan(
+                verts.join(raw, "vertex", "left").select(
+                    "vertex",
+                    (F.coalesce("raw", F.lit(0.0)) / F.lit(nrm)).alias("value"),
+                )
+            )
+            raw.unpersist()
+            x.unpersist()
+            x = new_x
+            metrics.append(
+                IterationMetrics(
+                    iteration=it, messages_shuffled=n_edges, changed=n,
+                    edges_scanned=n_edges, seconds=time.time() - t0,
+                )
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    e.unpersist()
+    verts.unpersist()
+    return x, lam, metrics
+
+
 def salsa(
     edges: DataFrame, max_iter: int = 10, num_partitions: int | None = None
 ) -> GimvResult:

@@ -433,6 +433,86 @@ class Katz(VertexProgram):
         return np.abs(new - old) > self.threshold
 
 
+class FaBP(VertexProgram):
+    """FaBP — linearized belief propagation (Koutra et al., PKDD 2011,
+    "Unifying Guilt-by-Association Approaches: Theorems and Fast
+    Algorithms"). Semi-supervised node scoring from a handful of labeled
+    seeds: solve the linear system
+
+        (I + a·D − c'·A) · b = φ
+
+    by Jacobi iteration ``b ← φ + c'·(A·b) − a·(D·b)`` with
+    ``a = 4h²/(1−4h²)`` and ``c' = 2h/(1−4h²)`` (h = about-half
+    homophily strength; the iteration contracts when c'·λ_max(A) < 1,
+    the paper's convergence condition — callers pick h accordingly).
+    A must be symmetric (algorithms.fabp symmetrizes); φ holds the seed
+    beliefs (±ε for labeled vertices, 0 elsewhere).
+
+    The PEGASUS/FlexGraph lineage runs BP as a GIM-V product the same way
+    (HA-LFP; SURVEY §2.1's combine2/combineAll generalization — the
+    reference's own algorithm set stops at PR/RWR/CC/SSSP, this is the
+    family's canonical next instantiation). GIM-V mapping: combine2 =
+    neighbor belief, combineAll = sum, apply = the Jacobi update — which
+    needs the vertex's OWN prior φ(v) and degree d(v), so the state value
+    is a struct(b, phi, deg) rather than a scalar: the static fields ride
+    the state instead of being re-joined every superstep (flat plan only;
+    the blocked CSR kernels are scalar/batch — ``supports_blocked=False``).
+    """
+
+    name = "fabp"
+    needs_out_degree = False
+    supports_blocked = False  # struct-valued state: flat plan only
+
+    def __init__(self, priors: DataFrame, degrees: DataFrame,
+                 h: float = 0.002, threshold: float = CONVERGE_THRESHOLD):
+        hh = 4.0 * h * h
+        self.a = hh / (1.0 - hh)
+        self.c2 = 2.0 * h / (1.0 - hh)
+        self.priors = priors      # (vertex, prior)
+        self.degrees = degrees    # (vertex, deg) — undirected degree of A
+        self.threshold = threshold
+
+    def init_state(self, vertices: DataFrame, n: int) -> DataFrame:
+        # b₀ = φ (one Jacobi step from the zero vector); φ and d(v) ride
+        # the struct so the superstep plan never re-joins static tables.
+        return (
+            vertices.join(self.priors, "vertex", "left")
+            .join(self.degrees, "vertex", "left")
+            .select(
+                "vertex",
+                F.struct(
+                    F.coalesce("prior", F.lit(0.0)).alias("b"),
+                    F.coalesce("prior", F.lit(0.0)).alias("phi"),
+                    F.coalesce("deg", F.lit(0.0)).alias("deg"),
+                ).alias("value"),
+            )
+        )
+
+    def message(self) -> F.Column:
+        return F.col("value").getField("b")
+
+    def reduce_expr(self) -> F.Column:
+        return F.sum("msg")
+
+    def apply(self, old, msg, n):
+        new_b = (
+            old.getField("phi")
+            + self.c2 * F.coalesce(msg, F.lit(0.0))
+            - self.a * old.getField("deg") * old.getField("b")
+        )
+        return F.struct(
+            new_b.alias("b"),
+            old.getField("phi").alias("phi"),
+            old.getField("deg").alias("deg"),
+        )
+
+    def changed(self, old, new):
+        return F.abs(new.getField("b") - old.getField("b")) > self.threshold
+
+    def finalize(self, state: DataFrame) -> DataFrame:
+        return state.select("vertex", F.col("value").getField("b").alias("value"))
+
+
 class ConnectedComponents(VertexProgram):
     """HashMin / PEGASUS CC (CCComputation.java:140-197): propagate min
     label; exact fixpoint. Caller must symmetrize edges for WCC."""

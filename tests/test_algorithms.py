@@ -1187,3 +1187,97 @@ def test_effective_diameter_exact_path_and_clique(spark):
     ).first().eff_diameter
     # N(0)=4, N(1)=16=N(2); 0.9*16=14.4 -> eff = 0 + (14.4-4)/(16-4)
     assert got_k4 == pytest.approx(round(10.4 / 12, 6))
+
+
+def test_fabp_matches_numpy_jacobi(spark):
+    """4 Jacobi iterations of b <- phi + c'Ab - aDb on a small undirected
+    graph, recomputed densely with NumPy (identical constants)."""
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    h = 0.05
+    priors_rows = [(0, 1.0), (4, -1.0)]
+    priors = spark.createDataFrame(priors_rows, "vertex long, prior double")
+    res = algorithms.fabp(
+        _edges(spark, pairs), priors, h=h, max_iter=4, threshold=0.0
+    )
+    got = {r["vertex"]: r["value"] for r in res.state.collect()}
+
+    n = 5
+    A = np.zeros((n, n))
+    for s, d in pairs:
+        A[s, d] = A[d, s] = 1.0
+    D = A.sum(axis=1)
+    phi = np.zeros(n)
+    for v, p in priors_rows:
+        phi[v] = p
+    hh = 4.0 * h * h
+    a = hh / (1.0 - hh)
+    c2 = 2.0 * h / (1.0 - hh)
+    b = phi.copy()
+    for _ in range(4):
+        b = phi + c2 * (A @ b) - a * (D * b)
+    for v in range(n):
+        assert got[v] == pytest.approx(b[v], abs=1e-12)
+    assert res.iterations == 4
+
+
+def test_fabp_contracts_to_linear_system_solution(spark):
+    """With c'·λ_max < 1 the Jacobi iteration converges to the solution of
+    (I + aD - c'A)·b = phi — the FaBP linear system itself."""
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    h = 0.05
+    priors = spark.createDataFrame([(0, 1.0)], "vertex long, prior double")
+    res = algorithms.fabp(
+        _edges(spark, pairs), priors, h=h, max_iter=100, threshold=1e-12
+    )
+    got = {r["vertex"]: r["value"] for r in res.state.collect()}
+    assert res.converged
+
+    n = 5
+    A = np.zeros((n, n))
+    for s, d in pairs:
+        A[s, d] = A[d, s] = 1.0
+    D = np.diag(A.sum(axis=1))
+    phi = np.zeros(n)
+    phi[0] = 1.0
+    hh = 4.0 * h * h
+    a = hh / (1.0 - hh)
+    c2 = 2.0 * h / (1.0 - hh)
+    b_exact = np.linalg.solve(np.eye(n) + a * D - c2 * A, phi)
+    for v in range(n):
+        assert got[v] == pytest.approx(b_exact[v], abs=1e-9)
+    # guilt-by-association: the positively seeded vertex's neighbors score
+    # higher than the far end of the path
+    assert got[1] > got[4] and got[2] > got[4]
+
+
+def test_power_iteration_matches_numpy(spark):
+    """5 normalized products vs dense NumPy; lambda estimate converges on
+    the true spectral radius of the symmetrized adjacency."""
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    state, lam, metrics = algorithms.power_iteration(
+        _edges(spark, pairs), max_iter=5
+    )
+    got = {r["vertex"]: r["value"] for r in state.collect()}
+
+    n = 5
+    A = np.zeros((n, n))
+    for s, d in pairs:
+        A[s, d] = A[d, s] = 1.0
+    x = np.full(n, 1.0 / np.sqrt(n))
+    nrm = 1.0
+    for _ in range(5):
+        x = A @ x
+        nrm = np.sqrt((x**2).sum())
+        x = x / nrm
+    for v in range(n):
+        assert got[v] == pytest.approx(x[v], abs=1e-12)
+    assert lam == pytest.approx(nrm, abs=1e-12)
+    # true lambda_max for reference: power iteration should be within 5%
+    true_lam = max(abs(np.linalg.eigvalsh(A)))
+    assert abs(lam - true_lam) / true_lam < 0.05
+    assert len(metrics) == 5
+
+
+def test_power_iteration_empty_graph(spark):
+    state, lam, metrics = algorithms.power_iteration(_edges(spark, []), max_iter=3)
+    assert state.count() == 0 and lam == 0.0 and metrics == []
