@@ -684,6 +684,22 @@ def _q_katz8_blocked(spark, sf_dir):
     )
 
 
+RICH_CLUB_KS = [2, 5, 10, 20, 50]
+
+
+def _q_global_clustering(spark, sf_dir):
+    """Global transitivity C = 3T/W (algorithms.global_clustering):
+    degree-oriented triangle count + one degree aggregation."""
+    return algorithms.global_clustering(_graph1000(spark, sf_dir))
+
+
+def _q_rich_club(spark, sf_dir):
+    """Rich-club coefficients φ(k) for fixed cutoffs
+    (algorithms.rich_club): one conditional-agg pass over the
+    degree-joined undirected edge set serves every k."""
+    return algorithms.rich_club(_graph1000(spark, sf_dir), RICH_CLUB_KS)
+
+
 def _q_fabp4(spark, sf_dir):
     """FaBP semi-supervised belief propagation (gimv.FaBP via
     algorithms.fabp), fixed 4-iteration Jacobi recurrence over the
@@ -1728,6 +1744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz8_blocked": _q_katz8_blocked,
         "fabp4": _q_fabp4,
         "spectral5": _q_spectral5,
+        "global_clustering": _q_global_clustering,
+        "rich_club": _q_rich_club,
         "salsa4": _q_salsa4,
         "betweenness8": _q_betweenness8,
         "gstats": _q_gstats,
@@ -3368,6 +3386,38 @@ group by 1, 2
             G1000_SQL, FABP_ITERS, FABP_H, FABP_SEED_MOD, FABP_SEED_VAL
         ),
         "spectral5": _spectral_sql(G1000_SQL, SPECTRAL_ITERS),
+        "global_clustering": f"""
+with e as ({G1000_SQL}),
+und as (select least(src, dst) as a, greatest(src, dst) as b from e group by 1, 2),
+deg as (select v, count(*) as d from
+  (select a as v from und union all select b from und) group by v),
+w as (select cast(sum(d * (d - 1) / 2) as bigint) as n_wedges from deg),
+t as (select count(*)::bigint as n_triangles
+  from und e1
+  join und e2 on e2.a = e1.b
+  join und e3 on e3.a = e1.a and e3.b = e2.b)
+select t.n_triangles, w.n_wedges,
+  round(3.0 * t.n_triangles / w.n_wedges, 6) as global_cc
+from t, w
+""",
+        "rich_club": f"""
+with e as ({G1000_SQL}),
+und as (select least(src, dst) as a, greatest(src, dst) as b from e group by 1, 2),
+deg as (select v, count(*) as d from
+  (select a as v from und union all select b from und) group by v),
+e2 as (select da.d as da, db.d as db from und
+  join deg da on da.v = und.a join deg db on db.v = und.b),
+ks as (select unnest([{', '.join(str(k) for k in RICH_CLUB_KS)}]) as k)
+select k::bigint as k,
+  (select count(*) from deg where deg.d > ks.k)::bigint as n_nodes,
+  (select count(*) from e2 where e2.da > ks.k and e2.db > ks.k)::bigint as n_edges,
+  round(case when (select count(*) from deg where deg.d > ks.k) >= 2
+    then 2.0 * (select count(*) from e2 where e2.da > ks.k and e2.db > ks.k)
+         / ((select count(*) from deg where deg.d > ks.k)
+            * ((select count(*) from deg where deg.d > ks.k) - 1.0))
+    else 0.0 end, 6) as phi
+from ks
+""",
         "salsa4": _salsa_sql(G1000_SQL, SALSA_ITERS),
         "betweenness8": _betweenness_sql(G1000_SQL, BETW_SOURCES, BETW_DEPTH),
         "gstats": f"""

@@ -1281,3 +1281,20 @@ def test_power_iteration_matches_numpy(spark):
 def test_power_iteration_empty_graph(spark):
     state, lam, metrics = algorithms.power_iteration(_edges(spark, []), max_iter=3)
     assert state.count() == 0 and lam == 0.0 and metrics == []
+
+
+def test_global_clustering_triangle_with_pendant(spark):
+    """Triangle + pendant: T = 1, wedges = 1+1+3 = 5, C = 3/5."""
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    row = algorithms.global_clustering(_edges(spark, pairs)).first()
+    assert row.n_triangles == 1 and row.n_wedges == 5
+    assert row.global_cc == pytest.approx(0.6)
+
+
+def test_rich_club_triangle_with_pendant(spark):
+    """k=1 club = the triangle (fully connected, phi = 1); k=2 club has a
+    single member (phi = 0 by convention)."""
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    rows = {r.k: r for r in algorithms.rich_club(_edges(spark, pairs), [1, 2]).collect()}
+    assert rows[1].n_nodes == 3 and rows[1].n_edges == 3 and rows[1].phi == 1.0
+    assert rows[2].n_nodes == 1 and rows[2].phi == 0.0
