@@ -1604,6 +1604,31 @@ def _q_dedup_clusters(spark, sf_dir):
     )
 
 
+def _q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware dedup: same oracled pair graph + CC clusters as
+    dedup_clusters, but the kept representative is the LONGEST document
+    (tie: lowest doc_id) — corpus.dedup_keep_best's row_number window
+    partitioned by cluster."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = textops.jaccard_similarity_join(
+        docs, "text", threshold=0.25, k=5, extra_cols=("lang",)
+    ).filter(F.col("lang_a") == F.col("lang_b"))
+    return corpus.dedup_keep_best(docs, pairs=pairs)
+
+
+PPL_BUCKETS = 10
+
+
+def _q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity tiers (corpus.perplexity_buckets, exact
+    face): ntile over (round(ppl,4), doc_id); the approxQuantile scale
+    face shares the schema and is recall-tested in pytest."""
+    out = corpus.perplexity_buckets(
+        _t(spark, sf_dir, "documents"), n_buckets=PPL_BUCKETS
+    )
+    return out.select("doc_id", "ppl_r", F.col("bucket").cast("long").alias("bucket"))
+
+
 def _q_decontaminate(spark, sf_dir):
     """Eval-set contamination: held-out = doc_id % 13 == 0; flag training
     docs sharing any 13-char shingle with any held-out doc. String grams
@@ -1788,6 +1813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_ppr10_blocked": _q_batch_ppr10_blocked,
         "random_walks": _q_random_walks,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "perplexity_buckets": _q_perplexity_buckets,
         "decontaminate": _q_decontaminate,
         "sample_stratified": _q_sample_stratified,
         "top_bigrams": _q_top_bigrams,
@@ -3120,6 +3147,17 @@ select d.doc_id, coalesce(c.cluster_id, d.doc_id) as cluster_id,
 from documents d left join comp c on c.v = d.doc_id
 """
 
+# Same pair graph + transitive closure as _DEDUP_CLUSTERS_SQL, different
+# final select: the kept doc per cluster is the longest (tie: min doc_id).
+_DEDUP_KEEP_BEST_SQL = _DEDUP_CLUSTERS_SQL.rsplit("select d.doc_id", 1)[0] + """
+select a.doc_id, a.cluster_id,
+  (row_number() over (partition by a.cluster_id
+     order by length(d.text) desc, a.doc_id asc) = 1) as keep
+from (select d.doc_id, coalesce(c.cluster_id, d.doc_id) as cluster_id
+      from documents d left join comp c on c.v = d.doc_id) a
+join documents d on d.doc_id = a.doc_id
+"""
+
 _DECONTAM_SQL = r"""
 with n as (select doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) as norm
            from documents),
@@ -3597,6 +3635,14 @@ from documents
         "batch_ppr10_blocked": _batch_ppr_sql(G1000_SQL, 10, BATCH_PPR_SOURCES),
         "random_walks": _random_walks_sql(G1000_SQL, 4, 2),
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
+        "perplexity_buckets": f"""
+with t0 as ({_UNIGRAM_LP_SQL}),
+s as (select doc_id, ppl as ppl_r from t0)
+select doc_id, ppl_r,
+  ntile({PPL_BUCKETS}) over (order by ppl_r asc nulls last, doc_id asc) as bucket
+from s
+""",
         "decontaminate": _DECONTAM_SQL,
         "sample_stratified": _SAMPLE_SQL,
         "top_bigrams": _TOP_BIGRAMS_SQL,

@@ -79,6 +79,82 @@ def dedup_clusters(
     return out.withColumn("is_canonical", (F.col("doc_id") == F.col("cluster_id")))
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.25,
+    k: int = 5,
+    pairs: DataFrame | None = None,
+    score: F.Column | None = None,
+) -> DataFrame:
+    """Near-dup dedup with QUALITY-AWARE canonical selection: cluster via
+    :func:`dedup_clusters`, then keep the best-scoring document per
+    cluster instead of the arbitrary min-doc_id representative —
+    production dedup keeps the longest/cleanest copy, not the first one
+    crawled. Returns ``(doc_id, cluster_id, keep)``.
+
+    ``score`` defaults to document length (deterministic, SQL-exact);
+    ties break on lowest doc_id. Scale shape: the cluster assignment is
+    the CC-on-pair-graph plan of dedup_clusters, and the winner pick is
+    one ``row_number`` window PARTITIONED BY cluster_id — shuffles on the
+    cluster key only, no global sort.
+    """
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(
+        df, text_col, threshold=threshold, k=k, pairs=pairs
+    ).select("doc_id", "cluster_id")
+    s = score if score is not None else F.length(F.col(text_col)).cast("long")
+    scored = df.select("doc_id", s.alias("_score"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_score"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(scored, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "keep")
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    n_buckets: int = 10,
+    text_col: str = "text",
+    lm_counts: DataFrame | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    unigram LM (:func:`unigram_logprob`), then split the corpus into
+    ``n_buckets`` equal-frequency quality tiers. Returns
+    ``(doc_id, ppl_r, bucket)`` with bucket 1 = lowest perplexity (most
+    fluent); empty documents (NULL perplexity) land in the last bucket.
+
+    ``exact=True`` is the oracle face: ntile over the total order
+    (round(ppl,4), doc_id) — deterministic and SQL-identical, but the
+    global window is a single-partition sort, fine at validation scale
+    only. ``exact=False`` is the 100 TB path: bucket boundaries from
+    ``approxQuantile`` (one distributed pass, 1e-3 relative error) applied
+    as a broadcast when-chain — no global sort, same schema, boundaries
+    approximate instead of exact-frequency.
+    """
+    from pyspark.sql import Window
+
+    lp = unigram_logprob(df, text_col, lm_counts)
+    scored = lp.select("doc_id", F.round("ppl", 4).alias("ppl_r"))
+    if exact:
+        w = Window.orderBy(F.col("ppl_r").asc_nulls_last(), F.col("doc_id"))
+        return scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+    non_null = scored.filter(F.col("ppl_r").isNotNull())
+    cuts = non_null.approxQuantile(
+        "ppl_r", [i / n_buckets for i in range(1, n_buckets)], 1e-3
+    )
+    bucket = F.lit(n_buckets)
+    for i in range(n_buckets - 1, 0, -1):
+        bucket = F.when(F.col("ppl_r") <= cuts[i - 1], i).otherwise(bucket)
+    bucket = F.when(F.col("ppl_r").isNull(), n_buckets).otherwise(bucket)
+    return scored.withColumn("bucket", bucket)
+
+
 # ---------------------------------------------------------------------------
 # Decontamination vs a held-out set
 # ---------------------------------------------------------------------------

@@ -284,3 +284,35 @@ def test_deterministic_shuffle_stable_and_complete(spark):
     c = sorted(map(tuple, corpus.deterministic_shuffle(
         d, salt="epoch1", n_shards=4).collect()))
     assert c != ra
+
+
+def test_dedup_keep_best_keeps_longest(spark, docs):
+    """One keeper per cluster; the longest member wins (doc 13 has the
+    shorter text of its pair, so 14 is kept despite the higher id)."""
+    out = corpus.dedup_keep_best(docs, threshold=0.5, k=5)
+    got = {r.doc_id: (r.cluster_id, r.keep) for r in out.collect()}
+    # cluster {13,14}: doc 14's text is one char longer -> kept
+    assert got[14] == (13, True) and got[13] == (13, False)
+    # singletons keep themselves
+    assert got[5][1] and got[26][1]
+    # exactly one keeper per cluster
+    per_cluster = (
+        out.groupBy("cluster_id")
+        .agg(F.sum(F.col("keep").cast("int")).alias("n"))
+        .collect()
+    )
+    assert all(r.n == 1 for r in per_cluster)
+    assert out.count() == docs.count()
+
+
+def test_perplexity_buckets_exact_and_approx_agree_on_order(spark, docs):
+    """Exact face: every doc bucketed 1..n, bucket order follows ppl order.
+    Approx face: same schema, buckets monotone in ppl."""
+    exact = corpus.perplexity_buckets(docs, n_buckets=3, exact=True)
+    rows = exact.orderBy("ppl_r", "doc_id").collect()
+    assert {r.bucket for r in rows} <= {1, 2, 3}
+    assert all(a.bucket <= b.bucket for a, b in zip(rows, rows[1:]))
+    approx = corpus.perplexity_buckets(docs, n_buckets=3, exact=False)
+    arows = approx.orderBy("ppl_r", "doc_id").collect()
+    assert [r.doc_id for r in arows] == [r.doc_id for r in rows]
+    assert all(a.bucket <= b.bucket for a, b in zip(arows, arows[1:]))
