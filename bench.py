@@ -149,6 +149,29 @@ def main() -> None:
             edges, alpha=0.01, max_iter=PAGERANK_ITERS, num_partitions=gp
         ).state.count(),
     )
+
+    def run_fabp():
+        priors = (
+            edges.select(F.col("src").alias("vertex")).distinct()
+            .select(
+                "vertex",
+                F.when(F.col("vertex") % 97 == 0, 1.0)
+                .when(F.col("vertex") % 97 == 1, -1.0)
+                .otherwise(0.0).alias("prior"),
+            )
+        )
+        return algorithms.fabp(
+            edges, priors, h=0.002, max_iter=PAGERANK_ITERS, threshold=0.0,
+            num_partitions=gp,
+        ).state.count()
+
+    timed("fabp_10it", run_fabp)
+    timed(
+        "spectral_5it",
+        lambda: algorithms.power_iteration(edges, max_iter=5, num_partitions=gp)[
+            0
+        ].count(),
+    )
     # g5000 is dense (avg degree >100), so it is one giant SCC plus
     # stragglers: scc exercises the full flood + backward machinery in few
     # outer rounds, and MIS retires most of the graph in round 1
@@ -307,6 +330,12 @@ def main() -> None:
     timed(
         "unigram_logprob_scan",
         lambda: corpus.unigram_logprob(docs).agg(F.avg("ppl")).first(),
+    )
+    timed(
+        "perplexity_buckets",
+        # scale face: approxQuantile cutpoints, no global sort
+        lambda: corpus.perplexity_buckets(docs, exact=False)
+        .groupBy("bucket").count().count(),
     )
     timed(
         "pack_documents",

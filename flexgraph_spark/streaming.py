@@ -138,6 +138,92 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_doc_stream(spark, path: str, max_files_per_trigger: int | None = None):
+    """File-source document stream (incoming crawl/ingest batches land as
+    parquet files; each file is a micro-batch unit)."""
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def streaming_near_dup(
+    docs: DataFrame,
+    index: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    est_cut: float = 0.5,
+) -> DataFrame:
+    """Incremental near-duplicate screen: MinHash each INCOMING document
+    and probe a STATIC LSH band index of the existing corpus
+    (textops.minhash_band_index) — the ingest-time dedup gate of a
+    training-data pipeline (drop/flag a crawled page that near-matches
+    something already in the corpus, without rescanning the corpus).
+
+    Returns ``(doc_id, match_id, est_jaccard)`` where est_jaccard is the
+    signature-component match fraction (same estimator as the batch LSH
+    screen), aggregated to one row per (incoming doc, corpus doc) pair.
+
+    Stream-static shape: the signature + banding are stateless column
+    expressions (streaming-legal), the probe is a stream-static equi-join
+    on (band, bucket) — no streaming state at all; only the final
+    per-pair max() aggregation carries state, keyed by the pair (emit in
+    ``update`` mode, or window + watermark the input to bound it). Batch
+    inputs run the identical plan (the stream≡batch pytest contract).
+    At scale the index side is parquet bucketed by (band, bucket), so the
+    probe co-locates; hot buckets (boilerplate bands) are AQE skew-join
+    territory, same as the batch band join.
+
+    Note: unlike the batch path (textops.shingle_table's persist barrier),
+    a stream cannot persist the shingle array, so projection collapse may
+    recompute the shingle split per hash seed — acceptable per micro-batch
+    (the batch index side, where the corpus-scale cost sits, keeps the
+    barrier).
+    """
+    from flexgraph_spark.textops import _band_explode, _signatures_from, shingle_hashes
+
+    rpb = num_hashes // bands
+    hs = docs.select(
+        "doc_id", shingle_hashes(F.col("text"), k).alias("hs")
+    ).filter(F.size("hs") > 0)
+    sigs = _signatures_from(hs, num_hashes)
+    banded = sigs.select(
+        "doc_id", "sig", _band_explode(bands, rpb).alias("bb")
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    idx = index.select(
+        "band", "bucket",
+        F.col("doc_id").alias("match_id"), F.col("sig").alias("match_sig"),
+    )
+    est = F.aggregate(
+        F.zip_with(
+            F.col("sig"), F.col("match_sig"),
+            lambda a, b: F.when(a == b, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_hashes))
+    return (
+        banded.join(idx, ["band", "bucket"])
+        .filter(F.col("doc_id") != F.col("match_id"))
+        .select("doc_id", "match_id", est.alias("est"))
+        .filter(F.col("est") >= est_cut)
+        .groupBy("doc_id", "match_id")
+        .agg(F.max("est").alias("est_jaccard"))
+    )
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str, mode: str = "update"):
     """Drain a streaming DataFrame into an in-memory table with the
     availableNow trigger (process-everything-then-stop) — the test/dev

@@ -467,6 +467,50 @@ def minhash_signatures(
         sh.unpersist()
 
 
+def _band_explode(bands: int, rows_per_band: int) -> F.Column:
+    """Explode a ``sig`` array column into (band, bucket) rows: bucket =
+    xxhash64 of the band's signature slice (shared by the batch LSH join
+    and the static band index)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+    )
+
+
+def minhash_band_index(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 32,
+    bands: int = 8, k: int = 5, sh: DataFrame | None = None,
+) -> DataFrame:
+    """Static LSH band index of a corpus: ``(band, bucket, doc_id, sig)``.
+
+    The persisted/parquet-able face of the banding inside
+    :func:`minhash_lsh_candidates` — build it ONCE over the existing
+    corpus, then probe it from a different table or a STREAM
+    (streaming.streaming_near_dup's stream-static join side). At scale
+    write it partitioned/bucketed by (band, bucket) so index probes are
+    co-located joins.
+    """
+    sigs = minhash_signatures(df, text_col, num_hashes, k, sh=sh)
+    return sigs.select(
+        "doc_id", "sig", _band_explode(bands, num_hashes // bands).alias("bb")
+    ).select("bb.band", "bb.bucket", "doc_id", "sig")
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame, bands: int = 8, rows_per_band: int = 4,
     est_cut: float | None = None, num_hashes: int | None = None,
@@ -482,27 +526,7 @@ def minhash_lsh_candidates(
     extra shuffle (the alternative — re-joining signatures onto the
     candidate table — shuffles the candidate table twice more)."""
     banded = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "doc_id", "sig", _band_explode(bands, rows_per_band).alias("bb")
     ).select("doc_id", "sig", "bb.band", "bb.bucket")
     x = banded.alias("x")
     y = banded.alias("y")

@@ -164,3 +164,23 @@ def test_msf_job(spark, tmp_path):
     wdf.select("src", "dst").write.parquet(unw)
     with pytest.raises(SystemExit):
         _run(msf_job, ["--edges", unw, "--output", out])
+
+
+def test_fabp_job(spark, edges_parquet, tmp_path):
+    import jobs.fabp as fabp_job
+
+    priors_p = str(tmp_path / "priors")
+    spark.createDataFrame(
+        [(0, 1.0), (1, -1.0)], "vertex long, prior double"
+    ).write.parquet(priors_p)
+    out = str(tmp_path / "fabp")
+    _run(fabp_job, ["--edges", edges_parquet, "--output", out,
+                    "--priors", priors_p, "--homophily", "0.01",
+                    "--max-iter", "5"])
+    df = spark.read.parquet(out)
+    assert set(df.columns) == {"vertex", "value"}
+    assert df.count() > 0
+    # blocked engine is rejected (struct-valued state)
+    with pytest.raises(SystemExit):
+        _run(fabp_job, ["--edges", edges_parquet, "--output", out,
+                        "--priors", priors_p, "--engine", "blocked"])

@@ -130,3 +130,68 @@ def test_windowed_degrees_unweighted_in_direction(spark):
     out = {(r.vertex, r.window_start.hour): (r.n_edges, r.w_degree)
            for r in streaming.windowed_degrees(e, direction="in").collect()}
     assert out == {(2, 10): (2, 2.0), (2, 11): (1, 1.0)}
+
+
+@pytest.fixture(scope="module")
+def doc_dir(tmp_path_factory):
+    """documents.parquet split into two files (forces ≥2 micro-batches)."""
+    d = tmp_path_factory.mktemp("docs")
+    t = pq.read_table(f"{SF}/documents.parquet")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(d / "part-0.parquet"))
+    pq.write_table(t.slice(half), str(d / "part-1.parquet"))
+    return str(d)
+
+
+def test_streaming_near_dup_stream_equals_batch(spark, doc_dir):
+    """Stream-static LSH probe: the same incoming docs produce the same
+    (doc, corpus-match) pairs whether they arrive as a stream or a batch."""
+    from flexgraph_spark import textops
+
+    corpus_docs = spark.read.parquet(f"{SF}/documents.parquet")
+    index = textops.minhash_band_index(
+        corpus_docs, num_hashes=32, bands=16
+    ).persist()
+    index.count()
+
+    batch = streaming.streaming_near_dup(
+        spark.read.parquet(doc_dir), index, num_hashes=32, bands=16, est_cut=0.5
+    )
+    stream = streaming.streaming_near_dup(
+        streaming.read_doc_stream(spark, doc_dir, max_files_per_trigger=1),
+        index, num_hashes=32, bands=16, est_cut=0.5,
+    )
+    q = streaming.run_to_memory(stream, "neardup", mode="complete")
+    _drain(q)
+    got = _rows(spark.table("neardup"))
+    exp = _rows(batch)
+    assert got == exp
+    index.unpersist()
+
+
+def test_streaming_near_dup_flags_planted_duplicate(spark, tmp_path):
+    """A planted near-copy of a corpus doc is flagged against that doc;
+    an unrelated doc is not flagged."""
+    from flexgraph_spark import textops
+
+    corpus_rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again", "en"),
+        (1, "completely different corpus content about spark engines", "en"),
+    ]
+    corpus_docs = spark.createDataFrame(
+        corpus_rows, "doc_id long, text string, lang string"
+    )
+    index = textops.minhash_band_index(corpus_docs, num_hashes=32, bands=16)
+    incoming = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog again and agaiN", "en"),
+            (101, "zzz qqq totally unrelated yyy www nothing shared here", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = streaming.streaming_near_dup(
+        incoming, index, num_hashes=32, bands=16, est_cut=0.5
+    ).collect()
+    matched = {(r.doc_id, r.match_id) for r in out}
+    assert (100, 0) in matched
+    assert all(d != 101 for d, _ in matched)
