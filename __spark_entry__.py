@@ -64,6 +64,8 @@ FABP_ITERS = 4
 FABP_SEED_MOD = 97   # seeds: v%97==0 → +φ, v%97==1 → −φ (~11 of each sign)
 FABP_SEED_VAL = 1.0
 SPECTRAL_ITERS = 5
+TRUST_ITERS = 4
+TRUST_SEED_MOD = 101  # trusted seeds: v % 101 == 0 (~10 at graph1000)
 # Brandes sampled betweenness: 8 fixed sources, depth-bounded at 4 (the
 # graph1000 diameter is 3, so the bound is not binding at sf0.01; at other
 # SFs both sides truncate identically — the closeness4 contract).
@@ -738,6 +740,23 @@ def _q_spectral5(spark, sf_dir):
         F.round("value", 6).alias("eig"),
         F.round(F.lit(lam), 6).alias("lambda_est"),
     )
+
+
+def _q_trustrank4(spark, sf_dir):
+    """TrustRank (gimv.TrustRank): PageRank with teleport restricted to
+    the trusted seed set v%101==0, fixed 4 iterations — oracle = the
+    recurrence unrolled with the identical float constants."""
+    edges = _graph1000(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    seeds = verts.filter(F.col("vertex") % TRUST_SEED_MOD == 0)
+    res = algorithms.trustrank(
+        edges, seeds, max_iter=TRUST_ITERS, threshold=0.0
+    )
+    return res.state.select("vertex", F.round("value", 6).alias("trust"))
 
 
 def _q_gstats(spark, sf_dir):
@@ -1769,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz8_blocked": _q_katz8_blocked,
         "fabp4": _q_fabp4,
         "spectral5": _q_spectral5,
+        "trustrank4": _q_trustrank4,
         "global_clustering": _q_global_clustering,
         "rich_club": _q_rich_club,
         "salsa4": _q_salsa4,
@@ -2054,6 +2074,37 @@ def _spectral_sql(edge_sql: str, iters: int) -> str:
         "with " + ",\n".join(ctes)
         + f"\nselect v as vertex, round(x, 6) as eig, "
         f"round((select nrm from n{iters}), 6) as lambda_est from x{iters}"
+    )
+
+
+def _trustrank_sql(edge_sql: str, iters: int, alpha: float, seed_mod: int) -> str:
+    """Unrolled TrustRank recurrence t ← α·Σ_{u→v} t(u)/od(u) + (1−α)·d(v),
+    d uniform over seeds (v % seed_mod == 0), t₀ = d. The (1−α) constant is
+    Python-evaluated so both engines use the identical float."""
+    beta = 1.0 - alpha
+    ctes = [
+        f"e as materialized ({edge_sql})",
+        "verts as (select src as v from e union select dst from e)",
+        "outd as materialized (select src as v, count(*)::double as od "
+        "from e group by src)",
+        f"ns as (select count(*)::double as n from verts where v % {seed_mod} = 0)",
+        f"d as (select verts.v, case when verts.v % {seed_mod} = 0 "
+        f"then 1.0 / ns.n else 0.0 end as dv from verts, ns)",
+        "t0 as (select v, dv as t from d)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"r{k} as materialized (select e.dst as v, sum(t.t / outd.od) as raw "
+            f"from e join t{k-1} t on t.v = e.src "
+            f"join outd on outd.v = e.src group by e.dst)"
+        )
+        ctes.append(
+            f"t{k} as (select d.v, {alpha!r} * coalesce(r{k}.raw, 0.0) "
+            f"+ {beta!r} * d.dv as t from d left join r{k} on r{k}.v = d.v)"
+        )
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect v as vertex, round(t, 6) as trust from t{iters}"
     )
 
 
@@ -3424,6 +3475,9 @@ group by 1, 2
             G1000_SQL, FABP_ITERS, FABP_H, FABP_SEED_MOD, FABP_SEED_VAL
         ),
         "spectral5": _spectral_sql(G1000_SQL, SPECTRAL_ITERS),
+        "trustrank4": _trustrank_sql(
+            G1000_SQL, TRUST_ITERS, gimv.PAGERANK_ALPHA, TRUST_SEED_MOD
+        ),
         "global_clustering": f"""
 with e as ({G1000_SQL}),
 und as (select least(src, dst) as a, greatest(src, dst) as b from e group by 1, 2),

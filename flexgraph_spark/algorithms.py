@@ -1295,6 +1295,32 @@ def fabp(
     )
 
 
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    alpha: float = gimv.PAGERANK_ALPHA,
+    threshold: float = 0.0,
+    max_iter: int = 10,
+    num_partitions: int | None = None,
+    checkpointer=None,
+) -> gimv.GimvResult:
+    """TrustRank (gimv.TrustRank): PageRank whose teleport mass goes
+    uniformly to a trusted seed set instead of all vertices —
+    spam/trust propagation over a directed link graph. ``seeds``:
+    (vertex) rows; seeds absent from the graph are ignored (they join to
+    nothing). threshold=0.0 runs the full fixed depth (the
+    oracle-unrollable contract). Flat plan (struct-valued state); the
+    superstep shape and cost are identical to PageRank's.
+    """
+    prog = gimv.TrustRank(
+        seeds=seeds.select("vertex").distinct(), alpha=alpha, threshold=threshold
+    )
+    return gimv.run(
+        edges, prog, max_iter=max_iter, num_partitions=num_partitions,
+        checkpointer=checkpointer,
+    )
+
+
 def power_iteration(
     edges: DataFrame,
     max_iter: int = 5,

@@ -513,6 +513,65 @@ class FaBP(VertexProgram):
         return state.select("vertex", F.col("value").getField("b").alias("value"))
 
 
+class TrustRank(VertexProgram):
+    """TrustRank (Gyöngyi, Garcia-Molina, Pedersen, VLDB 2004): PageRank
+    with teleport restricted to a trusted seed set —
+    ``t ← α·Aᵀ_norm·t + (1−α)·d`` with d uniform over the seeds and
+    t₀ = d. The classic trust/spam-propagation analysis for web-scale
+    link graphs; differs from this repo's RWR quirk-preserving
+    PageRank(source_vertex=·) in that the teleport mass is split across
+    a SET of seeds (and from the reference PageRank in that teleport is
+    NOT uniform over all vertices).
+
+    Like :class:`FaBP`, the per-vertex static (the teleport weight d(v))
+    rides the state as a struct field instead of being re-joined every
+    superstep — state value = struct(t, d); flat plan only.
+    """
+
+    name = "trustrank"
+    needs_out_degree = True
+    supports_blocked = False  # struct-valued state: flat plan only
+
+    def __init__(self, seeds: DataFrame, alpha: float = PAGERANK_ALPHA,
+                 threshold: float = CONVERGE_THRESHOLD):
+        self.seeds = seeds  # (vertex) — uniform d = 1/|seeds| over these
+        self.alpha = alpha
+        self.threshold = threshold
+
+    def init_state(self, vertices: DataFrame, n: int) -> DataFrame:
+        n_seeds = self.seeds.count()
+        d = F.when(F.col("_is_seed").isNotNull(), 1.0 / n_seeds).otherwise(0.0)
+        return (
+            vertices.join(
+                self.seeds.select("vertex", F.lit(1).alias("_is_seed")),
+                "vertex", "left",
+            )
+            .select(
+                "vertex",
+                F.struct(d.alias("t"), d.alias("d")).alias("value"),
+            )
+        )
+
+    def message(self) -> F.Column:
+        return F.col("value").getField("t") / F.col("out_degree")
+
+    def reduce_expr(self) -> F.Column:
+        return F.sum("msg")
+
+    def apply(self, old, msg, n):
+        new_t = (
+            self.alpha * F.coalesce(msg, F.lit(0.0))
+            + (1.0 - self.alpha) * old.getField("d")
+        )
+        return F.struct(new_t.alias("t"), old.getField("d").alias("d"))
+
+    def changed(self, old, new):
+        return F.abs(new.getField("t") - old.getField("t")) > self.threshold
+
+    def finalize(self, state: DataFrame) -> DataFrame:
+        return state.select("vertex", F.col("value").getField("t").alias("value"))
+
+
 class ConnectedComponents(VertexProgram):
     """HashMin / PEGASUS CC (CCComputation.java:140-197): propagate min
     label; exact fixpoint. Caller must symmetrize edges for WCC."""

@@ -1298,3 +1298,32 @@ def test_rich_club_triangle_with_pendant(spark):
     rows = {r.k: r for r in algorithms.rich_club(_edges(spark, pairs), [1, 2]).collect()}
     assert rows[1].n_nodes == 3 and rows[1].n_edges == 3 and rows[1].phi == 1.0
     assert rows[2].n_nodes == 1 and rows[2].phi == 0.0
+
+
+def test_trustrank_matches_numpy(spark):
+    """4 iterations of t <- a*A_norm^T t + (1-a)*d vs dense NumPy; teleport
+    only to seeds, t0 = d."""
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (5, 0)]
+    seeds = spark.createDataFrame([(0,), (3,)], "vertex long")
+    res = algorithms.trustrank(
+        _edges(spark, pairs), seeds, alpha=0.85, max_iter=4, threshold=0.0
+    )
+    got = {r["vertex"]: r["value"] for r in res.state.collect()}
+
+    n = 6
+    A = np.zeros((n, n))
+    for s, d in pairs:
+        A[s, d] = 1.0
+    od = A.sum(axis=1)
+    P = np.divide(A, od[:, None], out=np.zeros_like(A), where=od[:, None] > 0)
+    dvec = np.zeros(n)
+    dvec[[0, 3]] = 0.5
+    t = dvec.copy()
+    for _ in range(4):
+        t = 0.85 * (P.T @ t) + (1.0 - 0.85) * dvec
+    for v in range(n):
+        assert got[v] == pytest.approx(t[v], abs=1e-12)
+    assert res.iterations == 4
+    # trust flows only from seeds: vertex 5 has no in-edges and is not a
+    # seed, so its trust is exactly 0
+    assert got[5] == 0.0
