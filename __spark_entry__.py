@@ -66,6 +66,9 @@ FABP_SEED_VAL = 1.0
 SPECTRAL_ITERS = 5
 TRUST_ITERS = 4
 TRUST_SEED_MOD = 101  # trusted seeds: v % 101 == 0 (~10 at graph1000)
+SPAM_ITERS = 10       # PR and TR at the same depth for mass = (PR−TR)/PR
+HIT_ITERS = 4
+HIT_SEED_MOD = 89     # absorbing targets: v % 89 == 0 (~12 at graph1000)
 # Brandes sampled betweenness: 8 fixed sources, depth-bounded at 4 (the
 # graph1000 diameter is 3, so the bound is not binding at sf0.01; at other
 # SFs both sides truncate identically — the closeness4 contract).
@@ -757,6 +760,38 @@ def _q_trustrank4(spark, sf_dir):
         edges, seeds, max_iter=TRUST_ITERS, threshold=0.0
     )
     return res.state.select("vertex", F.round("value", 6).alias("trust"))
+
+
+def _q_spam_mass(spark, sf_dir):
+    """Relative spam mass (algorithms.spam_mass): (PR − TR)/PR at depth
+    10, teleport-trusted seeds v%101==0 — oracle composes the two
+    unrolled recurrences on the same rounded outputs."""
+    edges = _graph1000(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    seeds = verts.filter(F.col("vertex") % TRUST_SEED_MOD == 0)
+    return algorithms.spam_mass(edges, seeds, max_iter=SPAM_ITERS)
+
+
+def _q_hitting_prob4(spark, sf_dir):
+    """k-step hitting probability (gimv.HittingProbability over the
+    transposed edge table): P[random walk from v reaches the absorbing
+    set v%89==0 within 4 steps] — oracle = the absorbing recurrence
+    unrolled 4 times."""
+    edges = _graph1000(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    seeds = verts.filter(F.col("vertex") % HIT_SEED_MOD == 0)
+    res = algorithms.hitting_probability(
+        edges, seeds, max_iter=HIT_ITERS, threshold=0.0
+    )
+    return res.state.select("vertex", F.round("value", 6).alias("hit_prob"))
 
 
 def _q_gstats(spark, sf_dir):
@@ -1789,6 +1824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fabp4": _q_fabp4,
         "spectral5": _q_spectral5,
         "trustrank4": _q_trustrank4,
+        "spam_mass": _q_spam_mass,
+        "hitting_prob4": _q_hitting_prob4,
         "global_clustering": _q_global_clustering,
         "rich_club": _q_rich_club,
         "salsa4": _q_salsa4,
@@ -2105,6 +2142,51 @@ def _trustrank_sql(edge_sql: str, iters: int, alpha: float, seed_mod: int) -> st
     return (
         "with " + ",\n".join(ctes)
         + f"\nselect v as vertex, round(t, 6) as trust from t{iters}"
+    )
+
+
+def _spam_mass_sql(edge_sql: str, iters: int, alpha: float, seed_mod: int) -> str:
+    """Relative spam mass composed from the two unrolled recurrences:
+    mass = (PR − TR)/PR over the ROUNDED published values, so the
+    composition is a deterministic function of two already-gated
+    vectors (no fresh float-order surface)."""
+    pr_sql = _pagerank_sql(edge_sql, iters)
+    tr_sql = _trustrank_sql(edge_sql, iters, alpha, seed_mod)
+    return (
+        f"with pr as materialized (select * from ({pr_sql})),\n"
+        f"tr as materialized (select * from ({tr_sql}))\n"
+        "select pr.vertex, pr.pr, tr.trust, "
+        "round((pr.pr - tr.trust) / pr.pr, 6) as mass "
+        "from pr join tr on tr.vertex = pr.vertex"
+    )
+
+
+def _hitting_sql(edge_sql: str, iters: int, seed_mod: int) -> str:
+    """Unrolled absorbing-walk recurrence h ← (v∈S) ? 1 : Σ_{v→u} h(u)/od(v),
+    h₀ = 1_S; vertices with no out-edges and not in S stay 0."""
+    ctes = [
+        f"e as materialized ({edge_sql})",
+        "verts as (select src as v from e union select dst from e)",
+        "outd as materialized (select src as v, count(*)::double as od "
+        "from e group by src)",
+        f"h0 as (select v, case when v % {seed_mod} = 0 then 1.0 else 0.0 end "
+        "as h from verts)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"r{k} as materialized (select e.src as v, sum(h.h) as raw "
+            f"from e join h{k-1} h on h.v = e.dst group by e.src)"
+        )
+        ctes.append(
+            f"h{k} as (select verts.v, case when verts.v % {seed_mod} = 0 then 1.0 "
+            f"when outd.od is null then 0.0 "
+            f"else coalesce(r{k}.raw, 0.0) / outd.od end as h "
+            f"from verts left join outd on outd.v = verts.v "
+            f"left join r{k} on r{k}.v = verts.v)"
+        )
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect v as vertex, round(h, 6) as hit_prob from h{iters}"
     )
 
 
@@ -3478,6 +3560,10 @@ group by 1, 2
         "trustrank4": _trustrank_sql(
             G1000_SQL, TRUST_ITERS, gimv.PAGERANK_ALPHA, TRUST_SEED_MOD
         ),
+        "spam_mass": _spam_mass_sql(
+            G1000_SQL, SPAM_ITERS, gimv.PAGERANK_ALPHA, TRUST_SEED_MOD
+        ),
+        "hitting_prob4": _hitting_sql(G1000_SQL, HIT_ITERS, HIT_SEED_MOD),
         "global_clustering": f"""
 with e as ({G1000_SQL}),
 und as (select least(src, dst) as a, greatest(src, dst) as b from e group by 1, 2),

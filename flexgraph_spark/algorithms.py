@@ -1321,6 +1321,75 @@ def trustrank(
     )
 
 
+def hitting_probability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    threshold: float = 0.0,
+    max_iter: int = 10,
+    num_partitions: int | None = None,
+    checkpointer=None,
+) -> gimv.GimvResult:
+    """k-step hitting probability (gimv.HittingProbability): per-vertex
+    probability that a simple random walk reaches the absorbing seed set
+    within ``max_iter`` steps. The recurrence pulls from OUT-neighbors, so
+    this wrapper computes the original out-degrees once, transposes the
+    edge table, and runs the standard superstep over the transpose — same
+    plan shape and cost as PageRank. threshold=0.0 runs the full fixed
+    depth (the oracle-unrollable contract); h is monotone in k, so any
+    positive threshold gives early exact-ish stop.
+    """
+    od = edges.groupBy(F.col("src").alias("vertex")).agg(
+        F.count("*").cast("double").alias("od")
+    )
+    transposed = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    prog = gimv.HittingProbability(
+        seeds=seeds.select("vertex").distinct(), out_degree=od,
+        threshold=threshold,
+    )
+    return gimv.run(
+        transposed, prog, max_iter=max_iter, num_partitions=num_partitions,
+        checkpointer=checkpointer,
+    )
+
+
+def spam_mass(
+    edges: DataFrame,
+    seeds: DataFrame,
+    alpha: float = gimv.PAGERANK_ALPHA,
+    max_iter: int = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Relative spam mass (Gyöngyi et al., "Link Spam Detection Based on
+    Mass Estimation", VLDB 2006): ``m(v) = (PR(v) − TR(v)) / PR(v)`` —
+    the fraction of a page's PageRank NOT explainable by trust flowing
+    from the good-seed set. High m ⇒ rank comes mostly from unvouched
+    (potentially spam) linkage. Composition of the two existing programs
+    at the same iteration depth: one PageRank run (rank-sum normalized,
+    reference semantics) + one TrustRank run, one join, column math.
+    Returns (vertex, pr, trust, mass), values rounded to 6 decimals
+    FIRST so mass is a deterministic function of the published pr/trust
+    (the oracle composes the same rounded recurrences). PR(v) > 0 always
+    (uniform teleport), so the ratio is total.
+    """
+    pr = gimv.run(
+        edges, gimv.PageRank(alpha=alpha, threshold=0.0),
+        max_iter=max_iter, num_partitions=num_partitions,
+    ).state.select("vertex", F.round("value", 6).alias("pr"))
+    tr = trustrank(
+        edges, seeds, alpha=alpha, threshold=0.0, max_iter=max_iter,
+        num_partitions=num_partitions,
+    ).state.select("vertex", F.round("value", 6).alias("trust"))
+    return (
+        pr.join(tr, "vertex")
+        .select(
+            "vertex", "pr", "trust",
+            F.round((F.col("pr") - F.col("trust")) / F.col("pr"), 6).alias("mass"),
+        )
+    )
+
+
 def power_iteration(
     edges: DataFrame,
     max_iter: int = 5,

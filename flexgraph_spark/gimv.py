@@ -572,6 +572,87 @@ class TrustRank(VertexProgram):
         return state.select("vertex", F.col("value").getField("t").alias("value"))
 
 
+class HittingProbability(VertexProgram):
+    """k-step hitting probability of a target set S under the simple
+    random walk: ``h(v) = P[walk started at v reaches S within k steps]``.
+
+        h₀(v)   = 1 if v ∈ S else 0
+        hₖ(v)   = 1                      if v ∈ S   (absorbing)
+                  (Σ_{v→u} hₖ₋₁(u)) / od(v)  otherwise
+
+    The classic absorbing-walk risk/influence score for web-scale link
+    graphs (e.g. "how likely does a surfer starting here hit the spam
+    set"); dual of :class:`TrustRank`, which pushes mass OUT of the seeds
+    while this pulls reachability INTO them. The recurrence reads each
+    vertex's OUT-neighbors, so the caller must feed gimv.run the
+    TRANSPOSED edge table (algorithms.hitting_probability does) — then the
+    superstep shape and cost are exactly PageRank's. h is monotone
+    non-decreasing in k and converges to the absorption probability.
+
+    Per-vertex statics (seed flag, ORIGINAL out-degree — not derivable
+    from the transposed edges gimv sees) ride the state as struct fields,
+    the FaBP/TrustRank pattern: state value = struct(h, seed, od);
+    flat plan only.
+    """
+
+    name = "hitting_prob"
+    needs_out_degree = False
+    supports_blocked = False  # struct-valued state: flat plan only
+
+    def __init__(self, seeds: DataFrame, out_degree: DataFrame,
+                 threshold: float = CONVERGE_THRESHOLD):
+        self.seeds = seeds            # (vertex) — the absorbing target set
+        self.out_degree = out_degree  # (vertex, od) over the ORIGINAL edges
+        self.threshold = threshold
+
+    def init_state(self, vertices: DataFrame, n: int) -> DataFrame:
+        seed = F.when(F.col("_is_seed").isNotNull(), 1.0).otherwise(0.0)
+        return (
+            vertices.join(
+                self.seeds.select("vertex", F.lit(1).alias("_is_seed")),
+                "vertex", "left",
+            )
+            .join(self.out_degree, "vertex", "left")
+            .select(
+                "vertex",
+                F.struct(
+                    seed.alias("h"),
+                    seed.alias("seed"),
+                    F.coalesce(F.col("od"), F.lit(0.0)).alias("od"),
+                ).alias("value"),
+            )
+        )
+
+    def message(self) -> F.Column:
+        return F.col("value").getField("h")
+
+    def message_filter(self) -> F.Column:
+        # h=0 sources contribute nothing to a sum — pruning them is exact
+        # (SSSP's unreached-source pattern) and keeps the message join
+        # proportional to the reached frontier while it grows outward.
+        return F.col("value").getField("h") > 0.0
+
+    def reduce_expr(self) -> F.Column:
+        return F.sum("msg")
+
+    def apply(self, old, msg, n):
+        od = old.getField("od")
+        new_h = (
+            F.when(old.getField("seed") == 1.0, 1.0)
+            .when(od > 0, F.coalesce(msg, F.lit(0.0)) / od)
+            .otherwise(0.0)
+        )
+        return F.struct(
+            new_h.alias("h"), old.getField("seed").alias("seed"), od.alias("od")
+        )
+
+    def changed(self, old, new):
+        return F.abs(new.getField("h") - old.getField("h")) > self.threshold
+
+    def finalize(self, state: DataFrame) -> DataFrame:
+        return state.select("vertex", F.col("value").getField("h").alias("value"))
+
+
 class ConnectedComponents(VertexProgram):
     """HashMin / PEGASUS CC (CCComputation.java:140-197): propagate min
     label; exact fixpoint. Caller must symmetrize edges for WCC."""

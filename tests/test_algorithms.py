@@ -1327,3 +1327,71 @@ def test_trustrank_matches_numpy(spark):
     # trust flows only from seeds: vertex 5 has no in-edges and is not a
     # seed, so its trust is exactly 0
     assert got[5] == 0.0
+
+
+def test_hitting_probability_matches_numpy(spark):
+    """k-step absorbing-walk recurrence h <- 1_S else P@h vs dense NumPy."""
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (5, 0), (4, 3)]
+    seeds = spark.createDataFrame([(3,)], "vertex long")
+    res = algorithms.hitting_probability(
+        _edges(spark, pairs), seeds, max_iter=4, threshold=0.0
+    )
+    got = {r["vertex"]: r["value"] for r in res.state.collect()}
+
+    n = 6
+    A = np.zeros((n, n))
+    for s, d in pairs:
+        A[s, d] = 1.0
+    od = A.sum(axis=1)
+    P = np.divide(A, od[:, None], out=np.zeros_like(A), where=od[:, None] > 0)
+    h = np.zeros(n)
+    h[3] = 1.0
+    for _ in range(4):
+        h = P @ h
+        h[3] = 1.0
+    for v in range(n):
+        assert got[v] == pytest.approx(h[v], abs=1e-12)
+    assert res.iterations == 4
+    # the seed is absorbing (exactly 1) and vertex 2 reaches it in 1 of 2
+    # branches then more via the cycle
+    assert got[3] == 1.0
+    assert got[2] > 0.5
+
+
+def test_hitting_probability_monotone_and_bounded(spark):
+    """h is a probability (0 <= h <= 1) and non-decreasing in k."""
+    pairs = [(i, (i + 1) % 8) for i in range(8)] + [(0, 4), (2, 6)]
+    edges = _edges(spark, pairs)
+    seeds = spark.createDataFrame([(4,)], "vertex long")
+    prev = None
+    for k in (1, 2, 4):
+        got = {
+            r["vertex"]: r["value"]
+            for r in algorithms.hitting_probability(
+                edges, seeds, max_iter=k, threshold=0.0
+            ).state.collect()
+        }
+        assert all(0.0 <= v <= 1.0 + 1e-15 for v in got.values())
+        if prev is not None:
+            assert all(got[v] >= prev[v] - 1e-15 for v in prev)
+        prev = got
+
+
+def test_spam_mass_trusted_seed_low_mass(spark):
+    """A page whose rank comes entirely from the seed's vouching has low
+    mass; a page ranked only by unvouched links has mass ~1."""
+    # seed 0 links to 1; spam farm 10..14 all link to 5 (no trust path)
+    pairs = [(0, 1), (1, 0)] + [(i, 5) for i in range(10, 15)]
+    seeds = spark.createDataFrame([(0,)], "vertex long")
+    rows = {
+        r["vertex"]: r
+        for r in algorithms.spam_mass(
+            _edges(spark, pairs), seeds, max_iter=10
+        ).collect()
+    }
+    # mass = (pr - trust)/pr, rounded; spam target 5 got zero trust
+    assert rows[5].trust == 0.0 and rows[5].mass == 1.0
+    # the directly-vouched page keeps most of its rank as trust
+    assert rows[1].mass < 0.5
+    for r in rows.values():
+        assert r.mass == pytest.approx((r.pr - r.trust) / r.pr, abs=1e-6)
