@@ -1380,6 +1380,48 @@ def _q_emb_neardup_precision(spark, sf_dir):
     )
 
 
+def _q_semdedup_k1(spark, sf_dir):
+    """SemDeDup exact face: n_clusters=1 makes the within-cluster rule an
+    ALL-pairs greedy dedup, fully SQL-expressible — the DuckDB oracle
+    gates the candidate-pair / cosine-verify / keep-rule plan end to end
+    (the ivf_topk nprobe=k trick applied to dedup)."""
+    out = textops.semdedup(_emb_with_dups(spark, sf_dir), n_clusters=1,
+                           threshold=0.95)
+    return out.select(
+        "vec_id", F.col("keep").cast("int").alias("keep"),
+        F.coalesce("dup_of", F.lit(-1)).alias("dup_of"),
+        F.coalesce(F.round("max_cosine", 6), F.lit(0.0)).alias("max_cosine"),
+    )
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup proper (k=8 k-means clusters). no_oracle: the k-means||
+    fit is not DuckDB-replicable; gated instead by semdedup_containment
+    (cluster-mode drops ⊆ exact-mode drops, oracle: empty violation set)
+    plus the k1 exact face above and planted-dup recall in pytest."""
+    out = textops.semdedup(_emb_with_dups(spark, sf_dir), n_clusters=8,
+                           threshold=0.95)
+    return out.select(
+        "vec_id", F.col("keep").cast("int").alias("keep"),
+        F.coalesce("dup_of", F.lit(-1)).alias("dup_of"),
+        F.coalesce(F.round("max_cosine", 6), F.lit(0.0)).alias("max_cosine"),
+    )
+
+
+def _q_semdedup_containment(spark, sf_dir):
+    """Containment invariant: a vector dropped by clustered SemDeDup has a
+    lower-id ≥τ neighbor in its cluster, hence certainly one globally —
+    so (k=8 drops) \\ (k=1 drops) must be EMPTY whatever the clustering.
+    Violations would mean a broken assignment or keep rule."""
+    emb = _emb_with_dups(spark, sf_dir)
+    k8 = textops.semdedup(emb, n_clusters=8, threshold=0.95)
+    k1 = textops.semdedup(emb, n_clusters=1, threshold=0.95)
+    return (
+        k8.filter(~F.col("keep")).select("vec_id")
+        .join(k1.filter(~F.col("keep")).select("vec_id"), "vec_id", "left_anti")
+    )
+
+
 def _q_ann_ivf_top5(spark, sf_dir):
     """IVF ANN with nprobe == n_centroids: probing every inverted list is
     EXACT top-k, so the brute-force oracle gates the whole IVF plumbing
@@ -1859,6 +1901,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_top5": _q_ann_ivf_top5,
         "emb_neardup": _q_emb_neardup,
         "emb_neardup_precision": _q_emb_neardup_precision,
+        "semdedup_k1": _q_semdedup_k1,
+        "semdedup": _q_semdedup,
+        "semdedup_containment": _q_semdedup_containment,
         "winnow_fp": _q_winnow_fp,
         "winnow_containment": _q_winnow_containment,
         "repetition_stats": _q_repetition_stats,
@@ -3344,6 +3389,33 @@ where rnk <= 5
 """
 
 
+# SemDeDup exact face (n_clusters=1 → all-pairs greedy keep rule). The
+# planted-dup construction mirrors _emb_with_dups bit-exactly: FLOAT +
+# DOUBLE·FLOAT promotes to double then casts back to float in both engines.
+_SEMDEDUP_K1_SQL = """
+with base as (select vec_id, embedding from embeddings),
+dups as (select b.vec_id + 100000 as vec_id,
+    list_transform(range(1, len(b.embedding) + 1),
+        i -> cast(b.embedding[i] + 0.15 * n.embedding[i] as float)) as embedding
+    from base b join base n on n.vec_id = b.vec_id + 1 where b.vec_id < 50),
+v as materialized (
+    select vec_id, list_transform(embedding, x -> x::double) as e from base
+    union all
+    select vec_id, list_transform(embedding, x -> x::double) as e from dups),
+p as (select a.vec_id as ida, b.vec_id as idb,
+        list_dot_product(a.e, b.e) /
+          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+          as cos
+      from v a join v b on a.vec_id < b.vec_id),
+d as (select idb as vec_id, min(ida) as dup_of, max(cos) as maxc
+      from p where cos >= 0.95 group by idb)
+select v.vec_id, cast(d.dup_of is null as int) as keep,
+       coalesce(d.dup_of, -1) as dup_of,
+       coalesce(round(d.maxc, 6), 0.0) as max_cosine
+from v left join d using (vec_id)
+"""
+
+
 _DIRTY_SQL = (
     "select doc_id, text || ' contact user' || doc_id || '@example' || "
     "(doc_id % 5) || '.com' || ' from 10.' || (doc_id % 256) || '.0.' || "
@@ -3700,6 +3772,11 @@ having count(*) >= 2
         "emb_neardup_precision": (
             "select cast(null as bigint) as vec_id_a, cast(null as bigint) "
             "as vec_id_b, cast(null as double) as cosine where 1 = 0"
+        ),
+        "semdedup_k1": _SEMDEDUP_K1_SQL,
+        "semdedup_containment": (
+            # drops under ANY clustering ⊆ drops of the exact k=1 face
+            "select cast(null as bigint) as vec_id where 1 = 0"
         ),
         "winnow_containment": (
             # the winnowing local-fingerprinting guarantee: planted pairs

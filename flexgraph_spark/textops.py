@@ -953,6 +953,75 @@ def embedding_near_duplicates(
     return scored.filter(F.col("cosine") >= threshold)
 
 
+def semdedup(
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication —
+    k-means-cluster the embedding space, then WITHIN each cluster drop
+    every vector that has an earlier (lower vec_id) cluster-mate with
+    cosine ≥ threshold. Deterministic keep contract:
+
+        keep(v)   ⇔  ∄ u < v in cluster(v) with cosine(u, v) ≥ threshold
+        dup_of(v) =  min such u;  max_cosine(v) = max cosine over such u
+
+    Returns (vec_id, centroid_id, keep, dup_of, max_cosine); dup_of /
+    max_cosine are NULL for kept rows. Cosines on dropped rows are EXACT
+    (computed on the candidate pairs, not estimated), so precision is
+    exact by construction; cross-cluster near-dups are the documented
+    approximation (recall-tested against the exact face in pytest).
+
+    ``n_clusters=1`` bypasses the k-means fit (a single centroid is
+    degenerate; Spark ML KMeans requires k > 1) and runs the identical
+    downstream pair/keep plan over ALL pairs — the exact, fully
+    SQL-expressible face that gates the whole dedup logic under the
+    DuckDB oracle, mirroring ivf_topk's nprobe = n_centroids trick; the
+    k-means assignment itself is gated by ann_ivf_top5.
+
+    Scale: candidate work is Σ_c |c|² — pick n_clusters ≈ N / target
+    cluster width so per-cluster self-joins (shuffle on centroid_id)
+    stay bounded; at 100 TB, recurse or sub-sample oversized clusters.
+    The k-means fit is pyspark.ml (k-means||, distributed).
+    """
+    if n_clusters == 1:
+        assigned = vectors.withColumn("centroid_id", F.lit(0))
+    else:
+        assigned, _ = ivf_index(vectors, n_centroids=n_clusters, seed=seed)
+    ve = assigned.select(
+        "vec_id", "centroid_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = ve.select(
+        "centroid_id", F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va")
+    )
+    b = ve.select(
+        "centroid_id", F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb")
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a", "vec_id_b",
+            (_dot(F.col("va"), F.col("vb"))
+             / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .groupBy(F.col("vec_id_b").alias("vec_id"))
+        .agg(F.min("vec_id_a").alias("dup_of"), F.max("cosine").alias("max_cosine"))
+    )
+    return (
+        assigned.select("vec_id", "centroid_id")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id", "centroid_id",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of", "max_cosine",
+        )
+    )
+
+
 def ivf_index(
     vectors: DataFrame, n_centroids: int = 16, seed: int = 42
 ) -> tuple[DataFrame, np.ndarray]:

@@ -522,3 +522,57 @@ def test_tfidf_top_terms_golden(spark):
     # doc 2: rare2 beats common (idf(1) > idf(3))
     assert rows[(2, 1)][0] == "rare2"
     assert rows[(2, 2)][0] == "common"
+
+
+def test_semdedup_k1_matches_bruteforce(spark, embeddings):
+    """n_clusters=1 (exact face): keep/dup_of/max_cosine must equal the
+    NumPy all-pairs greedy keep rule exactly."""
+    vecs = _emb_with_dups(spark, embeddings).cache()
+    got = {r["vec_id"]: r for r in
+           textops.semdedup(vecs, n_clusters=1, threshold=0.95).collect()}
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in vecs.collect()}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    ids = sorted(rows)
+    n_dropped = 0
+    for j, b in enumerate(ids):
+        lower = [(a, cos(rows[a], rows[b])) for a in ids[:j]
+                 if cos(rows[a], rows[b]) >= 0.95]
+        r = got[b]
+        if lower:
+            n_dropped += 1
+            assert not r["keep"]
+            assert r["dup_of"] == min(a for a, _ in lower)
+            assert r["max_cosine"] == pytest.approx(
+                max(c for _, c in lower), abs=1e-9)
+        else:
+            assert r["keep"] and r["dup_of"] is None and r["max_cosine"] is None
+    assert n_dropped >= 20  # all planted dups are dropped
+    vecs.unpersist()
+
+
+def test_semdedup_clustered_recall_and_containment(spark, embeddings):
+    """k-means mode: planted near-identical copies land in their base's
+    cluster (same nearest centroid) and are dropped with dup_of = the base
+    id; clustered drops are a subset of exact-face drops."""
+    vecs = _emb_with_dups(spark, embeddings).cache()
+    k8 = {r["vec_id"]: r for r in
+          textops.semdedup(vecs, n_clusters=8, threshold=0.95).collect()}
+    k1_dropped = {r["vec_id"] for r in
+                  textops.semdedup(vecs, n_clusters=1, threshold=0.95).collect()
+                  if not r["keep"]}
+    dropped8 = {v for v, r in k8.items() if not r["keep"]}
+    assert dropped8 <= k1_dropped
+    # every planted copy (id+100000) is dropped onto its base
+    planted = [v for v in k8 if v >= 100000]
+    assert len(planted) == 20
+    for v in planted:
+        assert not k8[v]["keep"]
+        assert k8[v]["dup_of"] == v - 100000
+        assert k8[v]["max_cosine"] >= 0.95
+    # kept rows carry their cluster id; one row per input vector
+    assert len(k8) == vecs.count()
+    vecs.unpersist()
