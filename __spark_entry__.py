@@ -1470,6 +1470,15 @@ def _q_winnow_containment(spark, sf_dir):
     )
 
 
+def _q_dup_spans(spark, sf_dir):
+    """Cross-document duplicated 5-gram span stats (Lee et al. 2022 shape):
+    per-doc count and fraction of n-gram positions whose span recurs in
+    >= 2 distinct documents — oracle replays tokenize/sha256-gram/
+    two-level-count in DuckDB."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textops.duplicated_spans(docs, n=5, min_docs=2)
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition signals (dup-line fraction by count and char
     mass, top-bigram fraction) — rounded to 6 dp (the bigram mode's
@@ -1906,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_containment": _q_semdedup_containment,
         "winnow_fp": _q_winnow_fp,
         "winnow_containment": _q_winnow_containment,
+        "dup_spans": _q_dup_spans,
         "repetition_stats": _q_repetition_stats,
         "quality_filter": _q_quality_filter,
         "chunk_docs": _q_chunk_docs,
@@ -3416,6 +3426,29 @@ from v left join d using (vec_id)
 """
 
 
+# Lee et al. duplicated-span stats: tokenize -> sliding sha256 5-grams ->
+# per-(doc,gram) counts -> grams in >=2 distinct docs -> per-doc mass.
+_DUP_SPANS_SQL = """
+with toks as (select doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') as t
+  from documents),
+g as (select doc_id, greatest(len(t) - 4, 0) as n_grams,
+    case when len(t) >= 5 then list_transform(range(1, len(t) - 3),
+        i -> sha256(array_to_string(t[i:i+4], ' '))) else [] end as gl
+  from toks),
+dg as (select doc_id, unnest(gl) as gram from g),
+per as (select doc_id, gram, count(*) as cnt from dg group by 1, 2),
+dup as (select gram from per group by gram having count(*) >= 2),
+dpd as (select doc_id, sum(cnt) as n_dup from per join dup using (gram)
+        group by doc_id)
+select g.doc_id, g.n_grams, coalesce(dpd.n_dup, 0)::bigint as n_dup,
+    round(case when g.n_grams > 0
+          then coalesce(dpd.n_dup, 0)::double / g.n_grams else 0.0 end,
+          6) as dup_frac
+from g left join dpd using (doc_id)
+"""
+
+
 _DIRTY_SQL = (
     "select doc_id, text || ' contact user' || doc_id || '@example' || "
     "(doc_id % 5) || '.com' || ' from 10.' || (doc_id % 256) || '.0.' || "
@@ -3749,6 +3782,7 @@ having count(*) >= 2
         "token_stats": _TOKEN_STATS_SQL,
         "regex_tokens": _REGEX_TOKENS_SQL,
         "quality_scores": _QUALITY_SQL,
+        "dup_spans": _DUP_SPANS_SQL,
         "repetition_stats": _REPETITION_SQL,
         "quality_filter": _QUALITY_FILTER_SQL,
         "chunk_docs": _CHUNKS_SQL,

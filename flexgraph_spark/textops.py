@@ -299,6 +299,85 @@ def quality_filter(
     )
 
 
+def duplicated_spans(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-span statistics — the per-document face
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better", exact-substring dedup): how much of each document is
+    made of word n-gram spans that also occur in ≥ ``min_docs`` OTHER-
+    or-same documents. Returns
+    (doc_id, n_grams, n_dup, dup_frac):
+
+    * ``n_grams``   — token n-gram positions in the doc (0 if < n tokens)
+    * ``n_dup``     — positions whose n-gram occurs in ≥ min_docs distinct
+                      documents corpus-wide
+    * ``dup_frac``  — n_dup / n_grams (0.0 for short docs), rounded 1e-6
+
+    Plan: tokenize + sliding n-grams are pure column expressions (JVM
+    higher-order functions — transform over sequence + slice, no Python);
+    each gram is keyed by its sha2-256 (uniform 256-bit shuffle key, the
+    gram STRING never crosses the wire beyond the first partial agg).
+    Two aggregations: per-(doc, gram) counts (map-side combine), then
+    gram → distinct-doc counts; duplicated grams join back per doc.
+    At 100 TB the dup-gram set itself is join-sized (not broadcast);
+    everything shuffles on the hash key. Suffix-automaton exact-substring
+    dedup (the paper's other half) is deliberately out of scope — span
+    statistics + near-dup operators cover the pipeline use."""
+    toks = df.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("t"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.greatest(F.size("t") - (n - 1), F.lit(0)).alias("n_grams"),
+        F.when(
+            F.size("t") >= n,
+            F.expr(
+                f"transform(sequence(1, size(t) - {n - 1}), "
+                f"i -> sha2(array_join(slice(t, i, {n}), ' '), 256))"
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("g"),
+    )
+    per_dg = (
+        grams.select("doc_id", F.explode("g").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dup_grams = (
+        per_dg.groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram")
+    )
+    per_doc_dup = (
+        per_dg.join(dup_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_dup"))
+    )
+    return (
+        grams.select("doc_id", "n_grams")
+        .join(per_doc_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.coalesce("n_dup", F.lit(0)) / F.col("n_grams"),
+                ).otherwise(0.0),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

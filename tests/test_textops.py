@@ -576,3 +576,28 @@ def test_semdedup_clustered_recall_and_containment(spark, embeddings):
     # kept rows carry their cluster id; one row per input vector
     assert len(k8) == vecs.count()
     vecs.unpersist()
+
+
+def test_duplicated_spans_exact_counts(spark):
+    """Hand-built corpus: cross-doc 5-gram mass counted exactly; within-doc
+    repeats alone don't count (min_docs=2 distinct docs); short docs get
+    n_grams=0 and frac 0; tokenization lowercases and collapses whitespace."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "A  B c d\te x"),     # case/whitespace-normalized match
+            (3, "z z z z z z z"),      # 3 positions of the same gram, 1 doc
+            (4, "short one"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           textops.duplicated_spans(docs, n=5, min_docs=2).collect()}
+    assert (got[1]["n_grams"], got[1]["n_dup"], got[1]["dup_frac"]) == (2, 1, 0.5)
+    assert (got[2]["n_grams"], got[2]["n_dup"], got[2]["dup_frac"]) == (2, 1, 0.5)
+    assert (got[3]["n_grams"], got[3]["n_dup"], got[3]["dup_frac"]) == (3, 0, 0.0)
+    assert (got[4]["n_grams"], got[4]["n_dup"], got[4]["dup_frac"]) == (0, 0, 0.0)
+    # min_docs=1 makes within-doc repetition count too
+    got1 = {r["doc_id"]: r for r in
+            textops.duplicated_spans(docs, n=5, min_docs=1).collect()}
+    assert got1[3]["n_dup"] == 3
