@@ -1470,6 +1470,33 @@ def _q_winnow_containment(spark, sf_dir):
     )
 
 
+def _para_docs(spark, sf_dir):
+    """Documents with planted paragraph structure (the driver docs are
+    single-line): body + a boilerplate footer shared by doc_id%7 + a
+    unique trailer — reconstructed identically in the oracle SQL."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(F.lit("shared footer "), (F.col("doc_id") % 7).cast("string")),
+            F.concat(F.lit("unique trailer "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+
+
+def _q_paragraph_dedup(spark, sf_dir):
+    """C4-style corpus-wide paragraph dedup: keep each paragraph's first
+    (doc_id, pos) occurrence, rebuild the document; sha256 of the rebuilt
+    text is the row-level content-equality gate."""
+    out = textops.paragraph_dedup(_para_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_paras", "n_dropped",
+        F.length("clean_text").alias("clean_len"),
+        F.sha2("clean_text", 256).alias("clean_sha"),
+    )
+
+
 def _q_dup_spans(spark, sf_dir):
     """Cross-document duplicated 5-gram span stats (Lee et al. 2022 shape):
     per-doc count and fraction of n-gram positions whose span recurs in
@@ -1915,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_containment": _q_semdedup_containment,
         "winnow_fp": _q_winnow_fp,
         "winnow_containment": _q_winnow_containment,
+        "paragraph_dedup": _q_paragraph_dedup,
         "dup_spans": _q_dup_spans,
         "repetition_stats": _q_repetition_stats,
         "quality_filter": _q_quality_filter,
@@ -3426,6 +3454,31 @@ from v left join d using (vec_id)
 """
 
 
+# C4-style paragraph dedup over the planted-paragraph documents: first
+# (doc_id, pos) occurrence of each non-blank trimmed paragraph wins; blanks
+# pass through; the doc is rebuilt in position order and sha256-hashed.
+_PARA_DEDUP_SQL = """
+with pd as (select doc_id,
+    text || chr(10) || 'shared footer ' || (doc_id % 7)::varchar
+         || chr(10) || 'unique trailer ' || doc_id::varchar as text
+  from documents),
+ps as (select doc_id, string_split(text, chr(10)) as paras from pd),
+p as (select doc_id, i as pos, paras[i] as para
+      from ps, unnest(range(1, len(paras) + 1)) as u(i)),
+r as (select *, case when trim(para) <> '' then
+        row_number() over (partition by trim(para) order by doc_id, pos)
+      end as rn from p),
+kept as (select doc_id, pos, para, (rn is null or rn = 1) as keep from r)
+select doc_id, count(*)::bigint as n_paras,
+    sum(case when keep then 0 else 1 end)::bigint as n_dropped,
+    length(string_agg(para, chr(10) order by pos)
+           filter (where keep))::bigint as clean_len,
+    sha256(coalesce(string_agg(para, chr(10) order by pos)
+           filter (where keep), '')) as clean_sha
+from kept group by doc_id
+"""
+
+
 # Lee et al. duplicated-span stats: tokenize -> sliding sha256 5-grams ->
 # per-(doc,gram) counts -> grams in >=2 distinct docs -> per-doc mass.
 _DUP_SPANS_SQL = """
@@ -3782,6 +3835,7 @@ having count(*) >= 2
         "token_stats": _TOKEN_STATS_SQL,
         "regex_tokens": _REGEX_TOKENS_SQL,
         "quality_scores": _QUALITY_SQL,
+        "paragraph_dedup": _PARA_DEDUP_SQL,
         "dup_spans": _DUP_SPANS_SQL,
         "repetition_stats": _REPETITION_SQL,
         "quality_filter": _QUALITY_FILTER_SQL,

@@ -350,6 +350,17 @@ def main() -> None:
             num_planes=10, num_tables=4,
         ).count(),
     )
+    timed(
+        "semdedup_k32",
+        lambda: textops.semdedup(
+            emb.select("vec_id", "embedding"), n_clusters=32, threshold=0.9
+        ).filter(~F.col("keep")).count(),
+    )
+    timed(
+        "dup_spans_scan",
+        lambda: textops.duplicated_spans(docs, n=5)
+        .agg(F.sum("n_dup"), F.avg("dup_frac")).first(),
+    )
 
     edges_per_sec_per_superstep = n_edges / med_flat
     print(

@@ -299,6 +299,69 @@ def quality_filter(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style corpus-wide paragraph deduplication (Raffel et al. 2020
+    §2.2 dedup at span granularity, the line/paragraph variant): split
+    each document on ``sep``, keep only the globally FIRST occurrence of
+    every non-blank paragraph (first = lowest (doc_id, position) — a
+    deterministic total order), drop later copies anywhere in the corpus,
+    and reconstruct the cleaned document. Blank/whitespace-only
+    paragraphs are structural, never keyed, always kept.
+
+    Returns (doc_id, n_paras, n_dropped, clean_text) — callers wanting a
+    compact equality face can hash clean_text (the driver query does).
+
+    Plan: posexplode → key non-blank paragraphs by sha2-256 of their
+    trimmed body (uniform shuffle key; ~no collisions at 2^-128) →
+    min(struct(doc_id, pos)) per key (map-side partial agg — the winner
+    pick never ships full duplicate groups) → join winners back on the
+    hash → rebuild with sort_array(collect_list(struct(pos, para))).
+    Two shuffles (winner agg keyed by hash, rebuild keyed by doc_id);
+    paragraph text crosses the wire once per stage, no driver collect."""
+    paras = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn(
+        "key",
+        F.when(F.trim("para") != "", F.sha2(F.trim("para"), 256)),
+    )
+    winners = (
+        paras.filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("w"))
+    )
+    kept = (
+        paras.join(winners, "key", "left")
+        .withColumn(
+            "keep",
+            F.col("key").isNull()
+            | ((F.col("w.doc_id") == F.col("doc_id")) & (F.col("w.pos") == F.col("pos"))),
+        )
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "para"))
+                        )
+                    ),
+                    lambda s: s.getField("para"),
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     n: int = 5,

@@ -601,3 +601,23 @@ def test_duplicated_spans_exact_counts(spark):
     got1 = {r["doc_id"]: r for r in
             textops.duplicated_spans(docs, n=5, min_docs=1).collect()}
     assert got1[3]["n_dup"] == 3
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    """Global first (doc_id, pos) keeps; trimmed-body keying; blanks pass
+    through; within-doc repeats dropped; text rebuilt in position order."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\n\nshared\nalpha"),
+            (2, "shared\nbeta"),
+            (3, "  shared  \ngamma"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textops.paragraph_dedup(docs).collect()}
+    assert got[1]["n_paras"] == 4 and got[1]["n_dropped"] == 1
+    assert got[1]["clean_text"] == "alpha\n\nshared"
+    assert got[2]["n_paras"] == 2 and got[2]["n_dropped"] == 1
+    assert got[2]["clean_text"] == "beta"
+    # whitespace-padded copy still matches the trimmed key
+    assert got[3]["n_dropped"] == 1 and got[3]["clean_text"] == "gamma"
