@@ -794,6 +794,20 @@ def _q_hitting_prob4(spark, sf_dir):
     return res.state.select("vertex", F.round("value", 6).alias("hit_prob"))
 
 
+def _q_ppr_sweep(spark, sf_dir):
+    """ACL local clustering, evaluation half (algorithms.sweep_cut):
+    personalized-PageRank scores from the lowest vertex, sweep the top-50
+    score/degree prefixes and report each prefix's conductance over the
+    symmetrized graph — oracle replays ranking, ±1 rank events, and the
+    running cut/volume sums in SQL windows."""
+    edges = _graph1000(spark, sf_dir)
+    src = int(edges.agg(F.min("src")).first()[0])
+    scores = algorithms.pagerank(
+        edges, threshold=0.0, max_iter=PAGERANK_ITERS, source_vertex=src
+    ).state.select("vertex", F.round("value", 6).alias("score"))
+    return algorithms.sweep_cut(edges, scores, top_k=50)
+
+
 def _q_gstats(spark, sf_dir):
     """Global link-graph profile: counts + reciprocity + out-in degree
     assortativity in one single-pass row (graph.graph_stats)."""
@@ -1904,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank4": _q_trustrank4,
         "spam_mass": _q_spam_mass,
         "hitting_prob4": _q_hitting_prob4,
+        "ppr_sweep": _q_ppr_sweep,
         "global_clustering": _q_global_clustering,
         "rich_club": _q_rich_club,
         "salsa4": _q_salsa4,
@@ -2271,6 +2286,44 @@ def _hitting_sql(edge_sql: str, iters: int, seed_mod: int) -> str:
         "with " + ",\n".join(ctes)
         + f"\nselect v as vertex, round(h, 6) as hit_prob from h{iters}"
     )
+
+
+def _sweep_sql(edge_sql: str, iters: int, top_k: int) -> str:
+    """Sweep-cut oracle: rank by (personalized-PR)/degree, turn each
+    symmetrized edge into ±1 rank events (cut for prefixes k in
+    [min_rank, max_rank)), running-sum cut and volume, conductance per
+    prefix. Outer CTE names are sw_-prefixed: the nested PR recurrence
+    defines e/deg/verts of its own."""
+    rwr = _pagerank_sql(edge_sql, iters, personalized=True)
+    s = top_k + 1
+    return f"""
+with sw_e as materialized ({edge_sql}),
+sw_und as materialized (select least(src, dst) as a, greatest(src, dst) as b
+    from sw_e where src <> dst group by 1, 2),
+sw_deg as (select v, count(*)::bigint as deg from
+    (select a as v from sw_und union all select b from sw_und) group by v),
+sw_tot as (select 2.0 * count(*) as v2 from sw_und),
+sw_sc as materialized (select * from ({rwr})),
+sw_ranked as (select vertex, deg,
+        row_number() over (order by pr / deg desc, vertex asc) as k
+    from sw_sc join sw_deg on sw_deg.v = sw_sc.vertex qualify k <= {top_k}),
+sw_er as (select least(coalesce(ra.k, {s}), coalesce(rb.k, {s})) as lo,
+        greatest(coalesce(ra.k, {s}), coalesce(rb.k, {s})) as hi
+    from sw_und left join sw_ranked ra on ra.vertex = sw_und.a
+             left join sw_ranked rb on rb.vertex = sw_und.b
+    where ra.k is not null or rb.k is not null),
+sw_ev as (select lo as k, 1 as d from sw_er
+       union all select hi as k, -1 as d from sw_er where hi <= {top_k}),
+sw_dk as (select k, sum(d)::bigint as dd from sw_ev group by k),
+sw_ser as (select r.k, r.vertex, r.deg, coalesce(sw_dk.dd, 0) as dd
+        from sw_ranked r left join sw_dk using (k)),
+sw_cum as (select k, vertex, sum(dd) over (order by k)::bigint as cut_edges,
+        sum(deg) over (order by k)::bigint as vol from sw_ser)
+select k, vertex, cut_edges, vol,
+    round(cut_edges / least(vol::double, (select v2 from sw_tot) - vol), 6)
+        as phi
+from sw_cum where (select v2 from sw_tot) - vol > 0
+"""
 
 
 def _salsa_sql(edge_sql: str, iters: int) -> str:
@@ -3722,6 +3775,7 @@ group by 1, 2
             G1000_SQL, SPAM_ITERS, gimv.PAGERANK_ALPHA, TRUST_SEED_MOD
         ),
         "hitting_prob4": _hitting_sql(G1000_SQL, HIT_ITERS, HIT_SEED_MOD),
+        "ppr_sweep": _sweep_sql(G1000_SQL, PAGERANK_ITERS, 50),
         "global_clustering": f"""
 with e as ({G1000_SQL}),
 und as (select least(src, dst) as a, greatest(src, dst) as b from e group by 1, 2),

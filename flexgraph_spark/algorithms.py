@@ -1390,6 +1390,119 @@ def spam_mass(
     )
 
 
+def sweep_cut(
+    edges: DataFrame,
+    scores: DataFrame,
+    top_k: int = 100,
+    score_col: str = "score",
+) -> DataFrame:
+    """Sweep cut over a ranking vector (Andersen, Chung, Lang, FOCS 2006
+    — the evaluation half of PPR local graph clustering): order vertices
+    by score/degree, and for every prefix S_k of the top ``top_k`` report
+    its conductance φ(S_k) = cut(S_k) / min(vol(S_k), vol(V̄)) over the
+    symmetrized graph. The caller feeds any per-vertex score (typically a
+    personalized-PageRank vector); the best prefix is the ACL local
+    cluster around the seed. Returns one row per prefix size:
+    (k, vertex, cut_edges, vol, phi) — vertex is the k-th vertex added;
+    prefixes whose complement volume is 0 are dropped (φ undefined).
+
+    Determinism: ordering is (score/deg DESC, vertex ASC); pass scores
+    ROUNDED to a fixed precision if cross-engine reproducibility matters
+    (the driver query feeds round-6 PPR).
+
+    Scale shape: the only full-graph work is symmetrize + degree count +
+    one broadcast join of the (≤ top_k)-row rank table onto the edges;
+    the prefix-cut series is computed from ±1 RANK EVENTS (an edge is cut
+    exactly for prefixes k ∈ [min_rank, max_rank)), so no per-prefix
+    edge rescan — cut(k) is a running sum over a ≤ top_k-row table. The
+    top-k pick is a distributed TakeOrdered; nothing sorts the full
+    vertex set in one partition."""
+    from pyspark.sql import Window
+
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count("*").alias("deg"))
+    )
+    m = und.count()
+    key = (F.col(score_col) / F.col("deg")).alias("_key")
+    topk = (
+        scores.join(deg, "vertex")
+        .select("vertex", "deg", key)
+        .orderBy(F.desc("_key"), F.asc("vertex"))
+        .limit(top_k)
+    )
+    w_rank = Window.orderBy(F.desc("_key"), F.asc("vertex"))
+    ranked = topk.withColumn("k", F.row_number().over(w_rank)).select(
+        "vertex", "deg", "k"
+    )
+    sentinel = top_k + 1  # "outside the sweep" — edge stays cut past top_k
+    ra = F.broadcast(ranked.select(F.col("vertex").alias("a"), F.col("k").alias("ka")))
+    rb = F.broadcast(ranked.select(F.col("vertex").alias("b"), F.col("k").alias("kb")))
+    er = (
+        und.join(ra, "a", "left")
+        .join(rb, "b", "left")
+        .filter(F.col("ka").isNotNull() | F.col("kb").isNotNull())
+        .select(
+            F.least(
+                F.coalesce("ka", F.lit(sentinel)), F.coalesce("kb", F.lit(sentinel))
+            ).alias("lo"),
+            F.greatest(
+                F.coalesce("ka", F.lit(sentinel)), F.coalesce("kb", F.lit(sentinel))
+            ).alias("hi"),
+        )
+    )
+    deltas = (
+        er.select(
+            F.explode(
+                F.array_compact(
+                    F.array(
+                        F.struct(F.col("lo").alias("k"), F.lit(1).alias("d")),
+                        F.when(
+                            F.col("hi") <= top_k,
+                            F.struct(F.col("hi").alias("k"), F.lit(-1).alias("d")),
+                        ),
+                    )
+                )
+            ).alias("ev")
+        )
+        .groupBy(F.col("ev.k").alias("k"))
+        .agg(F.sum("ev.d").alias("dd"))
+    )
+    w_cum = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    ser = (
+        ranked.join(deltas, "k", "left")
+        .select(
+            "k", "vertex", "deg", F.coalesce("dd", F.lit(0)).alias("dd")
+        )
+        .select(
+            "k",
+            "vertex",
+            F.sum("dd").over(w_cum).alias("cut_edges"),
+            F.sum("deg").over(w_cum).alias("vol"),
+        )
+    )
+    total_vol = 2 * m
+    return (
+        ser.filter(F.lit(total_vol) - F.col("vol") > 0)
+        .select(
+            "k", "vertex", "cut_edges", "vol",
+            F.round(
+                F.col("cut_edges")
+                / F.least(F.col("vol"), F.lit(total_vol) - F.col("vol")),
+                6,
+            ).alias("phi"),
+        )
+    )
+
+
 def power_iteration(
     edges: DataFrame,
     max_iter: int = 5,

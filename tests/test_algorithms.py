@@ -1395,3 +1395,31 @@ def test_spam_mass_trusted_seed_low_mass(spark):
     assert rows[1].mass < 0.5
     for r in rows.values():
         assert r.mass == pytest.approx((r.pr - r.trust) / r.pr, abs=1e-6)
+
+
+def test_sweep_cut_two_triangles(spark):
+    """Two triangles joined by one bridge: the sweep's conductance minimum
+    is the first triangle (phi = 1/7); every prefix checked by hand."""
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (3, 5), (4, 5)]
+    scores = spark.createDataFrame(
+        [(0, 0.3), (1, 0.3), (2, 0.3), (3, 0.01), (4, 0.01), (5, 0.01)],
+        "vertex long, score double",
+    )
+    rows = {r["k"]: r for r in
+            algorithms.sweep_cut(_edges(spark, pairs), scores, top_k=10).collect()}
+    # ranking by score/deg desc, vertex asc: 0, 1, 2, 4, 5, 3
+    order = [rows[k]["vertex"] for k in sorted(rows)]
+    assert order == [0, 1, 2, 4, 5]  # k=6 (full set) filtered: complement 0
+    exp = {
+        1: (2, 2, 1.0),
+        2: (2, 4, 0.5),
+        3: (1, 7, round(1 / 7, 6)),
+        4: (3, 9, 0.6),
+        5: (3, 11, 1.0),
+    }
+    for k, (cut, vol, phi) in exp.items():
+        assert (rows[k]["cut_edges"], rows[k]["vol"]) == (cut, vol)
+        assert rows[k]["phi"] == pytest.approx(phi, abs=1e-9)
+    # the ACL local cluster = argmin phi = the seed triangle
+    best = min(rows.values(), key=lambda r: (r["phi"], r["k"]))
+    assert best["k"] == 3
