@@ -94,6 +94,7 @@ GSPARSE_SQL = (
     "and (l_orderkey % 2000 * 31 + l_partkey % 2000) % 23 = 0"
 )
 MIS_ROUNDS = 8
+MATCH_ROUNDS = 8
 # k-core: k sits inside the symmetrized-degree distribution of graph1000 at
 # sf0.01 (quantiles 79..148, median 113) so peeling cascades for several
 # rounds — measured: changed=[18,4,1,1,1,0], fixpoint at round 6 with a
@@ -656,6 +657,16 @@ def _q_mis(spark, sf_dir):
         _graph_sparse2000(spark, sf_dir), max_rounds=MIS_ROUNDS
     )
     return res.state.select("vertex", F.col("value").alias("mis_round"))
+
+
+def _q_matching(spark, sf_dir):
+    """Locally-minimal-edge maximal matching (deterministic sibling of
+    MIS), both sides capped at MATCH_ROUNDS — value = the round each edge
+    matched; oracle unrolls the identical per-endpoint-minimum rounds."""
+    res = algorithms.maximal_matching(
+        _graph_sparse2000(spark, sf_dir), max_rounds=MATCH_ROUNDS
+    )
+    return res.state.select("a", "b", F.col("value").alias("match_round"))
 
 
 def _q_cond_levels(spark, sf_dir):
@@ -1910,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contract50": _q_contract50,
         "scc": _q_scc,
         "mis": _q_mis,
+        "matching": _q_matching,
         "cond_levels": _q_cond_levels,
         "katz8": _q_katz8,
         "katz8_blocked": _q_katz8_blocked,
@@ -2387,6 +2399,41 @@ select v.vertex as vertex,
 from v left join mutual m on m.u = v.vertex
 group by v.vertex
 """
+
+
+def _matching_sql(edge_sql: str, rounds: int) -> str:
+    """Unrolled locally-minimal-edge matching: per round, each live
+    endpoint's lexicographically smallest incident edge is computed with
+    a row_number window; an edge matches when it wins BOTH endpoints,
+    then matched vertices retire with their incident edges."""
+    ctes = [
+        f"e0 as materialized ({edge_sql})",
+        "l0 as materialized (select least(src, dst) as a, "
+        "greatest(src, dst) as b from e0 where src <> dst group by 1, 2)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"i{r} as (select v, a, b from ("
+            f"select inc.*, row_number() over "
+            f"(partition by v order by a, b) as rn from ("
+            f"select a as v, a, b from l{r-1} "
+            f"union all select b as v, a, b from l{r-1}) inc) t where rn = 1)"
+        )
+        ctes.append(
+            f"m{r} as materialized (select e.a, e.b, {r} as match_round "
+            f"from l{r-1} e "
+            f"join i{r} x on x.v = e.a and x.a = e.a and x.b = e.b "
+            f"join i{r} y on y.v = e.b and y.a = e.a and y.b = e.b)"
+        )
+        ctes.append(
+            f"l{r} as materialized (select e.a, e.b from l{r-1} e "
+            f"where e.a not in (select a from m{r} union all select b from m{r}) "
+            f"and e.b not in (select a from m{r} union all select b from m{r}))"
+        )
+    union = " union all ".join(
+        f"select a, b, match_round from m{r}" for r in range(1, rounds + 1)
+    )
+    return "with " + ",\n".join(ctes) + f"\nselect a, b, match_round from ({union}) t"
 
 
 def _mis_sql(edge_sql: str, rounds: int) -> str:
@@ -3761,6 +3808,7 @@ group by 1, 2
 """,
         "scc": _scc_sql(GSCC_SQL),
         "mis": _mis_sql(GSPARSE_SQL, MIS_ROUNDS),
+        "matching": _matching_sql(GSPARSE_SQL, MATCH_ROUNDS),
         "cond_levels": _cond_levels_sql(GSCC_SQL),
         "katz8": _katz_sql(G1000_SQL, KATZ_ITERS, KATZ_ALPHA),
         "katz8_blocked": _katz_sql(G1000_SQL, KATZ_ITERS, KATZ_ALPHA),

@@ -2105,6 +2105,122 @@ def maximal_independent_set(
     )
 
 
+def maximal_matching(
+    edges: DataFrame, max_rounds: int = 50, num_partitions: int | None = None
+) -> GimvResult:
+    """Maximal matching by locally-minimal-edge rounds (the deterministic
+    sibling of :func:`maximal_independent_set` — Israeli-Itai-style
+    parallel matching with by-(a,b) edge priorities instead of random
+    ones): each round, an undirected live edge (a, b) enters the matching
+    iff it is the lexicographically smallest live edge at BOTH endpoints;
+    matched vertices retire with their whole incident edge set. The
+    result is a matching (no two output edges share a vertex) and maximal
+    (every remaining edge lost an endpoint to the matching). Returns
+    state (a, b, value = the round the edge matched); capping
+    ``max_rounds`` yields exactly the first k layers on any engine (the
+    MIS/kcore comparability contract). Self-loops dropped, direction
+    ignored.
+
+    Scale notes: per round one per-endpoint min-aggregate (map-side
+    combined; the incidence explode doubles rows but carries only two
+    longs) + two anti-joins; the live edge set shrinks geometrically like
+    MIS's. By-id priorities degrade toward O(n) rounds on adversarial
+    chains where random priorities give O(log n) — swap in a per-round
+    hash of (a, b) if that bites (same plan shape, still deterministic).
+    """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    live = truncate_plan(
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .repartition(p, "a")
+    )
+    n_live = live.count()
+    layers: list[DataFrame] = []
+    metrics: list[IterationMetrics] = []
+    converged = False
+    rounds = 0
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for r in range(1, max_rounds + 1):
+            if n_live == 0:
+                converged = True
+                break
+            t0 = time.time()
+            vmin = (
+                live.select(
+                    F.explode(F.array("a", "b")).alias("v"),
+                    F.struct("a", "b").alias("pri"),
+                )
+                .groupBy("v")
+                .agg(F.min("pri").alias("mp"))
+            )
+            obs_m = Observation()
+            matched = truncate_plan(
+                live.join(
+                    vmin.select(F.col("v").alias("a"), F.col("mp").alias("ma"))
+                    .hint("shuffle_hash"),
+                    "a",
+                )
+                .join(
+                    vmin.select(F.col("v").alias("b"), F.col("mp").alias("mb"))
+                    .hint("shuffle_hash"),
+                    "b",
+                )
+                .where(
+                    (F.struct("a", "b") == F.col("ma"))
+                    & (F.struct("a", "b") == F.col("mb"))
+                )
+                .select("a", "b", F.lit(r).alias("value"))
+                .observe(obs_m, F.count(F.lit(1)).alias("c"))
+            )
+            n_matched = int(obs_m.get["c"] or 0)
+            layers.append(matched)
+            mv = (
+                matched.select(F.col("a").alias("v"))
+                .union(matched.select(F.col("b").alias("v")))
+                .distinct()
+            )
+            obs_l = Observation()
+            new_live = truncate_plan(
+                live.join(mv.withColumnRenamed("v", "a"), "a", "left_anti")
+                .join(mv.withColumnRenamed("v", "b"), "b", "left_anti")
+                .repartition(p, "a")
+                .observe(obs_l, F.count(F.lit(1)).alias("c"))
+            )
+            live.unpersist()
+            n_prev, n_live = n_live, int(obs_l.get["c"] or 0)
+            live = new_live
+            rounds = r
+            metrics.append(
+                IterationMetrics(
+                    iteration=r,
+                    messages_shuffled=n_matched,
+                    changed=n_prev - n_live,
+                    edges_scanned=n_prev,
+                    seconds=time.time() - t0,
+                )
+            )
+        else:
+            converged = n_live == 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    live.unpersist()
+    if layers:
+        state = layers[0]
+        for frame in layers[1:]:
+            state = state.union(frame)
+    else:
+        state = spark.createDataFrame([], "a long, b long, value int")
+    return GimvResult(
+        state=state, iterations=rounds, converged=converged, metrics=metrics
+    )
+
+
 def betweenness_sampled(
     edges: DataFrame,
     sources: list[int],

@@ -1423,3 +1423,35 @@ def test_sweep_cut_two_triangles(spark):
     # the ACL local cluster = argmin phi = the seed triangle
     best = min(rows.values(), key=lambda r: (r["phi"], r["k"]))
     assert best["k"] == 3
+
+
+def test_maximal_matching_path_and_star(spark):
+    """Path 1-2-3-4: (1,2) matches round 1, (3,4) round 2. Star: exactly
+    one edge (the lowest leaf) matches."""
+    res = algorithms.maximal_matching(_edges(spark, [(1, 2), (2, 3), (3, 4)]))
+    got = {(r.a, r.b): r.value for r in res.state.collect()}
+    assert got == {(1, 2): 1, (3, 4): 2}
+    assert res.converged
+
+    res2 = algorithms.maximal_matching(
+        _edges(spark, [(0, 1), (0, 2), (0, 3), (0, 4)])
+    )
+    got2 = {(r.a, r.b): r.value for r in res2.state.collect()}
+    assert got2 == {(0, 1): 1}
+
+
+def test_maximal_matching_valid_and_maximal(spark):
+    """On a hashed random graph: output is a matching (no shared vertex)
+    and maximal (every live edge lost an endpoint)."""
+    pairs = [(i * 7 % 40, (i * 13 + 3) % 40) for i in range(60)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    res = algorithms.maximal_matching(_edges(spark, pairs))
+    matched = [(r.a, r.b) for r in res.state.collect()]
+    used = [v for e in matched for v in e]
+    assert len(used) == len(set(used))  # no vertex twice
+    mset = set(used)
+    und = {(min(a, b), max(a, b)) for a, b in pairs}
+    for a, b in und:
+        # maximality: every undirected edge touches a matched vertex
+        assert a in mset or b in mset
+    assert res.converged
