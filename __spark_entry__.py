@@ -401,6 +401,18 @@ def _q_rwr10(spark, sf_dir):
     return res.state.select("vertex", F.round("value", 6).alias("pr"))
 
 
+def _q_pagerank_std10(spark, sf_dir):
+    """Textbook PageRank with dangling-mass redistribution over the
+    supplier->part bipartite graph (1900 of 2000 vertices are sinks —
+    the regime where the reference's drop-the-mass quirk and the
+    standard semantics differ most); oracle unrolls the conserved-mass
+    recurrence with the per-iteration dangling sum."""
+    res = algorithms.pagerank_standard(
+        _edges_sp(spark, sf_dir), threshold=0.0, max_iter=PAGERANK_ITERS
+    )
+    return res.state.select("vertex", F.round("value", 6).alias("pr"))
+
+
 def _q_pagerank_converged_top20(spark, sf_dir):
     """Convergence-DETECTED PageRank top-20: the engine runs with
     max_iter far above the expected depth and stops via the threshold vote
@@ -1888,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wpagerank10": _q_wpagerank10,
         "wpagerank10_blocked": _q_wpagerank10_blocked,
         "rwr10": _q_rwr10,
+        "pagerank_std10": _q_pagerank_std10,
         "pagerank_converged_top20": _q_pagerank_converged_top20,
         "pagerank10_blocked": _q_pagerank10_blocked,
         "rwr10_blocked": _q_rwr10_blocked,
@@ -2038,6 +2051,43 @@ def _pagerank_sql(edge_sql: str, iters: int, alpha: float = 0.85,
         "with " + ",\n".join(ctes)
         + f"\nselect v as vertex, round(r / (select sum(r) from it{iters}), 6) "
         f"as pr from it{iters}"
+    )
+
+
+def _std_pagerank_sql(edge_sql: str, iters: int, alpha: float = 0.85) -> str:
+    """Unrolled textbook PageRank: r <- a*(inflow + g/n) + (1-a)/n with
+    g = the dangling rank mass of the previous iterate (mass-conserving,
+    no final normalization)."""
+    beta = 1.0 - alpha
+    ctes = [
+        f"e as materialized ({edge_sql})",
+        "verts as (select src as v from e union select dst from e)",
+        "nn as (select count(*)::double as n from verts)",
+        "deg as materialized (select src, count(*)::double as dd "
+        "from e group by src)",
+        "dv as materialized (select verts.v, "
+        "case when deg.src is null then 1.0 else 0.0 end as d "
+        "from verts left join deg on deg.src = verts.v)",
+        "it0 as (select v, d, (select 1.0 / n from nn) as r from dv)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"g{k} as materialized (select sum(r * d) as g from it{k-1})"
+        )
+        ctes.append(
+            f"it{k} as materialized (select s.v, s.d, "
+            f"{alpha!r} * (coalesce(m.msg, 0.0) "
+            f"+ (select g from g{k}) / (select n from nn)) "
+            f"+ {beta!r} / (select n from nn) as r "
+            f"from it{k-1} s left join ("
+            f"select e.dst as v, sum(p.r / deg.dd) as msg from e "
+            f"join it{k-1} p on p.v = e.src "
+            f"join deg on deg.src = e.src group by e.dst"
+            f") m on m.v = s.v)"
+        )
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect v as vertex, round(r, 6) as pr from it{iters}"
     )
 
 
@@ -3670,6 +3720,7 @@ def oracle_sql() -> dict[str, str]:
             G1000_W_SQL, PAGERANK_ITERS, weighted=True
         ),
         "rwr10": _pagerank_sql(SSP_EDGES_SQL, PAGERANK_ITERS, personalized=True),
+        "pagerank_std10": _std_pagerank_sql(SSP_EDGES_SQL, PAGERANK_ITERS),
         "pagerank_converged_top20": (
             # engine converges (all |Δ| <= 1e-8) at iteration
             # PAGERANK_CONVERGED_ITERS on this deterministic input; the

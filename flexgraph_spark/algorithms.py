@@ -109,6 +109,35 @@ def pagerank(
     return _dispatch(edges, prog, engine, max_iter, checkpointer, kw)
 
 
+def pagerank_standard(
+    edges: DataFrame,
+    alpha: float = gimv.PAGERANK_ALPHA,
+    threshold: float = gimv.CONVERGE_THRESHOLD,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+    checkpointer=None,
+) -> gimv.GimvResult:
+    """Textbook PageRank (gimv.StandardPageRank): dangling rank mass is
+    redistributed uniformly each superstep, so Σr = 1 is conserved and no
+    post-hoc normalization happens — the semantics NetworkX/GraphX users
+    expect, alongside the reference-faithful :func:`pagerank`. The
+    dangling set is one anti-join at setup; the per-superstep mass uses
+    the global_agg broadcast hook (no driver round-trip)."""
+    dangling = (
+        edges.select(F.col("dst").alias("vertex"))
+        .distinct()
+        .join(edges.select(F.col("src").alias("vertex")).distinct(),
+              "vertex", "left_anti")
+    )
+    prog = gimv.StandardPageRank(
+        dangling=dangling, alpha=alpha, threshold=threshold
+    )
+    return gimv.run(
+        edges, prog, max_iter=max_iter, num_partitions=num_partitions,
+        checkpointer=checkpointer,
+    )
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 100, checkpointer=None, engine: str = "flat", **kw
 ) -> gimv.GimvResult:

@@ -142,6 +142,16 @@ class VertexProgram:
             self.reduce_expr().alias("msg")
         )
 
+    def global_agg(self) -> F.Column | None:
+        """Optional per-superstep GLOBAL scalar: an aggregate expression
+        over the state (e.g. the dangling rank mass). When non-None,
+        gimv.run crossJoins the 1-row aggregate into the apply stage as
+        column ``_gagg`` — a broadcast nested-loop join of one row, so
+        the scalar is computed and folded in DECLARATIVELY inside the
+        same superstep job (never a driver collect per iteration).
+        ``apply`` may then reference ``F.col("_gagg")``."""
+        return None
+
     def reduce_expr(self) -> F.Column:
         raise NotImplementedError
 
@@ -572,6 +582,73 @@ class TrustRank(VertexProgram):
         return state.select("vertex", F.col("value").getField("t").alias("value"))
 
 
+class StandardPageRank(VertexProgram):
+    """TEXTBOOK PageRank with dangling-mass redistribution —
+    ``r ← α·(Aᵀ_norm·r + g/n) + (1−α)/n`` where ``g = Σ_{od(v)=0} r(v)``
+    is the rank parked on sinks this superstep, re-spread uniformly
+    (Brin & Page 1998 / the Google matrix). The REFERENCE deliberately
+    drops g (PageRankComputation.java:202-256 — reproduced faithfully by
+    :class:`PageRank`, which re-normalizes post-hoc instead); this class
+    is the standard-semantics variant users coming from NetworkX/GraphX
+    expect. Rank mass is conserved every superstep (Σr = 1), so no final
+    normalization.
+
+    The dangling flag rides the state as a struct field (the
+    FaBP/TrustRank statics pattern: value = struct(r, d)); the global
+    scalar g uses the :meth:`VertexProgram.global_agg` hook — a 1-row
+    broadcast crossJoin inside the superstep job, never a per-iteration
+    driver collect. Flat plan only."""
+
+    name = "standard_pagerank"
+    needs_out_degree = True
+    supports_blocked = False  # struct-valued state: flat plan only
+
+    def __init__(self, dangling: DataFrame, alpha: float = PAGERANK_ALPHA,
+                 threshold: float = CONVERGE_THRESHOLD):
+        self.dangling = dangling  # (vertex) rows with zero out-degree
+        self.alpha = alpha
+        self.threshold = threshold
+
+    def init_state(self, vertices: DataFrame, n: int) -> DataFrame:
+        return (
+            vertices.join(
+                self.dangling.select("vertex", F.lit(1.0).alias("_d")),
+                "vertex", "left",
+            )
+            .select(
+                "vertex",
+                F.struct(
+                    F.lit(1.0 / n).alias("r"),
+                    F.coalesce(F.col("_d"), F.lit(0.0)).alias("d"),
+                ).alias("value"),
+            )
+        )
+
+    def message(self) -> F.Column:
+        return F.col("value").getField("r") / F.col("out_degree")
+
+    def reduce_expr(self) -> F.Column:
+        return F.sum("msg")
+
+    def global_agg(self) -> F.Column:
+        old = F.col("value")
+        return F.sum(old.getField("r") * old.getField("d"))
+
+    def apply(self, old, msg, n):
+        new_r = (
+            self.alpha
+            * (F.coalesce(msg, F.lit(0.0)) + F.col("_gagg") / n)
+            + (1.0 - self.alpha) / n
+        )
+        return F.struct(new_r.alias("r"), old.getField("d").alias("d"))
+
+    def changed(self, old, new):
+        return F.abs(new.getField("r") - old.getField("r")) > self.threshold
+
+    def finalize(self, state: DataFrame) -> DataFrame:
+        return state.select("vertex", F.col("value").getField("r").alias("value"))
+
+
 class HittingProbability(VertexProgram):
     """k-step hitting probability of a target set S under the simple
     random walk: ``h(v) = P[walk started at v reaches S within k steps]``.
@@ -924,9 +1001,17 @@ def run(
             # Convergence voting piggybacks on the SAME job that materializes the
             # checkpoint (Observation) — no separate aggregate job per superstep.
             conv_obs = Observation()
+            base = state.withColumnRenamed("value", "_old").drop("_active")
+            gexpr = program.global_agg()
+            if gexpr is not None:
+                # 1-row aggregate over the (cached) state, broadcast into
+                # every row — the declarative way to a per-superstep global
+                # scalar (no driver action, same job)
+                base = base.crossJoin(
+                    F.broadcast(state.agg(gexpr.alias("_gagg")))
+                )
             new_state = (
-                state.withColumnRenamed("value", "_old")
-                .drop("_active")
+                base
                 .join(aggregated.withColumnRenamed("msg", "_msg"), "vertex", "left")
                 .select(
                     "vertex",

@@ -1455,3 +1455,30 @@ def test_maximal_matching_valid_and_maximal(spark):
         # maximality: every undirected edge touches a matched vertex
         assert a in mset or b in mset
     assert res.converged
+
+
+def test_pagerank_standard_matches_numpy_and_conserves_mass(spark):
+    """Dangling redistribution vs dense NumPy Google-matrix iteration;
+    total rank conserved at 1 every run."""
+    pairs = [(0, 1), (1, 2), (2, 0), (0, 3), (4, 0)]  # 3 is a sink
+    res = algorithms.pagerank_standard(
+        _edges(spark, pairs), alpha=0.85, max_iter=10, threshold=0.0
+    )
+    got = {r["vertex"]: r["value"] for r in res.state.collect()}
+
+    n = 5
+    A = np.zeros((n, n))
+    for s, d in pairs:
+        A[s, d] = 1.0
+    od = A.sum(axis=1)
+    P = np.divide(A, od[:, None], out=np.zeros_like(A), where=od[:, None] > 0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        g = r[od == 0].sum()
+        r = 0.85 * (P.T @ r + g / n) + 0.15 / n
+    for v in range(n):
+        assert got[v] == pytest.approx(r[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # the sink's parked mass went SOMEWHERE: with redistribution the sink
+    # holds less than it would absorbing forever
+    assert got[3] < 0.5
