@@ -263,6 +263,10 @@ def main() -> None:
             g5000, threshold_mult=2.2, max_rounds=24
         ).members.count(),
     )
+    timed(
+        "maximal_matching",
+        lambda: algorithms.maximal_matching(g5000, max_rounds=30).state.count(),
+    )
     # candidate pairs via MinHash+LSH (exact-verified inside) — the path a
     # 100 TB corpus actually runs; the exact prefix-filter join is gated for
     # correctness at sf0.01 but is CPU-bound on multi-thousand-shingle docs
@@ -360,6 +364,16 @@ def main() -> None:
         "dup_spans_scan",
         lambda: textops.duplicated_spans(docs, n=5)
         .agg(F.sum("n_dup"), F.avg("dup_frac")).first(),
+    )
+    timed(
+        "paragraph_dedup_scan",
+        lambda: textops.paragraph_dedup(
+            docs.select("doc_id", F.concat_ws(
+                "\n", "text",
+                F.concat(F.lit("shared footer "),
+                         (F.col("doc_id") % 7).cast("string")),
+            ).alias("text"))
+        ).agg(F.sum("n_dropped"), F.sum(F.length("clean_text"))).first(),
     )
 
     edges_per_sec_per_superstep = n_edges / med_flat
