@@ -1534,6 +1534,30 @@ def _q_paragraph_dedup(spark, sf_dir):
     )
 
 
+def _q_stream_exact_dedup(spark, sf_dir):
+    """Batch face of streaming.streaming_exact_dedup (same plan body the
+    stream runs): formatting-mangled re-crawls of corpus docs are flagged
+    via the normalized-sha256 stream-static probe, appended fresh docs are
+    not; oracle replays the normalize/hash/probe."""
+    from flexgraph_spark import streaming as fstreaming
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    body = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    index = docs.select(F.sha2(body, 256).alias("fingerprint"))
+    base = docs.filter(F.col("doc_id") < 50)
+    incoming = base.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit("   ")).alias("text"),
+    ).unionByName(base.select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" EXTRA TOKEN xyz")).alias("text"),
+    ))
+    out = fstreaming.streaming_exact_dedup(incoming, index)
+    return out.select(
+        "doc_id", "fingerprint", F.col("is_dup").cast("int").alias("is_dup")
+    )
+
+
 def _q_dup_spans(spark, sf_dir):
     """Cross-document duplicated 5-gram span stats (Lee et al. 2022 shape):
     per-doc count and fraction of n-gram positions whose span recurs in
@@ -1983,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": _q_winnow_fp,
         "winnow_containment": _q_winnow_containment,
         "paragraph_dedup": _q_paragraph_dedup,
+        "stream_exact_dedup": _q_stream_exact_dedup,
         "dup_spans": _q_dup_spans,
         "repetition_stats": _q_repetition_stats,
         "quality_filter": _q_quality_filter,
@@ -3604,6 +3629,26 @@ from v left join d using (vec_id)
 """
 
 
+# Batch face of the streaming exact-dedup probe: normalized sha256 of
+# mangled re-crawls matches the corpus index, fresh docs miss.
+_STREAM_EXACT_SQL = """
+with c as (select distinct sha256(regexp_replace(trim(lower(text)),
+    '\\s+', ' ', 'g')) as fingerprint from documents),
+inc as (
+  select doc_id + 200000 as doc_id,
+         '  ' || upper(text) || '   ' as text
+  from documents where doc_id < 50
+  union all
+  select doc_id + 300000 as doc_id, text || ' EXTRA TOKEN xyz' as text
+  from documents where doc_id < 50),
+f as (select doc_id, sha256(regexp_replace(trim(lower(text)),
+    '\\s+', ' ', 'g')) as fingerprint from inc)
+select f.doc_id, f.fingerprint,
+       cast(c.fingerprint is not null as int) as is_dup
+from f left join c using (fingerprint)
+"""
+
+
 # C4-style paragraph dedup over the planted-paragraph documents: first
 # (doc_id, pos) occurrence of each non-blank trimmed paragraph wins; blanks
 # pass through; the doc is rebuilt in position order and sha256-hashed.
@@ -3989,6 +4034,7 @@ having count(*) >= 2
         "regex_tokens": _REGEX_TOKENS_SQL,
         "quality_scores": _QUALITY_SQL,
         "paragraph_dedup": _PARA_DEDUP_SQL,
+        "stream_exact_dedup": _STREAM_EXACT_SQL,
         "dup_spans": _DUP_SPANS_SQL,
         "repetition_stats": _REPETITION_SQL,
         "quality_filter": _QUALITY_FILTER_SQL,

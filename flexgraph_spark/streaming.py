@@ -224,6 +224,42 @@ def streaming_near_dup(
     )
 
 
+def streaming_exact_dedup(
+    docs: DataFrame,
+    corpus_index: DataFrame,
+    normalize: bool = True,
+) -> DataFrame:
+    """Ingest-time EXACT-duplicate screen — the stateless sibling of
+    :func:`streaming_near_dup`: sha256 each incoming document and probe a
+    static fingerprint index of the existing corpus (one column
+    ``fingerprint``, e.g. ``textops.fingerprints(...).select(sha256)``),
+    tagging every arrival as already-known or new. The first gate of a
+    crawl pipeline (drop exact re-crawls before any shingling work).
+
+    Returns (doc_id, fingerprint, is_dup) — fully stateless (hash is a
+    column expression, the probe a stream-static LEFT join), so it runs
+    in ``append`` mode with no watermark and the identical plan serves
+    batch inputs (the stream≡batch pytest contract). ``normalize``
+    hashes the whitespace-collapsed lowercased body (catches re-crawls
+    that differ in formatting only); pass False for byte-exact keys.
+    At scale the index is parquet bucketed by fingerprint so the probe
+    co-locates; the 256-bit key makes the join skew-proof."""
+    body = F.col("text")
+    if normalize:
+        body = F.regexp_replace(F.trim(F.lower(body)), r"\s+", " ")
+    fp = docs.select("doc_id", F.sha2(body, 256).alias("fingerprint"))
+    idx = corpus_index.select(
+        F.col("fingerprint"), F.lit(1).alias("_hit")
+    ).distinct()
+    return (
+        fp.join(idx, "fingerprint", "left")
+        .select(
+            "doc_id", "fingerprint",
+            F.col("_hit").isNotNull().alias("is_dup"),
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str, mode: str = "update"):
     """Drain a streaming DataFrame into an in-memory table with the
     availableNow trigger (process-everything-then-stop) — the test/dev

@@ -14,6 +14,7 @@ from pathlib import Path
 
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from flexgraph_spark import streaming
 
@@ -195,3 +196,38 @@ def test_streaming_near_dup_flags_planted_duplicate(spark, tmp_path):
     matched = {(r.doc_id, r.match_id) for r in out}
     assert (100, 0) in matched
     assert all(d != 101 for d, _ in matched)
+
+
+def test_streaming_exact_dedup_stream_equals_batch_and_flags(spark, doc_dir):
+    """Stateless sha256 probe: stream and batch agree row for row; an
+    exact (formatting-normalized) re-crawl of a corpus doc is flagged,
+    a fresh doc is not."""
+    corpus = spark.createDataFrame(
+        [(0, "Hello   World THIS is Doc zero"), (1, "another corpus doc")],
+        "doc_id long, text string",
+    )
+    body = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    index = corpus.select(F.sha2(body, 256).alias("fingerprint"))
+
+    incoming = spark.createDataFrame(
+        [(100, "hello world this is doc ZERO"), (101, "never seen before")],
+        "doc_id long, text string",
+    )
+    batch = streaming.streaming_exact_dedup(incoming, index)
+    got = {r["doc_id"]: r["is_dup"] for r in batch.collect()}
+    assert got == {100: True, 101: False}
+
+    # stream == batch over the parquet doc fixture (append mode: stateless)
+    corpus_fp = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.sha2(F.col("text"), 256).alias("fingerprint")
+    ).persist()
+    corpus_fp.count()
+    b2 = streaming.streaming_exact_dedup(
+        spark.read.parquet(doc_dir), corpus_fp)
+    s2 = streaming.streaming_exact_dedup(
+        streaming.read_doc_stream(spark, doc_dir, max_files_per_trigger=1),
+        corpus_fp)
+    q = streaming.run_to_memory(s2, "exactdedup", mode="append")
+    _drain(q)
+    assert _rows(spark.table("exactdedup")) == _rows(b2)
+    corpus_fp.unpersist()
