@@ -1460,7 +1460,9 @@ def sweep_cut(
         .groupBy("vertex")
         .agg(F.count("*").alias("deg"))
     )
-    m = und.count()
+    # total volume 2m = Σdeg, folded in as a 1-row broadcast (no driver
+    # action — the whole operator stays one lazy plan)
+    tot = deg.agg(F.sum("deg").alias("_v2"))
     key = (F.col(score_col) / F.col("deg")).alias("_key")
     topk = (
         scores.join(deg, "vertex")
@@ -1518,14 +1520,14 @@ def sweep_cut(
             F.sum("deg").over(w_cum).alias("vol"),
         )
     )
-    total_vol = 2 * m
     return (
-        ser.filter(F.lit(total_vol) - F.col("vol") > 0)
+        ser.crossJoin(F.broadcast(tot))
+        .filter(F.col("_v2") - F.col("vol") > 0)
         .select(
             "k", "vertex", "cut_edges", "vol",
             F.round(
                 F.col("cut_edges")
-                / F.least(F.col("vol"), F.lit(total_vol) - F.col("vol")),
+                / F.least(F.col("vol"), F.col("_v2") - F.col("vol")),
                 6,
             ).alias("phi"),
         )
