@@ -673,10 +673,12 @@ def _q_mis(spark, sf_dir):
 
 def _q_matching(spark, sf_dir):
     """Locally-minimal-edge maximal matching (deterministic sibling of
-    MIS), both sides capped at MATCH_ROUNDS — value = the round each edge
-    matched; oracle unrolls the identical per-endpoint-minimum rounds."""
+    MIS) in its "lex" priority mode (SQL-unrollable; the O(log n) "hash"
+    default is validity/maximality-pytested), both sides capped at
+    MATCH_ROUNDS — value = the round each edge matched."""
     res = algorithms.maximal_matching(
-        _graph_sparse2000(spark, sf_dir), max_rounds=MATCH_ROUNDS
+        _graph_sparse2000(spark, sf_dir), max_rounds=MATCH_ROUNDS,
+        priority="lex",
     )
     return res.state.select("a", "b", F.col("value").alias("match_round"))
 

@@ -1428,13 +1428,14 @@ def test_sweep_cut_two_triangles(spark):
 def test_maximal_matching_path_and_star(spark):
     """Path 1-2-3-4: (1,2) matches round 1, (3,4) round 2. Star: exactly
     one edge (the lowest leaf) matches."""
-    res = algorithms.maximal_matching(_edges(spark, [(1, 2), (2, 3), (3, 4)]))
+    res = algorithms.maximal_matching(
+        _edges(spark, [(1, 2), (2, 3), (3, 4)]), priority="lex")
     got = {(r.a, r.b): r.value for r in res.state.collect()}
     assert got == {(1, 2): 1, (3, 4): 2}
     assert res.converged
 
     res2 = algorithms.maximal_matching(
-        _edges(spark, [(0, 1), (0, 2), (0, 3), (0, 4)])
+        _edges(spark, [(0, 1), (0, 2), (0, 3), (0, 4)]), priority="lex"
     )
     got2 = {(r.a, r.b): r.value for r in res2.state.collect()}
     assert got2 == {(0, 1): 1}
