@@ -108,3 +108,33 @@ def test_fingerprint_order_insensitive(spark):
     c = fixtures.edges_df(spark, [(0, 1), (1, 2), (2, 4)])
     assert edges_fingerprint(a) == edges_fingerprint(b)
     assert edges_fingerprint(a) != edges_fingerprint(c)
+
+
+def test_standard_pagerank_resume_with_global_agg(spark, tmp_path):
+    """Struct-state program using the global_agg hook (dangling mass)
+    resumes mid-run to the identical fixed-depth answer — the broadcast
+    global scalar is rebuilt from the restored state, not from lineage."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 3), (4, 0)], "src long, dst long"
+    )  # vertex 3 is a sink: the dangling mass is nonzero every superstep
+    fp = edges_fingerprint(edges)
+
+    full = algorithms.pagerank_standard(edges, threshold=0.0, max_iter=6)
+    expected = {r["vertex"]: r["value"] for r in full.state.collect()}
+
+    ck = Checkpointer(str(tmp_path), input_fingerprint=fp)
+    partial = algorithms.pagerank_standard(
+        edges, threshold=0.0, max_iter=2, checkpointer=ck
+    )
+    assert not partial.converged
+
+    ck2 = Checkpointer(str(tmp_path), input_fingerprint=fp)
+    resumed = algorithms.pagerank_standard(
+        edges, threshold=0.0, max_iter=6, checkpointer=ck2
+    )
+    got = {r["vertex"]: r["value"] for r in resumed.state.collect()}
+    assert set(got) == set(expected)
+    for v, val in expected.items():
+        assert got[v] == pytest.approx(val, abs=1e-12)
+    rows = ck2.manifest_rows("standard_pagerank")
+    assert min(r["iteration"] for r in rows[2:]) == 3
