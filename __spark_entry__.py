@@ -66,7 +66,10 @@ FABP_SEED_VAL = 1.0
 SPECTRAL_ITERS = 5
 TRUST_ITERS = 4
 TRUST_SEED_MOD = 101  # trusted seeds: v % 101 == 0 (~10 at graph1000)
-SPAM_ITERS = 10       # PR and TR at the same depth for mass = (PR−TR)/PR
+SPAM_ITERS = 10
+PUSH_ROUNDS = 12
+PUSH_ALPHA = 0.15
+PUSH_EPS = 1e-4       # PR and TR at the same depth for mass = (PR−TR)/PR
 HIT_ITERS = 4
 HIT_SEED_MOD = 89     # absorbing targets: v % 89 == 0 (~12 at graph1000)
 # Brandes sampled betweenness: 8 fixed sources, depth-bounded at 4 (the
@@ -817,6 +820,22 @@ def _q_hitting_prob4(spark, sf_dir):
         edges, seeds, max_iter=HIT_ITERS, threshold=0.0
     )
     return res.state.select("vertex", F.round("value", 6).alias("hit_prob"))
+
+
+def _q_ppr_push(spark, sf_dir):
+    """Batch forward-push PPR (algorithms.ppr_push): 12 equal-capped push
+    rounds from the lowest vertex — the ACL local-computation half; work
+    proportional to pushed mass, never a full-graph scan per round. The
+    oracle unrolls the identical all-qualifying batch rule."""
+    edges = _graph1000(spark, sf_dir)
+    seed = int(edges.agg(F.min("src")).first()[0])
+    res = algorithms.ppr_push(
+        edges, seed=seed, alpha=PUSH_ALPHA, eps=PUSH_EPS,
+        max_rounds=PUSH_ROUNDS,
+    )
+    return res.state.select(
+        "vertex", F.round("p", 6).alias("p"), F.round("r", 6).alias("r")
+    )
 
 
 def _q_ppr_sweep(spark, sf_dir):
@@ -1970,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass": _q_spam_mass,
         "hitting_prob4": _q_hitting_prob4,
         "ppr_sweep": _q_ppr_sweep,
+        "ppr_push12": _q_ppr_push,
         "global_clustering": _q_global_clustering,
         "rich_club": _q_rich_club,
         "salsa4": _q_salsa4,
@@ -2374,6 +2394,42 @@ def _hitting_sql(edge_sql: str, iters: int, seed_mod: int) -> str:
     return (
         "with " + ",\n".join(ctes)
         + f"\nselect v as vertex, round(h, 6) as hit_prob from h{iters}"
+    )
+
+
+def _push_sql(edge_sql: str, rounds: int, alpha: float, eps: float) -> str:
+    """Unrolled batch forward push: every vertex with r >= eps*d pushes —
+    p += alpha*r (dangling absorb r entirely), out-neighbors split
+    (1-alpha)*r/d, pushed residual resets before inflow lands."""
+    beta = 1.0 - alpha
+    ctes = [
+        f"e as materialized ({edge_sql})",
+        "verts as (select src as v from e union select dst from e)",
+        "dg as materialized (select src as v, count(*)::double as d "
+        "from e group by src)",
+        "s0 as (select verts.v, 0.0 as p, "
+        "case when verts.v = (select min(src) from e) then 1.0 else 0.0 end "
+        "as r, coalesce(dg.d, 0.0) as d "
+        "from verts left join dg on dg.v = verts.v)",
+    ]
+    for k in range(1, rounds + 1):
+        q = f"s.r > 0 and s.r >= {eps!r} * s.d"
+        ctes.append(
+            f"s{k} as materialized (select s.v, "
+            f"s.p + case when {q} and s.d > 0 then {alpha!r} * s.r "
+            f"when {q} then s.r else 0.0 end as p, "
+            f"case when {q} then 0.0 else s.r end + coalesce(m.inn, 0.0) as r, "
+            f"s.d "
+            f"from s{k-1} s left join ("
+            f"select e.dst as v, sum({beta!r} * q.r / q.d) as inn "
+            f"from e join s{k-1} q on q.v = e.src "
+            f"where q.r > 0 and q.r >= {eps!r} * q.d and q.d > 0 "
+            f"group by e.dst) m on m.v = s.v)"
+        )
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect v as vertex, round(p, 6) as p, round(r, 6) as r "
+        f"from s{rounds} where p > 0 or r > 0"
     )
 
 
@@ -3922,6 +3978,7 @@ group by 1, 2
         ),
         "hitting_prob4": _hitting_sql(G1000_SQL, HIT_ITERS, HIT_SEED_MOD),
         "ppr_sweep": _sweep_sql(G1000_SQL, PAGERANK_ITERS, 50),
+        "ppr_push12": _push_sql(G1000_SQL, PUSH_ROUNDS, PUSH_ALPHA, PUSH_EPS),
         "global_clustering": f"""
 with e as ({G1000_SQL}),
 und as (select least(src, dst) as a, greatest(src, dst) as b from e group by 1, 2),

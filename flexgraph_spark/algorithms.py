@@ -1419,6 +1419,141 @@ def spam_mass(
     )
 
 
+def ppr_push(
+    edges: DataFrame,
+    seed: int,
+    alpha: float = 0.15,
+    eps: float = 1e-5,
+    max_rounds: int = 50,
+    num_partitions: int | None = None,
+) -> GimvResult:
+    """Personalized PageRank by BATCH forward push (Andersen, Chung, Lang
+    FOCS 2006, all-qualifying-at-once variant): maintain (p, r) with
+    p(s)=0, r(s)=1; each round EVERY vertex whose residual clears the
+    push threshold (``r(u) ≥ eps·d(u)``) pushes — ``p(u) += α·r(u)`` and
+    each out-neighbor receives ``(1−α)·r(u)/d(u)`` of residual. Stops
+    when no vertex qualifies; then ``p`` approximates the α-teleport PPR
+    from the seed with per-vertex residual error below ``eps·d(v)``.
+
+    THE local-computation half of ACL clustering (feed ``p`` to
+    :func:`sweep_cut`): work is proportional to pushed mass (O(1/(ε·α))
+    touched edges), NOT graph size — on a 100 TB graph a small seed's
+    cluster never scans the full edge set because each round's message
+    join is against only the qualifying frontier. Total residual Σr
+    shrinks by α·(pushed fraction) per round, so rounds are
+    O(log(1/ε)/α)-ish; capping ``max_rounds`` is exact-comparable on any
+    engine (deterministic batch rule — the oracle unrolls it). Dangling
+    qualifiers (d=0) absorb their whole residual into p (a walk at a
+    sink never leaves; keeps Σ(p+r) = 1). Returns state
+    (vertex, p, r) over the TOUCHED vertex set only (untouched vertices
+    have p = r = 0 implicitly).
+    """
+    spark = edges.sparkSession
+    p_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    e = (
+        edges.select("src", "dst")
+        .repartition(p_parts, "src")
+        .persist()
+    )
+    # static degree table, materialized once (per-round lookups must not
+    # rescan the edge set; at cluster scale store it bucketed by vertex so
+    # the round's new-vertex lookup co-locates)
+    deg = e.groupBy(F.col("src").alias("vertex")).agg(
+        F.count("*").cast("double").alias("deg")
+    ).persist()
+    deg.count()
+    state = truncate_plan(
+        deg.filter(F.col("vertex") == seed)
+        .select("vertex", F.lit(0.0).alias("p"), F.lit(1.0).alias("r"), "deg")
+        .unionByName(
+            spark.createDataFrame(
+                [(seed, 0.0, 1.0, 0.0)], "vertex long, p double, r double, deg double"
+            ).join(deg.select("vertex"), "vertex", "left_anti")
+        )
+    )
+    metrics: list[IterationMetrics] = []
+    converged = False
+    rounds = 0
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for k in range(1, max_rounds + 1):
+            t0 = time.time()
+            qual = F.col("r") >= eps * F.col("deg")
+            pushing = state.filter(qual & (F.col("r") > 0))
+            obs = Observation()
+            pushing = pushing.observe(obs, F.count(F.lit(1)).alias("c"))
+            inflow = (
+                e.join(
+                    pushing.filter(F.col("deg") > 0)
+                    .select(F.col("vertex").alias("src"),
+                            ((1.0 - alpha) * F.col("r") / F.col("deg")).alias("_m"))
+                    .hint("shuffle_hash"),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("vertex"))
+                .agg(F.sum("_m").alias("_in"))
+            )
+            # new touched vertices enter with p=0, r=0 (+ inflow) and their
+            # static degree
+            updated = (
+                state.join(inflow, "vertex", "full")
+                .join(deg.withColumnRenamed("deg", "_d2"), "vertex", "left")
+                .select(
+                    "vertex",
+                    (
+                        F.coalesce("p", F.lit(0.0))
+                        + F.when(
+                            F.coalesce("r", F.lit(0.0)) > 0,
+                            F.when(
+                                qual & (F.col("deg") > 0),
+                                alpha * F.col("r"),
+                            ).when(
+                                qual & (F.col("deg") <= 0), F.col("r")
+                            ).otherwise(0.0),
+                        ).otherwise(0.0)
+                    ).alias("p"),
+                    (
+                        F.when(
+                            F.coalesce("r", F.lit(0.0)) > 0,
+                            F.when(qual, 0.0).otherwise(F.col("r")),
+                        ).otherwise(0.0)
+                        + F.coalesce("_in", F.lit(0.0))
+                    ).alias("r"),
+                    F.coalesce("deg", "_d2", F.lit(0.0)).alias("deg"),
+                )
+            )
+            new_state = truncate_plan(updated)
+            n_push = int(obs.get["c"] or 0)
+            state.unpersist()
+            state = new_state
+            rounds = k
+            metrics.append(
+                IterationMetrics(
+                    iteration=k,
+                    messages_shuffled=n_push,
+                    changed=n_push,
+                    edges_scanned=n_push,
+                    seconds=time.time() - t0,
+                )
+            )
+            if n_push == 0:
+                converged = True
+                break
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    e.unpersist()
+    deg.unpersist()
+    return GimvResult(
+        state=state.select("vertex", "p", "r"),
+        iterations=rounds,
+        converged=converged,
+        metrics=metrics,
+    )
+
+
 def sweep_cut(
     edges: DataFrame,
     scores: DataFrame,

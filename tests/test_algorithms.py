@@ -1483,3 +1483,43 @@ def test_pagerank_standard_matches_numpy_and_conserves_mass(spark):
     # the sink's parked mass went SOMEWHERE: with redistribution the sink
     # holds less than it would absorbing forever
     assert got[3] < 0.5
+
+
+def test_ppr_push_matches_numpy_and_invariants(spark):
+    """Batch forward push vs a NumPy replay of the identical rule; mass
+    p+r conserved at 1; final residuals below the push threshold."""
+    pairs = [(0, 1), (1, 2), (2, 0), (0, 3), (3, 4), (4, 0), (2, 3)]
+    alpha, eps = 0.2, 1e-3
+    res = algorithms.ppr_push(
+        _edges(spark, pairs), seed=0, alpha=alpha, eps=eps, max_rounds=60
+    )
+    got = {r_["vertex"]: (r_["p"], r_["r"]) for r_ in res.state.collect()}
+    assert res.converged
+
+    n = 5
+    A = np.zeros((n, n))
+    for s, d in pairs:
+        A[s, d] = 1.0
+    deg = A.sum(axis=1)
+    p, r = np.zeros(n), np.zeros(n)
+    r[0] = 1.0
+    for _ in range(60):
+        U = (r >= eps * deg) & (r > 0)
+        if not U.any():
+            break
+        push = np.where(U & (deg > 0), r, 0.0)
+        p = p + alpha * push + np.where(U & (deg == 0), r, 0.0)
+        inflow = A.T @ np.divide(
+            (1 - alpha) * push, deg, out=np.zeros(n), where=deg > 0
+        )
+        r = np.where(U, 0.0, r) + inflow
+
+    for v in range(n):
+        ep, er = p[v], r[v]
+        gp, gr = got.get(v, (0.0, 0.0))
+        assert gp == pytest.approx(ep, abs=1e-12)
+        assert gr == pytest.approx(er, abs=1e-12)
+    total = sum(a + b for a, b in got.values())
+    assert total == pytest.approx(1.0, abs=1e-9)
+    for v, (_, rv) in got.items():
+        assert rv < eps * max(deg[v], 1e-300) or rv == 0.0
