@@ -1480,6 +1480,17 @@ def _q_semdedup_containment(spark, sf_dir):
     )
 
 
+def _q_kmeans_assign_gate(spark, sf_dir):
+    """Assignment-optimality invariant of the k-means coarse quantizer
+    (the fit under ivf_index / semdedup): every vector's assigned
+    centroid must be its exact argmin-distance centroid, so the violating
+    set is EMPTY (oracle: empty); distances re-derived independently of
+    pyspark.ml (textops.kmeans_assign_violations)."""
+    return textops.kmeans_assign_violations(
+        _t(spark, sf_dir, "embeddings"), n_centroids=8
+    )
+
+
 def _q_ann_ivf_top5(spark, sf_dir):
     """IVF ANN with nprobe == n_centroids: probing every inverted list is
     EXACT top-k, so the brute-force oracle gates the whole IVF plumbing
@@ -2021,6 +2032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_top5": _q_ann_top5,
         "ann_lsh_top5": _q_ann_lsh_top5,
         "ann_ivf_top5": _q_ann_ivf_top5,
+        "kmeans_assign_gate": _q_kmeans_assign_gate,
         "emb_neardup": _q_emb_neardup,
         "emb_neardup_precision": _q_emb_neardup_precision,
         "semdedup_k1": _q_semdedup_k1,
@@ -4120,6 +4132,10 @@ having count(*) >= 2
             "as vec_id_b, cast(null as double) as cosine where 1 = 0"
         ),
         "semdedup_k1": _SEMDEDUP_K1_SQL,
+        "kmeans_assign_gate": (
+            "select cast(null as bigint) as vec_id, cast(null as int) "
+            "as centroid_id, cast(null as int) as best where 1 = 0"
+        ),
         "semdedup_containment": (
             # drops under ANY clustering ⊆ drops of the exact k=1 face
             "select cast(null as bigint) as vec_id where 1 = 0"

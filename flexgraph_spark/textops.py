@@ -1188,6 +1188,29 @@ def ivf_index(
     return assigned, centroids
 
 
+def kmeans_assign_violations(
+    vectors: DataFrame, n_centroids: int = 8, seed: int = 42
+) -> DataFrame:
+    """Assignment-optimality check of the IVF coarse quantizer: re-derives
+    each vector's argmin-distance centroid in one Arrow-batched NumPy
+    kernel (independent of pyspark.ml's transform) and returns the rows
+    whose assignment disagrees — EMPTY when the fit is consistent. The
+    engine-side gate for everything built on ivf_index/semdedup."""
+    assigned, cents = ivf_index(vectors, n_centroids=n_centroids, seed=seed)
+
+    @F.pandas_udf(T.IntegerType())
+    def argmin_c(e: pd.Series) -> pd.Series:
+        m = np.stack(e.to_numpy()).astype(np.float64)
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return (
+        assigned.withColumn("_best", argmin_c(F.col("embedding")))
+        .filter(F.col("_best") != F.col("centroid_id"))
+        .select("vec_id", "centroid_id", F.col("_best").alias("best"))
+    )
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: np.ndarray,
