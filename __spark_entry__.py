@@ -720,6 +720,12 @@ def _q_katz8_blocked(spark, sf_dir):
 RICH_CLUB_KS = [2, 5, 10, 20, 50]
 
 
+def _q_squares(spark, sf_dir):
+    """Exact global 4-cycle count (diagonal common-neighbor formula,
+    integer arithmetic) — the motif row above triangles."""
+    return algorithms.square_count(_graph1000(spark, sf_dir))
+
+
 def _q_global_clustering(spark, sf_dir):
     """Global transitivity C = 3T/W (algorithms.global_clustering):
     degree-oriented triangle count + one degree aggregation."""
@@ -2002,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_sweep": _q_ppr_sweep,
         "ppr_push12": _q_ppr_push,
         "global_clustering": _q_global_clustering,
+        "squares": _q_squares,
         "rich_club": _q_rich_club,
         "salsa4": _q_salsa4,
         "betweenness8": _q_betweenness8,
@@ -3991,6 +3998,15 @@ group by 1, 2
         "hitting_prob4": _hitting_sql(G1000_SQL, HIT_ITERS, HIT_SEED_MOD),
         "ppr_sweep": _sweep_sql(G1000_SQL, PAGERANK_ITERS, 50),
         "ppr_push12": _push_sql(G1000_SQL, PUSH_ROUNDS, PUSH_ALPHA, PUSH_EPS),
+        "squares": f"""
+with e as ({G1000_SQL}),
+und as (select least(src, dst) as a, greatest(src, dst) as b from e
+        where src <> dst group by 1, 2),
+adj as (select a as m, b as x from und union all select b, a from und),
+cn as (select l.x as u, r.x as w, count(*) as c
+       from adj l join adj r on l.m = r.m and l.x < r.x group by 1, 2)
+select (sum(c * (c - 1) / 2) / 2)::bigint as squares from cn
+""",
         "global_clustering": f"""
 with e as ({G1000_SQL}),
 und as (select least(src, dst) as a, greatest(src, dst) as b from e group by 1, 2),

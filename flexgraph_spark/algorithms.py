@@ -910,6 +910,52 @@ def rich_club(edges: DataFrame, ks: list[int]) -> DataFrame:
     )
 
 
+def square_count(
+    edges: DataFrame, max_center_degree: int | None = None
+) -> DataFrame:
+    """Global 4-cycle (square) count over the simple undirected graph:
+    every unordered vertex pair {u, w} with ``cn`` common neighbors
+    closes C(cn, 2) squares through its diagonal, and each square has
+    exactly two diagonals, so
+
+        squares = Σ_{u<w} C(cn(u,w), 2) / 2   (exact integer arithmetic)
+
+    — the next motif up from the triangle rows (PEGASUS-family matrix-
+    power analyses). Wedge generation fans out C(deg(m), 2) per middle
+    vertex m, the same hub quadratic the triangle plan orients away but a
+    common-neighbor count cannot; ``max_center_degree`` caps the middles
+    for a documented truncation at web scale (hubs excluded — the
+    standard practice for square/butterfly counting on power-law graphs);
+    None = exact (the oracle face). Returns one row (squares long).
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("m"), F.col("b").alias("x")).union(
+        und.select(F.col("b").alias("m"), F.col("a").alias("x"))
+    )
+    if max_center_degree is not None:
+        deg = adj.groupBy("m").agg(F.count("*").alias("_d"))
+        adj = adj.join(
+            deg.filter(F.col("_d") <= max_center_degree).select("m"), "m"
+        )
+    l = adj.select("m", F.col("x").alias("u"))
+    r = adj.select("m", F.col("x").alias("w"))
+    cn = (
+        l.join(r, "m")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return cn.agg(
+        (F.coalesce(F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0.0)) / 2)
+        .cast("long")
+        .alias("squares")
+    )
+
+
 def link_prediction(
     edges: DataFrame,
     topk: int | None = 20,

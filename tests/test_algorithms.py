@@ -1523,3 +1523,19 @@ def test_ppr_push_matches_numpy_and_invariants(spark):
     assert total == pytest.approx(1.0, abs=1e-9)
     for v, (_, rv) in got.items():
         assert rv < eps * max(deg[v], 1e-300) or rv == 0.0
+
+
+def test_square_count_known_graphs(spark):
+    """C4 has exactly 1 square, K4 has 3, a triangle has 0; the center cap
+    drops squares through excluded hubs."""
+    c4 = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    assert algorithms.square_count(_edges(spark, c4)).first()["squares"] == 1
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert algorithms.square_count(_edges(spark, k4)).first()["squares"] == 3
+    tri = [(0, 1), (1, 2), (2, 0)]
+    assert algorithms.square_count(_edges(spark, tri)).first()["squares"] == 0
+    # cap: in C4 every middle has degree 2; capping below kills the square
+    got = algorithms.square_count(
+        _edges(spark, c4), max_center_degree=1
+    ).first()["squares"]
+    assert got == 0
