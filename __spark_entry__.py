@@ -796,6 +796,50 @@ def _q_trustrank4(spark, sf_dir):
     return res.state.select("vertex", F.round("value", 6).alias("trust"))
 
 
+def _q_trustrank4_blocked(spark, sf_dir):
+    """TrustRank on the blocked CSR engine via the PREDICATE seed form
+    (gimv.TrustRankPredicate + the needs_global_ids kernel hook). Seeds
+    are defined on row_number-contiguous ids so the oracle can replay the
+    relabeling exactly (assign_ids' production remap is xxhash-bucketed,
+    not SQL-expressible; the window here ranks 1000 rows — gate-scale
+    only, not the scale path)."""
+    from pyspark.sql import Window
+
+    edges = _graph1000(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("orig"))
+        .union(edges.select(F.col("dst").alias("orig")))
+        .distinct()
+    )
+    mapping = verts.select(
+        "orig",
+        (F.row_number().over(Window.orderBy("orig")) - 1).alias("vertex"),
+    )
+    e2 = (
+        edges.join(mapping.withColumnRenamed("orig", "src"), "src")
+        .withColumnRenamed("vertex", "_ns")
+        .join(
+            mapping.withColumnRenamed("orig", "dst")
+            .withColumnRenamed("vertex", "_nd"),
+            "dst",
+        )
+        .select(F.col("_ns").alias("src"), F.col("_nd").alias("dst"))
+    )
+    res = algorithms.trustrank(
+        e2,
+        seed_pred=(
+            lambda c: c % TRUST_SEED_MOD == 0,
+            lambda ids: ids % TRUST_SEED_MOD == 0,
+        ),
+        threshold=0.0, max_iter=TRUST_ITERS, engine="blocked",
+        p=BLOCKED_P, dense_threshold=BLOCKED_DENSE_THRESHOLD,
+    )
+    return (
+        res.state.join(mapping, "vertex")
+        .select(F.col("orig").alias("vertex"), F.round("value", 6).alias("trust"))
+    )
+
+
 def _q_spam_mass(spark, sf_dir):
     """Relative spam mass (algorithms.spam_mass): (PR − TR)/PR at depth
     10, teleport-trusted seeds v%101==0 — oracle composes the two
@@ -2003,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fabp4": _q_fabp4,
         "spectral5": _q_spectral5,
         "trustrank4": _q_trustrank4,
+        "trustrank4_blocked": _q_trustrank4_blocked,
         "spam_mass": _q_spam_mass,
         "hitting_prob4": _q_hitting_prob4,
         "ppr_sweep": _q_ppr_sweep,
@@ -2368,6 +2413,26 @@ def _trustrank_sql(edge_sql: str, iters: int, alpha: float, seed_mod: int) -> st
     return (
         "with " + ",\n".join(ctes)
         + f"\nselect v as vertex, round(t, 6) as trust from t{iters}"
+    )
+
+
+
+# TrustRank on the blocked engine: relabel to row_number-contiguous ids,
+# run the seed-predicate recurrence there, map back. The inner recurrence
+# reuses _trustrank_sql verbatim over the remapped edge SQL.
+def _trust_blocked_sql() -> str:
+    m = ("select v, row_number() over (order by v) - 1 as nv from "
+         f"(select src as v from ({G1000_SQL}) "
+         f"union select dst from ({G1000_SQL}))")
+    e2 = (f"select ma.nv as src, mb.nv as dst from ({G1000_SQL}) ge "
+          f"join ({m}) ma on ma.v = ge.src "
+          f"join ({m}) mb on mb.v = ge.dst")
+    inner = _trustrank_sql(e2, TRUST_ITERS, gimv.PAGERANK_ALPHA, TRUST_SEED_MOD)
+    return (
+        f"with t_out as materialized (select * from ({inner})),\n"
+        f"mm as ({m})\n"
+        "select mm.v as vertex, t_out.trust from t_out "
+        "join mm on mm.nv = t_out.vertex"
     )
 
 
@@ -3992,6 +4057,7 @@ group by 1, 2
         "trustrank4": _trustrank_sql(
             G1000_SQL, TRUST_ITERS, gimv.PAGERANK_ALPHA, TRUST_SEED_MOD
         ),
+        "trustrank4_blocked": _trust_blocked_sql(),
         "spam_mass": _spam_mass_sql(
             G1000_SQL, SPAM_ITERS, gimv.PAGERANK_ALPHA, TRUST_SEED_MOD
         ),

@@ -1372,21 +1372,54 @@ def fabp(
 
 def trustrank(
     edges: DataFrame,
-    seeds: DataFrame,
+    seeds: DataFrame | None = None,
     alpha: float = gimv.PAGERANK_ALPHA,
     threshold: float = 0.0,
     max_iter: int = 10,
     num_partitions: int | None = None,
     checkpointer=None,
+    seed_pred=None,
+    engine: str = "flat",
+    **kw,
 ) -> gimv.GimvResult:
-    """TrustRank (gimv.TrustRank): PageRank whose teleport mass goes
-    uniformly to a trusted seed set instead of all vertices —
-    spam/trust propagation over a directed link graph. ``seeds``:
-    (vertex) rows; seeds absent from the graph are ignored (they join to
-    nothing). threshold=0.0 runs the full fixed depth (the
-    oracle-unrollable contract). Flat plan (struct-valued state); the
-    superstep shape and cost are identical to PageRank's.
+    """TrustRank: PageRank whose teleport mass goes uniformly to a trusted
+    seed set instead of all vertices — spam/trust propagation over a
+    directed link graph. threshold=0.0 runs the full fixed depth (the
+    oracle-unrollable contract); superstep shape and cost are PageRank's.
+
+    Two seed-set forms:
+
+    * ``seeds`` — a (vertex) DataFrame (arbitrary set): flat plan only
+      (gimv.TrustRank, struct-valued state carrying the joined d weight).
+    * ``seed_pred=(pred_col, pred_np)`` — the seed set as a PREDICATE of
+      the vertex id (``pred_col(vertex_col) -> BooleanColumn`` and the
+      matching NumPy ``pred_np(ids) -> bool[]``): scalar state on BOTH
+      engines (gimv.TrustRankPredicate) — pass ``engine='blocked'``/
+      ``'auto'`` to run the skew-aware CSR plan. |S| is counted once at
+      setup. Blocked contract: contiguous ids [0, n) all present (the
+      assign_ids invariant) so the predicate sees no phantom vertices.
     """
+    if seed_pred is not None:
+        pred_col, pred_np = seed_pred
+        verts = (
+            edges.select(F.col("src").alias("vertex"))
+            .union(edges.select(F.col("dst").alias("vertex")))
+            .distinct()
+        )
+        n_seeds = verts.filter(pred_col(F.col("vertex"))).count()
+        prog = gimv.TrustRankPredicate(
+            pred_col, pred_np, n_seeds, alpha=alpha, threshold=threshold
+        )
+        if num_partitions is not None:
+            kw["num_partitions"] = num_partitions
+        return _dispatch(edges, prog, engine, max_iter, checkpointer, kw)
+    if seeds is None:
+        raise ValueError("trustrank needs seeds or seed_pred")
+    if engine not in ("flat",):
+        raise ValueError(
+            "DataFrame seed sets run on the flat plan (struct state); use "
+            "seed_pred=(pred_col, pred_np) for the blocked engine"
+        )
     prog = gimv.TrustRank(
         seeds=seeds.select("vertex").distinct(), alpha=alpha, threshold=threshold
     )

@@ -809,7 +809,14 @@ def run_blocked(
             else:
                 np.add.at(acc, dst_l, vals)
         has = acc != identity
-        new = program.np_apply(old, acc, has, n)
+        if getattr(program, "needs_global_ids", False):
+            # the block's global ids are a pure function of (block, n, p)
+            new = program.np_apply(
+                old, acc, has, n,
+                global_ids=np.arange(b, n, p, dtype=np.int64)[: len(old)],
+            )
+        else:
+            new = program.np_apply(old, acc, has, n)
         mask = np.asarray(program.np_changed(old, new), dtype=bool)
         changed = int(mask.sum())
         hs = _hub_sig(program, new, locs, gd,

@@ -92,6 +92,11 @@ class VertexProgram:
     blocked_kind = "scalar"  # "scalar" | "label_count" — blocked kernel family
     reduce_np = "sum"  # "sum" | "min" — blocked combineAll
     identity = 0.0     # identity element of reduce_np
+    # When True, the blocked reduce_apply passes the block's global id
+    # array to np_apply (global_ids=...), letting per-vertex statics that
+    # are FUNCTIONS of the id (predicate seed sets) be computed in-kernel
+    # with zero extra state plumbing.
+    needs_global_ids = False
     # Frontier/delta messaging: when True, only vertices whose value CHANGED
     # last superstep send messages this superstep. Exact for idempotent-min
     # semi-rings with apply = least(old, msg) (CC, SSSP): a dst has already
@@ -580,6 +585,94 @@ class TrustRank(VertexProgram):
 
     def finalize(self, state: DataFrame) -> DataFrame:
         return state.select("vertex", F.col("value").getField("t").alias("value"))
+
+
+class TrustRankPredicate(VertexProgram):
+    """TrustRank with a PREDICATE-defined trusted set — the blocked-engine
+    face of :class:`TrustRank`. When the seed set is a function of the
+    vertex id (a partner-domain id range, a hash bucket, a modulus — the
+    common case at 10^10-vertex scale, where materializing a seed
+    DataFrame per superstep is the expensive path), the teleport weight
+    d(v) = [pred(v)]/|S| is computable INSIDE both engines' kernels:
+
+    * flat plan: ``apply`` references the ``vertex`` column directly
+      (scalar state — no struct statics needed);
+    * blocked plan: scalar CSR kernels, with ``needs_global_ids`` asking
+      reduce_apply for the block's global id array (derivable as
+      ``arange(block, n, p)`` — zero extra state plumbed).
+
+    ``pred_col(vertex_col) -> BooleanColumn`` and
+    ``pred_np(ids) -> bool ndarray`` must encode the SAME predicate;
+    ``n_seeds`` is the global seed count (the wrapper computes it once).
+    Semantics and the oracle face are identical to :class:`TrustRank`.
+    """
+
+    name = "trustrank"
+    needs_out_degree = True
+    supports_blocked = True
+    blocked_kind = "scalar"
+    reduce_np = "sum"
+    identity = 0.0
+    needs_global_ids = True  # np_apply receives the block's global ids
+
+    def __init__(self, pred_col, pred_np, n_seeds: int,
+                 alpha: float = PAGERANK_ALPHA,
+                 threshold: float = CONVERGE_THRESHOLD):
+        if n_seeds <= 0:
+            raise ValueError("TrustRankPredicate needs a non-empty seed set")
+        self.pred_col = pred_col
+        self.pred_np = pred_np
+        self.n_seeds = int(n_seeds)
+        self.alpha = alpha
+        self.threshold = threshold
+
+    def _d_col(self) -> F.Column:
+        return F.when(
+            self.pred_col(F.col("vertex")), 1.0 / self.n_seeds
+        ).otherwise(0.0)
+
+    def init_state(self, vertices: DataFrame, n: int) -> DataFrame:
+        return vertices.select("vertex", self._d_col().alias("value"))
+
+    def message(self) -> F.Column:
+        return F.col("value") / F.col("out_degree")
+
+    def reduce_expr(self) -> F.Column:
+        return F.sum("msg")
+
+    def apply(self, old, msg, n):
+        return (
+            self.alpha * F.coalesce(msg, F.lit(0.0))
+            + (1.0 - self.alpha) * self._d_col()
+        )
+
+    def changed(self, old, new):
+        return F.abs(new - old) > self.threshold
+
+    # --- blocked-path NumPy kernels ---
+    def _d_np(self, ids):
+        import numpy as np
+
+        return np.where(
+            np.asarray(self.pred_np(ids), dtype=bool), 1.0 / self.n_seeds, 0.0
+        )
+
+    def np_init(self, global_ids, n):
+        return self._d_np(global_ids)
+
+    def np_signal(self, values, out_degree):
+        import numpy as np
+
+        return np.divide(values, out_degree, out=np.zeros_like(values),
+                         where=out_degree > 0)
+
+    def np_apply(self, old, msg, has_msg, n, global_ids=None):
+        return self.alpha * msg + (1.0 - self.alpha) * self._d_np(global_ids)
+
+    def np_changed(self, old, new):
+        import numpy as np
+
+        return np.abs(new - old) > self.threshold
 
 
 class StandardPageRank(VertexProgram):

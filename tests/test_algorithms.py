@@ -1539,3 +1539,29 @@ def test_square_count_known_graphs(spark):
         _edges(spark, c4), max_center_degree=1
     ).first()["squares"]
     assert got == 0
+
+
+def test_trustrank_predicate_all_faces_agree(spark):
+    """Predicate-seed TrustRank: flat scalar face == struct-seed face ==
+    blocked CSR face, bit-comparable at round-12 precision."""
+    pairs = [(i, (i * 7 + 3) % 30) for i in range(60)] + [(0, 1), (1, 2)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = _edges(spark, pairs)
+    pred = (lambda c: c % 5 == 0, lambda ids: ids % 5 == 0)
+
+    verts = (edges.select(F.col("src").alias("vertex"))
+             .union(edges.select(F.col("dst").alias("vertex"))).distinct())
+    seeds = verts.filter(F.col("vertex") % 5 == 0)
+
+    struct_face = {r["vertex"]: r["value"] for r in algorithms.trustrank(
+        edges, seeds=seeds, max_iter=4, threshold=0.0).state.collect()}
+    flat_pred = {r["vertex"]: r["value"] for r in algorithms.trustrank(
+        edges, seed_pred=pred, max_iter=4, threshold=0.0).state.collect()}
+    blocked = {r["vertex"]: r["value"] for r in algorithms.trustrank(
+        edges, seed_pred=pred, max_iter=4, threshold=0.0,
+        engine="blocked", p=4, dense_threshold=3).state.collect()}
+
+    assert set(struct_face) == set(flat_pred)
+    for v in struct_face:
+        assert flat_pred[v] == pytest.approx(struct_face[v], abs=1e-12)
+        assert blocked[v] == pytest.approx(struct_face[v], abs=1e-9)
