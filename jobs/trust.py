@@ -19,22 +19,53 @@ from jobs.common import base_parser, get_session, load_edges, make_checkpointer
 
 def main() -> None:
     p = base_parser("trust propagation (TrustRank / spam mass / hitting)")
-    p.add_argument("--seeds", required=True,
-                   help="parquet path of (vertex) trusted/target seeds")
+    seeds_src = p.add_mutually_exclusive_group(required=True)
+    seeds_src.add_argument("--seeds",
+                           help="parquet path of (vertex) trusted/target seeds")
+    seeds_src.add_argument("--seed-mod", type=int,
+                           help="predicate seed set vertex %% MOD == 0 — "
+                                "enables --engine blocked/auto for trustrank "
+                                "(gimv.TrustRankPredicate)")
     p.add_argument("--mode", choices=["trustrank", "spam_mass", "hitting"],
                    default="trustrank")
     p.add_argument("--alpha", type=float, default=0.85)
     p.add_argument("--threshold", type=float, default=0.0,
                    help="per-vertex |delta| stop; 0 runs the fixed depth")
     args = p.parse_args()
-    if args.engine not in ("flat", "auto"):
-        p.error("the trust suite runs on the flat plan only "
+    if args.engine not in ("flat", "auto") and not (
+        args.mode == "trustrank" and args.seed_mod is not None
+    ):
+        p.error("only trustrank with --seed-mod runs on the blocked plan; "
+                "DataFrame seeds / spam_mass / hitting are flat-only "
                 "(struct-valued state)")
 
     spark = get_session(f"flexgraph-{args.mode}")
     edges = load_edges(spark, args)
-    seeds = spark.read.parquet(args.seeds)
     from flexgraph_spark import algorithms
+
+    if args.seed_mod is not None:
+        if args.mode != "trustrank":
+            p.error("--seed-mod currently applies to --mode trustrank")
+        from pyspark.sql import functions as F  # noqa: F401
+
+        res = algorithms.trustrank(
+            edges,
+            seed_pred=(
+                lambda c: c % args.seed_mod == 0,
+                lambda ids: ids % args.seed_mod == 0,
+            ),
+            alpha=args.alpha, threshold=args.threshold,
+            max_iter=args.max_iter, engine=args.engine,
+            num_partitions=args.num_partitions,
+        )
+        res.state.write.mode("overwrite").parquet(args.output)
+        print(
+            f"trustrank[pred %{args.seed_mod}]: iterations={res.iterations} "
+            f"converged={res.converged} -> {args.output}"
+        )
+        return
+
+    seeds = spark.read.parquet(args.seeds)
 
     if args.mode == "spam_mass":
         out = algorithms.spam_mass(
