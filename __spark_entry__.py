@@ -1437,6 +1437,17 @@ def _q_simhash_precision(spark, sf_dir):
     return out.filter(F.col("hamming") > 12)
 
 
+def _q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: per query, top-5 highest-cosine
+    vectors with a DIFFERENT label — exact baseline under the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = textops.hard_negatives(emb, emb.filter(F.col("vec_id") < 5), top_k=5)
+    return out.select(
+        "query_id", F.col("rank").alias("rnk"), "neighbor_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _q_ann_top5(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     out = textops.cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 5), 5)
@@ -2082,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _q_simhash_neardup,
         "simhash_precision": _q_simhash_precision,
         "ann_top5": _q_ann_top5,
+        "hard_negatives": _q_hard_negatives,
         "ann_lsh_top5": _q_ann_lsh_top5,
         "ann_ivf_top5": _q_ann_ivf_top5,
         "kmeans_assign_gate": _q_kmeans_assign_gate,
@@ -4208,6 +4220,20 @@ having count(*) >= 2
             "cast(null as integer) as hamming where 1 = 0"
         ),
         "ann_top5": _ANN_SQL,
+        "hard_negatives": """
+with v as (select vec_id, label, list_transform(embedding, x -> x::double) as e
+           from embeddings),
+q as (select * from v where vec_id < 5),
+s as (select q.vec_id as query_id, v.vec_id as neighbor_id,
+        list_dot_product(q.e, v.e) /
+          (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(v.e, v.e)))
+          as score
+      from q, v where q.label <> v.label)
+select query_id, rnk, neighbor_id, round(score, 6) as score from (
+  select *, row_number() over (partition by query_id
+           order by score desc, neighbor_id asc) as rnk from s)
+where rnk <= 5
+""",
         "ann_ivf_top5": _ANN_SQL,
         "emb_neardup_precision": (
             "select cast(null as bigint) as vec_id_a, cast(null as bigint) "

@@ -971,6 +971,52 @@ def cosine_topk_bruteforce(
     )
 
 
+def hard_negatives(
+    vectors: DataFrame,
+    queries: DataFrame,
+    top_k: int = 5,
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the ``top_k`` HIGHEST-cosine vectors with a DIFFERENT label —
+    the near-misses a contrastive loss learns the most from (in-batch
+    random negatives are trivially separable; the hard ones live at the
+    decision boundary). Returns (query_id, rank, neighbor_id, score).
+
+    Plan shape = :func:`cosine_topk_bruteforce` with the cross-label
+    predicate pushed into the scoring join (queries broadcast, JVM dot
+    products, per-query window top-k). For corpus-scale query sets swap
+    the broadcast crossJoin for :func:`ivf_topk` candidates + this
+    filter; the semantics stay the same — this is the exact baseline
+    (gate face)."""
+    v = vectors.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col(label_col).alias("_nl"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col(label_col).alias("_ql"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("q"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(v)
+        .filter(F.col("_ql") != F.col("_nl"))
+        .select(
+            "query_id", "neighbor_id",
+            (_dot(F.col("q"), F.col("v"))
+             / (_norm(F.col("q")) * _norm(F.col("v")))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
 def lsh_assign_buckets(
     vectors: DataFrame,
     num_planes: int = 8,

@@ -621,3 +621,28 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
     assert got[2]["clean_text"] == "beta"
     # whitespace-padded copy still matches the trimmed key
     assert got[3]["n_dropped"] == 1 and got[3]["clean_text"] == "gamma"
+
+
+def test_hard_negatives_excludes_same_label(spark, embeddings):
+    """Every mined negative has a different label than its query and is
+    the true cross-label cosine top-k (NumPy check)."""
+    got = textops.hard_negatives(
+        embeddings, embeddings.filter(F.col("vec_id") < 3), top_k=4
+    ).collect()
+    rows = {r["vec_id"]: (np.array(r["embedding"], dtype=np.float64), r["label"])
+            for r in embeddings.collect()}
+    by_q = {}
+    for r in got:
+        qv, ql = rows[r["query_id"]]
+        nv, nl = rows[r["neighbor_id"]]
+        assert nl != ql
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid, pairs in by_q.items():
+        qv, ql = rows[qid]
+        scores = sorted(
+            ((float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), -i)
+             for i, (v, l) in rows.items() if l != ql),
+            reverse=True,
+        )[:4]
+        exp = [-s[1] for s in scores]
+        assert [n for _, n in sorted(pairs)] == exp
