@@ -1756,6 +1756,32 @@ def _q_edge_window_degrees(spark, sf_dir):
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
+def _q_asof_enrich(spark, sf_dir):
+    """As-of join (analytics.asof_join — union-and-carry, one shuffle, no
+    range explosion): every event picks up the latest preceding
+    high-value marker event of its user; oracle = DuckDB's native
+    ASOF LEFT JOIN (identical inclusive backward semantics)."""
+    from flexgraph_spark.analytics import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    right = (
+        ev.filter(F.col("value") > 95)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"), right, on=["user_id"]
+    )
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.coalesce(
+            F.date_format("_matched_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("")
+        ).alias("matched_ts"),
+        F.coalesce(F.round("value", 6), F.lit(-1.0)).alias("m_value"),
+    )
+
+
 def _q_funnel(spark, sf_dir):
     """Ordered min-timestamp funnel view→click→purchase over events
     (flexgraph_spark.analytics.funnel)."""
@@ -2128,6 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": _q_pack_documents,
         "event_window_counts": _q_event_windows,
         "edge_window_degrees": _q_edge_window_degrees,
+        "asof_enrich": _q_asof_enrich,
         "funnel": _q_funnel,
         "retention": _q_retention,
         "event_sessions": _q_event_sessions,
@@ -4270,6 +4297,16 @@ select strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
        count(*)::bigint as n_edges,
        round(sum(value), 6) as w_degree
 from events group by 1, 2
+""",
+        "asof_enrich": """
+with r as (select user_id, ts, max(value) as value from events
+           where value > 95 group by 1, 2),
+l as (select event_id, user_id, ts from events)
+select l.event_id,
+  strftime(l.ts, '%Y-%m-%d %H:%M:%S') as ts,
+  coalesce(strftime(r.ts, '%Y-%m-%d %H:%M:%S'), '') as matched_ts,
+  coalesce(round(r.value, 6), -1.0) as m_value
+from l asof left join r on l.user_id = r.user_id and l.ts >= r.ts
 """,
         "funnel": """
 with s0 as (select user_id, min(ts) as t from events

@@ -89,3 +89,82 @@ def retention(
         )
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: list[str] | None = None,
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """As-of join: for every left row, attach the LATEST right row with
+    ``right_ts <= left_ts`` within the same ``on`` keys (kdb aj /
+    pandas merge_asof backward semantics; ties at equal timestamps match
+    inclusively). Returns the left columns plus the right ``payload``
+    columns and ``_matched_ts`` — all NULL when nothing precedes.
+    ``tolerance_s`` voids matches older than the given seconds.
+
+    Implementation is the union-and-carry plan, NOT a range join: tag
+    both sides, sort within each key by (ts, side) — right before left at
+    equal ts — and carry the last non-null right payload forward with one
+    ``last(ignorenulls)`` running window. ONE shuffle on the key columns,
+    per-key sorted scan, zero row multiplication — the shape that
+    survives a 100 TB event stream (a range join would explode; per-key
+    sort is Spark's windowed sort, spill-safe). Skewed keys are the usual
+    AQE/salting territory. Precondition: ``right`` unique per
+    (on, right_ts) — dedupe upstream with whatever rule fits.
+    """
+    payload = payload or [
+        c for c in right.columns if c not in set(on) | {right_ts}
+    ]
+    lrow = F.struct(*[F.col(c) for c in left.columns]).alias("_lrow")
+    pay = F.struct(
+        F.col(right_ts).alias("_matched_ts"),
+        *[F.col(c) for c in payload],
+    ).alias("_pay")
+    l_tag = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        lrow,
+        F.lit(None).cast(
+            right.select(pay).schema["_pay"].dataType.simpleString()
+        ).alias("_pay"),
+    )
+    r_tag = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            left.select(lrow).schema["_lrow"].dataType.simpleString()
+        ).alias("_lrow"),
+        pay,
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        l_tag.unionByName(r_tag)
+        .withColumn("_c", F.last("_pay", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if tolerance_s is not None:
+        fresh = (
+            F.col("_ts").cast("long")
+            - F.col("_c._matched_ts").cast("long")
+        ) <= tolerance_s
+        carried = carried.withColumn(
+            "_c", F.when(fresh, F.col("_c"))
+        )
+    return carried.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        F.col("_c._matched_ts").alias("_matched_ts"),
+        *[F.col(f"_c.{c}").alias(c) for c in payload],
+    )

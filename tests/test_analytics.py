@@ -65,3 +65,41 @@ def test_retention_golden(spark):
         ("2026-01-03", 0): 1,
         ("2026-01-03", 1): 1,
     }
+
+
+def test_asof_join_backward_ties_and_tolerance(spark):
+    """Backward match within key; equal-ts matches inclusively; missing
+    history gives NULLs; tolerance voids stale matches."""
+    from datetime import datetime as dt
+
+    from flexgraph_spark.analytics import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, dt(2024, 1, 1, 10, 0, 0)),
+            (2, 10, dt(2024, 1, 1, 11, 0, 0)),
+            (3, 10, dt(2024, 1, 1, 9, 0, 0)),   # before any right row
+            (4, 20, dt(2024, 1, 1, 10, 30, 0)),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, dt(2024, 1, 1, 10, 0, 0), 1.0),   # ties with left #1
+            (10, dt(2024, 1, 1, 10, 30, 0), 2.0),
+            (20, dt(2024, 1, 1, 8, 0, 0), 9.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {r["event_id"]: r for r in
+           asof_join(left, right, on=["user_id"]).collect()}
+    assert got[1]["value"] == 1.0          # inclusive equal-ts match
+    assert got[2]["value"] == 2.0          # latest preceding, not first
+    assert got[3]["value"] is None and got[3]["_matched_ts"] is None
+    assert got[4]["value"] == 9.0
+
+    got_tol = {r["event_id"]: r for r in
+               asof_join(left, right, on=["user_id"],
+                         tolerance_s=3600).collect()}
+    assert got_tol[4]["value"] is None     # 2.5h old: voided
+    assert got_tol[2]["value"] == 2.0      # 30min old: kept
