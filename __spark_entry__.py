@@ -1756,6 +1756,47 @@ def _q_edge_window_degrees(spark, sf_dir):
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
+def _q_rollup(spark, sf_dir):
+    """Hypertable rollup (analytics.timeseries_rollup): hour/day/week
+    aggregates where each coarser level merges the finer level's partials
+    (raw scanned once); oracle = three independent GROUP BYs — equality
+    proves the partial-merge is lossless."""
+    from flexgraph_spark.analytics import timeseries_rollup
+
+    out = timeseries_rollup(
+        _t(spark, sf_dir, "events"), group_cols=["event_type"]
+    )
+    return out.select(
+        "resolution_s", "bucket_start", "event_type", "n",
+        F.round("v_sum", 6).alias("v_sum"),
+        F.round("v_min", 6).alias("v_min"),
+        F.round("v_max", 6).alias("v_max"),
+    )
+
+
+def _q_interval_join(spark, sf_dir):
+    """Range join (analytics.interval_join — bucket decomposition, plain
+    equi-join on (user, bucket) + containment filter, never a theta
+    join): events inside the 2-hour activity window opened by each
+    high-value marker of the same user; oracle = the BETWEEN join."""
+    from flexgraph_spark.analytics import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    iv = (
+        ev.filter(F.col("value") > 250)
+        .select(
+            F.col("event_id").alias("interval_id"),
+            "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("interval 2 hours")).alias("end"),
+        )
+    )
+    out = interval_join(
+        ev.select("event_id", "user_id", "ts"), iv, on=["user_id"]
+    )
+    return out.select("event_id", "interval_id")
+
+
 def _q_asof_enrich(spark, sf_dir):
     """As-of join (analytics.asof_join — union-and-carry, one shuffle, no
     range explosion): every event picks up the latest preceding
@@ -2154,6 +2195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": _q_pack_documents,
         "event_window_counts": _q_event_windows,
         "edge_window_degrees": _q_edge_window_degrees,
+        "rollup": _q_rollup,
+        "interval_join": _q_interval_join,
         "asof_enrich": _q_asof_enrich,
         "funnel": _q_funnel,
         "retention": _q_retention,
@@ -4297,6 +4340,14 @@ select strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
        count(*)::bigint as n_edges,
        round(sum(value), 6) as w_degree
 from events group by 1, 2
+""",
+        "rollup": """select 3600 as resolution_s, (floor((epoch_ms(ts) // 1000) / 3600) * 3600)::bigint as bucket_start, event_type, count(*) as n, round(sum(value), 6) as v_sum, round(min(value), 6) as v_min, round(max(value), 6) as v_max from events group by 2, 3 union all select 86400 as resolution_s, (floor((epoch_ms(ts) // 1000) / 86400) * 86400)::bigint as bucket_start, event_type, count(*) as n, round(sum(value), 6) as v_sum, round(min(value), 6) as v_min, round(max(value), 6) as v_max from events group by 2, 3 union all select 604800 as resolution_s, (floor((epoch_ms(ts) // 1000) / 604800) * 604800)::bigint as bucket_start, event_type, count(*) as n, round(sum(value), 6) as v_sum, round(min(value), 6) as v_min, round(max(value), 6) as v_max from events group by 2, 3""",
+        "interval_join": """
+with iv as (select event_id as interval_id, user_id, ts as s,
+            ts + interval 2 hour as f from events where value > 250)
+select p.event_id, iv.interval_id
+from events p join iv on p.user_id = iv.user_id
+where p.ts between iv.s and iv.f
 """,
         "asof_enrich": """
 with r as (select user_id, ts, max(value) as value from events

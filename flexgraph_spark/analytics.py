@@ -157,8 +157,8 @@ def asof_join(
     )
     if tolerance_s is not None:
         fresh = (
-            F.col("_ts").cast("long")
-            - F.col("_c._matched_ts").cast("long")
+            F.col("_ts").cast("timestamp").cast("long")
+            - F.col("_c._matched_ts").cast("timestamp").cast("long")
         ) <= tolerance_s
         carried = carried.withColumn(
             "_c", F.when(fresh, F.col("_c"))
@@ -168,3 +168,110 @@ def asof_join(
         F.col("_c._matched_ts").alias("_matched_ts"),
         *[F.col(f"_c.{c}").alias(c) for c in payload],
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str] | None = None,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Range (interval-containment) join: every point row matched to every
+    interval row with ``start <= point_ts <= end`` (closed bounds, BETWEEN
+    semantics), optionally also equi-keyed on ``on``. Returns the point
+    columns + the interval columns (inner join; a point in k intervals
+    yields k rows).
+
+    Plan: time-bucket decomposition, NOT a raw theta-join — each interval
+    explodes into the ``bucket_s``-second buckets it covers (one JVM
+    ``sequence``), each point hashes to its single bucket, and the join
+    is a plain equi-join on (keys…, bucket) + a containment filter. Cost
+    is Σ interval_span/bucket_s extra rows instead of |points|×|intervals|
+    pairs; pick bucket_s near the median interval length (long outlier
+    intervals fan out linearly — cap upstream if adversarial). This is
+    the 100 TB shape: equi-join on uniform keys, pushdown-friendly,
+    no BroadcastNestedLoop anywhere.
+    """
+    on = on or []
+    b = F.lit(int(bucket_s))
+    def _epoch(c):
+        # NTZ-safe epoch seconds (TIMESTAMP_NTZ refuses a direct long cast)
+        return F.col(c).cast("timestamp").cast("long")
+
+    pb = points.withColumn("_bucket", F.floor(_epoch(point_ts) / b))
+    ib = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(_epoch(start_col) / b), F.floor(_epoch(end_col) / b)
+            )
+        ),
+    )
+    joined = pb.join(ib, on + ["_bucket"]).filter(
+        (F.col(point_ts) >= F.col(start_col))
+        & (F.col(point_ts) <= F.col(end_col))
+    )
+    return joined.drop("_bucket")
+
+
+def timeseries_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_cols: list[str] | None = None,
+    resolutions_s: tuple[int, ...] = (3600, 86400, 604800),
+) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (the TimescaleDB
+    continuous-aggregate pattern): the FINEST resolution aggregates the
+    raw events once; every coarser level merges the next-finer level's
+    partials — count/sum/min/max are mergeable, so the raw table is
+    scanned exactly once no matter how many resolutions materialize
+    (at 100 TB the raw scan dominates; partial-merge levels are
+    partial-agg-sized). Each resolution must divide the next coarser one.
+    Returns (resolution_s, bucket_start, group_cols…, n, v_sum, v_min,
+    v_max) with bucket_start in epoch seconds.
+    """
+    group_cols = group_cols or []
+    rs = sorted(int(r) for r in resolutions_s)
+    for a, b in zip(rs, rs[1:]):
+        if b % a != 0:
+            raise ValueError(
+                f"resolution {b} must be a multiple of the finer {a} "
+                "(buckets must nest for partial merging)"
+            )
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    level = (
+        events.groupBy(
+            (F.floor(epoch / rs[0]) * rs[0]).alias("bucket_start"),
+            *[F.col(c) for c in group_cols],
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(value_col).alias("v_sum"),
+            F.min(value_col).alias("v_min"),
+            F.max(value_col).alias("v_max"),
+        )
+        .withColumn("resolution_s", F.lit(rs[0]))
+    )
+    out = level
+    for r in rs[1:]:
+        level = (
+            level.groupBy(
+                (F.floor(F.col("bucket_start") / r) * r).alias("bucket_start"),
+                *[F.col(c) for c in group_cols],
+            )
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("v_sum").alias("v_sum"),
+                F.min("v_min").alias("v_min"),
+                F.max("v_max").alias("v_max"),
+            )
+            .withColumn("resolution_s", F.lit(r))
+        )
+        out = out.unionByName(level)
+    cols = ["resolution_s", "bucket_start", *group_cols,
+            "n", "v_sum", "v_min", "v_max"]
+    return out.select(*cols)

@@ -103,3 +103,67 @@ def test_asof_join_backward_ties_and_tolerance(spark):
                          tolerance_s=3600).collect()}
     assert got_tol[4]["value"] is None     # 2.5h old: voided
     assert got_tol[2]["value"] == 2.0      # 30min old: kept
+
+
+def test_interval_join_containment_and_buckets(spark):
+    """Closed-bound containment across bucket boundaries; keyed isolation;
+    multi-interval points fan out one row per interval."""
+    from datetime import datetime as dt
+
+    from flexgraph_spark.analytics import interval_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, 10, dt(2024, 1, 1, 10, 0, 0)),   # inside A (boundary start)
+            (2, 10, dt(2024, 1, 1, 11, 59, 59)), # inside A, crosses bucket
+            (3, 10, dt(2024, 1, 1, 12, 0, 1)),   # just past A's end
+            (4, 20, dt(2024, 1, 1, 10, 30, 0)),  # same time, other key
+            (5, 10, dt(2024, 1, 1, 10, 30, 0)),  # inside A and B
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            ("A", 10, dt(2024, 1, 1, 10, 0, 0), dt(2024, 1, 1, 12, 0, 0)),
+            ("B", 10, dt(2024, 1, 1, 10, 15, 0), dt(2024, 1, 1, 10, 45, 0)),
+        ],
+        "interval_id string, user_id long, start timestamp, end timestamp",
+    )
+    got = sorted(
+        (r["event_id"], r["interval_id"])
+        for r in interval_join(pts, ivs, on=["user_id"], bucket_s=600).collect()
+    )
+    assert got == [(1, "A"), (2, "A"), (5, "A"), (5, "B")]
+
+
+def test_timeseries_rollup_partial_merge_lossless(spark):
+    """Coarser levels built from finer partials equal direct aggregation;
+    non-nesting resolutions are rejected."""
+    from datetime import datetime as dt
+
+    from flexgraph_spark.analytics import timeseries_rollup
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 0, 10), "a", 1.0),
+            (2, dt(2024, 1, 1, 0, 50), "a", 2.0),
+            (3, dt(2024, 1, 1, 1, 10), "a", 4.0),
+            (4, dt(2024, 1, 2, 5, 0), "b", 8.0),
+        ],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    rows = timeseries_rollup(
+        ev, group_cols=["event_type"], resolutions_s=(3600, 86400)
+    ).collect()
+    day = {(r["bucket_start"], r["event_type"]): r for r in rows
+           if r["resolution_s"] == 86400}
+    d0 = dt(2024, 1, 1).timestamp()
+    assert day[(int(d0), "a")]["n"] == 3
+    assert day[(int(d0), "a")]["v_sum"] == 7.0
+    assert day[(int(d0), "a")]["v_max"] == 4.0
+    assert day[(int(d0) + 86400, "b")]["n"] == 1
+    hours = [r for r in rows if r["resolution_s"] == 3600]
+    assert len(hours) == 3
+
+    with pytest.raises(ValueError):
+        timeseries_rollup(ev, resolutions_s=(3600, 5000)).collect()
