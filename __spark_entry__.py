@@ -31,7 +31,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flexgraph_spark import algorithms, codeops, corpus, gimv, streaming, textops
+from flexgraph_spark import algorithms, codeops, corpus, gimv, sketches, streaming, textops
 from flexgraph_spark.graph import derive_graph, remap_contiguous
 
 SSP_EDGES_SQL = "select distinct l_suppkey as src, l_partkey as dst from lineitem"
@@ -2064,6 +2064,86 @@ def _q_pack_documents(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Probabilistic sketches (sketches.py). Every bucket/register below derives
+# from deterministic sha256 hashing, so DuckDB replays the sketch
+# BIT-FOR-BIT — full value-gated oracle rows, unusual for probabilistic ops
+# (contrast hadi_series, whose DataSketches registers are not replayable).
+
+CMS_DEPTH, CMS_WIDTH = 4, 2048
+BLOOM_BITS, BLOOM_HASHES = 1 << 14, 5
+HLL_PRECISION = 10
+MG_K = 64
+
+
+def _doc_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    toks = F.filter(F.split(F.trim(norm), " "), lambda w: w != "")
+    return d.select("doc_id", "lang", F.explode(toks).alias("w"))
+
+
+def _q_cms_token_counts(spark, sf_dir):
+    """Count-Min point estimates vs exact counts for the 100 most frequent
+    tokens. The exact side (uni counts + top-100) exists only to make this
+    a self-contained gate — production callers run count_min_estimate
+    alone against the constant-size counter table."""
+    toks = _doc_tokens(spark, sf_dir)
+    sk = sketches.count_min_build(toks, "w", depth=CMS_DEPTH, width=CMS_WIDTH)
+    true = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    top = true.orderBy(F.desc("n_w"), F.asc("w")).limit(100)
+    est = sketches.count_min_estimate(
+        sk, top.select("w"), "w", depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    return top.join(est, "w").select("w", "n_w", "cm_est")
+
+
+def _q_bloom_screen(spark, sf_dir):
+    """Bloom-filter semi-join screen: probe every customer key against a
+    filter built from orders.o_custkey — the shuffle-free pre-filter a
+    100 TB pipeline runs before an expensive join. Exactly replayed by the
+    oracle (deterministic bit positions), which also proves the
+    no-false-negative guarantee on this input."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    bloom = sketches.bloom_build(
+        orders.select("o_custkey"), "o_custkey", BLOOM_BITS, BLOOM_HASHES
+    )
+    return sketches.bloom_probe(
+        bloom, cust.select("c_custkey"), "c_custkey", BLOOM_BITS, BLOOM_HASHES
+    )
+
+
+def _q_hll_distinct_tokens(spark, sf_dir):
+    """Per-language HyperLogLog distinct-token estimates next to the exact
+    distinct counts. Registers and the bias-corrected estimate (incl. the
+    linear-counting branch) are replayed exactly by the oracle."""
+    toks = _doc_tokens(spark, sf_dir)
+    regs = sketches.hll_registers(toks, "w", HLL_PRECISION, group_cols=["lang"])
+    est = sketches.hll_estimate(regs, HLL_PRECISION, group_cols=["lang"])
+    exact = toks.groupBy("lang").agg(F.countDistinct("w").alias("exact_distinct"))
+    return est.join(exact, "lang").select(
+        "lang", F.round("hll_est", 3).alias("hll_est"), "exact_distinct"
+    )
+
+
+def _q_heavy_hitters_gate(spark, sf_dir):
+    """Misra-Gries guarantee gate: every token with true frequency
+    > 2N/(k+1) — comfortably above the N/(k+1) error bound — must appear
+    in the sketch output. Returns the violations (oracle: empty). The MG
+    summaries themselves are partitioning-dependent (like any MG
+    deployment), so the *guaranteed-member* invariant is the gate, and
+    pytest checks the est ≤ true ≤ est + N/(k+1) bound."""
+    toks = _doc_tokens(spark, sf_dir).select("w")
+    mg = sketches.misra_gries(toks, "w", k=MG_K)
+    true = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    n_tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    hh = true.crossJoin(F.broadcast(n_tot)).where(
+        F.col("n_w") * (MG_K + 1) > 2 * F.col("n")
+    )
+    return hh.join(mg, "w", "left_anti").select("w", "n_w")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_supplier_part": _q_edges,
@@ -2202,6 +2282,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": _q_retention,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
+        "cms_token_counts": _q_cms_token_counts,
+        "bloom_screen": _q_bloom_screen,
+        "hll_distinct_tokens": _q_hll_distinct_tokens,
+        "heavy_hitters_gate": _q_heavy_hitters_gate,
     }
 
 
@@ -3953,6 +4037,90 @@ from u group by domain
 """
 
 
+# Sketch oracles: replay the sha256 bucket hashing bit-for-bit.
+# ('0x' || substr(sha256(s), 1, 15))::bigint == Spark's
+# conv(substring(sha2(s, 256), 1, 15), 16, 10)::long  (60 bits, verified).
+
+_CMS_SQL = rf"""
+with n as (select trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) as norm
+           from documents),
+t as (select unnest(string_split(norm, ' ')) as w from n),
+tok as materialized (select w from t where w <> ''),
+uni as materialized (select w, count(*)::bigint as n_w from tok group by w),
+top as (select w, n_w from uni order by n_w desc, w limit 100),
+dd as (select unnest(range({CMS_DEPTH})) as r),
+cm as materialized (
+  select dd.r,
+         ('0x' || substr(sha256('cm' || dd.r || ':' || tok.w), 1, 15))::bigint
+           % {CMS_WIDTH} as bucket,
+         count(*)::bigint as counter
+  from tok, dd group by 1, 2),
+probe as (
+  select top.w, top.n_w, dd.r,
+         ('0x' || substr(sha256('cm' || dd.r || ':' || top.w), 1, 15))::bigint
+           % {CMS_WIDTH} as bucket
+  from top, dd)
+select probe.w, max(probe.n_w) as n_w,
+       min(coalesce(cm.counter, 0)) as cm_est
+from probe left join cm on cm.r = probe.r and cm.bucket = probe.bucket
+group by probe.w
+"""
+
+_BLOOM_SQL = rf"""
+with h as (select unnest(range({BLOOM_HASHES})) as i),
+bpos as materialized (
+  select distinct
+    ('0x' || substr(sha256('bf' || h.i || ':' || o_custkey), 1, 15))::bigint
+      % {BLOOM_BITS} as pos
+  from orders, h),
+probe as (
+  select c_custkey,
+    ('0x' || substr(sha256('bf' || h.i || ':' || c_custkey), 1, 15))::bigint
+      % {BLOOM_BITS} as pos
+  from customer, h)
+select probe.c_custkey,
+       (count(bpos.pos) = {BLOOM_HASHES}) as maybe_present
+from probe left join bpos on bpos.pos = probe.pos
+group by probe.c_custkey
+"""
+
+_HLL_M = 1 << HLL_PRECISION
+_HLL_AVAIL = 60 - HLL_PRECISION
+_HLL_ALPHA_M2 = repr((0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M)
+
+_HLL_SQL = rf"""
+with n as (select lang, trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) as norm
+           from documents),
+t as (select lang, unnest(string_split(norm, ' ')) as w from n),
+tok as materialized (select lang, w from t where w <> ''),
+hh as (select lang, w,
+              ('0x' || substr(sha256('hll:' || w), 1, 15))::bigint as h
+       from tok),
+regs as (
+  select lang, h % {_HLL_M} as bucket,
+         max(case when h // {_HLL_M} = 0 then {_HLL_AVAIL + 1}
+             else {_HLL_AVAIL} - (length(to_base(h // {_HLL_M}, 2)) - 1) end) as m
+  from hh group by 1, 2),
+agg as (
+  select lang, count(*)::bigint as filled,
+         sum(pow(2.0, -m)) as sum_inv_f
+  from regs group by lang),
+est as (
+  select lang,
+    case when ({_HLL_ALPHA_M2} / (sum_inv_f + ({_HLL_M} - filled)))
+              <= {2.5 * _HLL_M}
+          and filled < {_HLL_M}
+         then {_HLL_M} * ln({_HLL_M}::double / ({_HLL_M} - filled))
+         else {_HLL_ALPHA_M2} / (sum_inv_f + ({_HLL_M} - filled))
+    end as hll_est
+  from agg),
+ex as (select lang, count(distinct w)::bigint as exact_distinct
+       from tok group by lang)
+select est.lang, round(est.hll_est, 3) as hll_est, ex.exact_distinct
+from est join ex using (lang)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "edges_supplier_part": SSP_EDGES_SQL,
@@ -4426,6 +4594,13 @@ from s
         "bigram_logprob": _BIGRAM_LP_SQL,
         "mixture_weights": _MIXTURE_SQL,
         "pack_documents": _PACK_SQL,
+        "cms_token_counts": _CMS_SQL,
+        "bloom_screen": _BLOOM_SQL,
+        "hll_distinct_tokens": _HLL_SQL,
+        "heavy_hitters_gate": (
+            "select cast(null as varchar) as w, cast(null as bigint) as n_w "
+            "where 1 = 0"
+        ),
         # Omitted on purpose (engine-side hashing / randomized projections
         # that DuckDB cannot reproduce): near_dup_minhash (LSH banding over
         # xxhash64 signatures; its precision invariant IS gated above and
