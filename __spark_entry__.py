@@ -2051,6 +2051,33 @@ def _q_mixture_weights(spark, sf_dir):
     )
 
 
+DSIR_BUCKETS = 256  # small enough that sf0.01's vocab actually collides
+DSIR_K = 100
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (Xie et al. 2023): hashed unigram+bigram
+    bucket LMs for target (lang='en') vs raw (all docs), per-doc log-ratio
+    sum. sha256 buckets → the oracle replays the featurization exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    out = corpus.dsir_logweights(
+        docs, docs.filter(F.col("lang") == "en"), num_buckets=DSIR_BUCKETS
+    )
+    return out.select("doc_id", "n_feats", F.round("logw", 6).alias("logw"))
+
+
+def _q_dsir_sample(spark, sf_dir):
+    """DSIR resampling: Gumbel top-k over the importance weights with
+    deterministic sha256-derived noise — the selected set is a pure
+    function of (doc_id, salt), replayed row-by-row by the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    out = corpus.dsir_sample(
+        docs, docs.filter(F.col("lang") == "en"), k=DSIR_K,
+        num_buckets=DSIR_BUCKETS,
+    )
+    return out.select("doc_id", "n_feats", F.round("logw", 6).alias("logw"))
+
+
 PACK_MAX_TOKENS = 512
 
 
@@ -2272,6 +2299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "bigram_logprob": _q_bigram_logprob,
         "mixture_weights": _q_mixture_weights,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_sample": _q_dsir_sample,
         "pack_documents": _q_pack_documents,
         "event_window_counts": _q_event_windows,
         "edge_window_degrees": _q_edge_window_degrees,
@@ -3804,6 +3833,51 @@ select grp as "group", n_rows,
 from c, t
 """
 
+_DSIR_BASE_SQL = r"""
+n as (select doc_id, trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) as norm
+      from documents),
+l as (select doc_id, list_filter(string_split(norm, ' '), w -> w <> '') as t from n),
+uni as (select doc_id, unnest(t) as f from l),
+bi as (select doc_id, b[1] || ' ' || b[2] as f
+       from (select doc_id, unnest(list_zip(t[:len(t)-1], t[2:])) as b from l
+             where len(t) >= 2)),
+feats as (select doc_id,
+            ('0x' || substr(sha256('dsir:' || f), 1, 15))::bigint % 256 as bucket
+          from (select * from uni union all select * from bi)),
+dbc as materialized (select doc_id, bucket, count(*)::bigint as n
+                     from feats group by 1, 2),
+q as (select bucket, sum(n)::bigint as cq from dbc group by 1),
+p as (select bucket, sum(n)::bigint as cp
+      from dbc join documents using (doc_id) where lang = 'en' group by 1),
+tot as (select (select sum(cq) from q)::double as tq,
+               (select sum(cp) from p)::double as tp),
+ratio as (select bucket,
+                 ln((coalesce(cp, 0) + 1.0) / (tp + 256))
+               - ln((coalesce(cq, 0) + 1.0) / (tq + 256)) as lr
+          from q full join p using (bucket), tot),
+pd as (select doc_id, sum(n)::bigint as n_feats, sum(n * lr) as lw
+       from dbc join ratio using (bucket) group by 1),
+lw as (select d.doc_id, coalesce(pd.n_feats, 0) as n_feats,
+              coalesce(pd.lw, 0.0) as lw
+       from (select doc_id from documents) d left join pd using (doc_id))
+"""
+
+_DSIR_SQL = (
+    "with " + _DSIR_BASE_SQL
+    + "select doc_id, n_feats, round(lw, 6) as logw from lw"
+)
+
+_DSIR_SAMPLE_SQL = (
+    "with " + _DSIR_BASE_SQL + r""",
+keyed as (select doc_id, n_feats, lw,
+            lw - ln(-ln((('0x' || substr(sha256('dsirg:' || doc_id::varchar), 1, 8))::bigint
+                         + 0.5) / 4294967296.0)) as k
+          from lw)
+select doc_id, n_feats, round(lw, 6) as logw
+from keyed order by k desc, doc_id limit 100
+"""
+)
+
 _PACK_SQL = r"""
 with n as (select doc_id, lang,
            trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) as norm
@@ -4593,6 +4667,8 @@ from s
         "unigram_logprob": _UNIGRAM_LP_SQL,
         "bigram_logprob": _BIGRAM_LP_SQL,
         "mixture_weights": _MIXTURE_SQL,
+        "dsir_weights": _DSIR_SQL,
+        "dsir_sample": _DSIR_SAMPLE_SQL,
         "pack_documents": _PACK_SQL,
         "cms_token_counts": _CMS_SQL,
         "bloom_screen": _BLOOM_SQL,

@@ -342,6 +342,14 @@ def main() -> None:
         .groupBy("bucket").count().count(),
     )
     timed(
+        "dsir_weights_scan",
+        # target = the corpus's en slice; raw = everything (bench-scale
+        # stand-in for "select web data that looks like the curated set")
+        lambda: corpus.dsir_logweights(
+            docs, docs.filter(F.col("lang") == "en"), num_buckets=4096
+        ).agg(F.sum("logw"), F.count("*")).first(),
+    )
+    timed(
         "pack_documents",
         lambda: corpus.pack_documents(
             docs, max_tokens=2048, group_cols=["lang"], n_shards=8

@@ -588,3 +588,155 @@ def deterministic_shuffle(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("_h")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
+# ---------------------------------------------------------------------------
+
+def _dsir_bucket_counts(
+    df: DataFrame, text_col: str, num_buckets: int, salt: str
+) -> DataFrame:
+    """Per-document hashed n-gram feature counts ``(doc_id, bucket, n)``.
+
+    DSIR's featurization: unigrams AND adjacent bigrams of the
+    whitespace-normalized lowercase token stream, each hashed into one of
+    ``num_buckets`` buckets. Hashing uses the repo's oracle-portable
+    ``sha256(salt ':' feature)`` (sketches.sha_bucket), so DuckDB replays
+    the exact bucket assignment — no JVM hash seeds.
+
+    Scale shape: token/bigram pairing happens INSIDE the token array (one
+    ``transform`` over a slice — the bigram_logprob pattern: no positional
+    self-join, no window), then one (doc_id, bucket) count whose map-side
+    partial aggregation collapses each doc's Zipf head before the shuffle.
+    """
+    from flexgraph_spark.sketches import sha_bucket
+
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    toks = F.filter(F.split(F.trim(norm), " "), lambda w: w != "")
+    t = df.select("doc_id", toks.alias("t"))
+    uni = t.select("doc_id", F.explode("t").alias("f"))
+    # slice(t, 1, size-1) needs size >= 2 (ANSI: negative lengths raise)
+    bi = (
+        t.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 1), "
+                    "(x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+                )
+            ).alias("f"),
+        )
+    )
+    feats = uni.unionByName(bi)
+    return (
+        feats.select("doc_id", sha_bucket(F.col("f"), salt, num_buckets).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    num_buckets: int = 4096,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance log-weights: score every ``raw`` document by how
+    much more likely its hashed n-gram features are under the TARGET
+    corpus's bag-of-buckets LM than under the raw corpus's own —
+    ``(doc_id, n_feats, logw)`` with
+
+        logw(d) = Σ_b  n_{d,b} · ( ln p̂(b) − ln q̂(b) )
+
+    where p̂/q̂ are Laplace-smoothed bucket frequencies of the target/raw
+    corpora: ``p̂(b) = (c_tgt(b)+1)/(C_tgt+B)`` (Xie et al., NeurIPS 2023,
+    "Data Selection for Language Models via Importance Resampling" — the
+    hashed-n-gram generative importance estimator, eq. 3-4). High ``logw``
+    = looks like the target; feed into :func:`dsir_sample` to resample.
+
+    Scale shape: both corpora reduce to ≤ ``num_buckets``-row models (one
+    count aggregation each, map-side combined); the per-bucket log-ratio
+    table is broadcast onto the raw side's (doc_id, bucket) counts, then
+    one per-doc sum. No UDFs, no driver round-trips; total shuffle =
+    2 count-aggs + 1 per-doc sum, independent of how skewed the vocab is.
+    Documents with no tokens get logw = 0 (the empty product).
+    """
+    b = int(num_buckets)
+    dbc = _dsir_bucket_counts(raw, text_col, b, salt)
+    tbc = _dsir_bucket_counts(target, text_col, b, salt)
+    q = dbc.groupBy("bucket").agg(F.sum("n").alias("cq"))
+    p = tbc.groupBy("bucket").agg(F.sum("n").alias("cp"))
+    # models ride as ONE broadcast table: full outer on bucket (≤ B rows),
+    # totals cross-joined in as 1-row aggregates — all inside the broadcast
+    totals = (
+        q.agg(F.sum("cq").alias("tq"))
+        .crossJoin(p.agg(F.sum("cp").alias("tp")))
+    )
+    ratio = (
+        q.join(p, "bucket", "full")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce("cp", F.lit(0)) + 1.0) / (F.col("tp") + b))
+                - F.log((F.coalesce("cq", F.lit(0)) + 1.0) / (F.col("tq") + b))
+            ).alias("lr"),
+        )
+    )
+    per_doc = (
+        dbc.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("n_feats"), F.sum(F.col("n") * F.col("lr")).alias("logw"))
+    )
+    return (
+        raw.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.coalesce("logw", F.lit(0.0)).alias("logw"),
+        )
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    num_buckets: int = 4096,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR resampling: select ``k`` raw documents WITHOUT replacement with
+    probability ∝ exp(logw), via the Gumbel top-k trick — rank by
+    ``logw + Gumbel(doc_id)`` and keep the k largest (Vieira 2014; exactly
+    the paper's importance resampling step). The Gumbel noise is a pure
+    function of (doc_id, salt): ``g = −ln(−ln(u))`` with ``u`` the
+    (0,1)-uniform from sha256's first 32 bits (+0.5 to dodge u = 0), so
+    the selected set is deterministic, engine-independent, and replayable
+    row-by-row in SQL — the same auditability contract as
+    :func:`deterministic_sample`.
+
+    Returns ``(doc_id, n_feats, logw)`` of the selected documents. Scale
+    shape: :func:`dsir_logweights` + one distributed TakeOrdered (top-k by
+    key, never a global sort materialized).
+    """
+    lw = dsir_logweights(raw, target, text_col, num_buckets, salt)
+    h32 = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.lit(salt + "g:"), F.col("doc_id").cast("string")), 256),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("double")
+    u = (h32 + 0.5) / F.lit(4294967296.0)
+    key = F.col("logw") - F.log(-F.log(u))
+    return (
+        lw.withColumn("_key", key)
+        .orderBy(F.col("_key").desc(), "doc_id")
+        .limit(int(k))
+        .drop("_key")
+    )

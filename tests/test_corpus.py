@@ -316,3 +316,66 @@ def test_perplexity_buckets_exact_and_approx_agree_on_order(spark, docs):
     arows = approx.orderBy("ppl_r", "doc_id").collect()
     assert [r.doc_id for r in arows] == [r.doc_id for r in rows]
     assert all(a.bucket <= b.bucket for a, b in zip(arows, arows[1:]))
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    # target: "data engine" vocabulary; raw adds off-target cooking docs.
+    rows = [
+        (1, "spark engine shuffles data across the cluster", "en"),
+        (2, "the spark engine plans data joins and data scans", "en"),
+        (3, "engine data spark cluster data plans", "en"),
+        (4, "simmer the onions then bake the bread with butter", "fr"),
+        (5, "whisk eggs with sugar and bake the cake slowly", "fr"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    target = docs.filter(F.col("lang") == "en")
+    out = corpus.dsir_logweights(docs, target, num_buckets=64)
+    got = {r.doc_id: r.logw for r in out.collect()}
+    assert len(got) == 5
+    # every target-like doc outscores every off-target doc
+    assert min(got[1], got[2], got[3]) > max(got[4], got[5])
+    # n_feats = unigrams + bigrams = 2*len - 1 for a no-repeat-free stream
+    nf = {r.doc_id: r.n_feats for r in out.collect()}
+    assert nf[1] == 7 + 6
+
+
+def test_dsir_weights_empty_doc_and_determinism(spark):
+    rows = [(1, "alpha beta gamma", "en"), (2, "", "en"), (3, "beta beta", "de")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    target = docs.filter(F.col("lang") == "en")
+    out1 = corpus.dsir_logweights(docs, target, num_buckets=32).collect()
+    # empty doc: zero features, logw = 0 (the empty product)
+    empty = [r for r in out1 if r.doc_id == 2][0]
+    assert empty.n_feats == 0 and empty.logw == 0.0
+    # repartitioning must not change a single weight (pure column plan)
+    out2 = corpus.dsir_logweights(
+        docs.repartition(7), target, num_buckets=32
+    ).collect()
+    assert {(r.doc_id, r.n_feats, round(r.logw, 12)) for r in out1} == {
+        (r.doc_id, r.n_feats, round(r.logw, 12)) for r in out2
+    }
+
+
+def test_dsir_sample_topk_deterministic(spark):
+    rows = [
+        (i, ("spark data engine " * 3) if i % 2 == 0 else "bake bread slowly",
+         "en" if i % 2 == 0 else "fr")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    target = docs.filter(F.col("lang") == "en")
+    s1 = corpus.dsir_sample(docs, target, k=6, num_buckets=64)
+    ids1 = sorted(r.doc_id for r in s1.collect())
+    assert len(ids1) == 6
+    # deterministic across reruns and input partitioning
+    ids2 = sorted(
+        r.doc_id
+        for r in corpus.dsir_sample(
+            docs.repartition(5), target, k=6, num_buckets=64
+        ).collect()
+    )
+    assert ids1 == ids2
+    # importance weighting must dominate the Gumbel noise here: the target
+    # docs are 19 n-gram buckets apart from the cooking docs, so most picks
+    # are even doc_ids
+    assert sum(1 for i in ids1 if i % 2 == 0) >= 4
