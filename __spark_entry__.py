@@ -1660,6 +1660,15 @@ def _q_dup_spans(spark, sf_dir):
     return textops.duplicated_spans(docs, n=5, min_docs=2)
 
 
+def _q_dup_span_removal(spark, sf_dir):
+    """Exact-substring removal (Lee et al. 2022's other half): rewrite each
+    doc with every corpus-duplicated 5-gram span cut out. String-exact
+    gate — the oracle rebuilds clean_text relationally (token positions
+    anti-joined against covered span positions), no floats anywhere."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textops.remove_duplicated_spans(docs, n=5, min_docs=2)
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition signals (dup-line fraction by count and char
     mass, top-bigram fraction) — rounded to 6 dp (the bigram mode's
@@ -2281,6 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "stream_exact_dedup": _q_stream_exact_dedup,
         "dup_spans": _q_dup_spans,
+        "dup_span_removal": _q_dup_span_removal,
         "repetition_stats": _q_repetition_stats,
         "quality_filter": _q_quality_filter,
         "chunk_docs": _q_chunk_docs,
@@ -4079,6 +4089,31 @@ from g left join dpd using (doc_id)
 """
 
 
+_DUP_REMOVAL_SQL = r"""
+with toks as (select doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') as t
+  from documents),
+g as (select doc_id, case when len(t) >= 5 then list_transform(range(1, len(t) - 3),
+        i -> array_to_string(t[i:i+4], ' ')) else [] end as gl
+  from toks),
+pos as (select doc_id, unnest(range(1, len(gl) + 1)) as i, unnest(gl) as gram from g),
+dupg as (select gram from (select distinct doc_id, gram from pos)
+         group by gram having count(*) >= 2),
+starts as (select doc_id, i from pos join dupg using (gram)),
+covered as (select distinct doc_id, i + o as j
+            from starts, (select unnest(range(0, 5)) as o) offs),
+tokpos as (select doc_id, unnest(range(1, len(t) + 1)) as j, unnest(t) as tok
+           from toks),
+kept as (select doc_id, j, tok from tokpos anti join covered using (doc_id, j)),
+cleank as (select doc_id, string_agg(tok, ' ' order by j) as clean_text,
+                  count(*)::int as n_kept
+           from kept group by doc_id)
+select toks.doc_id, coalesce(clean_text, '') as clean_text,
+       len(t) as n_tokens, len(t) - coalesce(n_kept, 0) as n_removed
+from toks left join cleank using (doc_id)
+"""
+
+
 _DIRTY_SQL = (
     "select doc_id, text || ' contact user' || doc_id || '@example' || "
     "(doc_id % 5) || '.com' || ' from 10.' || (doc_id % 256) || '.0.' || "
@@ -4513,6 +4548,7 @@ having count(*) >= 2
         "paragraph_dedup": _PARA_DEDUP_SQL,
         "stream_exact_dedup": _STREAM_EXACT_SQL,
         "dup_spans": _DUP_SPANS_SQL,
+        "dup_span_removal": _DUP_REMOVAL_SQL,
         "repetition_stats": _REPETITION_SQL,
         "quality_filter": _QUALITY_FILTER_SQL,
         "chunk_docs": _CHUNKS_SQL,

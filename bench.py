@@ -374,6 +374,11 @@ def main() -> None:
         .agg(F.sum("n_dup"), F.avg("dup_frac")).first(),
     )
     timed(
+        "dup_span_removal_scan",
+        lambda: textops.remove_duplicated_spans(docs, n=5)
+        .agg(F.sum("n_removed"), F.sum(F.length("clean_text"))).first(),
+    )
+    timed(
         "paragraph_dedup_scan",
         lambda: textops.paragraph_dedup(
             docs.select("doc_id", F.concat_ws(

@@ -441,6 +441,89 @@ def duplicated_spans(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring REMOVAL — the other half of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"), the half
+    :func:`duplicated_spans` only measures: rewrite every document with
+    each corpus-duplicated token n-gram span CUT OUT. A token is removed
+    iff it lies inside some n-gram occurring in ≥ ``min_docs`` distinct
+    documents; overlapping spans merge, so exactly the union of duplicated
+    spans disappears (the paper removes duplicated substrings ≥ a length
+    floor; at token-n-gram granularity the removed set IS that union).
+    Returns ``(doc_id, clean_text, n_tokens, n_removed)`` — ``clean_text``
+    is the kept tokens re-joined with single spaces (whitespace is
+    normalized, the paragraph_dedup contract).
+
+    Scale shape: the only per-token work stays INSIDE each row (sliding
+    gram hashes, then one ``aggregate`` fold over the sorted duplicated
+    start positions rebuilding the kept tokens — no token-level shuffle,
+    no Python). What moves between executors: per-(doc, gram) partials
+    into the dup-gram count (sha256 keys, uniform), then only the DUP
+    START POSITIONS come back per doc (collect_list on doc_id). A 100 TB
+    corpus with 1% duplication shuffles ~1% of its gram positions."""
+    toks = df.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("t"),
+    )
+    # gram hashes feed ONLY the dup-count side; the rebuild side re-derives
+    # the cheap token array, so the sha256 sliding window runs exactly once
+    grams = toks.select(
+        "doc_id",
+        F.when(
+            F.size("t") >= n,
+            F.expr(
+                f"transform(sequence(1, size(t) - {n - 1}), "
+                f"i -> sha2(array_join(slice(t, i, {n}), ' '), 256))"
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("g"),
+    )
+    pos = grams.select("doc_id", F.posexplode("g").alias("i0", "gram"))
+    dup_grams = (
+        pos.select("doc_id", "gram").distinct()
+        .groupBy("gram").agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram")
+    )
+    # per-doc SORTED duplicated 1-based start positions (only these shuffle)
+    starts = (
+        pos.join(dup_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.col("i0") + 1)).alias("s"))
+    )
+    # One fold over the starts rebuilds the kept tokens: state = (nxt, out);
+    # each start x appends t[nxt .. x-1] (empty when spans overlap: the
+    # greatest(..,0) guard) and advances nxt past the span; finish appends
+    # the tail. O(tokens) per doc, all inside whole-stage codegen.
+    kept = F.expr(
+        f"aggregate(s, struct(1 as nxt, cast(array() as array<string>) as out), "
+        f"(st, x) -> struct(greatest(st.nxt, x + {n}) as nxt, "
+        f"  concat(st.out, slice(t, st.nxt, greatest(x - st.nxt, 0))) as out), "
+        f"st -> concat(st.out, slice(t, st.nxt, size(t) - st.nxt + 1)))"
+    )
+    out = (
+        toks.join(starts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("t").alias("n_tokens"),
+            F.when(F.col("s").isNotNull(), kept).otherwise(F.col("t")).alias("k"),
+        )
+        .select(
+            "doc_id",
+            F.array_join("k", " ").alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.size("k")).alias("n_removed"),
+        )
+    )
+    return out
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

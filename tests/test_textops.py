@@ -646,3 +646,69 @@ def test_hard_negatives_excludes_same_label(spark, embeddings):
         )[:4]
         exp = [-s[1] for s in scores]
         assert [n for _, n in sorted(pairs)] == exp
+
+
+def test_remove_duplicated_spans_cuts_shared_grams(spark):
+    from flexgraph_spark.textops import remove_duplicated_spans
+
+    rows = [
+        (1, "aa bb cc dd ee ff gg hh"),       # shares "aa..ee" with doc 2
+        (2, "xx aa bb cc dd ee yy zz"),
+        (3, "totally unique words here only once ok"),
+        (4, ""),                               # empty doc
+        (5, "short doc"),                      # < n tokens: nothing to gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in remove_duplicated_spans(df, n=5).collect()
+    }
+    assert got[1] == ("ff gg hh", 8, 5)
+    assert got[2] == ("xx yy zz", 8, 5)
+    assert got[3] == ("totally unique words here only once ok", 7, 0)
+    assert got[4] == ("", 0, 0)
+    assert got[5] == ("short doc", 2, 0)
+
+
+def test_remove_duplicated_spans_overlap_merges_and_full_removal(spark):
+    from flexgraph_spark.textops import remove_duplicated_spans
+
+    # docs 1/2 are identical -> EVERY 3-gram duplicates -> full removal;
+    # doc 3 shares two OVERLAPPING 3-grams with them ("bb cc dd", "cc dd ee")
+    # -> the union span bb..ee goes, not two separate cuts
+    rows = [
+        (1, "aa bb cc dd ee"),
+        (2, "aa bb cc dd ee"),
+        (3, "qq bb cc dd ee rr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in remove_duplicated_spans(df, n=3).collect()
+    }
+    assert got[1] == ("", 5)
+    assert got[2] == ("", 5)
+    assert got[3] == ("qq rr", 4)
+
+
+def test_remove_duplicated_spans_min_docs_threshold(spark):
+    from flexgraph_spark.textops import remove_duplicated_spans
+
+    rows = [
+        (1, "aa bb cc dd"),
+        (2, "aa bb cc dd"),
+        (3, "aa bb cc dd"),
+        (4, "zz aa bb cc yy"),  # "aa bb cc" appears in 4 distinct docs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # min_docs=5: nothing recurs in 5 docs -> untouched
+    out = remove_duplicated_spans(df, n=3, min_docs=5)
+    assert out.filter(F.col("n_removed") > 0).count() == 0
+    # min_docs=4: only the 4-doc gram "aa bb cc" goes; doc 1's "bb cc dd"
+    # (3 docs) survives... but overlaps the removed span, so doc 1 keeps dd
+    got = {
+        r.doc_id: r.clean_text
+        for r in remove_duplicated_spans(df, n=3, min_docs=4).collect()
+    }
+    assert got[1] == "dd"
+    assert got[4] == "zz yy"
