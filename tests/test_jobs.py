@@ -184,3 +184,37 @@ def test_fabp_job(spark, edges_parquet, tmp_path):
     with pytest.raises(SystemExit):
         _run(fabp_job, ["--edges", edges_parquet, "--output", out,
                         "--priors", priors_p, "--engine", "blocked"])
+
+
+def test_dsir_job(spark, tmp_path):
+    import jobs.dsir as dsir_job
+
+    docs = spark.createDataFrame(
+        [(i, ("spark data engine " * 3) if i % 2 == 0 else "bake bread now",
+          "en" if i % 2 == 0 else "fr")
+         for i in range(10)],
+        "doc_id long, text string, lang string",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "weights")
+    _run(dsir_job, ["--documents", src, "--output", out,
+                    "--target-filter", "lang = 'en'",
+                    "--num-buckets", "64"])
+    w = spark.read.parquet(out)
+    assert w.count() == 10
+    got = {r.doc_id: r.logw for r in w.collect()}
+    assert min(got[i] for i in range(0, 10, 2)) > max(
+        got[i] for i in range(1, 10, 2)
+    )
+
+    sel = str(tmp_path / "selected")
+    _run(dsir_job, ["--documents", src, "--output", sel,
+                    "--target-filter", "lang = 'en'",
+                    "--num-buckets", "64", "--select-k", "3"])
+    assert spark.read.parquet(sel).count() == 3
+
+    # exactly one of --target / --target-filter
+    with pytest.raises(SystemExit):
+        _run(dsir_job, ["--documents", src, "--output", out])
