@@ -4091,10 +4091,10 @@ from g left join dpd using (doc_id)
 
 _DUP_REMOVAL_SQL = r"""
 with toks as (select doc_id,
-    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') as t
+    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') as t
   from documents),
 g as (select doc_id, case when len(t) >= 5 then list_transform(range(1, len(t) - 3),
-        i -> array_to_string(t[i:i+4], ' ')) else [] end as gl
+        i -> lower(array_to_string(t[i:i+4], ' '))) else [] end as gl
   from toks),
 pos as (select doc_id, unnest(range(1, len(gl) + 1)) as i, unnest(gl) as gram from g),
 dupg as (select gram from (select distinct doc_id, gram from pos)

@@ -456,8 +456,11 @@ def remove_duplicated_spans(
     spans disappears (the paper removes duplicated substrings ≥ a length
     floor; at token-n-gram granularity the removed set IS that union).
     Returns ``(doc_id, clean_text, n_tokens, n_removed)`` — ``clean_text``
-    is the kept tokens re-joined with single spaces (whitespace is
-    normalized, the paragraph_dedup contract).
+    is the kept ORIGINAL tokens re-joined with single spaces (whitespace
+    is normalized, the paragraph_dedup contract; duplicate DETECTION is
+    case-insensitive like duplicated_spans, but the rewrite preserves the
+    surviving tokens' case — a cleaning pass must not mangle text it
+    keeps).
 
     Scale shape: the only per-token work stays INSIDE each row (sliding
     gram hashes, then one ``aggregate`` fold over the sorted duplicated
@@ -469,18 +472,20 @@ def remove_duplicated_spans(
     toks = df.select(
         "doc_id",
         F.filter(
-            F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+            F.split(F.col(text_col), r"\s+"), lambda x: x != ""
         ).alias("t"),
     )
-    # gram hashes feed ONLY the dup-count side; the rebuild side re-derives
-    # the cheap token array, so the sha256 sliding window runs exactly once
+    # gram hashes feed ONLY the dup-count side (lowercased inside the
+    # joined gram string — case-insensitive matching, case-preserving
+    # rebuild); the rebuild side re-derives the cheap token array, so the
+    # sha256 sliding window runs exactly once
     grams = toks.select(
         "doc_id",
         F.when(
             F.size("t") >= n,
             F.expr(
                 f"transform(sequence(1, size(t) - {n - 1}), "
-                f"i -> sha2(array_join(slice(t, i, {n}), ' '), 256))"
+                f"i -> sha2(lower(array_join(slice(t, i, {n}), ' ')), 256))"
             ),
         ).otherwise(F.array().cast("array<string>")).alias("g"),
     )

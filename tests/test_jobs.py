@@ -218,3 +218,39 @@ def test_dsir_job(spark, tmp_path):
     # exactly one of --target / --target-filter
     with pytest.raises(SystemExit):
         _run(dsir_job, ["--documents", src, "--output", out])
+
+
+def test_clean_job_pipeline(spark, tmp_path):
+    import jobs.clean as clean_job
+
+    long_filler = " ".join(f"unique{i}" for i in range(15))
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        # passes quality; shares the paragraph AND a 5-gram span
+        (1, f"{long_filler}\nmail me at a@b.com\n{shared} one"),
+        (2, f"{shared} two\n{long_filler} extra tail words here"),
+        # fails quality (too short)
+        (3, "tiny"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "clean")
+    _run(clean_job, ["--documents", src, "--output", out,
+                     "--min-tokens", "5"])
+    got = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    # doc 3 cut by the quality gate
+    assert set(got) == {1, 2}
+    # PII redacted before dedup
+    assert "<EMAIL>" in got[1] and "a@b.com" not in got[1]
+    # the shared 5-gram span is gone from both survivors
+    for t in got.values():
+        assert "alpha beta gamma delta epsilon" not in t
+    # stage subset runs and unknown stage errors
+    out2 = str(tmp_path / "pii_only")
+    _run(clean_job, ["--documents", src, "--output", out2,
+                     "--stages", "pii"])
+    assert spark.read.parquet(out2).count() == 3
+    with pytest.raises(SystemExit):
+        _run(clean_job, ["--documents", src, "--output", out2,
+                         "--stages", "nope"])

@@ -712,3 +712,20 @@ def test_remove_duplicated_spans_min_docs_threshold(spark):
     }
     assert got[1] == "dd"
     assert got[4] == "zz yy"
+
+
+def test_remove_duplicated_spans_case_insensitive_match_case_preserving_rebuild(spark):
+    from flexgraph_spark.textops import remove_duplicated_spans
+
+    rows = [
+        (1, "AA bb CC dd EE Keep This"),
+        (2, "aa BB cc DD ee other tail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.clean_text
+        for r in remove_duplicated_spans(df, n=5).collect()
+    }
+    # the shared 5-gram matches case-insensitively...
+    assert got[1] == "Keep This"
+    assert got[2] == "other tail"
