@@ -335,6 +335,45 @@ def _q_docstring_pairs(spark, sf_dir):
     return codeops.docstring_pairs(_repo_files_rich(spark, sf_dir))
 
 
+def _clone_files(spark, sf_dir):
+    """Deterministic repo table with PLANTED function clones: each file's
+    f-function body is a pure function of (doc_id % 17, doc_id % 5) and
+    every third file adds a g-function keyed by doc_id % 7 — so clone
+    classes of known sizes exist while function NAMES stay unique (the
+    normalization is what clusters them). Mirrored verbatim by
+    _CLONE_SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    nl = F.lit("\n")
+    f_fn = F.concat(
+        F.lit("def f"), ds, F.lit("(x):"), nl,
+        F.lit("    y = x + "), (d % 17).cast("string"), nl,
+        F.lit("    return y * "), (d % 5).cast("string"), nl, nl,
+    )
+    g_fn = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.lit("def g"), ds, F.lit("():"), nl,
+            F.lit("    return "), (d % 7).cast("string"), nl,
+        ),
+    ).otherwise("")
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("repo"), (d % 10).cast("string")).alias("repo"),
+        F.concat(F.lit("src/f"), ds, F.lit(".py")).alias("path"),
+        F.lit("py").alias("lang"),
+        F.concat(f_fn, g_fn, F.lit("# end"), nl).alias("content"),
+    )
+
+
+def _q_function_clones(spark, sf_dir):
+    """Function-level exact clone classes (name-normalized sha256 key)
+    over the planted-clone repo table — the code-payload dedup
+    granularity between whole-file hashing and winnowing."""
+    return codeops.function_clones(_clone_files(spark, sf_dir), min_copies=2)
+
+
 def _q_cc_labels(spark, sf_dir):
     res = algorithms.connected_components(_graph1000(spark, sf_dir), max_iter=50)
     return res.state.select("vertex", F.col("value").cast("long").alias("label"))
@@ -691,6 +730,39 @@ def _q_cond_levels(spark, sf_dir):
     (algorithms.condensation_levels): gates scc, contract_graph, AND the
     max-semi-ring layering in one composed row."""
     return algorithms.condensation_levels(_graph_scc(spark, sf_dir))
+
+
+def _q_dag_depth(spark, sf_dir):
+    """Max-plus GIM-V longest path (dependency/build-stage depth) over the
+    level-structured DAG slice of graph1000 — src%7 < dst%7 forces
+    acyclicity and bounds the depth at 6, so the engine's convergence
+    vote fires and the oracle unrolls the max recurrence to the fixpoint."""
+    dag = _graph1000(spark, sf_dir).filter(F.col("src") % 7 < F.col("dst") % 7)
+    res = algorithms.dag_depth(dag, max_iter=20)
+    return res.state.select(
+        "vertex", F.col("value").cast("long").alias("depth")
+    )
+
+
+def _dag_depth_sql(edge_sql: str, iters: int) -> str:
+    ctes = [
+        f"e as materialized (select src, dst from ({edge_sql}) "
+        f"where src % 7 < dst % 7)",
+        "verts as (select src as v from e union select dst from e)",
+        "it0 as (select v, 0 as d from verts)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"it{k} as materialized (select s.v, "
+            f"greatest(s.d, coalesce(m.md, s.d)) as d "
+            f"from it{k-1} s left join (select e.dst as v, max(p.d) + 1 as md "
+            f"from e join it{k-1} p on p.v = e.src group by e.dst) m "
+            f"on m.v = s.v)"
+        )
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect v as vertex, d::bigint as depth from it{iters}"
+    )
 
 
 def _q_katz8(spark, sf_dir):
@@ -1541,6 +1613,23 @@ def _q_semdedup_containment(spark, sf_dir):
     )
 
 
+RP_DIM = 8
+
+
+def _q_random_projection(spark, sf_dir):
+    """JL sign random projection 64→8 dims (Achlioptas ±1): signs from
+    sha256 parity, so the oracle replays the projection bit-for-bit —
+    returned long-form (vec_id, j, p) for a flat gate schema."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    wide = textops.random_projection(emb, out_dim=RP_DIM, in_dim=64)
+    return wide.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"p{j}") for j in range(RP_DIM)])
+        ).alias("j", "p"),
+    ).select("vec_id", "j", F.round("p", 6).alias("p"))
+
+
 def _q_kmeans_assign_gate(spark, sf_dir):
     """Assignment-optimality invariant of the k-means coarse quantizer
     (the fit under ivf_index / semdedup): every vector's assigned
@@ -2192,6 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_detect": _q_license_detect,
         "code_quality": _q_code_quality,
         "docstring_pairs": _q_docstring_pairs,
+        "function_clones": _q_function_clones,
         "link_graph_size": _q_link_graph_size,
         "cc_labels": _q_cc_labels,
         "cc_star": _q_cc_star,
@@ -2237,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching": _q_matching,
         "cond_levels": _q_cond_levels,
         "katz8": _q_katz8,
+        "dag_depth": _q_dag_depth,
         "katz8_blocked": _q_katz8_blocked,
         "fabp4": _q_fabp4,
         "spectral5": _q_spectral5,
@@ -2279,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": _q_hard_negatives,
         "ann_lsh_top5": _q_ann_lsh_top5,
         "ann_ivf_top5": _q_ann_ivf_top5,
+        "random_projection": _q_random_projection,
         "kmeans_assign_gate": _q_kmeans_assign_gate,
         "emb_neardup": _q_emb_neardup,
         "emb_neardup_precision": _q_emb_neardup_precision,
@@ -3248,6 +3340,36 @@ r as (
 select repo, path, lang, reasons = '' as keep, reasons from r
 """
 
+_CLONE_SQL = r"""
+with files as (select doc_id,
+    'repo' || (doc_id % 10) as repo,
+    'src/f' || doc_id || '.py' as path,
+    'def f' || doc_id || '(x):' || chr(10) ||
+    '    y = x + ' || (doc_id % 17) || chr(10) ||
+    '    return y * ' || (doc_id % 5) || chr(10) || chr(10) ||
+    case when doc_id % 3 = 0 then
+      'def g' || doc_id || '():' || chr(10) ||
+      '    return ' || (doc_id % 7) || chr(10)
+    else '' end || '# end' || chr(10) as content
+  from documents),
+fl as (select repo, path,
+         regexp_extract_all(content,
+           '(?m)^def [A-Za-z_][A-Za-z0-9_]*\([^)\n]*\):\n(?:    [^\n]+\n?)+') as l
+       from files),
+fns as (select repo, path, unnest(range(0, len(l)))::int as fn_idx,
+               unnest(l) as fn_src from fl),
+k as (select repo, path, fn_idx,
+        sha256(regexp_replace(
+          regexp_replace(fn_src, '^def [A-Za-z_][A-Za-z0-9_]*\(', 'def FUNC('),
+          '\s+$', '')) as clone_id
+      from fns),
+cl as (select clone_id, count(*)::bigint as n_copies from k
+       group by 1 having count(*) >= 2)
+select k.clone_id, cl.n_copies, k.repo, k.path, k.fn_idx
+from k join cl using (clone_id)
+"""
+
+
 _DOCSTRING_SQL = f"""
 with files as ({_REPO_RICH_SQL})
 select repo, path,
@@ -4114,6 +4236,19 @@ from toks left join cleank using (doc_id)
 """
 
 
+_RP_SQL = r"""
+with x as (select vec_id, unnest(embedding) as v,
+                  unnest(range(0, len(embedding))) as i
+           from embeddings),
+s as (select vec_id, v, i, j,
+        case when ('0x' || substr(sha256('rp:' || i || ':' || j), 1, 15))::bigint % 2 = 0
+             then 1.0 else -1.0 end as sgn
+      from x, (select unnest(range(0, 8)) as j) jj),
+p as (select vec_id, j, sum(v::double * sgn) as sp from s group by 1, 2)
+select vec_id, j::int as j, round(sp / sqrt(8.0), 6) as p from p
+"""
+
+
 _DIRTY_SQL = (
     "select doc_id, text || ' contact user' || doc_id || '@example' || "
     "(doc_id % 5) || '.com' || ' from 10.' || (doc_id % 256) || '.0.' || "
@@ -4253,6 +4388,7 @@ def oracle_sql() -> dict[str, str]:
         "license_detect": _LICENSE_SQL,
         "code_quality": _CODE_QUALITY_SQL,
         "docstring_pairs": _DOCSTRING_SQL,
+        "function_clones": _CLONE_SQL,
         "link_graph_size": _LINK_SIZE_SQL,
         "cc_labels": _CC_SQL,
         "cc_star": _CC_SQL,
@@ -4408,6 +4544,7 @@ group by 1, 2
         "matching": _matching_sql(GSPARSE_SQL, MATCH_ROUNDS),
         "cond_levels": _cond_levels_sql(GSCC_SQL),
         "katz8": _katz_sql(G1000_SQL, KATZ_ITERS, KATZ_ALPHA),
+        "dag_depth": _dag_depth_sql(G1000_SQL, 6),
         "katz8_blocked": _katz_sql(G1000_SQL, KATZ_ITERS, KATZ_ALPHA),
         "fabp4": _fabp_sql(
             G1000_SQL, FABP_ITERS, FABP_H, FABP_SEED_MOD, FABP_SEED_VAL
@@ -4583,6 +4720,7 @@ select query_id, rnk, neighbor_id, round(score, 6) as score from (
 where rnk <= 5
 """,
         "ann_ivf_top5": _ANN_SQL,
+        "random_projection": _RP_SQL,
         "emb_neardup_precision": (
             "select cast(null as bigint) as vec_id_a, cast(null as bigint) "
             "as vec_id_b, cast(null as double) as cosine where 1 = 0"

@@ -1332,6 +1332,26 @@ def katz(
     )
 
 
+def dag_depth(
+    edges: DataFrame,
+    max_iter: int = 100,
+    checkpointer=None,
+    **kw,
+) -> gimv.GimvResult:
+    """DAG longest-path depth (gimv.LongestPath, max-plus semi-ring):
+    depth(v) = length of the longest path ending at v, init 0 — the
+    dependency/build-stage number on an import DAG. Converges in
+    longest-path supersteps with frontier-only messaging (idempotent
+    max). CONTRACT: the input must be acyclic — on a cycle the recurrence
+    has no fixpoint and the run stops unconverged at ``max_iter``
+    (``result.converged`` is False; condense SCCs first via ``scc`` when
+    cycles are possible). Flat plan only."""
+    return gimv.run(
+        edges, gimv.LongestPath(), max_iter=max_iter,
+        checkpointer=checkpointer, **kw,
+    )
+
+
 def fabp(
     edges: DataFrame,
     priors: DataFrame,

@@ -921,6 +921,42 @@ class SSSP(VertexProgram):
         return new < old
 
 
+class LongestPath(VertexProgram):
+    """DAG longest-path depth — the max-plus semi-ring GIM-V
+    instantiation: ``depth(v) = max(0, max_{u→v} depth(u) + 1)``, init 0.
+    On an import/dependency DAG this is the build-stage number (files at
+    depth d can compile once every depth < d is done) — the natural
+    dependency metric for the source-repo link graph this engine targets.
+
+    combine2 = depth+1, combineAll = max, apply = max(old, msg): the same
+    idempotent-monotone shape as HashMin CC mirrored upward, so frontier/
+    delta messaging is exact (a vertex whose depth didn't grow re-sends
+    nothing new). Converges in longest-path-length supersteps on a DAG;
+    on a graph WITH cycles the recurrence has no fixpoint (depth grows
+    around the cycle forever) — callers must condense SCCs first or cap
+    ``max_iter`` (algorithms.dag_depth documents the contract). Flat plan
+    only (blocked kernel families are sum/min)."""
+
+    name = "dag_depth"
+    supports_blocked = False
+    delta_messaging = True  # idempotent max: frontier-only is exact
+
+    def init_state(self, vertices, n):
+        return vertices.select("vertex", F.lit(0.0).alias("value"))
+
+    def message(self):
+        return F.col("value") + F.lit(1.0)
+
+    def reduce_expr(self):
+        return F.max("msg")
+
+    def apply(self, old, msg, n):
+        return F.greatest(old, F.coalesce(msg, old))
+
+    def changed(self, old, new):
+        return new > old
+
+
 class LabelPropagation(VertexProgram):
     """Synchronous label propagation: adopt the majority neighbor label,
     deterministic tie-break = lowest label. The semi-ring is NOT a scalar

@@ -1137,6 +1137,59 @@ def lsh_assign_buckets(
     )
 
 
+def random_projection(
+    vectors: DataFrame,
+    out_dim: int = 16,
+    in_dim: int | None = None,
+    salt: str = "rp",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection — compress embeddings
+    to ``out_dim`` dims with pairwise distances preserved in expectation
+    (Achlioptas 2003's ±1 database-friendly projection):
+
+        p_j = (1/√out_dim) · Σ_i v_i · sign(i, j)
+
+    with ``sign(i, j) = ±1`` from the parity of
+    ``sha256(salt ':' i ':' j)`` — the repo's deterministic-hash contract,
+    so unlike the seeded-RNG LSH hyperplanes this projection is replayable
+    bit-for-bit by the SQL oracle (and identical on any executor count).
+    The cheap front-end for dedup/ANN at 100 TB: project once, bucket or
+    scan in the small space, verify survivors in the original space.
+
+    Returns ``(id_col, p0..p{out_dim-1})``. Scale shape: the sign matrix
+    folds into the plan as in_dim×out_dim LITERALS (a few KB — never a
+    join side), each output dim one zip_with/aggregate fold — a map-only
+    pass, zero shuffle, whole-stage codegen. ``in_dim`` is read from one
+    row when not given (setup-time only).
+    """
+    import hashlib
+    import math
+
+    if in_dim is None:
+        row = vectors.select(vec_col).first()
+        if row is None:
+            raise ValueError("random_projection on an empty DataFrame needs in_dim")
+        in_dim = len(row[0])
+
+    def _sign(i: int, j: int) -> float:
+        h = hashlib.sha256(f"{salt}:{i}:{j}".encode()).hexdigest()
+        return 1.0 if int(h[:15], 16) % 2 == 0 else -1.0
+
+    scale = 1.0 / math.sqrt(float(out_dim))
+    cols = []
+    for j in range(out_dim):
+        signs = F.array(*[F.lit(_sign(i, j)) for i in range(in_dim)])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), signs, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append((dot * scale).alias(f"p{j}"))
+    return vectors.select(id_col, *cols)
+
+
 def cosine_topk_lsh(
     vectors: DataFrame,
     queries: DataFrame,

@@ -1565,3 +1565,23 @@ def test_trustrank_predicate_all_faces_agree(spark):
     for v in struct_face:
         assert flat_pred[v] == pytest.approx(struct_face[v], abs=1e-12)
         assert blocked[v] == pytest.approx(struct_face[v], abs=1e-9)
+
+
+def test_dag_depth_golden_and_cycle_contract(spark):
+    # diamond + a tail: 0->1, 0->2, 1->3, 2->3, 3->4
+    dag = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    res = algorithms.dag_depth(dag)
+    assert res.converged
+    got = {r.vertex: r.value for r in res.state.collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 1.0, 3: 2.0, 4: 3.0}
+    # frontier decay: the max-plus semi-ring ships fewer messages as
+    # depths settle (delta messaging); converges in longest-path rounds
+    assert res.iterations <= 4
+    msgs = [m.messages_shuffled for m in res.metrics]
+    assert msgs[-1] == 0 or msgs[-1] < msgs[0]
+    # cycle: no fixpoint -> unconverged at the cap, flagged to the caller
+    cyc = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    res2 = algorithms.dag_depth(cyc, max_iter=5)
+    assert not res2.converged and res2.iterations == 5

@@ -729,3 +729,34 @@ def test_remove_duplicated_spans_case_insensitive_match_case_preserving_rebuild(
     # the shared 5-gram matches case-insensitively...
     assert got[1] == "Keep This"
     assert got[2] == "other tail"
+
+
+def test_random_projection_linear_and_deterministic(spark):
+    from flexgraph_spark.textops import random_projection
+
+    a = [float(i % 7) - 3.0 for i in range(16)]
+    b = [float((i * 3) % 5) for i in range(16)]
+    ab = [x + y for x, y in zip(a, b)]
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, ab), (4, [0.0] * 16)],
+        "vec_id long, embedding array<float>",
+    )
+    out = random_projection(df, out_dim=4, in_dim=16)
+    rows = {r.vec_id: [r.p0, r.p1, r.p2, r.p3] for r in out.collect()}
+    # linearity: proj(a + b) == proj(a) + proj(b) (exact map, fp-tight)
+    for j in range(4):
+        assert abs(rows[3][j] - (rows[1][j] + rows[2][j])) < 1e-9
+    # zero vector projects to zero
+    assert rows[4] == [0.0, 0.0, 0.0, 0.0]
+    # deterministic across partitionings
+    rows2 = {
+        r.vec_id: [r.p0, r.p1, r.p2, r.p3]
+        for r in random_projection(df.repartition(3), out_dim=4, in_dim=16).collect()
+    }
+    assert rows == rows2
+    # different salt -> different projection
+    rows3 = {
+        r.vec_id: [r.p0, r.p1, r.p2, r.p3]
+        for r in random_projection(df, out_dim=4, in_dim=16, salt="rp2").collect()
+    }
+    assert rows3[1] != rows[1]
