@@ -1749,6 +1749,16 @@ def _q_dup_spans(spark, sf_dir):
     return textops.duplicated_spans(docs, n=5, min_docs=2)
 
 
+BLOCK_TERMS = ["slow", "stale", "spam"]
+
+
+def _q_blocklist(spark, sf_dir):
+    """C4-style bad-words screen over the corpus: per-doc blocklist token
+    counts/fraction + the one-hit-kills verdict. The list folds into the
+    plan as an array literal — map-only, zero shuffle."""
+    return textops.blocklist_stats(_t(spark, sf_dir, "documents"), BLOCK_TERMS)
+
+
 def _q_dup_span_removal(spark, sf_dir):
     """Exact-substring removal (Lee et al. 2022's other half): rewrite each
     doc with every corpus-duplicated 5-gram span cut out. String-exact
@@ -2383,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_exact_dedup": _q_stream_exact_dedup,
         "dup_spans": _q_dup_spans,
         "dup_span_removal": _q_dup_span_removal,
+        "blocklist": _q_blocklist,
         "repetition_stats": _q_repetition_stats,
         "quality_filter": _q_quality_filter,
         "chunk_docs": _q_chunk_docs,
@@ -4249,6 +4260,23 @@ select vec_id, j::int as j, round(sp / sqrt(8.0), 6) as p from p
 """
 
 
+_BLOCKLIST_SQL = r"""
+with n as (select doc_id,
+    list_filter(string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                w -> w <> '') as t
+  from documents),
+s as (select doc_id, len(t)::bigint as n_tokens,
+        len(list_filter(t, w -> w in ('slow', 'spam', 'stale')))::bigint as n_flagged
+      from n)
+select doc_id, n_tokens, n_flagged,
+  round(case when n_tokens > 0 then n_flagged::double / n_tokens else 0.0 end, 6)
+    as flagged_frac,
+  (case when n_tokens > 0 then n_flagged::double / n_tokens else 0.0 end) <= 0.0
+    as passes
+from s
+"""
+
+
 _DIRTY_SQL = (
     "select doc_id, text || ' contact user' || doc_id || '@example' || "
     "(doc_id % 5) || '.com' || ' from 10.' || (doc_id % 256) || '.0.' || "
@@ -4686,6 +4714,7 @@ having count(*) >= 2
         "stream_exact_dedup": _STREAM_EXACT_SQL,
         "dup_spans": _DUP_SPANS_SQL,
         "dup_span_removal": _DUP_REMOVAL_SQL,
+        "blocklist": _BLOCKLIST_SQL,
         "repetition_stats": _REPETITION_SQL,
         "quality_filter": _QUALITY_FILTER_SQL,
         "chunk_docs": _CHUNKS_SQL,

@@ -441,6 +441,45 @@ def duplicated_spans(
     )
 
 
+def blocklist_stats(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    max_flagged_frac: float = 0.0,
+) -> DataFrame:
+    """C4-style bad-words screen (Raffel et al. 2020 §2.2: drop any page
+    containing a blocklisted word): per-document count and fraction of
+    whitespace tokens that whole-token-match the blocklist
+    (case-insensitive), plus the keep verdict
+    ``passes = flagged_frac <= max_flagged_frac`` (C4's rule is the
+    default 0.0 — one hit kills the doc; relax for audit-style runs).
+    Returns ``(doc_id, n_tokens, n_flagged, flagged_frac, passes)``.
+
+    Scale shape: the blocklist folds into the plan as an array LITERAL
+    (a few hundred terms — never a join side) probed per token inside one
+    higher-order filter; map-only, zero shuffle, whole-stage codegen.
+    Empty docs pass (0 tokens, frac 0).
+    """
+    if not terms:
+        raise ValueError("blocklist_stats needs a non-empty term list")
+    lit_terms = F.array(*[F.lit(t.lower()) for t in sorted(set(terms))])
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    flagged = F.size(
+        F.filter(toks, lambda x: F.array_contains(lit_terms, x))
+    ).cast("long")
+    n_tok = F.size(toks).cast("long")
+    frac = F.when(n_tok > 0, flagged / n_tok).otherwise(0.0)
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        flagged.alias("n_flagged"),
+        F.round(frac, 6).alias("flagged_frac"),
+        (frac <= float(max_flagged_frac)).alias("passes"),
+    )
+
+
 def remove_duplicated_spans(
     df: DataFrame,
     n: int = 5,

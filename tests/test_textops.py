@@ -760,3 +760,33 @@ def test_random_projection_linear_and_deterministic(spark):
         for r in random_projection(df, out_dim=4, in_dim=16, salt="rp2").collect()
     }
     assert rows3[1] != rows[1]
+
+
+def test_blocklist_stats_whole_token_case_insensitive(spark):
+    from flexgraph_spark.textops import blocklist_stats
+
+    rows = [
+        (1, "clean text with good words"),
+        (2, "this has SPAM in it"),
+        (3, "spammy is not spam-adjacent but spam is"),  # whole-token only
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_flagged, r.passes)
+        for r in blocklist_stats(df, ["spam", "junk"]).collect()
+    }
+    assert got[1] == (0, True)
+    assert got[2] == (1, False)  # case-insensitive
+    # "spammy" and "spam-adjacent" are NOT whole-token matches; bare "spam" is
+    assert got[3] == (1, False)
+    assert got[4] == (0, True)  # empty doc passes
+    # relaxed threshold keeps low-density docs
+    relaxed = {
+        r.doc_id: r.passes
+        for r in blocklist_stats(df, ["spam"], max_flagged_frac=0.2).collect()
+    }
+    assert relaxed[2] is True and relaxed[3] is True
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        blocklist_stats(df, [])
