@@ -5,11 +5,13 @@ stage optional:
 
 1. ``quality``   — Gopher/C4-style rule gate (token window, punct/digit
                    density, dup-line cap): drops failing documents.
-2. ``pii``       — email/IPv4/SSN redaction (rewrites text; runs before
+2. ``blocklist`` — C4 bad-words screen (one whole-token hit kills the
+                   doc; needs ``--block-terms``).
+3. ``pii``       — email/IPv4/SSN redaction (rewrites text; runs before
                    dedup so docs differing only in PII dedup together).
-3. ``paradedup`` — C4 corpus-wide paragraph dedup (first occurrence wins,
+4. ``paradedup`` — C4 corpus-wide paragraph dedup (first occurrence wins,
                    document rebuilt).
-4. ``spandedup`` — Lee et al. exact duplicated-substring removal (every
+5. ``spandedup`` — Lee et al. exact duplicated-substring removal (every
                    corpus-duplicated n-gram span cut out, overlaps merged).
 
 Writes (doc_id, text) plus the per-stage audit counters the run printed.
@@ -27,7 +29,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from jobs.common import get_session
 
-STAGES = ["quality", "pii", "paradedup", "spandedup"]
+STAGES = ["quality", "blocklist", "pii", "paradedup", "spandedup"]
 
 
 def main() -> None:
@@ -36,17 +38,26 @@ def main() -> None:
                    help="parquet path with (doc_id, text[, ...])")
     p.add_argument("--output", required=True, help="output parquet path")
     p.add_argument("--text-col", default="text")
-    p.add_argument("--stages", default=",".join(STAGES),
-                   help=f"comma list from {STAGES} (order fixed)")
+    p.add_argument("--stages", default="quality,pii,paradedup,spandedup",
+                   help=f"comma list from {STAGES} (order fixed); blocklist"
+                        " joins the default set when --block-terms is given")
+    p.add_argument("--block-terms", default=None,
+                   help="comma list of blocklist words (enables the"
+                        " blocklist stage)")
+    p.add_argument("--max-flagged-frac", type=float, default=0.0)
     p.add_argument("--min-tokens", type=int, default=10)
     p.add_argument("--span-n", type=int, default=5,
                    help="spandedup n-gram length")
     p.add_argument("--span-min-docs", type=int, default=2)
     args = p.parse_args()
     stages = [s.strip() for s in args.stages.split(",") if s.strip()]
+    if args.block_terms and "blocklist" not in stages:
+        stages.insert(1 if "quality" in stages else 0, "blocklist")
     bad = set(stages) - set(STAGES)
     if bad:
         p.error(f"unknown stages: {sorted(bad)}")
+    if "blocklist" in stages and not args.block_terms:
+        p.error("the blocklist stage needs --block-terms")
 
     spark = get_session("flexgraph-clean")
     from pyspark.sql import functions as F
@@ -66,6 +77,14 @@ def main() -> None:
         docs = docs.join(passing, "doc_id")
         n = docs.count()
         audit.append(f"quality_kept={n}")
+
+    if "blocklist" in stages:
+        terms = [t.strip() for t in args.block_terms.split(",") if t.strip()]
+        ok = textops.blocklist_stats(
+            docs, terms, max_flagged_frac=args.max_flagged_frac
+        ).filter("passes").select("doc_id")
+        docs = docs.join(ok, "doc_id")
+        audit.append(f"blocklist_kept={docs.count()}")
 
     if "pii" in stages:
         docs = textops.redact_pii(docs).select(

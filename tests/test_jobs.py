@@ -254,3 +254,25 @@ def test_clean_job_pipeline(spark, tmp_path):
     with pytest.raises(SystemExit):
         _run(clean_job, ["--documents", src, "--output", out2,
                          "--stages", "nope"])
+
+
+def test_clean_job_blocklist_stage(spark, tmp_path):
+    import jobs.clean as clean_job
+
+    rows = [
+        (1, "a perfectly ordinary clean document body"),
+        (2, "this one mentions forbidden topics"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "kept")
+    # --block-terms auto-enables the stage alongside the explicit list
+    _run(clean_job, ["--documents", src, "--output", out,
+                     "--stages", "blocklist", "--block-terms", "forbidden"])
+    kept = spark.read.parquet(out)
+    assert [r.doc_id for r in kept.collect()] == [1]
+    # blocklist stage without terms is an error
+    with pytest.raises(SystemExit):
+        _run(clean_job, ["--documents", src, "--output", out,
+                         "--stages", "blocklist"])
