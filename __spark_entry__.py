@@ -2159,6 +2159,16 @@ def _q_mixture_weights(spark, sf_dir):
     )
 
 
+def _q_sample_exact(spark, sf_dir):
+    """Exact-k (20) per-language deterministic sample — the fixed-size
+    holdout builder: k lowest sha256(salt:id) rows per stratum, id
+    tie-break; oracle replays the identical hash ranking."""
+    return corpus.deterministic_sample_exact(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        k=20, stratum_col="lang",
+    )
+
+
 DSIR_BUCKETS = 256  # small enough that sf0.01's vocab actually collides
 DSIR_K = 100
 
@@ -2412,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "bigram_logprob": _q_bigram_logprob,
         "mixture_weights": _q_mixture_weights,
+        "sample_exact": _q_sample_exact,
         "dsir_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
         "pack_documents": _q_pack_documents,
@@ -3976,6 +3987,17 @@ select grp as "group", n_rows,
 from c, t
 """
 
+_SAMPLE_EXACT_SQL = r"""
+with h as (select doc_id, lang,
+    ('0x' || substr(sha256('fgx:' || doc_id::varchar), 1, 8))::bigint as u
+  from documents),
+r as (select doc_id, lang,
+        row_number() over (partition by lang order by u, doc_id) as pick
+      from h)
+select doc_id, lang, pick::int as pick from r where pick <= 20
+"""
+
+
 _DSIR_BASE_SQL = r"""
 n as (select doc_id, trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) as norm
       from documents),
@@ -4870,6 +4892,7 @@ from s
         "unigram_logprob": _UNIGRAM_LP_SQL,
         "bigram_logprob": _BIGRAM_LP_SQL,
         "mixture_weights": _MIXTURE_SQL,
+        "sample_exact": _SAMPLE_EXACT_SQL,
         "dsir_weights": _DSIR_SQL,
         "dsir_sample": _DSIR_SAMPLE_SQL,
         "pack_documents": _PACK_SQL,

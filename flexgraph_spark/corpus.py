@@ -228,6 +228,38 @@ def deterministic_sample(
     return df.withColumn("_u", u).filter(F.col("_u") < rate).drop("_u")
 
 
+def deterministic_sample_exact(
+    df: DataFrame,
+    k: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "fgx",
+) -> DataFrame:
+    """Exact-size reproducible stratified sample: the ``k``
+    LOWEST-hash rows of each stratum (sha256(salt:id) order, id
+    tie-break) — the fixed-size eval/holdout-set builder that
+    :func:`deterministic_sample`'s rate form can't guarantee (a rate
+    keeps a binomially-varying count). Same auditability contract: the
+    kept set is a pure function of (ids, salt, k), identical at any
+    parallelism, re-derivable row-by-row in SQL. Strata smaller than k
+    are kept whole.
+
+    Scale shape: one hash per row + one per-stratum top-k (window rank
+    over the stratum shuffle — bounded state per stratum, no global
+    sort). Adds a ``pick`` column (1..k rank within the stratum).
+    """
+    from pyspark.sql import Window
+
+    u = _hash_u(F.col(id_col), salt)
+    w = Window.partitionBy(stratum_col).orderBy(F.col("_u"), F.col(id_col))
+    return (
+        df.withColumn("_u", u)
+        .withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= int(k))
+        .drop("_u")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vocabulary / n-gram frequencies
 # ---------------------------------------------------------------------------

@@ -379,3 +379,26 @@ def test_dsir_sample_topk_deterministic(spark):
     # docs are 19 n-gram buckets apart from the cooking docs, so most picks
     # are even doc_ids
     assert sum(1 for i in ids1 if i % 2 == 0) >= 4
+
+
+def test_deterministic_sample_exact_sizes_and_stability(spark):
+    rows = [(i, f"text {i}", "en" if i % 3 else "fr") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = corpus.deterministic_sample_exact(df, k=5, stratum_col="lang")
+    got = out.groupBy("lang").count().collect()
+    assert {r.lang: r["count"] for r in got} == {"en": 5, "fr": 5}
+    # stratum smaller than k kept whole
+    tiny = corpus.deterministic_sample_exact(
+        df.filter(F.col("lang") == "fr").limit(3), k=5, stratum_col="lang"
+    )
+    assert tiny.count() == 3
+    # stable across partitionings, pick is a dense 1..k rank
+    a = sorted((r.doc_id, r.pick) for r in out.collect())
+    b = sorted(
+        (r.doc_id, r.pick)
+        for r in corpus.deterministic_sample_exact(
+            df.repartition(7), k=5, stratum_col="lang"
+        ).collect()
+    )
+    assert a == b
+    assert sorted(r.pick for r in out.filter(F.col("lang") == "en").collect()) == [1, 2, 3, 4, 5]
