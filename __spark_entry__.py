@@ -1114,6 +1114,44 @@ def _q_sssp8(spark, sf_dir):
     )
 
 
+def _q_sssp8_tree(spark, sf_dir):
+    """SSSP with shortest-path-tree parents: struct(dist, parent) min
+    semi-ring, ties to the lowest parent id via the struct ordering —
+    oracle unrolls the identical (dist, parent)-lexicographic relaxation."""
+    edges = _graph1000_w(spark, sf_dir)
+    src = edges.agg(
+        F.min(F.least(F.col("src"), F.col("dst")))
+    ).first()[0]
+    res = algorithms.sssp_tree(edges, int(src), max_iter=SSSP_ITERS)
+    return res.state.select(
+        "vertex",
+        F.col("value").getField("dist").alias("dist"),
+        F.col("value").getField("parent").alias("parent"),
+    ).filter(F.col("dist") < gimv.SSSP_INF)
+
+
+def _sssp_tree_sql(wedge_sql: str, iters: int) -> str:
+    ctes = [
+        f"e as materialized ({wedge_sql})",
+        "verts as (select src as v from e union select dst from e)",
+        "s0 as (select min(v) as sv from verts)",
+        "it0 as (select sv as v, 0.0 as dist, (-1)::bigint as parent from s0)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"it{k} as materialized (select v, dist, parent from ("
+            f"select v, dist, parent, row_number() over ("
+            f"partition by v order by dist, parent) as rn from ("
+            f"select v, dist, parent from it{k-1} union all "
+            f"select e.dst as v, p.dist + e.w as dist, e.src as parent "
+            f"from e join it{k-1} p on p.v = e.src)) where rn = 1)"
+        )
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect v as vertex, dist, parent from it{iters}"
+    )
+
+
 def _q_lp4(spark, sf_dir):
     res = algorithms.label_propagation(_graph1000(spark, sf_dir), max_iter=LP_ITERS)
     return res.state.select("vertex", F.col("value").cast("long").alias("label"))
@@ -2319,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp8_blocked": _q_sssp8_blocked,
         "wdegree_out": _q_wdegree_out,
         "sssp8": _q_sssp8,
+        "sssp8_tree": _q_sssp8_tree,
         "lp4": _q_lp4,
         "lp_modularity": _q_lp_modularity,
         "coloring_gate": _q_coloring_gate,
@@ -4470,6 +4509,7 @@ def oracle_sql() -> dict[str, str]:
             "select src as vertex, sum(w)::double as wdegree from e group by src"
         ),
         "sssp8": _sssp_sql(G1000_W_SQL, SSSP_ITERS),
+        "sssp8_tree": _sssp_tree_sql(G1000_W_SQL, SSSP_ITERS),
         "lp4": _lp_sql(G1000_SQL, LP_ITERS),
         "lp_modularity": f"""
 with labels as ({_lp_sql(G1000_SQL, LP_ITERS)}),

@@ -1332,6 +1332,23 @@ def katz(
     )
 
 
+def sssp_tree(
+    edges: DataFrame,
+    source_vertex: int,
+    max_iter: int = 100,
+    checkpointer=None,
+    **kw,
+) -> gimv.GimvResult:
+    """Weighted SSSP with the shortest-path tree (gimv.SSSPTree): state is
+    struct(dist, parent), ties broken to the lowest parent id by the
+    struct ordering itself — deterministic routing output, same superstep
+    shape/cost as plain sssp. Flat plan only."""
+    return gimv.run(
+        edges, gimv.SSSPTree(source_vertex), max_iter=max_iter,
+        checkpointer=checkpointer, **kw,
+    )
+
+
 def dag_depth(
     edges: DataFrame,
     max_iter: int = 100,

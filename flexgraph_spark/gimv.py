@@ -921,6 +921,62 @@ class SSSP(VertexProgram):
         return new < old
 
 
+class SSSPTree(VertexProgram):
+    """SSSP with the shortest-path TREE — distances alone (class:`SSSP`)
+    can't answer "route me there" or "why is this vertex reachable";
+    production wants the parent pointer. State value =
+    ``struct(dist, parent)`` and the whole semi-ring rides Spark's
+    lexicographic struct ordering:
+
+      combine2    = struct(dist(u) + w(u,v), u)
+      combineAll  = min(struct)   — min dist, ties → LOWEST parent id
+      apply       = least(old, msg)
+
+    so the tree is deterministic under ties with zero extra machinery.
+    Monotone decreasing structs ⇒ the convergence vote and frontier/delta
+    messaging stay exact (a re-parented-but-equidistant vertex re-sends
+    once, harmless — its outgoing messages don't depend on its parent).
+    parent = -1 marks the source and unreached vertices. Positive weights
+    assumed (the SSSP contract, SSSPComputation.java:104-212); flat plan
+    only (struct-valued state)."""
+
+    name = "sssp_tree"
+    weighted = True
+    supports_blocked = False  # struct-valued state: flat plan only
+    delta_messaging = True
+
+    def __init__(self, source_vertex: int):
+        self.source_vertex = source_vertex
+
+    def init_state(self, vertices, n):
+        return vertices.select(
+            "vertex",
+            F.struct(
+                F.when(F.col("vertex") == self.source_vertex, 0.0)
+                .otherwise(SSSP_INF).alias("dist"),
+                F.lit(-1).cast("long").alias("parent"),
+            ).alias("value"),
+        )
+
+    def message_filter(self):
+        return F.col("value").getField("dist") < SSSP_INF
+
+    def message(self):
+        return F.struct(
+            (F.col("value").getField("dist") + F.col("weight")).alias("dist"),
+            F.col("src").alias("parent"),
+        )
+
+    def reduce_expr(self):
+        return F.min("msg")
+
+    def apply(self, old, msg, n):
+        return F.least(old, F.coalesce(msg, old))
+
+    def changed(self, old, new):
+        return new < old
+
+
 class LongestPath(VertexProgram):
     """DAG longest-path depth — the max-plus semi-ring GIM-V
     instantiation: ``depth(v) = max(0, max_{u→v} depth(u) + 1)``, init 0.

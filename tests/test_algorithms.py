@@ -1585,3 +1585,25 @@ def test_dag_depth_golden_and_cycle_contract(spark):
     cyc = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
     res2 = algorithms.dag_depth(cyc, max_iter=5)
     assert not res2.converged and res2.iterations == 5
+
+
+def test_sssp_tree_parents_and_tie_break(spark):
+    # 0 -1-> 1 -1-> 3 ; 0 -1-> 2 -1-> 3 : two equal-cost paths to 3,
+    # tie must break to the LOWEST parent (1); 4 unreachable
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0), (4, 5, 1.0)],
+        "src long, dst long, weight double",
+    )
+    res = algorithms.sssp_tree(edges, 0)
+    assert res.converged
+    got = {r.vertex: (r.value.dist, r.value.parent) for r in res.state.collect()}
+    assert got[0] == (0.0, -1)
+    assert got[1] == (1.0, 0)
+    assert got[2] == (1.0, 0)
+    assert got[3] == (2.0, 1)  # tie -> lowest parent
+    from flexgraph_spark.gimv import SSSP_INF
+    assert got[4][0] == SSSP_INF and got[4][1] == -1
+    # parent distances are consistent: dist(v) == dist(parent) + w
+    for v, (d, p) in got.items():
+        if p >= 0:
+            assert abs(d - (got[p][0] + 1.0)) < 1e-12
