@@ -1969,6 +1969,28 @@ def _q_asof_enrich(spark, sf_dir):
     )
 
 
+def _q_snapshot_diff(spark, sf_dir):
+    """Crawl-delta diff (analytics.snapshot_diff): old = documents, new =
+    a deterministic planted variant (drop %13, edit %7, add %11 under
+    shifted ids) — full-outer on doc_id comparing 32-byte row hashes; the
+    oracle computes the same verdicts by direct column comparison, so the
+    gate also proves hash-diff ≡ value-diff."""
+    from flexgraph_spark.analytics import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    d = F.col("doc_id")
+    modified = docs.filter(d % 13 != 0).select(
+        "doc_id",
+        F.when(d % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"),
+        "lang",
+    )
+    added = docs.filter(d % 11 == 0).select(
+        (d + 1000000).alias("doc_id"), "text", "lang"
+    )
+    return snapshot_diff(docs, modified.unionByName(added), keys=["doc_id"])
+
+
 def _q_funnel(spark, sf_dir):
     """Ordered min-timestamp funnel view→click→purchase over events
     (flexgraph_spark.analytics.funnel)."""
@@ -2470,6 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": _q_rollup,
         "interval_join": _q_interval_join,
         "asof_enrich": _q_asof_enrich,
+        "snapshot_diff": _q_snapshot_diff,
         "funnel": _q_funnel,
         "retention": _q_retention,
         "event_sessions": _q_event_sessions,
@@ -4855,6 +4878,23 @@ with iv as (select event_id as interval_id, user_id, ts as s,
 select p.event_id, iv.interval_id
 from events p join iv on p.user_id = iv.user_id
 where p.ts between iv.s and iv.f
+""",
+        "snapshot_diff": """
+with old as (select doc_id, text, lang from documents),
+new as (
+  select doc_id,
+         case when doc_id % 7 = 0 then text || ' v2' else text end as text,
+         lang
+  from documents where doc_id % 13 <> 0
+  union all
+  select doc_id + 1000000, text, lang from documents where doc_id % 11 = 0),
+j as (select coalesce(o.doc_id, n.doc_id) as doc_id,
+        case when o.doc_id is null then 'added'
+             when n.doc_id is null then 'removed'
+             when o.text <> n.text or o.lang <> n.lang then 'changed'
+        end as status
+      from old o full join new n on o.doc_id = n.doc_id)
+select doc_id, status from j where status is not null
 """,
         "asof_enrich": """
 with r as (select user_id, ts, max(value) as value from events

@@ -275,3 +275,57 @@ def timeseries_rollup(
     cols = ["resolution_s", "bucket_start", *group_cols,
             "n", "v_sum", "v_min", "v_max"]
     return out.select(*cols)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot delta — what changed between two versions of a table (the
+    daily-crawl diff that feeds warm-start recompute): full-outer join on
+    ``keys``, each side collapsed to ONE sha256 row hash over
+    ``compare_cols`` (default: all shared non-key columns, sorted), and a
+    verdict per key: ``added`` / ``removed`` / ``changed`` (unchanged rows
+    are dropped — at crawl scale they are ~all of the table and the diff
+    must stay delta-sized). Returns ``(keys..., status)``.
+
+    Scale shape: hashing is map-side (one sha256 per row, null-safe via a
+    unit-separator + sentinel encoding so ('a', NULL) never collides with
+    ('a', '')); the join then ships 32-byte digests instead of full rows
+    — the content_invariant pattern generalized from "equal?" to "what
+    changed?". One key-hash shuffle per side.
+    """
+    if compare_cols is None:
+        shared = set(old.columns) & set(new.columns)
+        compare_cols = sorted(shared - set(keys))
+    if not compare_cols:
+        raise ValueError("snapshot_diff needs at least one compare column")
+
+    def row_hash(df: DataFrame, alias: str) -> DataFrame:
+        h = F.sha2(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                    for c in compare_cols
+                ],
+            ),
+            256,
+        )
+        return df.select(*keys, h.alias(alias))
+
+    a = row_hash(old, "_h_old")
+    b = row_hash(new, "_h_new")
+    joined = a.join(b, keys, "full")
+    status = (
+        F.when(F.col("_h_old").isNull(), "added")
+        .when(F.col("_h_new").isNull(), "removed")
+        .when(F.col("_h_old") != F.col("_h_new"), "changed")
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*keys, "status")
+    )

@@ -167,3 +167,30 @@ def test_timeseries_rollup_partial_merge_lossless(spark):
 
     with pytest.raises(ValueError):
         timeseries_rollup(ev, resolutions_s=(3600, 5000)).collect()
+
+
+def test_snapshot_diff_statuses_and_null_safety(spark):
+    from flexgraph_spark.analytics import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", None), (3, "c", "z"), (4, "d", "w")],
+        "id long, text string, tag string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "x"),        # unchanged -> dropped from the diff
+         (2, "b", ""),         # NULL -> '' must register as changed
+         (3, "c2", "z"),       # changed
+         (5, "e", "v")],       # added; 4 removed
+        "id long, text string, tag string",
+    )
+    got = {r.id: r.status for r in snapshot_diff(old, new, keys=["id"]).collect()}
+    assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+    # explicit compare_cols ignores other columns
+    got2 = {
+        r.id: r.status
+        for r in snapshot_diff(old, new, keys=["id"], compare_cols=["text"]).collect()
+    }
+    assert got2 == {3: "changed", 4: "removed", 5: "added"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        snapshot_diff(old.select("id"), new.select("id"), keys=["id"])
