@@ -276,3 +276,42 @@ def test_clean_job_blocklist_stage(spark, tmp_path):
     with pytest.raises(SystemExit):
         _run(clean_job, ["--documents", src, "--output", out,
                          "--stages", "blocklist"])
+
+
+def test_incremental_job_warm_start_and_noop(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    import jobs.incremental as inc_job
+    from flexgraph_spark import algorithms
+
+    old_edges = spark.createDataFrame(
+        [(i, (i + 1) % 20) for i in range(20)], "src long, dst long"
+    )
+    new_edges = old_edges.union(
+        spark.createDataFrame([(0, 10), (5, 15)], "src long, dst long")
+    )
+    p_old, p_new = str(tmp_path / "old"), str(tmp_path / "new")
+    old_edges.write.parquet(p_old)
+    new_edges.write.parquet(p_new)
+
+    base = algorithms.pagerank(old_edges, threshold=1e-7, max_iter=100)
+    p_state = str(tmp_path / "state")
+    base.state.write.parquet(p_state)
+
+    out = str(tmp_path / "out")
+    _run(inc_job, ["--old-edges", p_old, "--new-edges", p_new,
+                   "--prev-state", p_state, "--output", out])
+    warm = spark.read.parquet(out)
+    cold = algorithms.pagerank(new_edges, threshold=1e-7, max_iter=100).state
+    joined = warm.withColumnRenamed("value", "w").join(
+        cold.withColumnRenamed("value", "c"), "vertex"
+    )
+    assert joined.filter(F.abs(F.col("w") - F.col("c")) > 1e-5).count() == 0
+
+    # identical snapshots -> state carried over untouched, no recompute
+    out2 = str(tmp_path / "out2")
+    _run(inc_job, ["--old-edges", p_new, "--new-edges", p_new,
+                   "--prev-state", out, "--output", out2])
+    a = sorted((r.vertex, r.value) for r in spark.read.parquet(out2).collect())
+    b = sorted((r.vertex, r.value) for r in warm.collect())
+    assert a == b
