@@ -1214,6 +1214,30 @@ def _q_coreness4(spark, sf_dir):
     return res.state.select("vertex", F.col("value").alias("core"))
 
 
+TRUSS_CONS_K = 5
+
+
+def _q_trussness_consistency(spark, sf_dir):
+    """Truss-decomposition telescoping gate: {e : trussness(e) >= k} —
+    built by peeling each level from the PREVIOUS level's survivors —
+    must equal ktruss(G, k) computed directly from the full graph at
+    fixpoint (k-truss(G) = k-truss((k-1)-truss(G)), the identity the
+    decomposition relies on). Spark-side invariant; the oracle pins zero
+    mismatches + convergence."""
+    e = _graph1000(spark, sf_dir)
+    tr = algorithms.trussness(e, k_max=TRUSS_CONS_K)
+    direct = algorithms.ktruss(e, k=TRUSS_CONS_K, max_rounds=100)
+    from_tr = tr.where(F.col("trussness") >= TRUSS_CONS_K).select("a", "b")
+    n_mismatch = (
+        from_tr.exceptAll(direct.state).count()
+        + direct.state.exceptAll(from_tr).count()
+    )
+    return spark.createDataFrame(
+        [(int(n_mismatch), direct.converged)],
+        "n_mismatch long, converged boolean",
+    )
+
+
 def _q_coreness_kcore_consistency(spark, sf_dir):
     """Cross-operator consistency gate: {v : coreness(v) >= k} must equal
     the (independently oracle-gated) converged k-core vertex set — the
@@ -2388,6 +2412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_cut_stats": _q_block_cut_stats,
         "coreness4": _q_coreness4,
         "coreness_kcore_consistency": _q_coreness_kcore_consistency,
+        "trussness_consistency": _q_trussness_consistency,
         "modularity_moves2": _q_modularity_moves2,
         "louvain_gate": _q_louvain_gate,
         "hits4": _q_hits4,
@@ -4575,6 +4600,9 @@ from per
         # defining identity; both operators are independently gated.
         "coreness_kcore_consistency": (
             "select 0::bigint as n_mismatch, true as both_converged"
+        ),
+        "trussness_consistency": (
+            "select 0::bigint as n_mismatch, true as converged"
         ),
         # louvain's argmax-Q is over a candidate superset of {singleton,
         # moves2}; the oracle pins those dominance invariants (the raw

@@ -1312,6 +1312,52 @@ def ktruss(
     return GimvResult(state=und, iterations=rounds, converged=converged, metrics=metrics)
 
 
+def trussness(
+    edges: DataFrame, k_max: int = 20, max_rounds: int = 100
+) -> DataFrame:
+    """Per-edge truss decomposition — trussness(e) = the largest k such
+    that e survives the k-truss peel (2 for triangle-free edges), the
+    edge-level sibling of :func:`coreness`. Peels levels upward using the
+    telescoping identity k-truss(G) = k-truss((k-1)-truss(G)): each level
+    runs :func:`ktruss` on the previous level's survivors only, so the
+    triangle work shrinks with every level. Returns ``(a, b, trussness)``
+    with a < b; edges still alive at ``k_max`` are labeled ``k_max``
+    (a documented cap — raise it for deeper decompositions).
+
+    Scale shape: max-trussness driver rounds, each a ktruss fixpoint on a
+    SHRINKING edge set (the peel is monotone); one count per level is the
+    only driver action. Expensive by nature (every level re-enumerates
+    triangles among survivors) — the bounded-k form is the practical one.
+    """
+    und = truncate_plan(
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    pieces: list[DataFrame] = []
+    k = 3
+    while k <= k_max:
+        if und.count() == 0:
+            break
+        res = ktruss(
+            und.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+            k, max_rounds=max_rounds,
+        )
+        kept = res.state
+        removed = und.join(kept, ["a", "b"], "left_anti")
+        pieces.append(
+            removed.select("a", "b", F.lit(k - 1).cast("int").alias("trussness"))
+        )
+        und = truncate_plan(kept)
+        k += 1
+    # survivors at the cap
+    pieces.append(und.select("a", "b", F.lit(min(k, k_max)).cast("int").alias("trussness")))
+    out = pieces[0]
+    for pc in pieces[1:]:
+        out = out.unionByName(pc)
+    return out
+
+
 def katz(
     edges: DataFrame,
     alpha: float = 0.05,

@@ -1607,3 +1607,28 @@ def test_sssp_tree_parents_and_tie_break(spark):
     for v, (d, p) in got.items():
         if p >= 0:
             assert abs(d - (got[p][0] + 1.0)) < 1e-12
+
+
+def test_trussness_golden_levels(spark):
+    # K4 on {0..3} (trussness 4), a separate triangle {10,11,12}
+    # (trussness 3), and a pendant edge (20,21) (trussness 2)
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    tri = [(10, 11), (10, 12), (11, 12)]
+    edges = spark.createDataFrame(
+        k4 + tri + [(20, 21)], "src long, dst long"
+    )
+    got = {
+        (r.a, r.b): r.trussness
+        for r in algorithms.trussness(edges, k_max=10).collect()
+    }
+    assert len(got) == 10
+    assert all(got[e] == 4 for e in k4)
+    assert all(got[e] == 3 for e in tri)
+    assert got[(20, 21)] == 2
+    # k_max cap labels survivors with the cap value
+    capped = {
+        (r.a, r.b): r.trussness
+        for r in algorithms.trussness(edges, k_max=3).collect()
+    }
+    assert all(capped[e] == 3 for e in k4 + tri)
+    assert capped[(20, 21)] == 2
