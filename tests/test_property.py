@@ -1,0 +1,86 @@
+"""Property-based gates (hypothesis): on RANDOM small digraphs the flat
+engine must equal the NumPy reference oracles exactly — the fuzzing
+complement to the golden-topology tests in test_gimv.py. Few examples per
+property (each is a full Spark job set), but hypothesis explores shapes
+the hand-picked fixtures never will: self-contained cliques, multi-edges
+(pre-deduped), isolated pairs, long chains, and its shrinker reports the
+minimal failing graph if an invariant ever breaks.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from flexgraph_spark import algorithms, fixtures, oracle
+
+# up to 13 vertices / 40 distinct non-loop edges — big enough for hubs,
+# cycles and disconnected pieces, small enough for ~seconds per example
+_edges = (
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1, max_size=40,
+    )
+    .map(lambda es: sorted({(a, b) for a, b in es if a != b}))
+    .filter(lambda es: len(es) > 0)
+)
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _dense(es):
+    """Remap endpoints to [0, n): the NumPy oracles score every id in
+    [0, n) (isolated ids included), the engine scores edge endpoints —
+    dense ids make the two vertex sets identical."""
+    ids = sorted({v for e in es for v in e})
+    fwd = {v: i for i, v in enumerate(ids)}
+    return [(fwd[a], fwd[b]) for a, b in es], len(ids)
+
+
+def _vals(res):
+    return {r["vertex"]: r["value"] for r in res.state.collect()}
+
+
+@settings(**_SETTINGS)
+@given(es=_edges)
+def test_pagerank_matches_oracle_on_random_graphs(spark, es):
+    es, n = _dense(es)
+    df = fixtures.edges_df(spark, es)
+    got = _vals(algorithms.pagerank(df, max_iter=40))
+    exp = oracle.pagerank(es, n, max_iter=40)
+    assert sorted(got) == list(range(n))
+    assert np.allclose(
+        [got[v] for v in range(n)], [exp[v] for v in range(n)], atol=1e-6
+    )
+
+
+@settings(**_SETTINGS)
+@given(es=_edges)
+def test_cc_matches_oracle_on_random_graphs(spark, es):
+    es, n = _dense(es)
+    df = fixtures.edges_df(spark, es)
+    res = algorithms.connected_components(df)
+    assert res.converged
+    got = _vals(res)
+    exp = oracle.connected_components(es + [(b, a) for a, b in es], n)
+    for v, lbl in got.items():
+        assert lbl == exp[v]
+
+
+@settings(**_SETTINGS)
+@given(es=_edges, seed=st.integers(0, 2**16))
+def test_sssp_matches_oracle_on_random_weighted_graphs(spark, es, seed):
+    es, n = _dense(es)
+    rng = np.random.RandomState(seed)
+    wes = [(a, b, float(rng.randint(1, 9))) for a, b in es]
+    src = wes[0][0]
+    df = fixtures.edges_df(spark, wes, weighted=True)
+    res = algorithms.sssp(df, source_vertex=src)
+    assert res.converged
+    got = _vals(res)
+    exp = oracle.sssp(wes, n, src)
+    for v, d in got.items():
+        assert d == pytest.approx(exp[v]), f"vertex {v}"
