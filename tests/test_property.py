@@ -84,3 +84,38 @@ def test_sssp_matches_oracle_on_random_weighted_graphs(spark, es, seed):
     exp = oracle.sssp(wes, n, src)
     for v, d in got.items():
         assert d == pytest.approx(exp[v]), f"vertex {v}"
+
+
+@settings(**_SETTINGS)
+@given(es=_edges, dense_threshold=st.sampled_from([0, 2, 1000]))
+def test_blocked_equals_flat_on_random_graphs(spark, es, dense_threshold):
+    """The skew engine's dense/sparse split must be invisible: blocked
+    PageRank and CC agree with the flat plan on random graphs at every
+    threshold regime (0 = all-dense, 2 = mixed, 1000 = all-sparse)."""
+    from flexgraph_spark import blocks, gimv
+
+    es, n = _dense(es)
+    df = fixtures.edges_df(spark, es)
+    flat_pr = _vals(algorithms.pagerank(df, max_iter=20))
+    blk_pr = _vals(
+        blocks.run_blocked(
+            df, gimv.PageRank(), p=3,
+            dense_threshold=dense_threshold, max_iter=20,
+        )
+    )
+    assert set(flat_pr) == set(blk_pr)
+    for v in flat_pr:
+        assert flat_pr[v] == pytest.approx(blk_pr[v], abs=1e-9), v
+
+    flat_cc = _vals(algorithms.connected_components(df))
+    blk_cc = _vals(
+        blocks.run_blocked(
+            df.select("src", "dst")
+            .union(df.select(df.dst.alias("src"), df.src.alias("dst")))
+            .distinct(),
+            gimv.ConnectedComponents(), p=3,
+            dense_threshold=dense_threshold, max_iter=60,
+        )
+    )
+    for v in flat_cc:
+        assert flat_cc[v] == blk_cc[v], v
