@@ -1157,6 +1157,44 @@ def _q_lp4(spark, sf_dir):
     return res.state.select("vertex", F.col("value").cast("long").alias("label"))
 
 
+def _q_wlp4(spark, sf_dir):
+    """Weight-summed LP, 4 fixed iterations over the canonical undirected
+    weighted graph (directed dups merged by sum — integer quantities, so
+    tie detection is exact); oracle unrolls the identical weighted vote."""
+    res = algorithms.weighted_label_propagation(
+        _graph1000_w(spark, sf_dir), max_iter=LP_ITERS
+    )
+    return res.state.select(
+        "vertex", F.col("value").cast("long").alias("label")
+    )
+
+
+def _wlp_sql(wedge_sql: str, iters: int) -> str:
+    ctes = [
+        f"e0 as materialized ({wedge_sql})",
+        "und as materialized (select least(src, dst) as a, greatest(src, dst) as b, "
+        "sum(w) as w from e0 where src <> dst group by 1, 2)",
+        "se as materialized (select a as src, b as dst, w from und "
+        "union all select b, a, w from und)",
+        "verts as (select src as v from se union select dst from se)",
+        "it0 as (select v, v as lab from verts)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"it{k} as materialized (select s.v, coalesce(m.lab, s.lab) as lab "
+            f"from it{k-1} s left join (select v, lab from ("
+            f"select t.v, t.lab, row_number() over (partition by t.v "
+            f"order by t.c desc, t.lab asc) as rn from ("
+            f"select se.dst as v, p.lab, sum(se.w) as c from se "
+            f"join it{k-1} p on p.v = se.src group by se.dst, p.lab) t) "
+            f"where rn = 1) m on m.v = s.v)"
+        )
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect v as vertex, lab as label from it{iters}"
+    )
+
+
 def _q_lp_modularity(spark, sf_dir):
     """Modularity of the LP4 partition — composes two oracled operators
     (the unrolled-LP labels and the partition-score formula) into one
@@ -2405,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp8": _q_sssp8,
         "sssp8_tree": _q_sssp8_tree,
         "lp4": _q_lp4,
+        "wlp4": _q_wlp4,
         "lp_modularity": _q_lp_modularity,
         "coloring_gate": _q_coloring_gate,
         "pagerank_warm_start": _q_pagerank_warm_start,
@@ -4559,6 +4598,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp8": _sssp_sql(G1000_W_SQL, SSSP_ITERS),
         "sssp8_tree": _sssp_tree_sql(G1000_W_SQL, SSSP_ITERS),
         "lp4": _lp_sql(G1000_SQL, LP_ITERS),
+        "wlp4": _wlp_sql(G1000_W_SQL, LP_ITERS),
         "lp_modularity": f"""
 with labels as ({_lp_sql(G1000_SQL, LP_ITERS)}),
 e0 as ({G1000_SQL}),

@@ -188,6 +188,37 @@ def label_propagation(
     )
 
 
+def weighted_label_propagation(
+    edges: DataFrame, max_iter: int = 20, checkpointer=None, **kw
+) -> gimv.GimvResult:
+    """Weight-summed majority LP (gimv.WeightedLabelPropagation): adopt
+    the label with the largest incident edge-weight sum, ties → lowest
+    label. The graph is canonicalized first — directed duplicates merge
+    to ONE undirected weight per pair (sum), then both directions vote —
+    so (a→b, 2) + (b→a, 3) is a single strength-5 tie between the
+    endpoints, not two double-counted votes. Integer-valued weights keep
+    tie detection exact. Flat plan only."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "weight",
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    sym = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "weight"
+    ).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "weight")
+    )
+    return gimv.run(
+        sym, gimv.WeightedLabelPropagation(), max_iter=max_iter,
+        checkpointer=checkpointer, **kw,
+    )
+
+
 def degrees(edges: DataFrame, direction: str = "out", weighted: bool = False) -> DataFrame:
     from flexgraph_spark.graph import degrees as _d
 

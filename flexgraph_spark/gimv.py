@@ -1051,6 +1051,51 @@ class LabelPropagation(VertexProgram):
         return new != old
 
 
+class WeightedLabelPropagation(VertexProgram):
+    """Label propagation with WEIGHTED votes — adopt the label whose
+    incident edge-weight sum is largest (ties → lowest label), the LP
+    variant for similarity/affinity graphs where edge strength matters
+    (e.g. a near-dup similarity graph: a 0.9-similar neighbor should
+    outvote three 0.3-similar ones). Same two-level aggregation shape as
+    :class:`LabelPropagation` with sum(weight) replacing count(*); the
+    per-edge message is a struct(label, weight) so one message column
+    still carries the whole semi-ring. Callers should feed an undirected
+    graph with ONE canonical weight per pair (algorithms.
+    weighted_label_propagation sums directed duplicates first). Flat plan
+    only; integer-valued weights keep tie detection exact on both the
+    engine and the oracle."""
+
+    name = "weighted_label_propagation"
+    weighted = True
+    supports_blocked = False
+
+    def init_state(self, vertices, n):
+        return vertices.select("vertex", F.col("vertex").alias("value"))
+
+    def message(self):
+        return F.struct(
+            F.col("value").alias("lab"), F.col("weight").alias("w")
+        )
+
+    def aggregate(self, messages: DataFrame) -> DataFrame:
+        votes = messages.select(
+            "dst",
+            F.col("msg").getField("lab").alias("lab"),
+            F.col("msg").getField("w").alias("w"),
+        ).groupBy("dst", "lab").agg(F.sum("w").alias("cnt"))
+        return votes.groupBy(F.col("dst").alias("vertex")).agg(
+            F.max_by(
+                "lab", F.struct(F.col("cnt"), (-F.col("lab")).alias("neg"))
+            ).alias("msg")
+        )
+
+    def apply(self, old, msg, n):
+        return F.coalesce(msg, old)
+
+    def changed(self, old, new):
+        return new != old
+
+
 def run(
     edges: DataFrame,
     program: VertexProgram,

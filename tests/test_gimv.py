@@ -378,3 +378,28 @@ def test_cc_warm_start_exact_for_additions(spark):
     c = {r["vertex"]: r["value"] for r in cold.state.collect()}
     assert w == c == {v: 0 for v in range(4)} | {v: 4 for v in range(4, 8)}
     assert warm.converged and warm.iterations <= cold.iterations
+
+
+def test_weighted_label_propagation_strength_beats_count(spark):
+    # vertex 0: one strong (w=10) edge to the {1,2,3}-side's 1, vs two weak
+    # (w=1) edges to {4,5}; weighted LP must side with the strong edge
+    # where unweighted LP would side with the count.
+    edges = [
+        (0, 1, 10.0), (1, 2, 5.0), (2, 3, 5.0), (1, 3, 5.0),
+        (0, 4, 1.0), (0, 5, 1.0), (4, 5, 1.0),
+    ]
+    df = fixtures.edges_df(spark, edges, weighted=True)
+    res = algorithms.weighted_label_propagation(df, max_iter=10)
+    got = _collect_values(res)
+    assert got[0] == got[1] == got[2] == got[3]  # strong side wins for 0
+    # directed duplicates merge to one undirected strength: (0,1) = 2+3 = 5
+    # outvotes (0,2) = 4+0.5 = 4.5 in the first round (the star is
+    # bipartite, so sync LP oscillates — assert the single-round vote,
+    # which is where the strength comparison lives)
+    dup = fixtures.edges_df(
+        spark, [(0, 1, 2.0), (1, 0, 3.0), (0, 2, 4.0), (2, 0, 0.5)],
+        weighted=True,
+    )
+    res2 = algorithms.weighted_label_propagation(dup, max_iter=1)
+    got2 = _collect_values(res2)
+    assert got2[0] == 1
