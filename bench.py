@@ -257,6 +257,22 @@ def main() -> None:
         "msf_boruvka",
         lambda: algorithms.boruvka_msf(g5000w).state.count(),
     )
+    # weighted SSSP from the lowest source (one of the reference's four
+    # headline algorithms); the tree variant carries parents at the same
+    # superstep shape — compare the two rows to see the struct overhead
+    sssp_src = int(g5000w.agg(F.min("src")).first()[0])
+    timed(
+        "sssp_converged",
+        lambda: algorithms.sssp(
+            g5000w, sssp_src, max_iter=40, num_partitions=gp
+        ).state.count(),
+    )
+    timed(
+        "sssp_tree_converged",
+        lambda: algorithms.sssp_tree(
+            g5000w, sssp_src, max_iter=40, num_partitions=gp
+        ).state.count(),
+    )
     timed(
         "densest_peel",
         lambda: algorithms.densest_subgraph(
