@@ -1130,6 +1130,42 @@ def _q_sssp8_tree(spark, sf_dir):
     ).filter(F.col("dist") < gimv.SSSP_INF)
 
 
+def _q_landmark_dist(spark, sf_dir):
+    """Batch multi-source shortest paths (landmark distances): 4 min-plus
+    columns in ONE array-valued GIM-V state — one edge scan + one state
+    shuffle per superstep for all 4 landmarks (gimv.BatchSSSP), the batch
+    trick batch_ppr uses, transplanted onto the min semi-ring. Landmarks =
+    the 4 lowest vertex ids (deterministic); oracle unrolls the identical
+    per-(landmark, vertex) relaxation."""
+    edges = _graph1000_w(spark, sf_dir)
+    verts = edges.select(F.col("src").alias("v")).union(
+        edges.select(F.col("dst").alias("v"))
+    ).distinct()
+    lms = [int(r.v) for r in verts.orderBy("v").limit(4).collect()]
+    res = algorithms.landmark_distances(edges, lms, max_iter=SSSP_ITERS)
+    return algorithms.landmark_long(res, lms)
+
+
+def _landmark_sql(wedge_sql: str, iters: int, n_landmarks: int = 4) -> str:
+    ctes = [
+        f"e as materialized ({wedge_sql})",
+        "verts as (select src as v from e union select dst from e)",
+        f"lm as (select v from verts order by v limit {n_landmarks})",
+        "it0 as (select v as landmark, v, 0.0 as dist from lm)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"it{k} as materialized (select landmark, v, min(dist) as dist "
+            f"from (select landmark, v, dist from it{k-1} union all "
+            f"select p.landmark, e.dst as v, p.dist + e.w as dist from e "
+            f"join it{k-1} p on p.v = e.src) group by landmark, v)"
+        )
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect v as vertex, landmark, dist from it{iters}"
+    )
+
+
 def _sssp_tree_sql(wedge_sql: str, iters: int) -> str:
     ctes = [
         f"e as materialized ({wedge_sql})",
@@ -2442,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wdegree_out": _q_wdegree_out,
         "sssp8": _q_sssp8,
         "sssp8_tree": _q_sssp8_tree,
+        "landmark_dist4": _q_landmark_dist,
         "lp4": _q_lp4,
         "wlp4": _q_wlp4,
         "lp_modularity": _q_lp_modularity,
@@ -4597,6 +4634,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sssp8": _sssp_sql(G1000_W_SQL, SSSP_ITERS),
         "sssp8_tree": _sssp_tree_sql(G1000_W_SQL, SSSP_ITERS),
+        "landmark_dist4": _landmark_sql(G1000_W_SQL, SSSP_ITERS),
         "lp4": _lp_sql(G1000_SQL, LP_ITERS),
         "wlp4": _wlp_sql(G1000_W_SQL, LP_ITERS),
         "lp_modularity": f"""

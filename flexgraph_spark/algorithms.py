@@ -249,6 +249,44 @@ def batch_ppr(
     )
 
 
+def landmark_distances(
+    edges: DataFrame,
+    landmarks: list[int],
+    max_iter: int = 100,
+    checkpointer=None,
+    **kw,
+) -> gimv.GimvResult:
+    """Shortest-path distances from ALL ``landmarks`` in one job: the
+    GIM-V state carries a k-vector of distances per vertex (gimv.BatchSSSP
+    min-plus columns), so every superstep is still one edge scan + one
+    state shuffle no matter how many landmarks — the batch face of
+    :func:`sssp`, and the standard preprocessing step for landmark-based
+    distance estimation on web graphs. Unweighted graphs get weight=1.0
+    (hop counts / multi-source BFS). Use :func:`landmark_long` for the
+    exploded (vertex, landmark, dist) face."""
+    if "weight" not in edges.columns:
+        edges = edges.withColumn("weight", F.lit(1.0))
+    return gimv.run(
+        edges, gimv.BatchSSSP(landmarks), max_iter=max_iter,
+        checkpointer=checkpointer, **kw,
+    )
+
+
+def landmark_long(res: gimv.GimvResult, landmarks: list[int]) -> DataFrame:
+    """Explode a landmark_distances result to (vertex, landmark, dist)
+    rows, dropping unreached (vertex, landmark) pairs."""
+    lm_arr = F.array(*[F.lit(int(s)) for s in landmarks])
+    return (
+        res.state.select("vertex", F.posexplode("value").alias("idx", "dist"))
+        .filter(F.col("dist") < gimv.SSSP_INF)
+        .select(
+            "vertex",
+            F.element_at(lm_arr, F.col("idx") + 1).cast("long").alias("landmark"),
+            "dist",
+        )
+    )
+
+
 def ppr_long(res: gimv.GimvResult, sources: list[int]) -> DataFrame:
     """Explode a batch_ppr result to (vertex, source, ppr) rows."""
     src_arr = F.array(*[F.lit(int(s)) for s in sources])

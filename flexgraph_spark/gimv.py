@@ -977,6 +977,73 @@ class SSSPTree(VertexProgram):
         return new < old
 
 
+class BatchSSSP(VertexProgram):
+    """Multi-source shortest paths (landmark distances): the state value
+    is an array<double> of k distances — one min-plus column per landmark
+    — so ONE edge scan + ONE state shuffle per superstep serves all k
+    sources, the :class:`BatchPPR` batch-column trick transplanted onto
+    the min semi-ring. This is the landmark building block for web-scale
+    distance estimation (Das Sarma et al. distance sketches; Bourgain-
+    style embeddings): at 100 TB, k landmark SSSP trees cost one edge
+    scan per superstep instead of k independent jobs each rescanning the
+    corpus.
+
+    Per column the recurrence is exactly :class:`SSSP`
+    (SSSPComputation.java:104-212): init 0 at the landmark / MAX/2
+    elsewhere, relax ``min(d[src] + w)``. No per-column message filter is
+    possible on an array state, and none is needed: a source unreached in
+    column j emits ``SSSP_INF + w`` there, which loses every min against
+    both the receiver's SSSP_INF and any real distance, so the unreached
+    column is a no-op by arithmetic (the vertex-level filter — reached in
+    at least one column — plus frontier/delta messaging prune the rest).
+    ``aggregate`` is k scalar mins, not a UDAF, so the map-side combine
+    still collapses per-dst fan-in before the shuffle. Frontier/delta
+    messaging stays exact per column (idempotent-monotone min; a vertex
+    whose columns all stood still has already been heard). Flat plan only:
+    the blocked 'batch' kernel family is sum-only (blocks.py:516)."""
+
+    name = "batch_sssp"
+    weighted = True
+    supports_blocked = False
+    delta_messaging = True  # min semi-ring: frontier-only messaging is exact
+
+    def __init__(self, sources: list[int]):
+        if not sources:
+            raise ValueError("BatchSSSP needs at least one source vertex")
+        self.sources = [int(s) for s in sources]
+        self.k = len(self.sources)
+
+    def init_state(self, vertices, n):
+        arr = F.array(*[
+            F.when(F.col("vertex") == s, 0.0).otherwise(SSSP_INF)
+            for s in self.sources
+        ])
+        return vertices.select("vertex", arr.alias("value"))
+
+    def message_filter(self):
+        return F.exists(F.col("value"), lambda x: x < SSSP_INF)
+
+    def message(self):
+        return F.transform(F.col("value"), lambda x: x + F.col("weight"))
+
+    def aggregate(self, messages):
+        return messages.groupBy(F.col("dst").alias("vertex")).agg(
+            F.array(*[
+                F.min(F.element_at("msg", i + 1)) for i in range(self.k)
+            ]).alias("msg")
+        )
+
+    def apply(self, old, msg, n):
+        return F.zip_with(
+            old, F.coalesce(msg, old), lambda o, v: F.least(o, v)
+        )
+
+    def changed(self, old, new):
+        return F.exists(
+            F.zip_with(old, new, lambda o, v: v < o), lambda b: b
+        )
+
+
 class LongestPath(VertexProgram):
     """DAG longest-path depth — the max-plus semi-ring GIM-V
     instantiation: ``depth(v) = max(0, max_{u→v} depth(u) + 1)``, init 0.

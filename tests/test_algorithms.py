@@ -118,6 +118,44 @@ def test_batch_ppr_requires_sources(spark):
         algorithms.batch_ppr(_edges(spark, [(1, 2)]), [])
 
 
+def test_landmark_distances_match_single_source_sssp(spark):
+    """Each column of the batched min-plus array state reproduces the
+    scalar SSSP run exactly, including unreached handling; the long face
+    drops unreached (vertex, landmark) pairs."""
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 2.0), (0, 2, 5.0), (2, 3, 1.0), (4, 0, 1.0),
+         (5, 6, 1.0)],  # 5,6 unreachable from {0, 2}
+        "src long, dst long, weight double",
+    )
+    lms = [0, 2]
+    res = algorithms.landmark_distances(edges, lms, max_iter=20)
+    assert res.converged
+    long = algorithms.landmark_long(res, lms)
+    batch = {(r.landmark, r.vertex): r.dist for r in long.collect()}
+    from flexgraph_spark.gimv import SSSP_INF
+    for s in lms:
+        single = {
+            r.vertex: r.value
+            for r in algorithms.sssp(edges, s, max_iter=20).state.collect()
+        }
+        for v, d in single.items():
+            if d < SSSP_INF:
+                assert batch[(s, v)] == pytest.approx(d, abs=0.0)
+            else:
+                assert (s, v) not in batch
+    # unweighted face: hop counts (multi-source BFS)
+    hops = algorithms.landmark_long(
+        algorithms.landmark_distances(edges.select("src", "dst"), [0]), [0]
+    )
+    got = {r.vertex: r.dist for r in hops.collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 1.0, 3: 2.0}  # 0->2 edge is 1 hop
+
+
+def test_landmark_distances_requires_sources(spark):
+    with pytest.raises(ValueError):
+        algorithms.landmark_distances(_edges(spark, [(1, 2)]), [])
+
+
 def test_random_walks_deterministic_and_valid(spark):
     """Walks are edge-respecting, partitioning-invariant, and sinks stay."""
     pairs = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (2, 4), (5, 1)]
