@@ -1146,6 +1146,62 @@ def _q_landmark_dist(spark, sf_dir):
     return algorithms.landmark_long(res, lms)
 
 
+def _tgraph1000(spark, sf_dir) -> DataFrame:
+    """Temporal graph: one edge per lineitem row, timestamped by epoch-day
+    of l_shipdate. Parallel (src, dst) edges at different times are kept —
+    they are distinct travel opportunities (gimv.EarliestArrival)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") % 1000).alias("src"),
+        (F.col("l_partkey") % 1000).alias("dst"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).cast("double").alias("t"),
+    ).filter(F.col("src") != F.col("dst"))
+
+
+TG1000_SQL = (
+    "select l_orderkey % 1000 as src, l_partkey % 1000 as dst, "
+    "datediff('day', date '1970-01-01', l_shipdate::date)::double as t "
+    "from lineitem where l_orderkey % 1000 <> l_partkey % 1000"
+)
+TEMPORAL_ITERS = 8
+
+
+def _q_temporal_reach(spark, sf_dir):
+    """Time-respecting earliest arrival from the lowest vertex id: an edge
+    (u, v, t) is traversable only when t >= arrival(u) — min semi-ring
+    with the eligibility condition folded into combine2
+    (gimv.EarliestArrival). Oracle unrolls the identical conditional
+    relaxation with the condition in the join predicate."""
+    edges = _tgraph1000(spark, sf_dir)
+    src = edges.agg(F.min(F.least(F.col("src"), F.col("dst")))).first()[0]
+    res = algorithms.earliest_arrival(
+        edges, int(src), start_time=0.0, max_iter=TEMPORAL_ITERS
+    )
+    return res.state.filter(F.col("value") < gimv.SSSP_INF).select(
+        "vertex", F.col("value").alias("arrival")
+    )
+
+
+def _temporal_sql(tedge_sql: str, iters: int) -> str:
+    ctes = [
+        f"e as materialized ({tedge_sql})",
+        "it0 as (select (select min(least(src, dst)) from e) as v, 0.0 as arr)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"it{k} as materialized (select v, min(arr) as arr "
+            f"from (select v, arr from it{k-1} union all "
+            f"select e.dst as v, e.t as arr from e "
+            f"join it{k-1} p on p.v = e.src and e.t >= p.arr) group by v)"
+        )
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect v as vertex, arr as arrival from it{iters}"
+    )
+
+
 def _landmark_sql(wedge_sql: str, iters: int, n_landmarks: int = 4) -> str:
     ctes = [
         f"e as materialized ({wedge_sql})",
@@ -2479,6 +2535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp8": _q_sssp8,
         "sssp8_tree": _q_sssp8_tree,
         "landmark_dist4": _q_landmark_dist,
+        "temporal_reach": _q_temporal_reach,
         "lp4": _q_lp4,
         "wlp4": _q_wlp4,
         "lp_modularity": _q_lp_modularity,
@@ -4635,6 +4692,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp8": _sssp_sql(G1000_W_SQL, SSSP_ITERS),
         "sssp8_tree": _sssp_tree_sql(G1000_W_SQL, SSSP_ITERS),
         "landmark_dist4": _landmark_sql(G1000_W_SQL, SSSP_ITERS),
+        "temporal_reach": _temporal_sql(TG1000_SQL, TEMPORAL_ITERS),
         "lp4": _lp_sql(G1000_SQL, LP_ITERS),
         "wlp4": _wlp_sql(G1000_W_SQL, LP_ITERS),
         "lp_modularity": f"""

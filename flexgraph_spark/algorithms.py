@@ -287,6 +287,35 @@ def landmark_long(res: gimv.GimvResult, landmarks: list[int]) -> DataFrame:
     )
 
 
+def earliest_arrival(
+    edges: DataFrame,
+    source_vertex: int,
+    start_time: float = 0.0,
+    dur: float = 0.0,
+    max_iter: int = 100,
+    checkpointer=None,
+    **kw,
+) -> gimv.GimvResult:
+    """Time-respecting earliest-arrival reachability on a temporal graph.
+    ``edges`` must carry (src, dst, t) where t is the edge timestamp as a
+    double (epoch seconds / day number); an edge is traversable only when
+    its t >= the current arrival time at src, and arrival via the edge is
+    t + ``dur``. Parallel (src, dst) edges at different times are distinct
+    opportunities — do NOT dedupe. Returns per-vertex earliest arrival
+    (gimv.SSSP_INF = never reachable respecting time order)."""
+    if "t" in edges.columns and "weight" not in edges.columns:
+        edges = edges.withColumnRenamed("t", "weight")
+    if "weight" not in edges.columns:
+        raise ValueError("earliest_arrival needs a 't' (or 'weight') column")
+    return gimv.run(
+        edges,
+        gimv.EarliestArrival(source_vertex, start_time=start_time, dur=dur),
+        max_iter=max_iter,
+        checkpointer=checkpointer,
+        **kw,
+    )
+
+
 def ppr_long(res: gimv.GimvResult, sources: list[int]) -> DataFrame:
     """Explode a batch_ppr result to (vertex, source, ppr) rows."""
     src_arr = F.array(*[F.lit(int(s)) for s in sources])

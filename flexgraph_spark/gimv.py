@@ -921,6 +921,70 @@ class SSSP(VertexProgram):
         return new < old
 
 
+class EarliestArrival(VertexProgram):
+    """Time-respecting earliest-arrival reachability on a TEMPORAL graph:
+    edges carry a timestamp t (riding the ``weight`` column), and an edge
+    (u, v, t) is traversable only if t >= arrival(u) — departures cannot
+    precede arrival. The state is the earliest feasible arrival time, a
+    min semi-ring with a per-edge eligibility condition folded into
+    combine2:
+
+      combine2    = t + dur        if t >= arrival(u), else no message
+      combineAll  = min
+      apply       = least(old, msg)
+
+    (Wu et al., "Path Problems in Temporal Graphs", VLDB 2014 — the
+    one-pass streaming algorithm is inherently sequential; this is the
+    label-correcting fixpoint form, which is exactly GIM-V-shaped.)
+    Parallel temporal edges are REAL here — (u, v) at t=3 and t=7 are
+    different opportunities — so callers must NOT dedupe (src, dst).
+
+    Delta messaging stays exact: arrival(u) is monotone non-increasing,
+    so the eligible edge set {t >= arrival(u)} only grows, and each
+    eligible edge's message is the constant t + dur — an unchanged source
+    has already sent everything it ever will. Flat plan only (the blocked
+    kernels assume an unconditional per-edge combine2).
+    """
+
+    name = "earliest_arrival"
+    weighted = True  # the edge timestamp rides the weight column
+    supports_blocked = False
+    delta_messaging = True  # min semi-ring: frontier-only messaging is exact
+
+    def __init__(self, source_vertex: int, start_time: float = 0.0,
+                 dur: float = 0.0):
+        self.source_vertex = int(source_vertex)
+        self.start_time = float(start_time)
+        self.dur = float(dur)
+
+    def init_state(self, vertices, n):
+        return vertices.select(
+            "vertex",
+            F.when(F.col("vertex") == self.source_vertex, self.start_time)
+            .otherwise(SSSP_INF)
+            .alias("value"),
+        )
+
+    def message_filter(self):
+        return F.col("value") < SSSP_INF  # only reached vertices depart
+
+    def message(self):
+        # ineligible edge -> NULL; min() skips nulls, and an all-null dst
+        # aggregates to NULL msg, which apply() coalesces away
+        return F.when(
+            F.col("weight") >= F.col("value"), F.col("weight") + self.dur
+        )
+
+    def reduce_expr(self):
+        return F.min("msg")
+
+    def apply(self, old, msg, n):
+        return F.least(old, F.coalesce(msg, old))
+
+    def changed(self, old, new):
+        return new < old
+
+
 class SSSPTree(VertexProgram):
     """SSSP with the shortest-path TREE — distances alone (class:`SSSP`)
     can't answer "route me there" or "why is this vertex reachable";

@@ -156,6 +156,47 @@ def test_landmark_distances_requires_sources(spark):
         algorithms.landmark_distances(_edges(spark, [(1, 2)]), [])
 
 
+def test_earliest_arrival_respects_time_order(spark):
+    """The classic temporal trap: a path that is shorter in hops but whose
+    edge times run BACKWARD is not traversable. 0-(t=5)->1-(t=3)->2 is
+    dead (3 < 5); 0-(t=1)->3-(t=4)->2 works. Parallel edges at different
+    times are distinct opportunities."""
+    from flexgraph_spark.gimv import SSSP_INF
+    edges = spark.createDataFrame(
+        [
+            (0, 1, 5.0), (1, 2, 3.0),          # backward in time at hop 2
+            (0, 3, 1.0), (3, 2, 4.0),          # feasible route to 2
+            (1, 4, 5.0),                        # same-time hop: t >= arr ok
+            (0, 5, 0.5), (0, 5, 7.0),          # parallel edges: early wins
+            (6, 0, 9.0),                        # into the source: no effect
+        ],
+        "src long, dst long, t double",
+    )
+    res = algorithms.earliest_arrival(edges, 0, start_time=0.0, max_iter=20)
+    assert res.converged
+    got = {r.vertex: r.value for r in res.state.collect()}
+    assert got[0] == 0.0
+    assert got[1] == 5.0
+    assert got[2] == 4.0          # via 3, NOT via the backward 1->2 edge
+    assert got[3] == 1.0
+    assert got[4] == 5.0          # departs 1 at t=5 == arrival(1)
+    assert got[5] == 0.5          # earliest of the parallel edges
+    assert got[6] == SSSP_INF     # never reached
+    # start_time gates the first departure too
+    late = algorithms.earliest_arrival(edges, 0, start_time=2.0, max_iter=20)
+    got2 = {r.vertex: r.value for r in late.state.collect()}
+    assert got2[5] == 7.0         # the t=0.5 edge left before we started
+    assert got2[3] == SSSP_INF    # t=1 < start 2
+    assert got2[2] == SSSP_INF    # only route ran through 3
+    # frontier decay: messages shrink as arrivals settle (delta messaging)
+    msgs = [m.messages_shuffled for m in res.metrics]
+    assert msgs[-1] == 0
+
+def test_earliest_arrival_requires_time_column(spark):
+    with pytest.raises(ValueError):
+        algorithms.earliest_arrival(_edges(spark, [(1, 2)]), 1)
+
+
 def test_random_walks_deterministic_and_valid(spark):
     """Walks are edge-respecting, partitioning-invariant, and sinks stay."""
     pairs = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (2, 4), (5, 1)]
