@@ -14,21 +14,41 @@ from jobs.common import (
 
 def main() -> None:
     p = base_parser("SSSP (min-plus GIM-V)")
-    p.add_argument("--source-vertex", type=int, required=True)
+    p.add_argument(
+        "--source-vertex", type=int, required=True, nargs="+",
+        help="one source runs scalar SSSP; several run the batched "
+             "landmark job (one edge scan per superstep for all of them) "
+             "and write long-form (vertex, landmark, dist)",
+    )
     args = p.parse_args()
     spark = get_session("flexgraph-sssp")
     edges = load_edges(spark, args)
     from flexgraph_spark import algorithms
 
-    res = algorithms.sssp(
-        edges,
-        args.source_vertex,
-        max_iter=args.max_iter,
-        checkpointer=make_checkpointer(args, edges),
-        engine=args.engine,
-        **engine_kwargs(spark, args),
-    )
-    res.state.write.mode("overwrite").parquet(args.output)
+    if len(args.source_vertex) == 1:
+        res = algorithms.sssp(
+            edges,
+            args.source_vertex[0],
+            max_iter=args.max_iter,
+            checkpointer=make_checkpointer(args, edges),
+            engine=args.engine,
+            **engine_kwargs(spark, args),
+        )
+        out = res.state
+    else:
+        if args.engine != "flat":
+            raise SystemExit(
+                "--engine blocked runs scalar kernels; the batched landmark "
+                "job is flat-plan only (array-valued state)"
+            )
+        res = algorithms.landmark_distances(
+            edges,
+            args.source_vertex,
+            max_iter=args.max_iter,
+            checkpointer=make_checkpointer(args, edges),
+        )
+        out = algorithms.landmark_long(res, args.source_vertex)
+    out.write.mode("overwrite").parquet(args.output)
     print(f"sssp: iterations={res.iterations} converged={res.converged} -> {args.output}")
 
 

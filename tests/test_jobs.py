@@ -90,6 +90,47 @@ def test_batch_ppr_job(spark, edges_parquet, tmp_path):
     assert dfb.select("source").distinct().count() == 3
 
 
+def test_sssp_job_multi_source_landmarks(spark, tmp_path):
+    import jobs.sssp as sssp_job
+
+    ep = str(tmp_path / "wedges")
+    spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 2.0), (0, 2, 5.0), (2, 3, 1.0)],
+        "src long, dst long, weight double",
+    ).write.parquet(ep)
+    # scalar face unchanged
+    out1 = str(tmp_path / "d1")
+    _run(sssp_job, ["--edges", ep, "--output", out1, "--source-vertex", "0"])
+    assert spark.read.parquet(out1).count() == 4
+    # batched landmarks: long-form output, one column per source
+    out2 = str(tmp_path / "d2")
+    _run(sssp_job, ["--edges", ep, "--output", out2,
+                    "--source-vertex", "0", "2"])
+    df = spark.read.parquet(out2)
+    assert set(df.columns) == {"vertex", "landmark", "dist"}
+    assert df.select("landmark").distinct().count() == 2
+    with pytest.raises(SystemExit, match="flat-plan only"):
+        _run(sssp_job, ["--edges", ep, "--output", str(tmp_path / "d3"),
+                        "--source-vertex", "0", "2", "--engine", "blocked"])
+
+
+def test_temporal_job(spark, tmp_path):
+    import jobs.temporal as temporal_job
+
+    ep = str(tmp_path / "tedges")
+    spark.createDataFrame(
+        [(0, 1, 5.0), (1, 2, 3.0), (0, 3, 1.0), (3, 2, 4.0)],
+        "src long, dst long, t double",
+    ).write.parquet(ep)
+    out = str(tmp_path / "arrivals")
+    _run(temporal_job, ["--edges", ep, "--output", out,
+                        "--source-vertex", "0"])
+    from flexgraph_spark.gimv import SSSP_INF
+    got = {r.vertex: r.value for r in spark.read.parquet(out).collect()}
+    assert got == {0: 0.0, 1: 5.0, 2: 4.0, 3: 1.0}
+    assert all(v < SSSP_INF for v in got.values())
+
+
 def test_walks_job(spark, edges_parquet, tmp_path):
     import jobs.walks as walks_job
 
