@@ -1202,6 +1202,38 @@ def _temporal_sql(tedge_sql: str, iters: int) -> str:
     )
 
 
+WL_ROUNDS = 3
+
+
+def _q_wl_colors(spark, sf_dir):
+    """Weisfeiler–Lehman color refinement after 3 rounds on the
+    symmetrized graph: equal color ⇔ 1-WL-equivalent depth-3 neighborhood
+    (gimv.WLRefinement). Both H and the commutative multiset-sum are
+    sha256-derived, so the oracle replays every round bit-for-bit."""
+    res = algorithms.wl_colors(_graph1000(spark, sf_dir), rounds=WL_ROUNDS)
+    return res.state.select("vertex", F.col("value").alias("color"))
+
+
+def _wl_sql(edge_sql: str, rounds: int) -> str:
+    h = sketches._sha_long_sql  # noqa: SLF001 — the documented oracle twin
+    ctes = [
+        f"e0 as materialized ({edge_sql})",
+        "se as materialized (select src, dst from e0 union select dst, src from e0)",
+        "verts as (select src as v from se union select dst from se)",
+        "it0 as (select v as vertex, 0::bigint as color from verts)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"it{k} as materialized (select p.vertex, "
+            + h("p.color::varchar || ':' || coalesce(m.msum::varchar, '-')", "wl-c")
+            + f" as color from it{k-1} p left join ("
+            f"select se.dst as vertex, sum({h('q.color::varchar', 'wl-n')}) as msum "
+            f"from se join it{k-1} q on q.vertex = se.src group by se.dst"
+            f") m using (vertex))"
+        )
+    return "with " + ",\n".join(ctes) + f"\nselect vertex, color from it{rounds}"
+
+
 def _landmark_sql(wedge_sql: str, iters: int, n_landmarks: int = 4) -> str:
     ctes = [
         f"e as materialized ({wedge_sql})",
@@ -2536,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp8_tree": _q_sssp8_tree,
         "landmark_dist4": _q_landmark_dist,
         "temporal_reach": _q_temporal_reach,
+        "wl_colors3": _q_wl_colors,
         "lp4": _q_lp4,
         "wlp4": _q_wlp4,
         "lp_modularity": _q_lp_modularity,
@@ -4693,6 +4726,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp8_tree": _sssp_tree_sql(G1000_W_SQL, SSSP_ITERS),
         "landmark_dist4": _landmark_sql(G1000_W_SQL, SSSP_ITERS),
         "temporal_reach": _temporal_sql(TG1000_SQL, TEMPORAL_ITERS),
+        "wl_colors3": _wl_sql(G1000_SQL, WL_ROUNDS),
         "lp4": _lp_sql(G1000_SQL, LP_ITERS),
         "wlp4": _wlp_sql(G1000_W_SQL, LP_ITERS),
         "lp_modularity": f"""

@@ -316,6 +316,31 @@ def earliest_arrival(
     )
 
 
+def wl_colors(
+    edges: DataFrame,
+    rounds: int = 3,
+    symmetrize_edges: bool = True,
+    checkpointer=None,
+    **kw,
+) -> gimv.GimvResult:
+    """Weisfeiler–Lehman color refinement for ``rounds`` rounds
+    (gimv.WLRefinement): returns per-vertex colors where equal color ⇔
+    1-WL-equivalent depth-``rounds`` neighborhoods (modulo sha collisions)
+    — structural-role detection, graph-symmetry finding, and the
+    per-vertex half of WL graph hashing. Colors re-hash every round, so
+    pass a fixed ``rounds`` (partition stabilization = the distinct-color
+    count stops growing round over round; refinement only ever splits
+    classes)."""
+    from flexgraph_spark.graph import symmetrize
+
+    if symmetrize_edges:
+        edges = symmetrize(edges.select("src", "dst"))
+    return gimv.run(
+        edges, gimv.WLRefinement(), max_iter=rounds,
+        checkpointer=checkpointer, **kw,
+    )
+
+
 def ppr_long(res: gimv.GimvResult, sources: list[int]) -> DataFrame:
     """Explode a batch_ppr result to (vertex, source, ppr) rows."""
     src_arr = F.array(*[F.lit(int(s)) for s in sources])

@@ -921,6 +921,55 @@ class SSSP(VertexProgram):
         return new < old
 
 
+class WLRefinement(VertexProgram):
+    """Weisfeiler–Lehman color refinement (1-WL): per round,
+
+      color'(v) = H( color(v), Σ_{u→v} H(color(u)) )
+
+    — the commutative hash-sum variant of the classic sorted-multiset
+    relabeling (Shervashidze et al., JMLR 2011 WL kernels), so one round
+    is exactly a GIM-V superstep: combine2 = H(color), combineAll = sum,
+    apply = rehash with the old color. The sum rides decimal(38,0)
+    (ANSI-safe; Σ of 2^60-bounded hashes needs > 63 bits at fan-in ≥ 8)
+    and H is the sha256-derived :func:`sketches.sha_long`, so DuckDB
+    replays every round bit-for-bit. After h rounds two vertices share a
+    color iff their depth-h unfoldings are 1-WL-equivalent (modulo hash
+    collisions: ≤ n²/2^61 pair probability) — the vertex-symmetry /
+    graph-dedup primitive. Callers symmetrize for the standard undirected
+    semantics; run a FIXED round count (colors re-hash every round, so
+    per-vertex value convergence never happens; partition stabilization
+    is #distinct(new) == #distinct(old), checked by the caller)."""
+
+    name = "wl_refinement"
+    supports_blocked = False  # decimal-sum combineAll: flat plan only
+
+    def init_state(self, vertices, n):
+        return vertices.select("vertex", F.lit(0).cast("long").alias("value"))
+
+    def message(self):
+        from flexgraph_spark.sketches import sha_long
+
+        return sha_long(F.col("value"), "wl-n")
+
+    def aggregate(self, messages):
+        return messages.groupBy(F.col("dst").alias("vertex")).agg(
+            F.sum(F.col("msg").cast("decimal(38,0)")).alias("msg")
+        )
+
+    def apply(self, old, msg, n):
+        from flexgraph_spark.sketches import sha_long
+
+        pre = F.concat_ws(
+            ":",
+            old.cast("string"),
+            F.coalesce(msg.cast("string"), F.lit("-")),
+        )
+        return sha_long(pre, "wl-c")
+
+    def changed(self, old, new):
+        return new != old
+
+
 class EarliestArrival(VertexProgram):
     """Time-respecting earliest-arrival reachability on a TEMPORAL graph:
     edges carry a timestamp t (riding the ``weight`` column), and an edge

@@ -197,6 +197,31 @@ def test_earliest_arrival_requires_time_column(spark):
         algorithms.earliest_arrival(_edges(spark, [(1, 2)]), 1)
 
 
+def test_wl_colors_structural_equivalence(spark):
+    """1-WL invariants on a known graph: a 6-cycle is vertex-transitive
+    (one color class forever), and a star's leaves are equivalent to each
+    other but split from the hub after one round. A path's endpoints pair
+    up, the inner vertices pair by distance-to-end — the classes 1-WL is
+    defined to find."""
+    cycle = _edges(spark, [(i, (i + 1) % 6) for i in range(6)])
+    res = algorithms.wl_colors(cycle, rounds=4)
+    assert res.state.select("value").distinct().count() == 1
+    star = _edges(spark, [(0, i) for i in range(1, 5)])
+    got = {r.vertex: r.value for r in algorithms.wl_colors(star, rounds=3).state.collect()}
+    assert len({got[i] for i in range(1, 5)}) == 1      # leaves equivalent
+    assert got[0] != got[1]                              # hub split off
+    # P4 path 0-1-2-3: {0,3} and {1,2} by symmetry, classes disjoint
+    path = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+    pc = {r.vertex: r.value for r in algorithms.wl_colors(path, rounds=3).state.collect()}
+    assert pc[0] == pc[3] and pc[1] == pc[2] and pc[0] != pc[1]
+    # refinement only splits: distinct-color count is non-decreasing in rounds
+    counts = [
+        algorithms.wl_colors(path, rounds=r).state.select("value").distinct().count()
+        for r in (1, 2, 3)
+    ]
+    assert counts == sorted(counts)
+
+
 def test_random_walks_deterministic_and_valid(spark):
     """Walks are edge-respecting, partitioning-invariant, and sinks stay."""
     pairs = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (2, 4), (5, 1)]
