@@ -1184,10 +1184,25 @@ def _q_temporal_reach(spark, sf_dir):
     )
 
 
-def _temporal_sql(tedge_sql: str, iters: int) -> str:
+def _q_latest_departure(spark, sf_dir):
+    """Latest-departure dual on the same temporal graph: latest time each
+    vertex can leave and still reach the lowest vertex id by the
+    max-timestamp deadline. Solved by EarliestArrival on the reversed
+    negated graph (algorithms.latest_departure); the oracle runs the
+    identical negated recurrence and flips the sign back."""
+    edges = _tgraph1000(spark, sf_dir)
+    target = edges.agg(F.min(F.least(F.col("src"), F.col("dst")))).first()[0]
+    deadline = edges.agg(F.max("t")).first()[0]
+    return algorithms.latest_departure(
+        edges, int(target), float(deadline), max_iter=TEMPORAL_ITERS
+    )
+
+
+def _temporal_sql(tedge_sql: str, iters: int, start_sql: str = "0.0",
+                  source_sql: str = "(select min(least(src, dst)) from e)") -> str:
     ctes = [
         f"e as materialized ({tedge_sql})",
-        "it0 as (select (select min(least(src, dst)) from e) as v, 0.0 as arr)",
+        f"it0 as (select {source_sql} as v, {start_sql} as arr)",
     ]
     for k in range(1, iters + 1):
         ctes.append(
@@ -1202,7 +1217,80 @@ def _temporal_sql(tedge_sql: str, iters: int) -> str:
     )
 
 
+def _q_landmark_est(spark, sf_dir):
+    """Landmark (ALT / Das Sarma sketch) distance estimates on the
+    symmetrized weighted graph: est(u, v) = min over the 4 landmarks of
+    d(L,u) + d(L,v), for all 45 pairs of the 10 lowest vertex ids — the
+    end-to-end use of the batched landmark primitive. Oracle joins the
+    unrolled landmark CTE against itself on the shared landmark."""
+    from flexgraph_spark.graph import symmetrize
+
+    edges = symmetrize(_graph1000_w(spark, sf_dir))
+    verts = edges.select(F.col("src").alias("v")).union(
+        edges.select(F.col("dst").alias("v"))
+    ).distinct()
+    low10 = [int(r.v) for r in verts.orderBy("v").limit(10).collect()]
+    lms = low10[:4]
+    pairs = spark.createDataFrame(
+        [(u, v) for i, u in enumerate(low10) for v in low10[i + 1:]],
+        "u long, v long",
+    )
+    res = algorithms.landmark_distances(edges, lms, max_iter=SSSP_ITERS)
+    return algorithms.landmark_estimates(res, pairs)
+
+
+def _landmark_est_sql(wedge_sql: str, iters: int) -> str:
+    return (
+        f"with lmd as materialized ({_landmark_sql(wedge_sql, iters)}),\n"
+        f"e2 as materialized ({wedge_sql}),\n"
+        "verts as (select src as v from e2 union select dst from e2),\n"
+        "v10 as (select v from verts order by v limit 10),\n"
+        "pairs as (select a.v as u, b.v as v from v10 a join v10 b on a.v < b.v)\n"
+        "select p.u, p.v, min(du.dist + dv.dist) as est from pairs p\n"
+        "join lmd du on du.vertex = p.u\n"
+        "join lmd dv on dv.vertex = p.v and dv.landmark = du.landmark\n"
+        "group by p.u, p.v"
+    )
+
+
+def _q_landmark_ecc(spark, sf_dir):
+    """Per-landmark eccentricity (8-hop-capped, matching the oracle's
+    unroll) and reached-set size — the diameter-lower-bound face of the
+    landmark primitive: max over rows is a certified lower bound on the
+    directed graph's diameter."""
+    edges = _graph1000_w(spark, sf_dir)
+    verts = edges.select(F.col("src").alias("v")).union(
+        edges.select(F.col("dst").alias("v"))
+    ).distinct()
+    lms = [int(r.v) for r in verts.orderBy("v").limit(4).collect()]
+    res = algorithms.landmark_distances(edges, lms, max_iter=SSSP_ITERS)
+    return (
+        algorithms.landmark_long(res, lms)
+        .groupBy("landmark")
+        .agg(F.max("dist").alias("ecc"), F.count(F.lit(1)).alias("n_reached"))
+    )
+
+
 WL_ROUNDS = 3
+
+
+def _q_wl_graph_hash(spark, sf_dir):
+    """Whole-graph WL fingerprint: commutative hash-sum of the round-3
+    color histogram — equal for 1-WL-equivalent graphs, one row out at
+    any scale (algorithms.wl_graph_hash)."""
+    res = algorithms.wl_colors(_graph1000(spark, sf_dir), rounds=WL_ROUNDS)
+    return algorithms.wl_graph_hash(res)
+
+
+def _wl_hash_sql(edge_sql: str, rounds: int) -> str:
+    h = sketches._sha_long_sql(  # noqa: SLF001
+        "color::varchar || ':' || cnt::varchar", "wl-g"
+    )
+    return (
+        f"select sum({h})::varchar as fingerprint from ("
+        f"select color, count(*) as cnt from ({_wl_sql(edge_sql, rounds)}) "
+        "group by color)"
+    )
 
 
 def _q_wl_colors(spark, sf_dir):
@@ -2568,7 +2656,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp8_tree": _q_sssp8_tree,
         "landmark_dist4": _q_landmark_dist,
         "temporal_reach": _q_temporal_reach,
+        "temporal_latest_dep": _q_latest_departure,
+        "landmark_est": _q_landmark_est,
+        "landmark_ecc": _q_landmark_ecc,
         "wl_colors3": _q_wl_colors,
+        "wl_graph_hash": _q_wl_graph_hash,
         "lp4": _q_lp4,
         "wlp4": _q_wlp4,
         "lp_modularity": _q_lp_modularity,
@@ -4726,7 +4818,26 @@ def oracle_sql() -> dict[str, str]:
         "sssp8_tree": _sssp_tree_sql(G1000_W_SQL, SSSP_ITERS),
         "landmark_dist4": _landmark_sql(G1000_W_SQL, SSSP_ITERS),
         "temporal_reach": _temporal_sql(TG1000_SQL, TEMPORAL_ITERS),
+        "temporal_latest_dep": (
+            "select vertex, -arrival as departure from ("
+            + _temporal_sql(
+                f"select dst as src, src as dst, -t as t from ({TG1000_SQL})",
+                TEMPORAL_ITERS,
+                start_sql="(select min(t) from e)",
+            )
+            + ")"
+        ),
+        "landmark_est": _landmark_est_sql(
+            f"select src, dst, w from ({G1000_W_SQL}) "
+            f"union select dst, src, w from ({G1000_W_SQL})",
+            SSSP_ITERS,
+        ),
+        "landmark_ecc": (
+            f"select landmark, max(dist) as ecc, count(*) as n_reached "
+            f"from ({_landmark_sql(G1000_W_SQL, SSSP_ITERS)}) group by landmark"
+        ),
         "wl_colors3": _wl_sql(G1000_SQL, WL_ROUNDS),
+        "wl_graph_hash": _wl_hash_sql(G1000_SQL, WL_ROUNDS),
         "lp4": _lp_sql(G1000_SQL, LP_ITERS),
         "wlp4": _wlp_sql(G1000_W_SQL, LP_ITERS),
         "lp_modularity": f"""

@@ -316,6 +316,87 @@ def earliest_arrival(
     )
 
 
+def latest_departure(
+    edges: DataFrame,
+    target_vertex: int,
+    deadline: float,
+    dur: float = 0.0,
+    max_iter: int = 100,
+    **kw,
+) -> DataFrame:
+    """Latest time one can LEAVE each vertex and still reach
+    ``target_vertex`` by ``deadline`` respecting time order — the dual of
+    :func:`earliest_arrival`, solved by the same program on the reversed
+    graph under negation: with t' = -(t + dur), departure(v) =
+    -arrival'(v) and the deadline becomes the start time. Returns
+    (vertex, departure), dropping vertices that cannot make it."""
+    if "t" in edges.columns and "weight" not in edges.columns:
+        edges = edges.withColumnRenamed("t", "weight")
+    if "weight" not in edges.columns:
+        raise ValueError("latest_departure needs a 't' (or 'weight') column")
+    rev = edges.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        (-(F.col("weight") + F.lit(float(dur)))).alias("weight"),
+    )
+    res = gimv.run(
+        rev,
+        gimv.EarliestArrival(target_vertex, start_time=-float(deadline),
+                             dur=float(dur)),
+        max_iter=max_iter,
+        **kw,
+    )
+    return res.state.filter(F.col("value") < gimv.SSSP_INF).select(
+        "vertex", (-F.col("value")).alias("departure")
+    )
+
+
+def landmark_estimates(
+    res: gimv.GimvResult, pairs: DataFrame
+) -> DataFrame:
+    """Landmark (ALT-style) distance estimates: for each (u, v) row of
+    ``pairs``, est = min over landmarks of d(L,u) + d(L,v) — an upper
+    bound on d(u, v) when the landmark run used symmetrized edges (the
+    Das Sarma et al. sketch estimator). ``res`` is a
+    :func:`landmark_distances` result; pairs with no landmark reaching
+    both sides are dropped. One broadcast-sized pair table joins the
+    state twice; the arithmetic is a zip_with + array_min, no shuffle
+    beyond the two joins."""
+    su = res.state.select(F.col("vertex").alias("u"), F.col("value").alias("_du"))
+    sv = res.state.select(F.col("vertex").alias("v"), F.col("value").alias("_dv"))
+    return (
+        pairs.join(su, "u")
+        .join(sv, "v")
+        .select(
+            "u", "v",
+            F.array_min(
+                F.zip_with("_du", "_dv", lambda a, b: a + b)
+            ).alias("est"),
+        )
+        .filter(F.col("est") < gimv.SSSP_INF)
+    )
+
+
+def wl_graph_hash(res: gimv.GimvResult) -> DataFrame:
+    """Whole-graph WL fingerprint from a :func:`wl_colors` result: the
+    commutative hash-sum of the color HISTOGRAM (color, count) — equal
+    for 1-WL-equivalent graphs at that depth, order- and partitioning-
+    invariant, and one row out no matter the graph size (groupBy color,
+    then a single decimal sum — no global sort, no collect)."""
+    from flexgraph_spark.sketches import sha_long
+
+    hist = res.state.groupBy(F.col("value").alias("color")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return hist.agg(
+        F.sum(
+            sha_long(
+                F.concat_ws(":", F.col("color"), F.col("cnt")), "wl-g"
+            ).cast("decimal(38,0)")
+        ).cast("string").alias("fingerprint")
+    )
+
+
 def wl_colors(
     edges: DataFrame,
     rounds: int = 3,

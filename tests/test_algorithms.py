@@ -197,6 +197,67 @@ def test_earliest_arrival_requires_time_column(spark):
         algorithms.earliest_arrival(_edges(spark, [(1, 2)]), 1)
 
 
+def test_latest_departure_duality_and_deadline(spark):
+    """Brute-force check on a hand graph: departure(v) is the max edge
+    time t at v over feasible routes, and the deadline genuinely binds."""
+    edges = spark.createDataFrame(
+        [
+            (0, 9, 5.0),                       # direct, late
+            (0, 1, 1.0), (1, 9, 3.0),          # two-hop, earlier start
+            (2, 0, 0.5),                        # must leave 2 at 0.5 to catch 0's t=1
+            (3, 9, 99.0),                       # after any deadline <= 98
+        ],
+        "src long, dst long, t double",
+    )
+    got = {r.vertex: r.departure
+           for r in algorithms.latest_departure(edges, 9, deadline=10.0).collect()}
+    assert got[9] == 10.0          # at the target: leave = deadline
+    assert got[0] == 5.0           # direct t=5 beats the t=1 two-hop start
+    assert got[1] == 3.0
+    assert got[2] == 0.5
+    assert 3 not in got            # t=99 > deadline
+    tight = {r.vertex: r.departure
+             for r in algorithms.latest_departure(edges, 9, deadline=4.0).collect()}
+    assert tight[0] == 1.0         # the t=5 edge now misses the deadline
+    # duality sanity: every departing vertex can earliest-arrive by deadline
+    for v, dep in tight.items():
+        if v == 9:
+            continue
+        arr = {r.vertex: r.value
+               for r in algorithms.earliest_arrival(edges, int(v), start_time=dep)
+               .state.collect()}
+        assert arr[9] <= 4.0
+
+
+def test_landmark_estimates_upper_bound(spark):
+    """On a symmetrized graph, est(u, v) >= d(u, v) (triangle inequality)
+    with equality when a landmark sits on a shortest path."""
+    from flexgraph_spark.graph import symmetrize
+    edges = symmetrize(spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (0, 4, 10.0)],
+        "src long, dst long, weight double",
+    ))
+    res = algorithms.landmark_distances(edges, [2], max_iter=20)
+    pairs = spark.createDataFrame([(0, 4), (1, 3), (0, 1)], "u long, v long")
+    est = {(r.u, r.v): r.est for r in algorithms.landmark_estimates(res, pairs).collect()}
+    assert est[(0, 4)] == 4.0      # through the landmark: exact (d=4 via path)
+    assert est[(1, 3)] == 2.0      # landmark on the shortest path: exact
+    assert est[(0, 1)] == 3.0      # d=1 but the bound detours via 2: still >= d
+
+
+def test_wl_graph_hash_invariance(spark):
+    """The fingerprint is invariant to vertex relabeling (isomorphism)
+    and differs for structurally different graphs."""
+    tri_plus_tail = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    relabeled = [(7, 5), (5, 9), (9, 7), (9, 4)]
+    path4 = [(0, 1), (1, 2), (2, 3)]
+    def fp(pairs):
+        res = algorithms.wl_colors(_edges(spark, pairs), rounds=3)
+        return algorithms.wl_graph_hash(res).first().fingerprint
+    assert fp(tri_plus_tail) == fp(relabeled)
+    assert fp(tri_plus_tail) != fp(path4)
+
+
 def test_wl_colors_structural_equivalence(spark):
     """1-WL invariants on a known graph: a 6-cycle is vertex-transitive
     (one color class forever), and a star's leaves are equivalent to each
