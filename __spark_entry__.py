@@ -1168,6 +1168,39 @@ TG1000_SQL = (
 TEMPORAL_ITERS = 8
 
 
+def _q_landmark_dist_blocked(spark, sf_dir):
+    """The same 4-landmark batch job on the blocked CSR engine — the
+    'batch' kernel family under the min reduce (one skew-aware
+    (n_local × k) gather-scatter per superstep for all landmarks), gated
+    by the identical unrolled relaxation oracle."""
+    edges = _graph1000_w(spark, sf_dir)
+    verts = edges.select(F.col("src").alias("v")).union(
+        edges.select(F.col("dst").alias("v"))
+    ).distinct()
+    lms = [int(r.v) for r in verts.orderBy("v").limit(4).collect()]
+    e2, mapping = remap_contiguous(edges)
+    m = {int(r.orig): int(r.vertex)
+         for r in mapping.filter(F.col("orig").isin(lms)).collect()}
+    lms_new = [m[l] for l in lms]
+    res = algorithms.landmark_distances(
+        e2, lms_new, max_iter=SSSP_ITERS, engine="blocked",
+        p=BLOCKED_P, dense_threshold=BLOCKED_DENSE_THRESHOLD,
+    )
+    back = {v: k for k, v in m.items()}
+    long = algorithms.landmark_long(res, lms_new)
+    lm_back = F.create_map(*[
+        x for nk, ok in back.items() for x in (F.lit(nk), F.lit(ok))
+    ])
+    return (
+        long.join(mapping, "vertex")
+        .select(
+            F.col("orig").alias("vertex"),
+            lm_back[F.col("landmark")].cast("long").alias("landmark"),
+            "dist",
+        )
+    )
+
+
 def _q_temporal_reach(spark, sf_dir):
     """Time-respecting earliest arrival from the lowest vertex id: an edge
     (u, v, t) is traversable only when t >= arrival(u) — min semi-ring
@@ -2655,6 +2688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp8": _q_sssp8,
         "sssp8_tree": _q_sssp8_tree,
         "landmark_dist4": _q_landmark_dist,
+        "landmark_dist4_blocked": _q_landmark_dist_blocked,
         "temporal_reach": _q_temporal_reach,
         "temporal_latest_dep": _q_latest_departure,
         "landmark_est": _q_landmark_est,
@@ -4817,6 +4851,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp8": _sssp_sql(G1000_W_SQL, SSSP_ITERS),
         "sssp8_tree": _sssp_tree_sql(G1000_W_SQL, SSSP_ITERS),
         "landmark_dist4": _landmark_sql(G1000_W_SQL, SSSP_ITERS),
+        "landmark_dist4_blocked": _landmark_sql(G1000_W_SQL, SSSP_ITERS),
         "temporal_reach": _temporal_sql(TG1000_SQL, TEMPORAL_ITERS),
         "temporal_latest_dep": (
             "select vertex, -arrival as departure from ("

@@ -254,6 +254,7 @@ def landmark_distances(
     landmarks: list[int],
     max_iter: int = 100,
     checkpointer=None,
+    engine: str = "flat",
     **kw,
 ) -> gimv.GimvResult:
     """Shortest-path distances from ALL ``landmarks`` in one job: the
@@ -263,12 +264,13 @@ def landmark_distances(
     :func:`sssp`, and the standard preprocessing step for landmark-based
     distance estimation on web graphs. Unweighted graphs get weight=1.0
     (hop counts / multi-source BFS). Use :func:`landmark_long` for the
-    exploded (vertex, landmark, dist) face."""
+    exploded (vertex, landmark, dist) face. ``engine='blocked'`` runs the
+    'batch' CSR kernel family under the min reduce — one skew-aware
+    (n_local × k) gather-scatter per superstep for all k landmarks."""
     if "weight" not in edges.columns:
         edges = edges.withColumn("weight", F.lit(1.0))
-    return gimv.run(
-        edges, gimv.BatchSSSP(landmarks), max_iter=max_iter,
-        checkpointer=checkpointer, **kw,
+    return _dispatch(
+        edges, gimv.BatchSSSP(landmarks), engine, max_iter, checkpointer, kw
     )
 
 

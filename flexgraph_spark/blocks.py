@@ -509,12 +509,14 @@ def run_blocked(
         raise ValueError(f"unknown blocked kernel family {program.blocked_kind!r}")
     label_count = program.blocked_kind == "label_count"
     # 'batch' family: the state is a FLATTENED (n_local × k) row-major
-    # matrix; kernels see (rows, k) 2-D views. Sum semi-ring only (the
-    # per-row compaction and delta identity tricks assume it).
+    # matrix; kernels see (rows, k) 2-D views. Sum and min semi-rings
+    # (the per-row compaction and delta identity tricks hold for both:
+    # identity rows are dropped, and an identity entry is neutral under
+    # either reduce).
     batch = program.blocked_kind == "batch"
     bk = int(getattr(program, "k", 1)) if batch else 1
-    if batch and program.reduce_np != "sum":
-        raise ValueError("batch blocked kernels support the sum semi-ring only")
+    if batch and program.reduce_np not in ("sum", "min"):
+        raise ValueError("batch blocked kernels support the sum/min semi-rings only")
     spark = edges.sparkSession
     import time as _time
 
@@ -610,11 +612,17 @@ def run_blocked(
         return nz.astype(np.int32), part[nz]
 
     def _scatter_batch(dst_l, contrib2d):
-        """Sum-scatter (nnz, k) contributions into per-dst k-rows; compact
-        to dsts with ANY nonzero column, values flattened row-major."""
+        """Scatter (nnz, k) contributions into per-dst k-rows (sum or
+        min); compact to dsts with ANY non-identity column, values
+        flattened row-major. Identity entries inside a kept row are
+        neutral under the downstream reduce, so per-row (not per-cell)
+        compaction is exact."""
         size = int(dst_l.max()) + 1 if len(dst_l) else 0
         part = np.full((size, bk), identity)
-        np.add.at(part, dst_l, contrib2d)
+        if reduce_min:
+            np.minimum.at(part, dst_l, contrib2d)
+        else:
+            np.add.at(part, dst_l, contrib2d)
         nz = np.nonzero((part != identity).any(axis=1))[0]
         return nz.astype(np.int32), part[nz].ravel()
 
@@ -659,6 +667,9 @@ def run_blocked(
                         program.np_signal(vals.reshape(-1, bk)[src_all], gdeg_all),
                         dtype=np.float64,
                     )
+                    if delta:
+                        # inactive sources collapse to a full identity row
+                        sig_src = np.where(src_act[:, None], sig_src, identity)
                     contrib_all = program.np_message(
                         np.repeat(sig_src, deg_all, axis=0), w_all
                     )
@@ -786,18 +797,21 @@ def run_blocked(
             acc = np.full(old2.shape, identity)
             for dst_l, vals in zip(part_pdf["dst_local"], part_pdf["vals"]):
                 dst_l = np.asarray(dst_l)
-                np.add.at(
-                    acc, dst_l,
-                    np.asarray(vals, dtype=np.float64).reshape(-1, bk),
-                )
+                vals2 = np.asarray(vals, dtype=np.float64).reshape(-1, bk)
+                if reduce_min:
+                    np.minimum.at(acc, dst_l, vals2)
+                else:
+                    np.add.at(acc, dst_l, vals2)
             has = (acc != identity).any(axis=1)
             new2 = program.np_apply(old2, acc, has, n)
             mask = np.asarray(program.np_changed(old2, new2), dtype=bool)
             changed = int(mask.sum())
-            hs = _hub_sig(program, new2, locs, gd, identity=identity)
+            hs = _hub_sig(program, new2, locs, gd,
+                          active_mask=mask if delta else None, identity=identity)
+            active = mask if delta else np.ones(len(new2), dtype=bool)
             return pd.DataFrame(
                 {"block": [b], "values": [new2.ravel()], "hub_sigs": [hs],
-                 "active": [np.ones(len(new2), dtype=bool)],
+                 "active": [active],
                  "changed": [changed]}
             )
         acc = np.full(len(old), identity)
@@ -1029,10 +1043,14 @@ def run_blocked(
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     if batch:
         # re-chunk the flattened (n_local × k) matrix into one k-array per
-        # local vertex before exploding
+        # local vertex before exploding; empty blocks (p > n_local rows
+        # exist whenever p doesn't divide the vertex range evenly) must
+        # yield array() — sequence(0, -1) would run DESCENDING and feed
+        # slice() a zero/negative start
         chunked = F.expr(
-            f"transform(sequence(0, int(size(values) / {bk}) - 1), "
-            f"i -> slice(values, i * {bk} + 1, {bk}))"
+            f"case when size(values) < {bk} then array() "
+            f"else transform(sequence(1, int(size(values) / {bk})), "
+            f"i -> slice(values, (i - 1) * {bk} + 1, {bk})) end"
         )
         flat = state.select(
             "block", F.posexplode(chunked).alias("local", "value")

@@ -1112,12 +1112,18 @@ class BatchSSSP(VertexProgram):
     ``aggregate`` is k scalar mins, not a UDAF, so the map-side combine
     still collapses per-dst fan-in before the shuffle. Frontier/delta
     messaging stays exact per column (idempotent-monotone min; a vertex
-    whose columns all stood still has already been heard). Flat plan only:
-    the blocked 'batch' kernel family is sum-only (blocks.py:516)."""
+    whose columns all stood still has already been heard).
+
+    Blocked engine: the ``batch`` kernel family under the min reduce —
+    one (n_local × k) CSR gather-scatter per superstep serves all k
+    landmark columns on the skew-aware plan, same as BatchPPR for sum."""
 
     name = "batch_sssp"
     weighted = True
-    supports_blocked = False
+    supports_blocked = True
+    blocked_kind = "batch"
+    reduce_np = "min"
+    identity = float("inf")
     delta_messaging = True  # min semi-ring: frontier-only messaging is exact
 
     def __init__(self, sources: list[int]):
@@ -1155,6 +1161,36 @@ class BatchSSSP(VertexProgram):
         return F.exists(
             F.zip_with(old, new, lambda o, v: v < o), lambda b: b
         )
+
+    # --- blocked 'batch' kernels (min): values arrive as (rows, k) views ---
+    def np_init(self, global_ids, n):
+        import numpy as np
+
+        mat = np.full((len(global_ids), self.k), SSSP_INF, dtype=np.float64)
+        for j, s in enumerate(self.sources):
+            mat[global_ids == s, j] = 0.0
+        return mat
+
+    def np_signal(self, values, out_degree):
+        import numpy as np
+
+        # unreached columns must not relax: emit inf so min() ignores them
+        return np.where(values < SSSP_INF, values, np.inf)
+
+    def np_message(self, signal_at_src, weights):
+        return signal_at_src + (
+            weights[:, None] if weights is not None else 1.0
+        )
+
+    def np_apply(self, old, msg, has_msg, n):
+        import numpy as np
+
+        # msg is identity (inf) where nothing arrived — neutral under min,
+        # so no has_msg mask is needed per column
+        return np.minimum(old, msg)
+
+    def np_changed(self, old, new):
+        return (new < old).any(axis=1)
 
 
 class LongestPath(VertexProgram):

@@ -119,3 +119,32 @@ def test_blocked_equals_flat_on_random_graphs(spark, es, dense_threshold):
     )
     for v in flat_cc:
         assert flat_cc[v] == blk_cc[v], v
+
+
+@settings(**_SETTINGS)
+@given(es=_edges, seed=st.integers(0, 2**16),
+       dense_threshold=st.sampled_from([0, 2, 1000]))
+def test_blocked_batch_min_equals_flat_on_random_graphs(
+    spark, es, seed, dense_threshold
+):
+    """The batch kernel family under the min reduce (landmark distances)
+    must match the flat array-state plan exactly on random weighted
+    digraphs at every dense/sparse regime — including the delta-messaging
+    identity trick (inactive rows collapse to all-inf)."""
+    es, n = _dense(es)
+    rng = np.random.RandomState(seed)
+    wes = [(a, b, float(rng.randint(1, 9))) for a, b in es]
+    df = fixtures.edges_df(spark, wes, weighted=True)
+    lms = sorted({a for a, _, _ in wes})[:3]
+    flat = algorithms.landmark_distances(df, lms, max_iter=30)
+    blk = algorithms.landmark_distances(
+        df, lms, max_iter=30, engine="blocked",
+        p=3, dense_threshold=dense_threshold,
+    )
+    f = {(r.vertex, r.landmark): r.dist
+         for r in algorithms.landmark_long(flat, lms).collect()}
+    b = {(r.vertex, r.landmark): r.dist
+         for r in algorithms.landmark_long(blk, lms).collect()}
+    assert set(f) == set(b)
+    for k in f:
+        assert f[k] == pytest.approx(b[k], abs=0.0), k
