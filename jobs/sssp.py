@@ -36,16 +36,13 @@ def main() -> None:
         )
         out = res.state
     else:
-        if args.engine != "flat":
-            raise SystemExit(
-                "--engine blocked runs scalar kernels; the batched landmark "
-                "job is flat-plan only (array-valued state)"
-            )
         res = algorithms.landmark_distances(
             edges,
             args.source_vertex,
             max_iter=args.max_iter,
             checkpointer=make_checkpointer(args, edges),
+            engine=args.engine,
+            **engine_kwargs(spark, args),
         )
         out = algorithms.landmark_long(res, args.source_vertex)
     out.write.mode("overwrite").parquet(args.output)

@@ -109,9 +109,15 @@ def test_sssp_job_multi_source_landmarks(spark, tmp_path):
     df = spark.read.parquet(out2)
     assert set(df.columns) == {"vertex", "landmark", "dist"}
     assert df.select("landmark").distinct().count() == 2
-    with pytest.raises(SystemExit, match="flat-plan only"):
-        _run(sssp_job, ["--edges", ep, "--output", str(tmp_path / "d3"),
-                        "--source-vertex", "0", "2", "--engine", "blocked"])
+    # blocked engine: the 'batch' kernel family under the min reduce
+    out3 = str(tmp_path / "d3")
+    _run(sssp_job, ["--edges", ep, "--output", out3,
+                    "--source-vertex", "0", "2", "--engine", "blocked",
+                    "--num-partitions", "2"])
+    a = {(r.vertex, r.landmark): r.dist for r in df.collect()}
+    b = {(r.vertex, r.landmark): r.dist
+         for r in spark.read.parquet(out3).collect()}
+    assert a == b
 
 
 def test_temporal_job(spark, tmp_path):
