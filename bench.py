@@ -273,6 +273,34 @@ def main() -> None:
             g5000w, sssp_src, max_iter=40, num_partitions=gp
         ).state.count(),
     )
+    # 4 landmark SSSP columns in one array state — compare against
+    # 4x sssp_converged to see the batch amortization (one edge scan per
+    # superstep serves every landmark)
+    lms = [int(r.src) for r in
+           g5000w.select("src").distinct().orderBy("src").limit(4).collect()]
+    timed(
+        "landmark4_converged",
+        lambda: algorithms.landmark_distances(
+            g5000w, lms, max_iter=40, num_partitions=gp
+        ).state.count(),
+    )
+    # time-respecting earliest arrival over per-lineitem temporal edges
+    # (multi-edges kept: parallel (src,dst) timestamps are distinct
+    # opportunities, so this scans ~|lineitem| edges per superstep)
+    tg5000 = li.select(
+        (F.col("l_orderkey") % 5000).alias("src"),
+        (F.col("l_partkey") % 5000).alias("dst"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).cast("double").alias("t"),
+    ).filter(F.col("src") != F.col("dst"))
+    timed(
+        "temporal_reach_converged",
+        lambda: algorithms.earliest_arrival(
+            tg5000, sssp_src, start_time=0.0, max_iter=40,
+            num_partitions=gp,
+        ).state.count(),
+    )
     timed(
         "densest_peel",
         lambda: algorithms.densest_subgraph(
