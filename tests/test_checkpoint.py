@@ -87,6 +87,44 @@ def test_blocked_resume_skips_completed_iterations(spark, tmp_path):
     assert resumed_rows and min(r["iteration"] for r in resumed_rows) == 4
 
 
+def test_batch_state_resume_both_engines(spark, tmp_path):
+    """Array-valued (batch) state survives kill/resume on BOTH engines:
+    flat landmark distances checkpoint the array column + _active flag;
+    blocked ones checkpoint the flattened (n_local x k) matrix and
+    recompute hub sigs on resume. Final long-form outputs must equal the
+    uninterrupted run exactly."""
+    import numpy as np
+    rng = np.random.RandomState(5)
+    wes = sorted({(int(a), int(b)) for a, b in rng.randint(0, 30, size=(120, 2)) if a != b})
+    wes = [(a, b, float(rng.randint(1, 9))) for a, b in wes]
+    edges = fixtures.edges_df(spark, wes, weighted=True)
+    fp = edges_fingerprint(edges)
+    lms = [0, 1, 2]
+
+    def long(res):
+        return {(r.vertex, r.landmark): r.dist
+                for r in algorithms.landmark_long(res, lms).collect()}
+
+    expected = long(algorithms.landmark_distances(edges, lms, max_iter=30))
+
+    for engine, kw, job in (
+        ("flat", {}, "batch_sssp"),
+        ("blocked", {"p": 3, "dense_threshold": 2}, "batch_sssp_blocked"),
+    ):
+        ck = Checkpointer(str(tmp_path / engine), input_fingerprint=fp)
+        partial = algorithms.landmark_distances(
+            edges, lms, max_iter=2, engine=engine, checkpointer=ck, **kw
+        )
+        assert len(ck.manifest_rows(job)) == 2
+        ck2 = Checkpointer(str(tmp_path / engine), input_fingerprint=fp)
+        resumed = algorithms.landmark_distances(
+            edges, lms, max_iter=30, engine=engine, checkpointer=ck2, **kw
+        )
+        assert long(resumed) == expected, engine
+        rows = ck2.manifest_rows(job)
+        assert min(r["iteration"] for r in rows[2:]) == 3, engine
+
+
 def test_resume_refuses_other_input(spark, edges, tmp_path):
     ck = Checkpointer(str(tmp_path), input_fingerprint="fp-a")
     algorithms.connected_components(edges, max_iter=2, checkpointer=ck)
