@@ -1304,6 +1304,46 @@ def _q_landmark_ecc(spark, sf_dir):
     )
 
 
+def _q_double_sweep(spark, sf_dir):
+    """Double-sweep diameter lower bound on the symmetrized graph: BFS
+    from the lowest id, hop to the farthest vertex (ties -> lowest id),
+    BFS again; the second eccentricity certifies diameter >= lb. Both
+    sides run the identical 8-round-capped hop recurrence, so the far
+    pick and the bound match exactly."""
+    return algorithms.double_sweep(
+        _graph1000(spark, sf_dir), max_iter=SSSP_ITERS
+    )
+
+
+def _double_sweep_sql(edge_sql: str, iters: int) -> str:
+    def bfs(prefix: str, src_sql: str) -> list[str]:
+        ctes = [f"{prefix}0 as (select {src_sql} as v, 0.0 as dist)"]
+        for k in range(1, iters + 1):
+            ctes.append(
+                f"{prefix}{k} as materialized (select v, min(dist) as dist "
+                f"from (select v, dist from {prefix}{k-1} union all "
+                f"select e2.dst as v, p.dist + 1.0 as dist from e2 "
+                f"join {prefix}{k-1} p on p.v = e2.src) group by v)"
+            )
+        return ctes
+    ctes = [
+        f"e0 as materialized ({edge_sql})",
+        "e2 as materialized (select src, dst from e0 union select dst, src from e0)",
+    ]
+    ctes += bfs("a", "(select min(least(src, dst)) from e2)")
+    ctes.append(
+        f"far1 as (select v from a{iters} order by dist desc, v asc limit 1)"
+    )
+    ctes += bfs("b", "(select v from far1)")
+    return (
+        "with " + ",\n".join(ctes) + "\nselect "
+        "(select min(least(src, dst)) from e2) as start, "
+        "(select v from far1) as peripheral, "
+        f"(select max(dist) from a{iters}) as ecc_start, "
+        f"(select max(dist) from b{iters}) as diameter_lb"
+    )
+
+
 WL_ROUNDS = 3
 
 
@@ -2693,6 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_latest_dep": _q_latest_departure,
         "landmark_est": _q_landmark_est,
         "landmark_ecc": _q_landmark_ecc,
+        "double_sweep": _q_double_sweep,
         "wl_colors3": _q_wl_colors,
         "wl_graph_hash": _q_wl_graph_hash,
         "lp4": _q_lp4,
@@ -4871,6 +4912,7 @@ def oracle_sql() -> dict[str, str]:
             f"select landmark, max(dist) as ecc, count(*) as n_reached "
             f"from ({_landmark_sql(G1000_W_SQL, SSSP_ITERS)}) group by landmark"
         ),
+        "double_sweep": _double_sweep_sql(G1000_SQL, SSSP_ITERS),
         "wl_colors3": _wl_sql(G1000_SQL, WL_ROUNDS),
         "wl_graph_hash": _wl_hash_sql(G1000_SQL, WL_ROUNDS),
         "lp4": _lp_sql(G1000_SQL, LP_ITERS),

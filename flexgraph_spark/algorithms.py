@@ -399,6 +399,51 @@ def wl_graph_hash(res: gimv.GimvResult) -> DataFrame:
     )
 
 
+def double_sweep(
+    edges: DataFrame,
+    start_vertex: int | None = None,
+    max_iter: int = 100,
+    symmetrize_edges: bool = True,
+    **kw,
+) -> DataFrame:
+    """Double-sweep diameter lower bound (Magnien/Latapy/Habib): BFS from
+    ``start_vertex`` (default: lowest vertex id), hop to the farthest
+    reached vertex (ties -> lowest id), BFS again from there — the second
+    eccentricity is a certified lower bound on the diameter, empirically
+    tight on real-world graphs. Two :func:`landmark_distances` jobs plus
+    one driver-side argmax between them (setup-scale, not per-superstep).
+    Returns one row: (start, peripheral, ecc_start, diameter_lb)."""
+    from flexgraph_spark.graph import symmetrize
+
+    cols = ["src", "dst"]
+    if symmetrize_edges:
+        edges = symmetrize(edges.select(*cols))
+    else:
+        edges = edges.select(*cols)
+    if start_vertex is None:
+        start_vertex = int(
+            edges.agg(F.min(F.least(F.col("src"), F.col("dst")))).first()[0]
+        )
+
+    def _bfs_far(src: int):
+        res = landmark_distances(edges, [src], max_iter=max_iter, **kw)
+        far = (
+            res.state.select("vertex", F.element_at("value", 1).alias("d"))
+            .filter(F.col("d") < gimv.SSSP_INF)
+            .orderBy(F.col("d").desc(), F.col("vertex").asc())
+            .first()
+        )
+        return int(far.vertex), float(far.d)
+
+    peripheral, ecc_start = _bfs_far(int(start_vertex))
+    _, diameter_lb = _bfs_far(peripheral)
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(int(start_vertex), peripheral, ecc_start, diameter_lb)],
+        "start long, peripheral long, ecc_start double, diameter_lb double",
+    )
+
+
 def wl_colors(
     edges: DataFrame,
     rounds: int = 3,

@@ -245,6 +245,20 @@ def test_landmark_estimates_upper_bound(spark):
     assert est[(0, 1)] == 3.0      # d=1 but the bound detours via 2: still >= d
 
 
+def test_double_sweep_path_graph(spark):
+    """On P5 (0-1-2-3-4) the sweep starts at 0 (already peripheral),
+    reaches 4 at distance 4, and the bound equals the true diameter.
+    Starting mid-path still certifies the full diameter — the point of
+    the second sweep."""
+    path = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    row = algorithms.double_sweep(path).first()
+    assert (row.start, row.peripheral) == (0, 4)
+    assert row.ecc_start == 4.0 and row.diameter_lb == 4.0
+    mid = algorithms.double_sweep(path, start_vertex=2).first()
+    assert mid.ecc_start == 2.0 and mid.diameter_lb == 4.0
+    assert mid.peripheral == 0  # tie between 0 and 4 -> lowest id
+
+
 def test_wl_graph_hash_invariance(spark):
     """The fingerprint is invariant to vertex relabeling (isomorphism)
     and differs for structurally different graphs."""
