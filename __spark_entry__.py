@@ -1217,6 +1217,47 @@ def _q_temporal_reach(spark, sf_dir):
     )
 
 
+FASTEST_MAX_DEPS = 128
+
+
+def _q_temporal_fastest(spark, sf_dir):
+    """Fastest time-respecting path durations from the lowest vertex id:
+    one BatchEarliestArrival job with a column per distinct source
+    out-time (the optimal departure is always one of them), duration =
+    min over columns of arrival - departure. Oracle unrolls the identical
+    per-(departure, vertex) conditional relaxation then takes the same
+    min."""
+    edges = _tgraph1000(spark, sf_dir)
+    src = edges.agg(F.min(F.least(F.col("src"), F.col("dst")))).first()[0]
+    return algorithms.fastest_path(
+        edges, int(src), max_iter=TEMPORAL_ITERS,
+        max_departures=FASTEST_MAX_DEPS,
+    )
+
+
+def _fastest_sql(tedge_sql: str, iters: int, max_deps: int) -> str:
+    src = "(select min(least(src, dst)) from e)"
+    ctes = [
+        f"e as materialized ({tedge_sql})",
+        f"deps as (select distinct t from e where src = {src} "
+        f"order by t limit {max_deps})",
+        f"it0 as (select t as dep, {src} as v, t as arr from deps)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"it{k} as materialized (select dep, v, min(arr) as arr "
+            f"from (select dep, v, arr from it{k-1} union all "
+            f"select p.dep, e.dst as v, e.t as arr from e "
+            f"join it{k-1} p on p.v = e.src and e.t >= p.arr) "
+            f"group by dep, v)"
+        )
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect v as vertex, min(arr - dep) as duration from it{iters} "
+        "group by v"
+    )
+
+
 def _q_latest_departure(spark, sf_dir):
     """Latest-departure dual on the same temporal graph: latest time each
     vertex can leave and still reach the lowest vertex id by the
@@ -2731,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_dist4_blocked": _q_landmark_dist_blocked,
         "temporal_reach": _q_temporal_reach,
         "temporal_latest_dep": _q_latest_departure,
+        "temporal_fastest": _q_temporal_fastest,
         "landmark_est": _q_landmark_est,
         "landmark_ecc": _q_landmark_ecc,
         "double_sweep": _q_double_sweep,
@@ -4902,6 +4944,9 @@ def oracle_sql() -> dict[str, str]:
                 start_sql="(select min(t) from e)",
             )
             + ")"
+        ),
+        "temporal_fastest": _fastest_sql(
+            TG1000_SQL, TEMPORAL_ITERS, FASTEST_MAX_DEPS
         ),
         "landmark_est": _landmark_est_sql(
             f"select src, dst, w from ({G1000_W_SQL}) "

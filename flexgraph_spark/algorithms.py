@@ -353,6 +353,56 @@ def latest_departure(
     )
 
 
+def fastest_path(
+    edges: DataFrame,
+    source_vertex: int,
+    dur: float = 0.0,
+    max_iter: int = 100,
+    max_departures: int = 64,
+    **kw,
+) -> DataFrame:
+    """Fastest time-respecting path durations from ``source_vertex``:
+    min over feasible departures of (arrival - departure). The optimal
+    departure is always one of the source's out-edge timestamps, so this
+    runs ONE :class:`gimv.BatchEarliestArrival` job with a column per
+    distinct departure time (ascending, capped at ``max_departures`` —
+    exact when the source has at most that many distinct out-times, a
+    documented earliest-departures approximation beyond). Returns
+    (vertex, duration) for vertices reachable respecting time order."""
+    if "t" in edges.columns and "weight" not in edges.columns:
+        edges = edges.withColumnRenamed("t", "weight")
+    if "weight" not in edges.columns:
+        raise ValueError("fastest_path needs a 't' (or 'weight') column")
+    deps = [
+        float(r.weight)
+        for r in edges.filter(F.col("src") == int(source_vertex))
+        .select("weight").distinct().orderBy("weight")
+        .limit(int(max_departures)).collect()
+    ]
+    if not deps:
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [(int(source_vertex), 0.0)], "vertex long, duration double"
+        )
+    res = gimv.run(
+        edges,
+        gimv.BatchEarliestArrival(int(source_vertex), deps, dur=dur),
+        max_iter=max_iter,
+        **kw,
+    )
+    dep_arr = F.array(*[F.lit(d) for d in deps])
+    dur_col = F.array_min(
+        F.zip_with(
+            "value", dep_arr,
+            lambda a, d: F.when(a < gimv.SSSP_INF, a - d),
+        )
+    )
+    return (
+        res.state.select("vertex", dur_col.alias("duration"))
+        .filter(F.col("duration").isNotNull())
+    )
+
+
 def landmark_estimates(
     res: gimv.GimvResult, pairs: DataFrame
 ) -> DataFrame:

@@ -1034,6 +1034,69 @@ class EarliestArrival(VertexProgram):
         return new < old
 
 
+class BatchEarliestArrival(VertexProgram):
+    """Earliest arrival from ONE source at k different START TIMES — the
+    state is an array of k arrival columns, one per candidate departure,
+    so a single edge scan + state shuffle per superstep serves all k.
+    This is the engine of the exact FASTEST-PATH computation (Wu et al.,
+    VLDB 2014): the optimal departure from the source is always one of
+    its out-edge timestamps, so fastest(v) = min_j (arrival_j(v) -
+    start_j) over those k starts. Per column the recurrence is exactly
+    :class:`EarliestArrival`; ineligible or unreached entries ride as
+    NULL inside the message array and min()/least() skip them."""
+
+    name = "batch_earliest_arrival"
+    weighted = True  # the edge timestamp rides the weight column
+    supports_blocked = False
+    delta_messaging = True  # min semi-ring: frontier-only messaging is exact
+
+    def __init__(self, source_vertex: int, start_times: list[float],
+                 dur: float = 0.0):
+        if not start_times:
+            raise ValueError("BatchEarliestArrival needs at least one start time")
+        self.source_vertex = int(source_vertex)
+        self.starts = [float(t) for t in start_times]
+        self.k = len(self.starts)
+        self.dur = float(dur)
+
+    def init_state(self, vertices, n):
+        arr = F.array(*[
+            F.when(F.col("vertex") == self.source_vertex, t)
+            .otherwise(SSSP_INF)
+            for t in self.starts
+        ])
+        return vertices.select("vertex", arr.alias("value"))
+
+    def message_filter(self):
+        return F.exists(F.col("value"), lambda x: x < SSSP_INF)
+
+    def message(self):
+        return F.transform(
+            F.col("value"),
+            lambda x: F.when(
+                (x < SSSP_INF) & (F.col("weight") >= x),
+                F.col("weight") + self.dur,
+            ),
+        )
+
+    def aggregate(self, messages):
+        return messages.groupBy(F.col("dst").alias("vertex")).agg(
+            F.array(*[
+                F.min(F.element_at("msg", i + 1)) for i in range(self.k)
+            ]).alias("msg")
+        )
+
+    def apply(self, old, msg, n):
+        return F.zip_with(
+            old, F.coalesce(msg, old), lambda o, v: F.least(o, v)
+        )
+
+    def changed(self, old, new):
+        return F.exists(
+            F.zip_with(old, new, lambda o, v: v < o), lambda b: b
+        )
+
+
 class SSSPTree(VertexProgram):
     """SSSP with the shortest-path TREE — distances alone (class:`SSSP`)
     can't answer "route me there" or "why is this vertex reachable";

@@ -272,6 +272,35 @@ def test_wl_graph_hash_invariance(spark):
     assert fp(tri_plus_tail) != fp(path4)
 
 
+def test_fastest_path_departure_choice(spark):
+    """The fastest route may require LEAVING LATER: departing 0 at t=10
+    reaches 2 in 2 time units via the t=10/t=12 chain, while the t=0
+    departure crawls (arrive 2 at t=8, duration 8). Earliest arrival
+    alone cannot see this — the batch over departures can."""
+    edges = spark.createDataFrame(
+        [
+            (0, 1, 0.0), (1, 2, 8.0),       # early departure: duration 8
+            (0, 1, 10.0), (1, 2, 12.0),     # late departure: duration 2
+            (0, 3, 0.0),                     # reached only from the t=0 start
+        ],
+        "src long, dst long, t double",
+    )
+    got = {r.vertex: r.duration
+           for r in algorithms.fastest_path(edges, 0).collect()}
+    assert got[0] == 0.0
+    assert got[1] == 0.0          # depart at t, arrive at t (dur=0 hops)
+    assert got[2] == 2.0          # the late chain wins
+    assert got[3] == 0.0
+    # capping departures to 1 keeps only the earliest start (t=0): the
+    # late chain disappears and 2's duration degrades to 8
+    capped = {r.vertex: r.duration
+              for r in algorithms.fastest_path(edges, 0, max_departures=1).collect()}
+    assert capped[2] == 8.0
+    # isolated source: just itself at duration 0
+    lone = algorithms.fastest_path(edges, 99).collect()
+    assert [(r.vertex, r.duration) for r in lone] == [(99, 0.0)]
+
+
 def test_wl_colors_structural_equivalence(spark):
     """1-WL invariants on a known graph: a 6-cycle is vertex-transitive
     (one color class forever), and a star's leaves are equivalent to each
