@@ -135,6 +135,22 @@ def test_temporal_job(spark, tmp_path):
     got = {r.vertex: r.value for r in spark.read.parquet(out).collect()}
     assert got == {0: 0.0, 1: 5.0, 2: 4.0, 3: 1.0}
     assert all(v < SSSP_INF for v in got.values())
+    # latest-departure dual toward vertex 2 with a deadline
+    out_l = str(tmp_path / "departures")
+    _run(temporal_job, ["--edges", ep, "--output", out_l,
+                        "--source-vertex", "2", "--mode", "latest",
+                        "--deadline", "6"])
+    dep = {r.vertex: r.departure for r in spark.read.parquet(out_l).collect()}
+    assert dep[2] == 6.0 and dep[3] == 4.0 and dep[0] == 1.0
+    with pytest.raises(SystemExit, match="deadline"):
+        _run(temporal_job, ["--edges", ep, "--output", out_l,
+                            "--source-vertex", "2", "--mode", "latest"])
+    # fastest durations from 0
+    out_f = str(tmp_path / "durations")
+    _run(temporal_job, ["--edges", ep, "--output", out_f,
+                        "--source-vertex", "0", "--mode", "fastest"])
+    dur = {r.vertex: r.duration for r in spark.read.parquet(out_f).collect()}
+    assert dur[0] == 0.0 and dur[2] == 3.0  # depart t=1 via 3, arrive t=4
 
 
 def test_walks_job(spark, edges_parquet, tmp_path):
