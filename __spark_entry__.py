@@ -1217,6 +1217,27 @@ def _q_temporal_reach(spark, sf_dir):
     )
 
 
+def _q_temporal_reach_blocked(spark, sf_dir):
+    """Earliest arrival on the blocked CSR engine: the eligibility
+    condition rides in np_message (kernels see the per-edge timestamps),
+    and the block builder keeps parallel temporal edges as separate nnz.
+    Same oracle as temporal_reach."""
+    edges = _tgraph1000(spark, sf_dir)
+    src = int(edges.agg(F.min(F.least(F.col("src"), F.col("dst")))).first()[0])
+    e2, mapping = remap_contiguous(edges.withColumnRenamed("t", "weight"))
+    src_new = int(mapping.filter(F.col("orig") == src).first()["vertex"])
+    res = algorithms.earliest_arrival(
+        e2, src_new, start_time=0.0, max_iter=TEMPORAL_ITERS,
+        engine="blocked", p=BLOCKED_P,
+        dense_threshold=BLOCKED_DENSE_THRESHOLD,
+    )
+    return (
+        res.state.filter(F.col("value") < gimv.SSSP_INF)
+        .join(mapping, "vertex")
+        .select(F.col("orig").alias("vertex"), F.col("value").alias("arrival"))
+    )
+
+
 FASTEST_MAX_DEPS = 128
 
 
@@ -2771,6 +2792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_dist4": _q_landmark_dist,
         "landmark_dist4_blocked": _q_landmark_dist_blocked,
         "temporal_reach": _q_temporal_reach,
+        "temporal_reach_blocked": _q_temporal_reach_blocked,
         "temporal_latest_dep": _q_latest_departure,
         "temporal_fastest": _q_temporal_fastest,
         "landmark_est": _q_landmark_est,
@@ -4936,6 +4958,7 @@ def oracle_sql() -> dict[str, str]:
         "landmark_dist4": _landmark_sql(G1000_W_SQL, SSSP_ITERS),
         "landmark_dist4_blocked": _landmark_sql(G1000_W_SQL, SSSP_ITERS),
         "temporal_reach": _temporal_sql(TG1000_SQL, TEMPORAL_ITERS),
+        "temporal_reach_blocked": _temporal_sql(TG1000_SQL, TEMPORAL_ITERS),
         "temporal_latest_dep": (
             "select vertex, -arrival as departure from ("
             + _temporal_sql(

@@ -296,6 +296,7 @@ def earliest_arrival(
     dur: float = 0.0,
     max_iter: int = 100,
     checkpointer=None,
+    engine: str = "flat",
     **kw,
 ) -> gimv.GimvResult:
     """Time-respecting earliest-arrival reachability on a temporal graph.
@@ -309,12 +310,10 @@ def earliest_arrival(
         edges = edges.withColumnRenamed("t", "weight")
     if "weight" not in edges.columns:
         raise ValueError("earliest_arrival needs a 't' (or 'weight') column")
-    return gimv.run(
+    return _dispatch(
         edges,
         gimv.EarliestArrival(source_vertex, start_time=start_time, dur=dur),
-        max_iter=max_iter,
-        checkpointer=checkpointer,
-        **kw,
+        engine, max_iter, checkpointer, kw,
     )
 
 
@@ -324,6 +323,7 @@ def latest_departure(
     deadline: float,
     dur: float = 0.0,
     max_iter: int = 100,
+    engine: str = "flat",
     **kw,
 ) -> DataFrame:
     """Latest time one can LEAVE each vertex and still reach
@@ -341,12 +341,11 @@ def latest_departure(
         F.col("src").alias("dst"),
         (-(F.col("weight") + F.lit(float(dur)))).alias("weight"),
     )
-    res = gimv.run(
+    res = _dispatch(
         rev,
         gimv.EarliestArrival(target_vertex, start_time=-float(deadline),
                              dur=float(dur)),
-        max_iter=max_iter,
-        **kw,
+        engine, max_iter, None, kw,
     )
     return res.state.filter(F.col("value") < gimv.SSSP_INF).select(
         "vertex", (-F.col("value")).alias("departure")
@@ -359,6 +358,7 @@ def fastest_path(
     dur: float = 0.0,
     max_iter: int = 100,
     max_departures: int = 64,
+    engine: str = "flat",
     **kw,
 ) -> DataFrame:
     """Fastest time-respecting path durations from ``source_vertex``:
@@ -384,11 +384,10 @@ def fastest_path(
         return spark.createDataFrame(
             [(int(source_vertex), 0.0)], "vertex long, duration double"
         )
-    res = gimv.run(
+    res = _dispatch(
         edges,
         gimv.BatchEarliestArrival(int(source_vertex), deps, dur=dur),
-        max_iter=max_iter,
-        **kw,
+        engine, max_iter, None, kw,
     )
     dep_arr = F.array(*[F.lit(d) for d in deps])
     dur_col = F.array_min(

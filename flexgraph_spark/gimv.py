@@ -991,13 +991,19 @@ class EarliestArrival(VertexProgram):
     Delta messaging stays exact: arrival(u) is monotone non-increasing,
     so the eligible edge set {t >= arrival(u)} only grows, and each
     eligible edge's message is the constant t + dur — an unchanged source
-    has already sent everything it ever will. Flat plan only (the blocked
-    kernels assume an unconditional per-edge combine2).
+    has already sent everything it ever will.
+
+    Blocked engine: the eligibility condition lives in np_message (the
+    kernels receive the per-edge timestamp array), so the skew-aware CSR
+    plan runs it unchanged; the block builder keeps parallel temporal
+    edges as separate nnz.
     """
 
     name = "earliest_arrival"
     weighted = True  # the edge timestamp rides the weight column
-    supports_blocked = False
+    supports_blocked = True
+    reduce_np = "min"
+    identity = float("inf")
     delta_messaging = True  # min semi-ring: frontier-only messaging is exact
 
     def __init__(self, source_vertex: int, start_time: float = 0.0,
@@ -1033,6 +1039,36 @@ class EarliestArrival(VertexProgram):
     def changed(self, old, new):
         return new < old
 
+    def np_init(self, global_ids, n):
+        import numpy as np
+
+        return np.where(
+            global_ids == self.source_vertex, self.start_time, SSSP_INF
+        )
+
+    def np_signal(self, values, out_degree):
+        import numpy as np
+
+        # unreached sources must not depart: emit inf so min() ignores them
+        return np.where(values < SSSP_INF, values, np.inf)
+
+    def np_message(self, signal_at_src, weights):
+        import numpy as np
+
+        if weights is None:
+            raise ValueError("temporal kernels need edge timestamps")
+        return np.where(
+            weights >= signal_at_src, weights + self.dur, np.inf
+        )
+
+    def np_apply(self, old, msg, has_msg, n):
+        import numpy as np
+
+        return np.where(has_msg, np.minimum(old, msg), old)
+
+    def np_changed(self, old, new):
+        return new < old
+
 
 class BatchEarliestArrival(VertexProgram):
     """Earliest arrival from ONE source at k different START TIMES — the
@@ -1043,11 +1079,16 @@ class BatchEarliestArrival(VertexProgram):
     its out-edge timestamps, so fastest(v) = min_j (arrival_j(v) -
     start_j) over those k starts. Per column the recurrence is exactly
     :class:`EarliestArrival`; ineligible or unreached entries ride as
-    NULL inside the message array and min()/least() skip them."""
+    NULL inside the message array and min()/least() skip them. Blocked:
+    the 'batch' kernel family under the min reduce, with the eligibility
+    condition broadcast per-edge across all k columns in np_message."""
 
     name = "batch_earliest_arrival"
     weighted = True  # the edge timestamp rides the weight column
-    supports_blocked = False
+    supports_blocked = True
+    blocked_kind = "batch"
+    reduce_np = "min"
+    identity = float("inf")
     delta_messaging = True  # min semi-ring: frontier-only messaging is exact
 
     def __init__(self, source_vertex: int, start_times: list[float],
@@ -1095,6 +1136,38 @@ class BatchEarliestArrival(VertexProgram):
         return F.exists(
             F.zip_with(old, new, lambda o, v: v < o), lambda b: b
         )
+
+    # --- blocked 'batch' kernels (min): values arrive as (rows, k) views ---
+    def np_init(self, global_ids, n):
+        import numpy as np
+
+        mat = np.full((len(global_ids), self.k), SSSP_INF, dtype=np.float64)
+        mat[global_ids == self.source_vertex] = np.asarray(
+            self.starts, dtype=np.float64
+        )
+        return mat
+
+    def np_signal(self, values, out_degree):
+        import numpy as np
+
+        return np.where(values < SSSP_INF, values, np.inf)
+
+    def np_message(self, signal_at_src, weights):
+        import numpy as np
+
+        if weights is None:
+            raise ValueError("temporal kernels need edge timestamps")
+        w = weights[:, None]
+        return np.where(w >= signal_at_src, w + self.dur, np.inf)
+
+    def np_apply(self, old, msg, has_msg, n):
+        import numpy as np
+
+        # msg is identity (inf) where nothing arrived — neutral under min
+        return np.minimum(old, msg)
+
+    def np_changed(self, old, new):
+        return (new < old).any(axis=1)
 
 
 class SSSPTree(VertexProgram):

@@ -19,7 +19,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from jobs.common import base_parser, get_session, load_edges, make_checkpointer
+from jobs.common import (
+    base_parser, engine_kwargs, get_session, load_edges, make_checkpointer,
+)
 
 
 def main() -> None:
@@ -37,19 +39,17 @@ def main() -> None:
                    help="[fastest] cap on candidate departure times "
                         "(exact when the source has at most this many)")
     args = p.parse_args()
-    if args.engine != "flat":
-        raise SystemExit("temporal path problems are flat-plan only "
-                         "(conditional combine2)")
     spark = get_session("flexgraph-temporal")
     edges = load_edges(spark, args)
     from flexgraph_spark import algorithms
 
+    ekw = engine_kwargs(spark, args)
     if args.mode == "latest":
         if args.deadline is None:
             raise SystemExit("--mode latest requires --deadline")
         out = algorithms.latest_departure(
             edges, args.source_vertex, args.deadline, dur=args.dur,
-            max_iter=args.max_iter, num_partitions=args.num_partitions,
+            max_iter=args.max_iter, engine=args.engine, **ekw,
         )
         out.write.mode("overwrite").parquet(args.output)
         print(f"latest_departure -> {args.output}")
@@ -58,7 +58,7 @@ def main() -> None:
         out = algorithms.fastest_path(
             edges, args.source_vertex, dur=args.dur,
             max_iter=args.max_iter, max_departures=args.max_departures,
-            num_partitions=args.num_partitions,
+            engine=args.engine, **ekw,
         )
         out.write.mode("overwrite").parquet(args.output)
         print(f"fastest_path -> {args.output}")
@@ -70,7 +70,8 @@ def main() -> None:
         dur=args.dur,
         max_iter=args.max_iter,
         checkpointer=make_checkpointer(args, edges),
-        num_partitions=args.num_partitions,
+        engine=args.engine,
+        **ekw,
     )
     res.state.write.mode("overwrite").parquet(args.output)
     print(

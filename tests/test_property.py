@@ -124,6 +124,45 @@ def test_blocked_equals_flat_on_random_graphs(spark, es, dense_threshold):
 @settings(**_SETTINGS)
 @given(es=_edges, seed=st.integers(0, 2**16),
        dense_threshold=st.sampled_from([0, 2, 1000]))
+def test_blocked_temporal_equals_flat_on_random_graphs(
+    spark, es, seed, dense_threshold
+):
+    """Earliest arrival (conditional combine2) and fastest path (batch of
+    conditional columns) must agree between engines on random TEMPORAL
+    multigraphs — every (src, dst) pair gets TWO parallel edges at
+    different timestamps, the case a dedup-happy block builder would
+    corrupt."""
+    from flexgraph_spark.gimv import SSSP_INF
+
+    es, n = _dense(es)
+    rng = np.random.RandomState(seed)
+    tes = [(a, b, float(t)) for a, b in es
+           for t in rng.choice(20, size=2, replace=False)]
+    df = spark.createDataFrame(tes, "src long, dst long, t double")
+    src = tes[0][0]
+    flat = algorithms.earliest_arrival(df, src, max_iter=30)
+    blk = algorithms.earliest_arrival(
+        df, src, max_iter=30, engine="blocked",
+        p=3, dense_threshold=dense_threshold,
+    )
+    f = {r.vertex: r.value for r in flat.state.collect()}
+    b = {r.vertex: r.value for r in blk.state.collect()}
+    assert set(f) == set(b)
+    for v in f:
+        assert f[v] == pytest.approx(b[v], abs=0.0), v
+    ff = {r.vertex: r.duration
+          for r in algorithms.fastest_path(df, src, max_iter=30).collect()}
+    fb = {r.vertex: r.duration
+          for r in algorithms.fastest_path(
+              df, src, max_iter=30, engine="blocked",
+              p=3, dense_threshold=dense_threshold,
+          ).collect()}
+    assert ff == fb
+
+
+@settings(**_SETTINGS)
+@given(es=_edges, seed=st.integers(0, 2**16),
+       dense_threshold=st.sampled_from([0, 2, 1000]))
 def test_blocked_batch_min_equals_flat_on_random_graphs(
     spark, es, seed, dense_threshold
 ):
