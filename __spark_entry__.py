@@ -1406,6 +1406,62 @@ def _double_sweep_sql(edge_sql: str, iters: int) -> str:
     )
 
 
+KCENTER_K = 4
+
+
+def _q_kcenter(spark, sf_dir):
+    """Greedy k-center (farthest-first traversal, Gonzalez 2-approx) on
+    the symmetrized hop graph: 3 batched landmark rounds pick the
+    centers, the final round assigns every vertex to its nearest center
+    (ties -> earliest-chosen). Oracle replays the identical
+    round-by-round argmax chain and the keyed assignment BFS."""
+    return algorithms.kcenter(
+        _graph1000(spark, sf_dir), k=KCENTER_K, max_iter=SSSP_ITERS
+    )
+
+
+def _kcenter_sql(edge_sql: str, k: int, iters: int) -> str:
+    inf = repr(gimv.SSSP_INF)
+    ctes = [
+        f"e0 as materialized ({edge_sql})",
+        "e2 as materialized (select src, dst from e0 union select dst, src from e0)",
+        "verts as (select src as v from e2 union select dst from e2)",
+        "cen1 as (select (select min(least(src, dst)) from e2) as c, 0 as ord)",
+    ]
+    for r in range(1, k):
+        ctes.append(f"m{r}_0 as (select c as v, 0.0 as dist from cen{r})")
+        for j in range(1, iters + 1):
+            ctes.append(
+                f"m{r}_{j} as materialized (select v, min(dist) as dist from ("
+                f"select v, dist from m{r}_{j-1} union all "
+                f"select e2.dst as v, p.dist + 1.0 as dist from e2 "
+                f"join m{r}_{j-1} p on p.v = e2.src) group by v)"
+            )
+        ctes.append(
+            f"next{r} as (select t.v from (select verts.v, "
+            f"coalesce(m.dist, {inf}) as dist from verts "
+            f"left join m{r}_{iters} m using (v)) t "
+            f"order by t.dist desc, t.v asc limit 1)"
+        )
+        ctes.append(
+            f"cen{r+1} as (select c, ord from cen{r} "
+            f"union all select v as c, {r} as ord from next{r})"
+        )
+    ctes.append(f"f0 as (select c, ord, c as v, 0.0 as dist from cen{k})")
+    for j in range(1, iters + 1):
+        ctes.append(
+            f"f{j} as materialized (select c, ord, v, min(dist) as dist from ("
+            f"select c, ord, v, dist from f{j-1} union all "
+            f"select p.c, p.ord, e2.dst as v, p.dist + 1.0 as dist from e2 "
+            f"join f{j-1} p on p.v = e2.src) group by c, ord, v)"
+        )
+    return (
+        "with " + ",\n".join(ctes) + "\nselect v as vertex, c as center, dist "
+        f"from (select *, row_number() over (partition by v "
+        f"order by dist, ord) as rn from f{iters}) where rn = 1"
+    )
+
+
 WL_ROUNDS = 3
 
 
@@ -2798,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_est": _q_landmark_est,
         "landmark_ecc": _q_landmark_ecc,
         "double_sweep": _q_double_sweep,
+        "kcenter4": _q_kcenter,
         "wl_colors3": _q_wl_colors,
         "wl_graph_hash": _q_wl_graph_hash,
         "lp4": _q_lp4,
@@ -4981,6 +5038,7 @@ def oracle_sql() -> dict[str, str]:
             f"from ({_landmark_sql(G1000_W_SQL, SSSP_ITERS)}) group by landmark"
         ),
         "double_sweep": _double_sweep_sql(G1000_SQL, SSSP_ITERS),
+        "kcenter4": _kcenter_sql(G1000_SQL, KCENTER_K, SSSP_ITERS),
         "wl_colors3": _wl_sql(G1000_SQL, WL_ROUNDS),
         "wl_graph_hash": _wl_hash_sql(G1000_SQL, WL_ROUNDS),
         "lp4": _lp_sql(G1000_SQL, LP_ITERS),

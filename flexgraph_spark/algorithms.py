@@ -448,6 +448,67 @@ def wl_graph_hash(res: gimv.GimvResult) -> DataFrame:
     )
 
 
+def kcenter(
+    edges: DataFrame,
+    k: int,
+    start_vertex: int | None = None,
+    max_iter: int = 100,
+    symmetrize_edges: bool = True,
+    **kw,
+) -> DataFrame:
+    """Greedy k-center (farthest-first traversal, Gonzalez 1985 — the
+    2-approximation, and the k-center CORESET selector for data
+    selection): start from ``start_vertex`` (default lowest id), then
+    k-1 times add the vertex FARTHEST from the chosen set (ties ->
+    lowest id; unreached vertices are infinitely far, so new components
+    get covered first). Each round is one batched landmark job over the
+    current centers; the driver only takes one argmax row per round.
+    Returns the final assignment (vertex, center, dist) — nearest center
+    by hop distance, ties to the earliest-chosen center — dropping
+    vertices no center reaches within ``max_iter`` hops."""
+    from flexgraph_spark.graph import symmetrize
+
+    if k < 1:
+        raise ValueError("kcenter needs k >= 1")
+    edges = edges.select("src", "dst")
+    if symmetrize_edges:
+        edges = symmetrize(edges)
+    if start_vertex is None:
+        start_vertex = int(
+            edges.agg(F.min(F.least(F.col("src"), F.col("dst")))).first()[0]
+        )
+    centers = [int(start_vertex)]
+    res = None
+    for _ in range(1, k):
+        res = landmark_distances(edges, centers, max_iter=max_iter, **kw)
+        far = (
+            res.state.select("vertex", F.array_min("value").alias("d"))
+            .orderBy(F.col("d").desc(), F.col("vertex").asc())
+            .first()
+        )
+        centers.append(int(far.vertex))
+    res = landmark_distances(edges, centers, max_iter=max_iter, **kw)
+    # nearest center per vertex: min struct(dist, position) breaks ties
+    # toward the earliest-chosen center
+    best = F.array_min(
+        F.zip_with(
+            "value",
+            F.array(*[F.lit(i) for i in range(len(centers))]),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
+    )
+    cen_arr = F.array(*[F.lit(c) for c in centers])
+    return (
+        res.state.select("vertex", best.alias("_b"))
+        .filter(F.col("_b.d") < gimv.SSSP_INF)
+        .select(
+            "vertex",
+            F.element_at(cen_arr, F.col("_b.i") + 1).cast("long").alias("center"),
+            F.col("_b.d").alias("dist"),
+        )
+    )
+
+
 def double_sweep(
     edges: DataFrame,
     start_vertex: int | None = None,

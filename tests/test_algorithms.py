@@ -272,6 +272,32 @@ def test_wl_graph_hash_invariance(spark):
     assert fp(tri_plus_tail) != fp(path4)
 
 
+def test_kcenter_farthest_first(spark):
+    """Two 'cities' (stars at 0 and 10) joined by a long path: k=2 must
+    pick one center per city (the farthest-first guarantee), and a
+    disconnected triangle gets covered FIRST at k=2 on the 3-component
+    variant (unreached = infinitely far)."""
+    city_a = [(0, i) for i in (1, 2, 3)]
+    city_b = [(10, i) for i in (11, 12, 13)]
+    bridge = [(3, 20), (20, 21), (21, 22), (22, 11)]
+    g = _edges(spark, city_a + city_b + bridge)
+    got = {r.vertex: (r.center, r.dist) for r in algorithms.kcenter(g, k=2).collect()}
+    centers = {c for c, _ in got.values()}
+    assert len(centers) == 2 and 0 in centers
+    other = (centers - {0}).pop()
+    assert other in (10, 11, 12, 13)          # deep inside city B
+    assert got[0] == (0, 0.0) and got[1][0] == 0
+    # radius is far below the single-center eccentricity
+    assert max(d for _, d in got.values()) <= 4.0
+    # with a disconnected triangle, k=2's second center lands in it
+    iso = [(30, 31), (31, 32), (30, 32)]
+    g2 = _edges(spark, city_a + iso)
+    got2 = {r.vertex: r.center for r in algorithms.kcenter(g2, k=2).collect()}
+    assert got2[30] == 30 and got2[31] == 30 and got2[0] == 0
+    with pytest.raises(ValueError):
+        algorithms.kcenter(g, k=0)
+
+
 def test_fastest_path_departure_choice(spark):
     """The fastest route may require LEAVING LATER: departing 0 at t=10
     reaches 2 in 2 time units via the t=10/t=12 chain, while the t=0
