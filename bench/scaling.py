@@ -53,7 +53,8 @@ def gen_edges(spark, num_edges: int, n: int):
     )
 
 
-def run_one(cpus: int, num_edges: int, n: int, engine: str) -> dict:
+def run_one(cpus: int, num_edges: int, n: int, engine: str,
+            algo: str = "pagerank") -> dict:
     from pyspark.sql import functions as F
 
     from flexgraph_spark import algorithms
@@ -64,33 +65,52 @@ def run_one(cpus: int, num_edges: int, n: int, engine: str) -> dict:
     parts = int(os.environ.get("SCALING_PARTS", "24"))
     spark = get_spark(f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=parts)
     spark.sparkContext.setLogLevel("ERROR")
-    edges = gen_edges(spark, num_edges, n).persist()
+    edges = gen_edges(spark, num_edges, n)
+    if algo == "temporal":
+        # deterministic edge timestamps: day-of-year from more xxhash64
+        edges = edges.withColumn(
+            "t",
+            F.pmod(F.xxhash64("src", "dst", F.lit(13)), F.lit(365))
+            .cast("double"),
+        )
+    edges = edges.persist()
     e_count = edges.count()
 
     # warmup superstep (JIT, Arrow/python-worker init) excluded from measurement;
-    # blocked: prepartition once outside the timed region (p fixed across
-    # parallelism levels so the measured work is identical)
+    # blocked pagerank: prepartition once outside the timed region (p fixed
+    # across parallelism levels so the measured work is identical); other
+    # algos build blocks in-run, which only affects total seconds — the
+    # reported throughput uses per-superstep medians
     blk = None
     bp = int(os.environ.get("SCALING_P", "64"))
-    if engine == "blocked":
+    if engine == "blocked" and algo == "pagerank":
         from flexgraph_spark import blocks as B
 
         blk = B.prepartition(edges, bp, 100).persist()
         blk.count()
-        algorithms.pagerank(
-            edges, threshold=0.0, max_iter=1, engine="blocked", p=bp, blocks=blk
-        ).state.count()
-    else:
-        algorithms.pagerank(edges, threshold=0.0, max_iter=1).state.count()
+
+    def job(iters: int):
+        kw = {}
+        if engine == "blocked":
+            kw = {"engine": "blocked", "p": bp}
+            if blk is not None:
+                kw["blocks"] = blk
+        if algo == "landmark4":
+            return algorithms.landmark_distances(
+                edges, [0, 1, 2, 3], max_iter=iters, **kw
+            )
+        if algo == "temporal":
+            return algorithms.earliest_arrival(edges, 0, max_iter=iters, **kw)
+        return algorithms.pagerank(edges, threshold=0.0, max_iter=iters, **kw)
+
+    job(1).state.count()
 
     t0 = time.time()
-    if engine == "blocked":
-        res = algorithms.pagerank(
-            edges, threshold=0.0, max_iter=ITERS, engine="blocked", p=bp, blocks=blk
-        )
+    res = job(ITERS)
+    if algo == "pagerank":
+        res.state.agg(F.sum("value")).first()
     else:
-        res = algorithms.pagerank(edges, threshold=0.0, max_iter=ITERS)
-    res.state.agg(F.sum("value")).first()
+        res.state.count()
     dt = time.time() - t0
     spark.stop()
     # median superstep: robust to one-off GC pauses / noisy-neighbor blips
@@ -99,6 +119,7 @@ def run_one(cpus: int, num_edges: int, n: int, engine: str) -> dict:
     med = per_iter[len(per_iter) // 2]
     return {
         "cpus": cpus,
+        "algo": algo,
         "engine": engine,
         "edges": e_count,
         "iters": ITERS,
@@ -115,11 +136,17 @@ def main() -> None:
     p.add_argument("--edges", type=int, default=DEFAULT_EDGES)
     p.add_argument("--vertices", type=int, default=DEFAULT_VERTICES)
     p.add_argument("--engine", default="flat", choices=["flat", "blocked"])
+    p.add_argument("--algo", default="pagerank",
+                   choices=["pagerank", "landmark4", "temporal"],
+                   help="non-pagerank algos print results without "
+                        "rewriting --out (supplementary evidence)")
     p.add_argument("--out", default="BENCH/BASELINE.md")
     args = p.parse_args()
 
     if args.cpus is not None:
-        print(json.dumps(run_one(args.cpus, args.edges, args.vertices, args.engine)))
+        print(json.dumps(run_one(
+            args.cpus, args.edges, args.vertices, args.engine, args.algo
+        )))
         return
 
     results = []
@@ -128,7 +155,7 @@ def main() -> None:
             [
                 sys.executable, __file__, "--cpus", str(cpus),
                 "--edges", str(args.edges), "--vertices", str(args.vertices),
-                "--engine", args.engine,
+                "--engine", args.engine, "--algo", args.algo,
             ],
             capture_output=True, text=True, check=True,
         )
@@ -139,6 +166,9 @@ def main() -> None:
 
     t8, t32 = (r["edges_per_sec_per_superstep"] for r in results)
     eff = t32 / (4 * t8)
+    if args.algo != "pagerank":
+        print(f"efficiency={eff:.3f} (supplementary, not written to --out)")
+        return
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(f"""# BENCH — scaling efficiency (N vs 4N cores)
