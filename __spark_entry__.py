@@ -1792,6 +1792,179 @@ def _q_triangles(spark, sf_dir):
     return spark.createDataFrame([(int(n),)], "triangles long")
 
 
+def _q_dyad_census(spark, sf_dir):
+    """Holland–Leinhardt dyad census (mutual/asym/null dyad counts) over
+    g1000 (algorithms.dyad_census). null_dyads is decimal(38,0) in the
+    library (C(n,2) overflows int64 at 10^12 vertices); the gate casts to
+    long — exact at every test SF."""
+    return algorithms.dyad_census(_graph1000(spark, sf_dir)).select(
+        "n_vertices",
+        "mutual",
+        "asym",
+        F.col("null_dyads").cast("long").alias("null_dyads"),
+    )
+
+
+def _q_triad_census(spark, sf_dir):
+    """Full 16-type directed triad census (igraph/statnet MAN classes) via
+    the scalable decomposition in algorithms.triad_census: degree-oriented
+    triangle classification + per-center combinatorial wedge totals +
+    inclusion–exclusion singles + C(n,3) residual — wedges are never
+    materialized. The oracle replays the identical decomposition in SQL
+    (sorted-pair triangle join, filtered-count center profiles); pytest
+    separately proves the decomposition against an independent brute-force
+    classifier. decimal counts cast to long at the gate (exact at test SFs)."""
+    return algorithms.triad_census(_graph1000(spark, sf_dir)).select(
+        "triad_type", F.col("n").cast("long").alias("n")
+    )
+
+
+def _census_pairs_sql(edge_sql: str) -> str:
+    """Shared dyad-state CTE prologue for the motif-census oracles:
+    pairs (a < b, s: 1 = a→b only, 2 = b→a only, 3 = mutual) + vertex
+    count nn over the unfiltered edge universe (self-loop vertices count)."""
+    return f"""
+e as ({edge_sql}),
+pairs as (
+  select least(src, dst) as a, greatest(src, dst) as b,
+         max(case when src < dst then 1 else 0 end)
+       + 2 * max(case when src > dst then 1 else 0 end) as s
+  from e where src <> dst group by 1, 2
+),
+verts as (select src as v from e union select dst as v from e),
+nn as (select count(*)::hugeint as n from verts)"""
+
+
+def _dyad_census_sql(edge_sql: str) -> str:
+    return f"""with {_census_pairs_sql(edge_sql)}
+select nn.n::bigint as n_vertices,
+       coalesce(sum(case when s = 3 then 1 else 0 end), 0)::bigint as mutual,
+       coalesce(sum(case when s <> 3 then 1 else 0 end), 0)::bigint as asym,
+       (nn.n * (nn.n - 1) // 2 - coalesce(count(*), 0))::bigint as null_dyads
+from pairs cross join nn group by nn.n"""
+
+
+def _rel_sql(col: str, at_min: bool) -> str:
+    """Dyad state relative to one endpoint ('o'/'i'/'m') — SQL twin of
+    algorithms._rel_col."""
+    if at_min:
+        return f"case when {col}=3 then 'm' when {col}=1 then 'o' else 'i' end"
+    return f"case when {col}=3 then 'm' when {col}=1 then 'i' else 'o' end"
+
+
+def _wcls_sql(d1: str, d2: str) -> str:
+    """Wedge-center triad type from the two incident dyad rel-states —
+    SQL twin of algorithms._wedge_cls."""
+    return (
+        f"case least({d1}, {d2}) || greatest({d1}, {d2}) "
+        "when 'ii' then '021U' when 'im' then '111D' when 'io' then '021C' "
+        "when 'mm' then '201' when 'mo' then '111U' else '021D' end"
+    )
+
+
+def _triad_census_sql(edge_sql: str) -> str:
+    """DuckDB replay of algorithms.triad_census — the same scalable
+    decomposition (triangle classification over sorted-pair joins,
+    combinatorial per-center wedge totals, inclusion–exclusion singles,
+    C(n,3) residual), independently re-expressed in SQL."""
+    mcnt = "(sxy=3)::int + (sxz=3)::int + (syz=3)::int"
+    outs = (
+        "case when sxy=3 then (sxz=2)::int + (syz=2)::int "
+        "when sxz=3 then (sxy=2)::int + (syz=1)::int "
+        "else (sxy=1)::int + (sxz=1)::int end"
+    )
+    tri_cls = f"""case
+    when {mcnt} = 3 then '300'
+    when {mcnt} = 2 then '210'
+    when {mcnt} = 1 then
+      case {outs} when 2 then '120D' when 0 then '120U' else '120C' end
+    when (sxy=1 and syz=1 and sxz=2) or (sxy=2 and syz=2 and sxz=1) then '030C'
+    else '030T' end"""
+    w_x = _wcls_sql(_rel_sql("sxy", True), _rel_sql("sxz", True))
+    w_y = _wcls_sql(_rel_sql("sxy", False), _rel_sql("syz", True))
+    w_z = _wcls_sql(_rel_sql("sxz", False), _rel_sql("syz", False))
+    types = ", ".join(f"('{t}')" for t in algorithms.TRIAD_TYPES)
+    return f"""with {_census_pairs_sql(edge_sql)},
+tri as (
+  select p1.a as x, p1.b as y, p2.b as z, p1.s as sxy, p3.s as sxz, p2.s as syz
+  from pairs p1
+  join pairs p2 on p2.a = p1.b
+  join pairs p3 on p3.a = p1.a and p3.b = p2.b
+),
+tcnt as (select {tri_cls} as t, count(*)::hugeint as n from tri group by 1),
+rels as (
+  select a as v, {_rel_sql('s', True)} as r from pairs
+  union all
+  select b as v, {_rel_sql('s', False)} as r from pairs
+),
+pqm as (
+  select v,
+         count(*) filter (where r = 'o')::hugeint as p,
+         count(*) filter (where r = 'i')::hugeint as q,
+         count(*) filter (where r = 'm')::hugeint as m
+  from rels group by v
+),
+wtot as (
+  select coalesce(sum(p*(p-1)//2), 0) as w021d,
+         coalesce(sum(q*(q-1)//2), 0) as w021u,
+         coalesce(sum(p*q), 0) as w021c,
+         coalesce(sum(m*(m-1)//2), 0) as w201,
+         coalesce(sum(m*q), 0) as w111d,
+         coalesce(sum(m*p), 0) as w111u
+  from pqm
+),
+twedge as (
+  select t, count(*)::hugeint as n from (
+    select unnest([{w_x}, {w_y}, {w_z}]) as t from tri
+  ) group by t
+),
+ex2 as (
+  select c.t,
+         (case c.t when '021D' then w021d when '021U' then w021u
+                   when '021C' then w021c when '201' then w201
+                   when '111D' then w111d else w111u end)
+         - coalesce(tw.n, 0) as n
+  from (values ('021D'), ('021U'), ('021C'), ('201'), ('111D'), ('111U')) c(t)
+  cross join wtot
+  left join twedge tw on tw.t = c.t
+),
+cnx as (
+  select a, b, count(*)::hugeint as c from (
+    select x as a, y as b from tri
+    union all select x as a, z as b from tri
+    union all select y as a, z as b from tri
+  ) group by 1, 2
+),
+deg as (select v, p + q + m as d from pqm),
+ex1 as (
+  select coalesce(sum(case when s = 3 then e1 end), 0) as n102,
+         coalesce(sum(case when s <> 3 then e1 end), 0) as n012
+  from (
+    select pr.s,
+           (nn.n - 2) - (da.d - 1) - (db.d - 1) + coalesce(cc.c, 0) as e1
+    from pairs pr
+    cross join nn
+    join deg da on da.v = pr.a
+    join deg db on db.v = pr.b
+    left join cnx cc on cc.a = pr.a and cc.b = pr.b
+  )
+),
+rows15 as (
+  select t, n from tcnt
+  union all select t, n from ex2
+  union all select '102', n102 from ex1
+  union all select '012', n012 from ex1
+),
+r003 as (
+  select '003' as t,
+         (select n*(n-1)*(n-2)//6 from nn)
+         - coalesce((select sum(n) from rows15), 0) as n
+)
+select c.t as triad_type, coalesce(a.n, 0)::bigint as n
+from (values {types}) c(t)
+left join (select * from rows15 union all select * from r003) a on a.t = c.t"""
+
+
 def _q_content_invariant(spark, sf_dir):
     """BASELINE.json input_hint row invariant: per-row sha256 of ``content``
     on the (derived) repo table — the engine must never mutate content.
@@ -2879,6 +3052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hadi_series": _q_hadi_series,
         "triangles": _q_triangles,
         "triangles_sampled": _q_triangles_sampled,
+        "dyad_census": _q_dyad_census,
+        "triad_census": _q_triad_census,
         "powerlaw_alpha": _q_powerlaw_alpha,
         "content_invariant": _q_content_invariant,
         "contract50": _q_contract50,
@@ -5135,6 +5310,8 @@ t as (select count(*)::bigint as c
       join kept e3 on e3.a = e1.a and e3.b = e2.b)
 select (c * 125.0)::double as estimate, c as sampled from t
 """,
+        "dyad_census": _dyad_census_sql(G1000_SQL),
+        "triad_census": _triad_census_sql(G1000_SQL),
         "powerlaw_alpha": f"""
 with e as ({G1000_SQL}),
 d as (select v, count(*)::bigint as degree

@@ -1866,3 +1866,124 @@ def test_trussness_golden_levels(spark):
     }
     assert all(capped[e] == 3 for e in k4 + tri)
     assert capped[(20, 21)] == 2
+
+
+# ---------------------------------------------------------------------------
+# Directed motif census (dyad_census / triad_census)
+# ---------------------------------------------------------------------------
+
+def _triad_type_brute(adj: set, tri) -> str:
+    """Independent brute-force triad classifier: works on the raw directed
+    adjacency of the triple (no pair-state encoding), igraph conventions."""
+    a, b, c = tri
+    pairs = [(a, b), (a, c), (b, c)]
+
+    def st(u, v):
+        f, r = (u, v) in adj, (v, u) in adj
+        return "M" if (f and r) else ("A" if (f or r) else "N")
+
+    states = {frozenset(p): st(*p) for p in pairs}
+    M = sum(1 for v in states.values() if v == "M")
+    A = sum(1 for v in states.values() if v == "A")
+    if M == 0 and A == 0:
+        return "003"
+    if M == 0 and A == 1:
+        return "012"
+    if M == 1 and A == 0:
+        return "102"
+    if M == 3:
+        return "300"
+    if M == 2:
+        return "210" if A == 1 else "201"
+    verts = [a, b, c]
+    apairs = [p for p in pairs if states[frozenset(p)] == "A"]
+    if M == 1 and A == 1:
+        mpair = next(p for p in pairs if states[frozenset(p)] == "M")
+        (u, v) = apairs[0]
+        w = u if u not in mpair else v          # the non-mutual vertex
+        x = v if u not in mpair else u
+        return "111D" if (w, x) in adj else "111U"
+    if M == 0 and A == 2:
+        center = (set(apairs[0]) & set(apairs[1])).pop()
+        dirs = [(u, v) if (u, v) in adj else (v, u) for (u, v) in apairs]
+        co = sum(1 for (u, _v) in dirs if u == center)
+        return {2: "021D", 0: "021U", 1: "021C"}[co]
+    if M == 1 and A == 2:
+        mpair = next(p for p in pairs if states[frozenset(p)] == "M")
+        w = next(v for v in verts if v not in mpair)
+        co = sum(1 for x in mpair if (w, x) in adj)
+        return {2: "120D", 0: "120U", 1: "120C"}[co]
+    # M == 0, A == 3: cyclic iff every vertex sends exactly one edge
+    outdeg = {v: 0 for v in verts}
+    for (u, v) in pairs:
+        uu = u if (u, v) in adj else v
+        outdeg[uu] += 1
+    return "030C" if all(o == 1 for o in outdeg.values()) else "030T"
+
+
+def _census_brute(edge_list):
+    from itertools import combinations
+
+    adj = {(u, v) for (u, v) in edge_list if u != v}
+    verts = sorted({u for e in edge_list for u in e})
+    counts = {t: 0 for t in algorithms.TRIAD_TYPES}
+    for tri in combinations(verts, 3):
+        counts[_triad_type_brute(adj, tri)] += 1
+    return counts, adj, verts
+
+
+def _motif_graphs():
+    """Deterministic digraphs covering hubs, mutuals, paths, self-loops,
+    and a loop-only (otherwise isolated) vertex."""
+    gs = []
+    for seed in (0, 1, 2):
+        n = 14
+        gs.append(
+            [
+                (i, j)
+                for i in range(n)
+                for j in range(n)
+                if i != j and (i * 31 + j * 17 + seed * 7) % 100 < 30
+            ]
+        )
+    hub = [(0, j) for j in range(1, 12)]                      # out-star hub
+    hub += [(j, 0) for j in range(1, 12) if j % 3 == 0]       # some mutual back-edges
+    hub += [(j, j + 1) for j in range(1, 11) if j % 2 == 0]   # sparse chain
+    hub += [(5, 5), (13, 13)]                                 # self-loops; 13 is loop-only
+    gs.append(hub)
+    return gs
+
+
+def test_triad_census_matches_brute_force(spark):
+    for edge_list in _motif_graphs():
+        df = spark.createDataFrame(edge_list, "src long, dst long")
+        got = {
+            r["triad_type"]: int(r["n"])
+            for r in algorithms.triad_census(df).collect()
+        }
+        want, _adj, verts = _census_brute(edge_list)
+        assert got == want, f"census mismatch on {len(edge_list)}-edge graph"
+        n = len(verts)
+        assert sum(got.values()) == n * (n - 1) * (n - 2) // 6
+        assert set(got) == set(algorithms.TRIAD_TYPES) and len(got) == 16
+
+
+def test_dyad_census_matches_brute_force(spark):
+    for edge_list in _motif_graphs():
+        df = spark.createDataFrame(edge_list, "src long, dst long")
+        row = algorithms.dyad_census(df).collect()[0]
+        _counts, adj, verts = _census_brute(edge_list)
+        from itertools import combinations
+
+        m = a = 0
+        for (u, v) in combinations(sorted(verts), 2):
+            f, r = (u, v) in adj, (v, u) in adj
+            if f and r:
+                m += 1
+            elif f or r:
+                a += 1
+        n = len(verts)
+        assert row["n_vertices"] == n
+        assert row["mutual"] == m
+        assert row["asym"] == a
+        assert int(row["null_dyads"]) == n * (n - 1) // 2 - m - a
