@@ -1965,6 +1965,126 @@ from (values {types}) c(t)
 left join (select * from rows15 union all select * from r003) a on a.t = c.t"""
 
 
+SLASHBURN_K = 8
+SLASHBURN_ROUNDS = 3
+
+
+def _q_slashburn(spark, sf_dir):
+    """SlashBurn hub-removal ordering (Kang & Faloutsos ICDM'11,
+    algorithms.slashburn): k=8 hubs to the front / non-giant 'spoke'
+    components to the back per round, recursing on the giant component,
+    capped at 3 rounds (residual GCC takes the middle, vertex-ASC). The
+    oracle unrolls the identical rounds — same (degree DESC, vertex ASC)
+    hub order, HashMin component labels via per-round recursive closure,
+    (size DESC, label ASC)-first giant pick, and the same three-region
+    position arithmetic. The round cap keeps the unroll finite; conventions
+    make a capped run a total permutation, so the gate is exact whether or
+    not the graph is exhausted. Runs on the SPARSE fixture — g1000 is so
+    dense that removing hubs never disconnects spokes, which would leave
+    the burn path untested."""
+    res = algorithms.slashburn(
+        _graph_sparse2000(spark, sf_dir), k=SLASHBURN_K, max_rounds=SLASHBURN_ROUNDS
+    )
+    return res.state.select("vertex", "position", "round", "role")
+
+
+def _slashburn_sql(edge_sql: str, k: int, rounds: int) -> str:
+    """DuckDB replay of algorithms.slashburn's capped run: unrolls each
+    hub-slash / component-burn round, then derives positions from the
+    three global region orders (hubs: (round, degree DESC, vertex);
+    residual GCC: vertex; spokes: (round DESC, size DESC, label, vertex)
+    ending at n-1). Each round's reachability closure is a NESTED
+    ``with recursive`` inside its lab CTE — DuckDB 1.0 mis-evaluates
+    plain union CTEs that merely sit in an outer RECURSIVE with-list
+    (observed: a 113k-row join exploding to 1.5e9 rows), so the outer
+    WITH stays non-recursive."""
+    parts = [
+        f"""
+e0 as materialized ({edge_sql}),
+se as materialized (
+  select src, dst from (
+    select src, dst from e0 where src <> dst
+    union select dst, src from e0 where src <> dst
+  )
+),
+cur0 as materialized (select src as v from e0 union select dst as v from e0)"""
+    ]
+    hub_union, spoke_union = [], []
+    for r in range(1, rounds + 1):
+        c = r - 1
+        parts.append(
+            f"""
+ind{r} as materialized (
+  select se.src, se.dst from se
+  join cur{c} a on a.v = se.src join cur{c} b on b.v = se.dst
+),
+deg{r} as materialized (
+  select cur{c}.v, coalesce(d.d, 0) as d
+  from cur{c} left join (select src as v, count(*) as d from ind{r} group by 1) d
+    on d.v = cur{c}.v
+),
+hub{r} as materialized (
+  select v, d from (
+    select v, d, row_number() over (order by d desc, v) as rn from deg{r}
+  ) where rn <= {k}
+),
+rem{r} as materialized (
+  select v from deg{r} where v not in (select v from hub{r})
+),
+er{r} as materialized (
+  select src, dst from ind{r}
+  where src not in (select v from hub{r}) and dst not in (select v from hub{r})
+),
+lab{r} as materialized (
+  select v, min(u) as label from (
+    with recursive reach(v, u) as (
+      select v, v from rem{r}
+      union
+      select t.v, e.dst from reach t join er{r} e on e.src = t.u
+    ) select v, u from reach
+  ) group by v
+),
+siz{r} as materialized (select label, count(*) as size from lab{r} group by label),
+gcc{r} as materialized (
+  select label from siz{r} order by size desc, label limit 1
+),
+spoke{r} as materialized (
+  select l.v, l.label, s.size from lab{r} l join siz{r} s on s.label = l.label
+  where l.label <> (select label from gcc{r})
+),
+cur{r} as materialized (
+  select v from lab{r} where label = (select label from gcc{r})
+)"""
+        )
+        hub_union.append(f"select v, d, {r} as rnd from hub{r}")
+        spoke_union.append(f"select v, label, size, {r} as rnd from spoke{r}")
+    parts.append(
+        f"""
+hubs_all as materialized ({' union all '.join(hub_union)}),
+spokes_all as materialized ({' union all '.join(spoke_union)}),
+nall as (select count(*) as n from cur0),
+nsp as (select count(*) as n from spokes_all),
+nh as (select count(*) as n from hubs_all)"""
+    )
+    return f"""with {','.join(parts)}
+select v as vertex,
+       (row_number() over (order by rnd, d desc, v) - 1)::bigint as position,
+       rnd::bigint as round, 'hub' as role
+from hubs_all
+union all
+select v as vertex,
+       ((select n from nh) + row_number() over (order by v) - 1)::bigint as position,
+       {rounds + 1}::bigint as round, 'gcc' as role
+from cur{rounds}
+union all
+select v as vertex,
+       ((select n from nall) - (select n from nsp)
+        + row_number() over (order by rnd desc, size desc, label, v) - 1)::bigint
+         as position,
+       rnd::bigint as round, 'spoke' as role
+from spokes_all"""
+
+
 def _q_content_invariant(spark, sf_dir):
     """BASELINE.json input_hint row invariant: per-row sha256 of ``content``
     on the (derived) repo table — the engine must never mutate content.
@@ -3054,6 +3174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_sampled": _q_triangles_sampled,
         "dyad_census": _q_dyad_census,
         "triad_census": _q_triad_census,
+        "slashburn": _q_slashburn,
         "powerlaw_alpha": _q_powerlaw_alpha,
         "content_invariant": _q_content_invariant,
         "contract50": _q_contract50,
@@ -5312,6 +5433,7 @@ select (c * 125.0)::double as estimate, c as sampled from t
 """,
         "dyad_census": _dyad_census_sql(G1000_SQL),
         "triad_census": _triad_census_sql(G1000_SQL),
+        "slashburn": _slashburn_sql(GSPARSE_SQL, SLASHBURN_K, SLASHBURN_ROUNDS),
         "powerlaw_alpha": f"""
 with e as ({G1000_SQL}),
 d as (select v, count(*)::bigint as degree

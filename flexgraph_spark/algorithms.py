@@ -4517,3 +4517,173 @@ def triad_census(edges: DataFrame) -> DataFrame:
     oriented.unpersist()
     P.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# SlashBurn hub-removal ordering (Kang & Faloutsos, ICDM 2011)
+# ---------------------------------------------------------------------------
+
+def slashburn(
+    edges: DataFrame,
+    k: int = 2,
+    max_rounds: int = 30,
+    num_partitions: int | None = None,
+    cc_max_iter: int = 100,
+) -> GimvResult:
+    """SlashBurn vertex ordering for power-law graphs (Kang & Faloutsos,
+    ICDM 2011): alternately slash the ``k`` highest-degree hubs to the
+    FRONT of the permutation and burn the resulting non-giant components
+    ("spokes") to the BACK, recursing on the giant connected component.
+    The ordering concentrates nonzeros of the adjacency matrix into a few
+    dense blocks — exactly what the blocked CSR engine's dense/sparse
+    classifier (blocks.py) wants — and ``k * rounds / n`` (the wing-width
+    ratio) measures how hub-compressible the graph is.
+
+    Deterministic conventions (the DuckDB oracle replays them verbatim):
+
+    * hubs: top ``min(k, |cur|)`` of the CURRENT induced subgraph by
+      (degree DESC, vertex ASC); front positions in that order;
+    * components of the remainder: HashMin labels (singletons keep their
+      own id); the giant component is (size DESC, label ASC)-first;
+    * spokes: every non-giant vertex this round; back positions ascending
+      in (component size DESC, label ASC, vertex ASC) order — larger
+      spoke components land nearer the unassigned middle;
+    * if ``max_rounds`` runs out first, the residual giant component takes
+      the remaining middle positions in vertex-ASC order (role 'gcc',
+      round = rounds + 1), so a capped run is still a total permutation
+      and oracle-comparable at any scale factor.
+
+    Per round: one induced-degree aggregate, one CC run on the shrinking
+    remainder (the repo's gated HashMin engine — frontier messaging makes
+    the convergent tail cheap), and one global sort of this round's spokes
+    (positions are a total order; the sort is over the spoke set only,
+    which shrinks geometrically on hub-compressible graphs). Hubs are
+    never collected to the driver — the k-row top-k stays a DataFrame.
+    Self-loops are ignored for degrees/components but their vertices stay
+    in the universe. Returns state = (vertex, position, round, role) with
+    iterations = hub rounds and per-round metrics (changed = vertices
+    assigned, messages_shuffled = spokes burned, edges_scanned = induced
+    edge count entering the round).
+    """
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = (
+        symmetrize(edges.filter(F.col("src") != F.col("dst")).select("src", "dst"))
+        .repartition(p, "src")
+        .persist()
+    )
+    cur = truncate_plan(
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .repartition(p, "vertex")
+    )
+    n = cur.count()
+    f, b = 0, n
+    n_cur = n
+    parts: list[DataFrame] = []
+    metrics: list[IterationMetrics] = []
+    rounds = 0
+    converged = False
+
+    def _assign(df, order_cols, base, round_no, role):
+        w = Window.orderBy(*order_cols)
+        return df.select(
+            "vertex",
+            (F.lit(base) + F.row_number().over(w) - 1).cast("long").alias("position"),
+            F.lit(round_no).cast("long").alias("round"),
+            F.lit(role).alias("role"),
+        )
+
+    while rounds < max_rounds and n_cur > 0:
+        rounds += 1
+        t0 = time.time()
+        ind = (
+            und.join(cur.withColumnRenamed("vertex", "src").hint("shuffle_hash"), "src")
+            .join(cur.withColumnRenamed("vertex", "dst").hint("shuffle_hash"), "dst")
+            .persist()
+        )
+        ind_edges = ind.count()
+        deg = cur.join(
+            ind.groupBy(F.col("src").alias("vertex")).agg(F.count("*").alias("d")),
+            "vertex",
+            "left",
+        ).select("vertex", F.coalesce("d", F.lit(0)).alias("d"))
+        h = min(k, n_cur)
+        hubs = deg.orderBy(F.col("d").desc(), "vertex").limit(h).persist()
+        parts.append(
+            _assign(hubs, [F.col("d").desc(), F.col("vertex")], f, rounds, "hub")
+        )
+        f += h
+        n_rem = n_cur - h
+        if n_rem == 0:
+            metrics.append(
+                IterationMetrics(
+                    iteration=rounds, messages_shuffled=0, changed=h,
+                    edges_scanned=ind_edges, seconds=time.time() - t0,
+                )
+            )
+            ind.unpersist()
+            n_cur = 0
+            converged = True
+            break
+        rem = truncate_plan(
+            cur.join(hubs.select("vertex"), "vertex", "left_anti").repartition(
+                p, "vertex"
+            )
+        )
+        hub_v = hubs.select("vertex")
+        ind2 = ind.join(
+            hub_v.withColumnRenamed("vertex", "src"), "src", "left_anti"
+        ).join(hub_v.withColumnRenamed("vertex", "dst"), "dst", "left_anti")
+        cc = connected_components(ind2, max_iter=cc_max_iter)
+        labels = truncate_plan(
+            rem.join(cc.state, "vertex", "left").select(
+                "vertex",
+                F.coalesce(F.col("value").cast("long"), F.col("vertex")).alias("label"),
+            )
+        )
+        sizes = labels.groupBy("label").agg(F.count("*").alias("size"))
+        top = sizes.orderBy(F.col("size").desc(), "label").limit(1).collect()[0]
+        gcc_label, g = int(top["label"]), int(top["size"])
+        s = n_rem - g
+        if s:
+            spokes = labels.filter(F.col("label") != gcc_label).join(sizes, "label")
+            parts.append(
+                _assign(
+                    spokes,
+                    [F.col("size").desc(), F.col("label"), F.col("vertex")],
+                    b - s,
+                    rounds,
+                    "spoke",
+                )
+            )
+            b -= s
+        metrics.append(
+            IterationMetrics(
+                iteration=rounds, messages_shuffled=s, changed=h + s,
+                edges_scanned=ind_edges, seconds=time.time() - t0,
+            )
+        )
+        old_cur = cur
+        cur = truncate_plan(
+            labels.filter(F.col("label") == gcc_label)
+            .select("vertex")
+            .repartition(p, "vertex")
+        )
+        n_cur = g
+        old_cur.unpersist()
+        hubs.unpersist()
+        ind.unpersist()
+
+    if n_cur > 0:
+        parts.append(_assign(cur, [F.col("vertex")], f, rounds + 1, "gcc"))
+    und.unpersist()
+    state = parts[0]
+    for part in parts[1:]:
+        state = state.unionAll(part)
+    return GimvResult(
+        state=state, iterations=rounds, converged=converged, metrics=metrics
+    )
