@@ -2085,6 +2085,61 @@ select v as vertex,
 from spokes_all"""
 
 
+def _q_oddball(spark, sf_dir):
+    """OddBall EDPL anomaly scores (algorithms.oddball_scores) on the
+    undirected g1000: egonet (n_i, e_i) from the degree-oriented triangle
+    plan, log-log least-squares fit, the paper's max/min-ratio x
+    ln-distance out-of-line score. Oracle replays the identical closed
+    forms; round(score, 6) absorbs summation-order float drift."""
+    out = algorithms.oddball_scores(_graph1000(spark, sf_dir))
+    return out.select("vertex", "n_i", "e_i", F.round("score", 6).alias("score"))
+
+
+_ODDBALL_SQL = f"""
+with e as ({G1000_SQL}),
+und as (
+  select least(src, dst) as a, greatest(src, dst) as b
+  from e where src <> dst group by 1, 2
+),
+deg as (
+  select v, count(*)::bigint as d
+  from (select a as v from und union all select b as v from und) group by v
+),
+tcl as (
+  select e1.a as x, e1.b as y, e2.b as z
+  from und e1
+  join und e2 on e2.a = e1.b
+  join und e3 on e3.a = e1.a and e3.b = e2.b
+),
+tri as (
+  select v, count(*)::bigint as t
+  from (select unnest([x, y, z]) as v from tcl) group by v
+),
+pts as (
+  select deg.v, (d + 1)::bigint as n_i, (d + coalesce(t, 0))::bigint as e_i,
+         ln((d + 1)::double) as x, ln((d + coalesce(t, 0))::double) as y
+  from deg left join tri on tri.v = deg.v
+),
+fit as (
+  select avg(x) as mx, avg(y) as my, avg(x*y) as mxy, avg(x*x) as mxx from pts
+),
+co as (
+  select case when mxx - mx*mx > 0 then (mxy - mx*my) / (mxx - mx*mx)
+              else 0 end as theta, mx, my
+  from fit
+),
+co2 as (select theta, my - theta * mx as lnc from co)
+select v as vertex, n_i, e_i,
+       round(
+         greatest(e_i::double, exp(lnc + theta * x))
+           / least(e_i::double, exp(lnc + theta * x))
+           * ln(abs(e_i::double - exp(lnc + theta * x)) + 1),
+         6
+       ) as score
+from pts cross join co2
+"""
+
+
 def _q_content_invariant(spark, sf_dir):
     """BASELINE.json input_hint row invariant: per-row sha256 of ``content``
     on the (derived) repo table — the engine must never mutate content.
@@ -3175,6 +3230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dyad_census": _q_dyad_census,
         "triad_census": _q_triad_census,
         "slashburn": _q_slashburn,
+        "oddball": _q_oddball,
         "powerlaw_alpha": _q_powerlaw_alpha,
         "content_invariant": _q_content_invariant,
         "contract50": _q_contract50,
@@ -5434,6 +5490,7 @@ select (c * 125.0)::double as estimate, c as sampled from t
         "dyad_census": _dyad_census_sql(G1000_SQL),
         "triad_census": _triad_census_sql(G1000_SQL),
         "slashburn": _slashburn_sql(GSPARSE_SQL, SLASHBURN_K, SLASHBURN_ROUNDS),
+        "oddball": _ODDBALL_SQL,
         "powerlaw_alpha": f"""
 with e as ({G1000_SQL}),
 d as (select v, count(*)::bigint as degree

@@ -4687,3 +4687,65 @@ def slashburn(
     return GimvResult(
         state=state, iterations=rounds, converged=converged, metrics=metrics
     )
+
+
+def oddball_scores(edges: DataFrame) -> DataFrame:
+    """OddBall ego-net anomaly scores (Akoglu, Chau, Kang & Faloutsos,
+    PAKDD 2010 — the PEGASUS-lab anomaly detector): for each vertex the
+    egonet has ``n_i = d(v) + 1`` nodes and ``e_i = d(v) + T(v)`` edges
+    (every edge between two neighbors closes a triangle through v, so the
+    egonet edge count needs no second join — it reads off the
+    degree-oriented triangle plan via :func:`local_clustering`). Fit the
+    Ego-net Density Power Law ``e ≈ C·n^θ`` by least squares in log-log
+    space over all vertices, then score each vertex with the paper's
+    out-of-line measure
+
+        score = max(e, C·n^θ)/min(e, C·n^θ) · ln(|e − C·n^θ| + 1)
+
+    High scores flag near-cliques (θ→2 outliers upward) and near-stars
+    (downward) — link-farm / spam-hub shapes on a hyperlink graph.
+
+    One triangle plan + one 6-aggregate fit row broadcast back over the
+    vertex table: no per-vertex Python, no extra shuffle beyond the
+    triangle plan itself. Degenerate regular graphs (zero variance in
+    log n) fall back to θ = 0, C = geometric-mean(e). Returns
+    (vertex, n_i long, e_i long, score double)."""
+    base = local_clustering(edges).select(
+        "vertex",
+        (F.col("degree") + 1).cast("long").alias("n_i"),
+        (F.col("degree") + F.col("triangles")).cast("long").alias("e_i"),
+    )
+    pts = base.select(
+        "vertex", "n_i", "e_i",
+        F.log(F.col("n_i").cast("double")).alias("x"),
+        F.log(F.col("e_i").cast("double")).alias("y"),
+    )
+    fit = pts.agg(
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+    ).select(
+        F.when(
+            F.col("mxx") - F.col("mx") * F.col("mx") > 0.0,
+            (F.col("mxy") - F.col("mx") * F.col("my"))
+            / (F.col("mxx") - F.col("mx") * F.col("mx")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("theta"),
+        F.col("mx").alias("mx"),
+        F.col("my").alias("my"),
+    ).select(
+        "theta", (F.col("my") - F.col("theta") * F.col("mx")).alias("lnC")
+    )
+    f = F.exp(F.col("lnC") + F.col("theta") * F.col("x"))
+    e = F.col("e_i").cast("double")
+    return pts.crossJoin(F.broadcast(fit)).select(
+        "vertex",
+        "n_i",
+        "e_i",
+        (
+            F.greatest(e, f) / F.least(e, f)
+            * F.log(F.abs(e - f) + F.lit(1.0))
+        ).alias("score"),
+    )

@@ -2114,3 +2114,65 @@ def test_slashburn_improves_block_locality(spark):
     assert ordered < base, (ordered, base)
     # hubs-first: every edge's source or dest lands in the first block row/col
     assert ordered <= 3 * p, (ordered, base)
+
+
+def test_oddball_matches_numpy_and_flags_plants(spark):
+    """oddball_scores ≡ an independent NumPy EDPL fit, and the planted
+    near-clique / star shapes out-score the random background."""
+    import math
+    import random
+    from itertools import combinations
+
+    import numpy as np
+
+    rnd = random.Random(3)
+    el = [(rnd.randrange(60), rnd.randrange(60)) for _ in range(120)]
+    clique = list(range(100, 108))
+    el += list(combinations(clique, 2))          # near-clique anomaly
+    el += [(200, j) for j in range(201, 231)]    # star anomaly (center 200)
+    df = spark.createDataFrame(el, "src long, dst long")
+    got = {
+        r["vertex"]: (r["n_i"], r["e_i"], r["score"])
+        for r in algorithms.oddball_scores(df).collect()
+    }
+
+    und = {tuple(sorted(e)) for e in el if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    feats = {}
+    for v, nb in adj.items():
+        tri = sum(1 for a, b in combinations(sorted(nb), 2) if (a, b) in und)
+        feats[v] = (len(nb) + 1, len(nb) + tri)
+    xs = np.log([feats[v][0] for v in sorted(feats)])
+    ys = np.log([feats[v][1] for v in sorted(feats)])
+    theta = ((xs * ys).mean() - xs.mean() * ys.mean()) / (
+        (xs * xs).mean() - xs.mean() ** 2
+    )
+    lnc = ys.mean() - theta * xs.mean()
+    assert set(got) == set(feats)
+    for v, (n_i, e_i) in feats.items():
+        f = math.exp(lnc + theta * math.log(n_i))
+        want = max(e_i, f) / min(e_i, f) * math.log(abs(e_i - f) + 1)
+        gn, ge, gs = got[v]
+        assert (gn, ge) == (n_i, e_i), v
+        assert abs(gs - want) < 1e-9, (v, gs, want)
+    top = sorted(got, key=lambda v: -got[v][2])[:10]
+    assert 200 in top, "star center not flagged"
+    assert any(v in top for v in clique), "clique members not flagged"
+
+
+def test_oddball_regular_graph_degenerate_fit(spark):
+    """Zero variance in log n (a cycle: every vertex degree 2) must not
+    divide by zero — theta falls back to 0 and scores stay finite."""
+    import math
+
+    n = 12
+    el = [(i, (i + 1) % n) for i in range(n)]
+    df = spark.createDataFrame(el, "src long, dst long")
+    rows = algorithms.oddball_scores(df).collect()
+    assert len(rows) == n
+    for r in rows:
+        assert (r["n_i"], r["e_i"]) == (3, 2)
+        assert math.isfinite(r["score"])
