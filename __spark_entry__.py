@@ -2140,6 +2140,54 @@ from pts cross join co2
 """
 
 
+RMAT_SCALE = 10
+RMAT_EDGES = 5000
+RMAT_A, RMAT_B, RMAT_C = 0.57, 0.19, 0.19
+RMAT_SALT = "rmatgate"
+
+
+def _q_rmat(spark, sf_dir):
+    """Deterministic R-MAT generator (graph.rmat_edges): 5000 raw edges of
+    a 2^10-vertex stochastic-Kronecker graph, every quadrant pick derived
+    from sha_long(salt:eid:level) against exact integer thresholds — a
+    map-only zero-shuffle plan whose output is independent of partitioning
+    and replayed bit-for-bit by the oracle. Ignores sf_dir (the generator
+    IS the input)."""
+    from flexgraph_spark.graph import rmat_edges
+
+    return rmat_edges(
+        spark, scale=RMAT_SCALE, n_edges=RMAT_EDGES,
+        a=RMAT_A, b=RMAT_B, c=RMAT_C, salt=RMAT_SALT,
+    )
+
+
+def _rmat_sql(scale: int, n_edges: int, a: float, b: float, c: float,
+              salt: str) -> str:
+    """DuckDB replay of graph.rmat_edges: the same integer thresholds
+    floor(cum_prob * 2^60) and the same sha_long draws, one case-when sum
+    per vertex-id bit."""
+    two60 = 1 << 60
+    ta, tb, tc = int(a * two60), int((a + b) * two60), int((a + b + c) * two60)
+    src_terms, dst_terms = [], []
+    for lvl in range(scale):
+        h = (
+            f"('0x' || substr(sha256('{salt}:' || eid || ':' || {lvl}), 1, 15))"
+            "::bigint"
+        )
+        bit = 1 << (scale - 1 - lvl)
+        src_terms.append(f"(case when {h} >= {tb} then {bit} else 0 end)")
+        dst_terms.append(
+            f"(case when ({h} >= {ta} and {h} < {tb}) or {h} >= {tc} "
+            f"then {bit} else 0 end)"
+        )
+    return f"""
+select eid,
+       ({' + '.join(src_terms)})::bigint as src,
+       ({' + '.join(dst_terms)})::bigint as dst
+from (select range as eid from range({n_edges}))
+"""
+
+
 def _q_content_invariant(spark, sf_dir):
     """BASELINE.json input_hint row invariant: per-row sha256 of ``content``
     on the (derived) repo table — the engine must never mutate content.
@@ -3231,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triad_census": _q_triad_census,
         "slashburn": _q_slashburn,
         "oddball": _q_oddball,
+        "rmat": _q_rmat,
         "powerlaw_alpha": _q_powerlaw_alpha,
         "content_invariant": _q_content_invariant,
         "contract50": _q_contract50,
@@ -5491,6 +5540,7 @@ select (c * 125.0)::double as estimate, c as sampled from t
         "triad_census": _triad_census_sql(G1000_SQL),
         "slashburn": _slashburn_sql(GSPARSE_SQL, SLASHBURN_K, SLASHBURN_ROUNDS),
         "oddball": _ODDBALL_SQL,
+        "rmat": _rmat_sql(RMAT_SCALE, RMAT_EDGES, RMAT_A, RMAT_B, RMAT_C, RMAT_SALT),
         "powerlaw_alpha": f"""
 with e as ({G1000_SQL}),
 d as (select v, count(*)::bigint as degree

@@ -459,3 +459,74 @@ def graph_stats(edges: DataFrame) -> DataFrame:
         F.round(F.col("_n_recip") / F.col("n_edges"), 6).alias("reciprocity"),
         F.round("_assort", 6).alias("assortativity"),
     )
+
+
+def rmat_edges(
+    spark,
+    scale: int,
+    n_edges: int,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    salt: str = "rmat",
+    drop_self_loops: bool = False,
+    dedup: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic distributed R-MAT / stochastic-Kronecker graph
+    generator (Chakrabarti, Zhan & Faloutsos, SDM 2004 — the power-law
+    generator behind Graph500 and the PEGASUS-lineage benchmarks): each
+    edge recursively picks one of the four adjacency-matrix quadrants
+    with probabilities (a, b, c, d = 1-a-b-c) for ``scale`` levels,
+    yielding a 2^scale-vertex graph with a skewed, community-structured
+    degree distribution.
+
+    Randomness is a pure function of (salt, edge_id, level): the level's
+    60-bit ``sketches.sha_long`` draw is compared against INTEGER
+    thresholds floor(cum_prob * 2^60) precomputed in exact Python — no
+    float comparisons anywhere, so DuckDB replays the generator
+    bit-for-bit and the result is independent of partitioning, executor
+    count, and retries (safe under speculative execution).
+
+    Scale story: ``spark.range(n_edges)`` is an embarrassingly parallel
+    map-only plan — 2 * scale sha256 expressions per row inside one
+    whole-stage-codegen span, zero shuffles, zero driver state — so a
+    10^12-edge benchmark graph generates at aggregate-hash throughput on
+    any cluster size. Raw R-MAT output keeps duplicate edges and self
+    loops (the reproducible-count face); ``dedup`` / ``drop_self_loops``
+    shuffle once on (src, dst) when a simple graph is wanted.
+
+    Returns (eid long, src long, dst long) with vertices in [0, 2^scale).
+    """
+    if not (0 < a and 0 <= b and 0 <= c and a + b + c <= 1):
+        raise ValueError("quadrant probabilities must be a valid distribution")
+    if scale < 1 or scale > 62:
+        raise ValueError("scale must be in [1, 62]")
+    from flexgraph_spark.sketches import sha_long
+
+    two60 = 1 << 60
+    ta = int(a * two60)
+    tb = int((a + b) * two60)
+    tc = int((a + b + c) * two60)
+    df = spark.range(n_edges).select(F.col("id").alias("eid"))
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    src = F.lit(0).cast("long")
+    dst = F.lit(0).cast("long")
+    for lvl in range(scale):
+        h = sha_long(
+            F.concat_ws(":", F.col("eid").cast("string"), F.lit(str(lvl))), salt
+        )
+        bit = 1 << (scale - 1 - lvl)
+        src = src + F.when(h >= tb, F.lit(bit)).otherwise(F.lit(0))
+        dst = dst + F.when(
+            ((h >= ta) & (h < tb)) | (h >= tc), F.lit(bit)
+        ).otherwise(F.lit(0))
+    out = df.select("eid", src.alias("src"), dst.alias("dst"))
+    if drop_self_loops:
+        out = out.filter(F.col("src") != F.col("dst"))
+    if dedup:
+        out = out.groupBy("src", "dst").agg(F.min("eid").alias("eid")).select(
+            "eid", "src", "dst"
+        )
+    return out

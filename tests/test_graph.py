@@ -252,3 +252,44 @@ def test_graph_stats_golden(spark):
     # odeg(src): 1->2, 2->1, 3->1; ideg(dst): 1->1, 2->2, 3->1
     # per-edge (odeg, ideg): (2,2), (1,1), (2,1), (1,2) -> corr = 0
     assert r.assortativity == 0.0
+
+
+# ---------------------------------------------------------------------------
+# R-MAT generator
+# ---------------------------------------------------------------------------
+
+def test_rmat_deterministic_and_skewed(spark):
+    from flexgraph_spark.graph import rmat_edges
+
+    e1 = rmat_edges(spark, scale=8, n_edges=2000, salt="t").collect()
+    e2 = rmat_edges(spark, scale=8, n_edges=2000, salt="t", num_partitions=7).collect()
+    assert sorted(map(tuple, e1)) == sorted(map(tuple, e2)), "partitioning leaked in"
+    assert len(e1) == 2000
+    assert all(0 <= r["src"] < 256 and 0 <= r["dst"] < 256 for r in e1)
+    # default (a=0.57) R-MAT is hub-skewed: max out-degree >> fair share
+    from collections import Counter
+    odeg = Counter(r["src"] for r in e1)
+    assert max(odeg.values()) > 5 * (2000 / 256)
+    # different salt -> different graph
+    e3 = rmat_edges(spark, scale=8, n_edges=2000, salt="u").collect()
+    assert sorted(map(tuple, e1)) != sorted(map(tuple, e3))
+
+
+def test_rmat_flags(spark):
+    from flexgraph_spark.graph import rmat_edges
+
+    raw = rmat_edges(spark, scale=6, n_edges=1500, salt="f")
+    simple = rmat_edges(
+        spark, scale=6, n_edges=1500, salt="f", drop_self_loops=True, dedup=True
+    )
+    rows = simple.collect()
+    pairs = [(r["src"], r["dst"]) for r in rows]
+    assert len(pairs) == len(set(pairs)), "dedup failed"
+    assert all(s != d for s, d in pairs)
+    # dedup keeps the LOWEST eid of each duplicate group
+    first = {}
+    for r in sorted(raw.collect(), key=lambda r: r["eid"]):
+        first.setdefault((r["src"], r["dst"]), r["eid"])
+    want = {(s, d): e for (s, d), e in first.items() if s != d}
+    got = {(r["src"], r["dst"]): r["eid"] for r in rows}
+    assert got == want
