@@ -2188,6 +2188,59 @@ from (select range as eid from range({n_edges}))
 """
 
 
+EFF_RADIUS_H = 4
+
+
+def _q_eff_radius(spark, sf_dir):
+    """EXACT per-vertex effective radius (PEGASUS HADI radius, integer
+    9/10 ratio test — no float anywhere) on directed g1000, h <= 4
+    (algorithms.effective_radius_exact). This is the oracle face; the
+    scale path is hadi(with_radius=True) (O(V) HLL state), whose radius
+    agrees on exact-regime graphs in pytest."""
+    return algorithms.effective_radius_exact(
+        _graph1000(spark, sf_dir), max_h=EFF_RADIUS_H
+    )
+
+
+def _q_radius_plot(spark, sf_dir):
+    """The PEGASUS 'radius plot': histogram of exact effective radii —
+    same computation as eff_radius4, one extra groupBy."""
+    return (
+        algorithms.effective_radius_exact(_graph1000(spark, sf_dir), max_h=EFF_RADIUS_H)
+        .groupBy("eff_radius")
+        .agg(F.count("*").cast("long").alias("n_vertices"))
+    )
+
+
+def _eff_radius_sql(edge_sql: str, max_h: int) -> str:
+    """DuckDB replay of effective_radius_exact: unrolled reachable-pair
+    recurrence (every CTE materialized — DuckDB 1.0 inlines CTEs and the
+    pair recurrence doubles per level otherwise), then the identical
+    integer ratio test."""
+    parts = [
+        f"e as materialized (select distinct src, dst from ({edge_sql}))",
+        "p0 as materialized (select src as v, src as u from e "
+        "union select dst, dst from e)",
+    ]
+    cnt_union = ["select v, 0 as h, count(*) as c from p0 group by v"]
+    for h in range(1, max_h + 1):
+        parts.append(
+            f"p{h} as materialized (select v, u from p{h-1} "
+            f"union select p{h-1}.v, e.dst as u from p{h-1} "
+            f"join e on e.src = p{h-1}.u)"
+        )
+        cnt_union.append(f"select v, {h} as h, count(*) as c from p{h} group by v")
+    parts.append(f"c as materialized ({' union all '.join(cnt_union)})")
+    parts.append(
+        f"f as materialized (select v, count(*) as ch from p{max_h} group by v)"
+    )
+    return f"""with {', '.join(parts)}
+select c.v as vertex, max(f.ch)::bigint as n_reach, min(c.h)::bigint as eff_radius
+from c join f on f.v = c.v
+where 10 * c.c >= 9 * f.ch
+group by c.v"""
+
+
 def _q_content_invariant(spark, sf_dir):
     """BASELINE.json input_hint row invariant: per-row sha256 of ``content``
     on the (derived) repo table — the engine must never mutate content.
@@ -3280,6 +3333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slashburn": _q_slashburn,
         "oddball": _q_oddball,
         "rmat": _q_rmat,
+        "eff_radius4": _q_eff_radius,
+        "radius_plot": _q_radius_plot,
         "powerlaw_alpha": _q_powerlaw_alpha,
         "content_invariant": _q_content_invariant,
         "contract50": _q_contract50,
@@ -5541,6 +5596,12 @@ select (c * 125.0)::double as estimate, c as sampled from t
         "slashburn": _slashburn_sql(GSPARSE_SQL, SLASHBURN_K, SLASHBURN_ROUNDS),
         "oddball": _ODDBALL_SQL,
         "rmat": _rmat_sql(RMAT_SCALE, RMAT_EDGES, RMAT_A, RMAT_B, RMAT_C, RMAT_SALT),
+        "eff_radius4": _eff_radius_sql(G1000_SQL, EFF_RADIUS_H),
+        "radius_plot": (
+            f"with r as ({_eff_radius_sql(G1000_SQL, EFF_RADIUS_H)}) "
+            "select eff_radius, count(*)::bigint as n_vertices "
+            "from r group by eff_radius"
+        ),
         "powerlaw_alpha": f"""
 with e as ({G1000_SQL}),
 d as (select v, count(*)::bigint as degree

@@ -922,6 +922,7 @@ class HadiResult:
     converged: bool
     metrics: list[IterationMetrics] = field(default_factory=list)
     closeness: DataFrame | None = None
+    radius: DataFrame | None = None
 
 
 def hadi(
@@ -931,6 +932,7 @@ def hadi(
     ratio: float = 0.9,
     num_partitions: int | None = None,
     with_closeness: bool = False,
+    with_radius: bool = False,
 ) -> HadiResult:
     """HADI-style effective-diameter estimation (Kang et al., the PEGASUS /
     GIM-V lineage the reference descends from — gim_v's 4th classic
@@ -980,6 +982,13 @@ def hadi(
             F.hll_sketch_estimate("sk").alias("est"),
             F.lit(0.0).alias("harm"),
         )
+    if with_radius:
+        # per-vertex effective radius (the PEGASUS HADI radius plot):
+        # keep the per-h estimate series — O(max_h) doubles per vertex —
+        # and read the smallest qualifying h off the array at the end
+        init = init.withColumn(
+            "ests", F.array(F.hll_sketch_estimate("sk"))
+        )
     state = truncate_plan(init)
     frontier = state
     n_frontier = state.count()
@@ -1025,6 +1034,12 @@ def hadi(
                         / F.lit(float(it))
                     ).alias("harm"),
                 ]
+            if with_radius:
+                cols.append(
+                    F.concat(
+                        F.col("ests"), F.array(F.hll_sketch_estimate(new_sk))
+                    ).alias("ests")
+                )
             new_state = truncate_plan(
                 state.join(msgs.hint("shuffle_hash"), "vertex", "left")
                 .select(*cols)
@@ -1059,6 +1074,30 @@ def hadi(
         closeness = truncate_plan(
             state.select("vertex", F.round("harm", 6).alias("harmonic"))
         )
+    radius = None
+    if with_radius:
+        # integer-scaled ratio test (den*est >= num*last): exact when the
+        # HLL estimates are exact small integers — `est >= 0.9 * last`
+        # would fail at (9, 10) because 0.9*10 rounds up in binary — and
+        # equivalent to est >= ratio*last on fractional estimates at scale
+        from fractions import Fraction
+
+        frac = Fraction(ratio).limit_denominator(10**6)
+        qual = F.transform(
+            F.col("ests"),
+            lambda x, i: F.when(
+                F.lit(frac.denominator) * x
+                >= F.lit(frac.numerator) * F.element_at(F.col("ests"), -1),
+                i,
+            ),
+        )
+        radius = truncate_plan(
+            state.select(
+                "vertex",
+                F.array_min(qual).cast("long").alias("eff_radius"),
+                F.round(F.element_at(F.col("ests"), -1), 4).alias("n_reach_est"),
+            )
+        )
     e.unpersist()
     state.unpersist()
     n_max = series[-1][1]
@@ -1076,6 +1115,7 @@ def hadi(
         converged=converged,
         metrics=metrics,
         closeness=closeness,
+        radius=radius,
     )
 
 
@@ -4749,3 +4789,80 @@ def oddball_scores(edges: DataFrame) -> DataFrame:
             * F.log(F.abs(e - f) + F.lit(1.0))
         ).alias("score"),
     )
+
+
+def effective_radius_exact(
+    edges: DataFrame,
+    max_h: int,
+    ratio_num: int = 9,
+    ratio_den: int = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT per-vertex effective radius (PEGASUS HADI radius semantics,
+    Kang et al.): the smallest h with |N_h(v)| >= ratio * |N_max_h(v)|,
+    where N_h(v) is the set of vertices within OUT-distance h (self
+    included at h = 0). The ratio test runs in INTEGERS —
+    ``ratio_den * cnt_h >= ratio_num * cnt_H`` — so there is no float
+    drift anywhere and the DuckDB oracle replays it exactly.
+
+    Validation-scale face (like :func:`neighborhood_function`, whose
+    pair-set recurrence it shares): materializes reachable PAIRS, which a
+    100 TB graph cannot afford — the scale path is :func:`hadi` with
+    ``with_radius=True`` (O(V) HLL state, same recurrence on sketches).
+    This face exists to oracle-gate that path. Returns
+    (vertex, n_reach long, eff_radius long)."""
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        edges.select(F.col("src").alias("via"), F.col("dst").alias("u"))
+        .distinct()
+        .repartition(p, "via")
+        .persist()
+    )
+    e.count()
+    pairs = truncate_plan(
+        e.select(F.col("via").alias("v"), F.col("via").alias("u"))
+        .union(e.select(F.col("u").alias("v"), F.col("u").alias("u")))
+        .distinct()
+        .repartition(p, "u")
+    )
+    counts = [pairs.groupBy("v").agg(F.count("*").alias("c")).withColumn(
+        "h", F.lit(0)
+    )]
+    # each counts[h] plan references the h-level pair set lazily, so the
+    # intermediate levels stay persisted until the final result is
+    # materialized (unlike neighborhood_function, which counts eagerly)
+    levels = [pairs]
+    for h in range(1, max_h + 1):
+        hop = (
+            pairs.withColumnRenamed("u", "via")
+            .join(e.hint("shuffle_hash"), "via")
+            .select("v", "u")
+        )
+        pairs = truncate_plan(pairs.union(hop).distinct().repartition(p, "u"))
+        levels.append(pairs)
+        counts.append(
+            pairs.groupBy("v").agg(F.count("*").alias("c")).withColumn("h", F.lit(h))
+        )
+    allc = counts[0]
+    for c in counts[1:]:
+        allc = allc.unionAll(c)
+    final = pairs.groupBy("v").agg(F.count("*").alias("cH"))
+    out = (
+        allc.join(final, "v")
+        .filter(F.lit(ratio_den) * F.col("c") >= F.lit(ratio_num) * F.col("cH"))
+        .groupBy("v")
+        .agg(F.min("h").alias("eff_radius"), F.max("cH").alias("n_reach"))
+        .select(
+            F.col("v").alias("vertex"),
+            F.col("n_reach").cast("long").alias("n_reach"),
+            F.col("eff_radius").cast("long").alias("eff_radius"),
+        )
+    )
+    from flexgraph_spark.textops import _materialize
+
+    out = _materialize(out)
+    for lv in levels:
+        lv.unpersist()
+    e.unpersist()
+    return out

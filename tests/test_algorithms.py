@@ -517,7 +517,83 @@ def test_hadi_closeness_matches_exact_small(spark):
 def test_hadi_without_closeness_unchanged(spark):
     res = algorithms.hadi(_edges(spark, [(1, 2), (2, 3)]), max_h=4)
     assert res.closeness is None
+    assert res.radius is None
     assert res.converged
+
+
+def _radius_exact_py(pairs, max_h, ratio_num=9, ratio_den=10):
+    """Python BFS oracle for the PEGASUS effective radius: smallest h with
+    ratio_den * |N_h(v)| >= ratio_num * |N_max_h(v)| (self at h=0)."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    verts = set()
+    for s, d in pairs:
+        verts.update((s, d))
+        if s != d:
+            adj[s].add(d)
+    out = {}
+    for v in sorted(verts):
+        reach = {v}
+        counts = [1]
+        frontier = {v}
+        for _ in range(max_h):
+            frontier = {u for x in frontier for u in adj[x]} - reach
+            reach |= frontier
+            counts.append(len(reach))
+        out[v] = (
+            len(reach),
+            min(
+                h
+                for h, c in enumerate(counts)
+                if ratio_den * c >= ratio_num * counts[-1]
+            ),
+        )
+    return out
+
+
+def test_effective_radius_exact_golden(spark):
+    """Path 1->2->3->4->5 plus a hub 6->{1..5}: hand-checkable radii at
+    the 9/10 ratio, then a random digraph vs the BFS oracle."""
+    import random
+
+    path = [(1, 2), (2, 3), (3, 4), (4, 5), (6, 1), (6, 2), (6, 3), (6, 4), (6, 5)]
+    got = {
+        r.vertex: (r.n_reach, r.eff_radius)
+        for r in algorithms.effective_radius_exact(
+            _edges(spark, path), max_h=6
+        ).collect()
+    }
+    assert got == _radius_exact_py(path, 6)
+    # vertex 5 is a sink: reach {5}, radius 0; vertex 1 reaches all of
+    # 1..5 only at h=4 (9/10 of 5 needs all 5)
+    assert got[5] == (1, 0)
+    assert got[1] == (5, 4)
+    rng = random.Random(11)
+    pairs = list({(rng.randrange(25), rng.randrange(25)) for _ in range(70)})
+    got = {
+        r.vertex: (r.n_reach, r.eff_radius)
+        for r in algorithms.effective_radius_exact(
+            _edges(spark, pairs), max_h=5
+        ).collect()
+    }
+    assert got == _radius_exact_py(pairs, 5)
+
+
+def test_hadi_radius_matches_exact_small(spark):
+    """HLL sketches are exact at tiny cardinalities, so hadi's O(V)-state
+    radius path must reproduce effective_radius_exact bit-for-bit."""
+    import random
+
+    rng = random.Random(7)
+    pairs = list({(rng.randrange(30), rng.randrange(30)) for _ in range(60)})
+    res = algorithms.hadi(_edges(spark, pairs), max_h=8, lg_k=12, with_radius=True)
+    assert res.radius is not None
+    got = {
+        r.vertex: (round(r.n_reach_est), r.eff_radius) for r in res.radius.collect()
+    }
+    want = _radius_exact_py(pairs, 8)
+    assert got == want
 
 
 def test_ktruss_golden(spark):
