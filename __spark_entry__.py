@@ -2241,6 +2241,81 @@ where 10 * c.c >= 9 * f.ch
 group by c.v"""
 
 
+BIP_ITERS = 20
+
+
+def _bip_graph(spark, sf_dir) -> DataFrame:
+    """g1000 (odd cycles ⇒ non-bipartite giant) unioned with the
+    supplier→part incidence graph moved to a disjoint id space (bipartite
+    BY CONSTRUCTION: every edge crosses the supplier/part id ranges) — the
+    result exercises both verdicts in one run."""
+    li = _t(spark, sf_dir, "lineitem")
+    sp = li.select(
+        (F.col("l_suppkey") + 1000000).alias("src"),
+        (F.col("l_partkey") + 2000000).alias("dst"),
+    ).distinct()
+    return _graph1000(spark, sf_dir).union(sp)
+
+
+BIP_GRAPH_SQL = (
+    f"select src, dst from ({G1000_SQL}) "
+    "union select distinct l_suppkey + 1000000 as src, "
+    "l_partkey + 2000000 as dst from lineitem"
+)
+
+
+def _q_bipartite(spark, sf_dir):
+    """Per-component bipartiteness via RootedBFS (CC + BFS distance in one
+    lexicographic-min GIM-V fixpoint) + the odd-edge parity check
+    (algorithms.bipartite_check). max_iter = BIP_ITERS matches the oracle
+    unroll depth — the engine state after k supersteps IS the recurrence
+    at k, converged or not, so equality is cap-independent."""
+    return algorithms.bipartite_check(_bip_graph(spark, sf_dir), max_iter=BIP_ITERS)
+
+
+def _bipartite_sql(edge_sql: str, iters: int) -> str:
+    """DuckDB replay of RootedBFS + parity check: state encoded as ONE
+    int64 ``enc = root·2^20 + dist`` (dist ≤ iters < 2^20), so the
+    lexicographic struct min is a plain MIN(enc) and a message is enc + 1;
+    every CTE materialized (DuckDB 1.0 inlines CTEs — the unrolled
+    recurrence doubles per level otherwise)."""
+    parts = [
+        f"e0 as materialized (select src, dst from ({edge_sql}))",
+        "e as materialized (select src, dst from e0 "
+        "union select dst as src, src as dst from e0)",
+        "s0 as materialized (select v, v * 1048576 as enc from "
+        "(select src as v from e union select dst from e))",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"s{k} as materialized (select v, min(enc) as enc from "
+            f"(select v, enc from s{k-1} union all "
+            f"select e.dst as v, s{k-1}.enc + 1 as enc from s{k-1} "
+            f"join e on e.src = s{k-1}.v) group by v)"
+        )
+    parts.append(
+        f"st as materialized (select v, enc // 1048576 as root, "
+        f"(enc % 1048576) % 2 as par from s{iters})"
+    )
+    parts.append(
+        "ue as materialized (select distinct least(src, dst) as a, "
+        "greatest(src, dst) as b from e0 where src <> dst)"
+    )
+    parts.append(
+        "je as materialized (select sa.root as root, count(*) as n_edges, "
+        "sum(case when sa.par = sb.par then 1 else 0 end) as odd_edges "
+        "from ue join st sa on sa.v = ue.a join st sb on sb.v = ue.b "
+        "group by sa.root)"
+    )
+    return f"""with {', '.join(parts)}
+select nv.root::bigint as root, nv.n_vertices::bigint as n_vertices,
+  coalesce(je.n_edges, 0)::bigint as n_edges,
+  coalesce(je.odd_edges, 0)::bigint as odd_edges,
+  (coalesce(je.odd_edges, 0) = 0)::int as is_bipartite
+from (select root, count(*) as n_vertices from st group by root) nv
+left join je on je.root = nv.root"""
+
+
 def _q_content_invariant(spark, sf_dir):
     """BASELINE.json input_hint row invariant: per-row sha256 of ``content``
     on the (derived) repo table — the engine must never mutate content.
@@ -3335,6 +3410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rmat": _q_rmat,
         "eff_radius4": _q_eff_radius,
         "radius_plot": _q_radius_plot,
+        "bipartite": _q_bipartite,
         "powerlaw_alpha": _q_powerlaw_alpha,
         "content_invariant": _q_content_invariant,
         "contract50": _q_contract50,
@@ -5597,6 +5673,7 @@ select (c * 125.0)::double as estimate, c as sampled from t
         "oddball": _ODDBALL_SQL,
         "rmat": _rmat_sql(RMAT_SCALE, RMAT_EDGES, RMAT_A, RMAT_B, RMAT_C, RMAT_SALT),
         "eff_radius4": _eff_radius_sql(G1000_SQL, EFF_RADIUS_H),
+        "bipartite": _bipartite_sql(BIP_GRAPH_SQL, BIP_ITERS),
         "radius_plot": (
             f"with r as ({_eff_radius_sql(G1000_SQL, EFF_RADIUS_H)}) "
             "select eff_radius, count(*)::bigint as n_vertices "

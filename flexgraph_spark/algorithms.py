@@ -4866,3 +4866,70 @@ def effective_radius_exact(
         lv.unpersist()
     e.unpersist()
     return out
+
+
+def bipartite_check(
+    edges: DataFrame,
+    max_iter: int = 50,
+    num_partitions: int | None = None,
+    **kw,
+) -> DataFrame:
+    """Per-component bipartiteness (odd-cycle detection): run
+    :class:`flexgraph_spark.gimv.RootedBFS` on the symmetrized graph —
+    one CC-cost GIM-V fixpoint yields (component root, BFS distance) per
+    vertex — then a component is bipartite iff NO undirected edge joins
+    two vertices of equal distance parity (BFS layering theorem). The
+    check is one join of the distinct undirected edge set against the
+    state plus one per-root aggregate; everything is integer, so the SQL
+    oracle replays the encoded recurrence bit-for-bit.
+
+    The direction expansion is forced (bipartiteness is a property of the
+    underlying undirected graph); weights are dropped. Returns one row per
+    component: (root, n_vertices, n_edges, odd_edges, is_bipartite int).
+    """
+    und = symmetrize(edges.select("src", "dst"))
+    res = gimv.run(
+        und,
+        gimv.RootedBFS(),
+        max_iter=max_iter,
+        num_partitions=num_partitions,
+        **kw,
+    )
+    st = res.state.select(
+        "vertex",
+        F.col("value").getField("root").alias("root"),
+        (F.col("value").getField("dist") % 2).alias("par"),
+    )
+    ue = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    j = (
+        ue.join(
+            st.select(
+                F.col("vertex").alias("a"),
+                F.col("root").alias("root"),
+                F.col("par").alias("pa"),
+            ),
+            "a",
+        )
+        .join(
+            st.select(F.col("vertex").alias("b"), F.col("par").alias("pb")), "b"
+        )
+        .groupBy("root")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.sum((F.col("pa") == F.col("pb")).cast("long")).alias("odd_edges"),
+        )
+    )
+    nv = st.groupBy("root").agg(F.count("*").alias("n_vertices"))
+    return nv.join(j, "root", "left").select(
+        F.col("root").cast("long").alias("root"),
+        F.col("n_vertices").cast("long").alias("n_vertices"),
+        F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+        F.coalesce("odd_edges", F.lit(0)).cast("long").alias("odd_edges"),
+        (F.coalesce("odd_edges", F.lit(0)) == 0).cast("int").alias("is_bipartite"),
+    )

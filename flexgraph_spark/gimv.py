@@ -1226,6 +1226,57 @@ class SSSPTree(VertexProgram):
         return new < old
 
 
+class RootedBFS(VertexProgram):
+    """CC *with BFS distance*: state value = ``struct(root, dist)`` under
+    the lexicographic min semi-ring —
+
+      combine2    = struct(root(u), dist(u) + 1)
+      combineAll  = min(struct)   — smallest root, ties → smallest dist
+      apply       = least(old, msg)
+
+    which converges to (component min id, shortest unweighted distance
+    from that root) on symmetrized edges: HashMin CC
+    (`pegasus ConnectedComponent` lineage, like :class:`ConnectedComponents`)
+    fused with a unit-weight Bellman–Ford in ONE program, at the same
+    per-superstep cost as CC alone. All-integer state, so SQL replays it
+    exactly (encode root·2^20 + dist: a message is just enc + 1). Feeds
+    :func:`flexgraph_spark.algorithms.bipartite_check` (dist parity) and
+    any per-component BFS layering. Monotone decreasing structs ⇒
+    convergence vote and frontier/delta messaging exact. Flat plan only
+    (struct-valued state)."""
+
+    name = "rooted_bfs"
+    weighted = False
+    supports_blocked = False
+    delta_messaging = True
+
+    def init_state(self, vertices, n):
+        return vertices.select(
+            "vertex",
+            F.struct(
+                F.col("vertex").alias("root"),
+                F.lit(0).cast("long").alias("dist"),
+            ).alias("value"),
+        )
+
+    def message(self):
+        return F.struct(
+            F.col("value").getField("root").alias("root"),
+            (F.col("value").getField("dist") + F.lit(1).cast("long")).alias(
+                "dist"
+            ),
+        )
+
+    def reduce_expr(self):
+        return F.min("msg")
+
+    def apply(self, old, msg, n):
+        return F.least(old, F.coalesce(msg, old))
+
+    def changed(self, old, new):
+        return new < old
+
+
 class BatchSSSP(VertexProgram):
     """Multi-source shortest paths (landmark distances): the state value
     is an array<double> of k distances — one min-plus column per landmark

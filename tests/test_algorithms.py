@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from flexgraph_spark import algorithms
+from flexgraph_spark import algorithms, gimv
 
 
 def _edges(spark, pairs):
@@ -2252,3 +2252,81 @@ def test_oddball_regular_graph_degenerate_fit(spark):
     for r in rows:
         assert (r["n_i"], r["e_i"]) == (3, 2)
         assert math.isfinite(r["score"])
+
+
+def test_bipartite_check_golden(spark):
+    """Even cycle -> bipartite, odd cycle -> one odd edge, path ->
+    bipartite, K4 -> non-bipartite; verdicts and all counts exact."""
+    e = _edges(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (4, 1),          # C4 (bipartite)
+         (10, 11), (11, 12), (12, 10),            # C3 (odd)
+         (20, 21),                                # edge (bipartite)
+         (30, 31), (30, 32), (30, 33), (31, 32), (31, 33), (32, 33)],  # K4
+    )
+    got = {
+        r.root: (r.n_vertices, r.n_edges, r.odd_edges, r.is_bipartite)
+        for r in algorithms.bipartite_check(e, max_iter=20).collect()
+    }
+    # K4 BFS from 30: dist 30=0, 31/32/33=1; same-parity edges are the
+    # three among the level-1 set: (31,32), (31,33), (32,33)
+    assert got == {
+        1: (4, 4, 0, 1),
+        10: (3, 3, 1, 0),
+        20: (2, 1, 0, 1),
+        30: (4, 6, 3, 0),
+    }
+
+
+def test_bipartite_check_k4_odd_edges(spark):
+    k4 = [(30, 31), (30, 32), (30, 33), (31, 32), (31, 33), (32, 33)]
+    row = algorithms.bipartite_check(_edges(spark, k4), max_iter=20).collect()[0]
+    assert (row.root, row.n_vertices, row.n_edges, row.is_bipartite) == (30, 4, 6, 0)
+    assert row.odd_edges == 3  # the three level-1/level-1 edges of K4
+
+
+def test_rooted_bfs_distances(spark):
+    """RootedBFS state = (component min id, true BFS distance from it) —
+    vs a Python BFS on a random digraph's symmetrization."""
+    import collections
+    import random
+
+    rng = random.Random(13)
+    pairs = list({(rng.randrange(40), rng.randrange(40)) for _ in range(55)})
+    res = gimv.run(
+        algorithms.symmetrize(_edges(spark, pairs)), gimv.RootedBFS(), max_iter=60
+    )
+    assert res.converged
+    got = {
+        r.vertex: (r.value.root, r.value.dist) for r in res.state.collect()
+    }
+    adj = collections.defaultdict(set)
+    verts = set()
+    for s, d in pairs:
+        verts.update((s, d))
+        adj[s].add(d)
+        adj[d].add(s)
+    # python oracle: component min roots, then BFS dist from each root
+    want = {}
+    seen = set()
+    for v in sorted(verts):
+        if v in seen:
+            continue
+        comp = {v}
+        q = [v]
+        while q:
+            q = [u for x in q for u in adj[x] if u not in comp]
+            comp.update(q)
+        root = min(comp)
+        dist = {root: 0}
+        q = [root]
+        d = 0
+        while q:
+            d += 1
+            q = [u for x in q for u in adj[x] if u not in dist]
+            for u in q:
+                dist[u] = d
+        for u in comp:
+            want[u] = (root, dist[u])
+        seen |= comp
+    assert got == want
