@@ -2316,6 +2316,55 @@ from (select root, count(*) as n_vertices from st group by root) nv
 left join je on je.root = nv.root"""
 
 
+_HTML_PRE = (
+    '<html><head><title>Doc</title><script type="text/javascript">var x = 1 < 2;'
+    "</script><style>.a{color:red}</style></head><body><!-- nav --><h1 id=\"t\">"
+)
+_HTML_MID = "</h1><p>"
+_HTML_POST = (
+    '</p><div class="footer">&copy; 2026 &amp; Co. &lt;contact&gt;</div>'
+    "</body></html>"
+)
+
+
+def _q_html_extract(spark, sf_dir):
+    """Crawl-cleaning gate: wrap every document in a deterministic HTML
+    shell (script/style/comment noise, block tags, the entity set), strip
+    it with textops.html_extract, and value-gate length + sha256 of the
+    recovered text against the DuckDB replay of the identical regex
+    chain. Map-only — zero shuffles at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_PRE),
+        F.lit("Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_MID),
+        F.col("text"),
+        F.lit(_HTML_POST),
+    )
+    out = textops.html_extract(d.select("doc_id", html.alias("html")))
+    return out.select(
+        "doc_id",
+        F.length("clean_text").cast("long").alias("n_clean_chars"),
+        F.sha2(F.col("clean_text"), 256).alias("clean_sha"),
+    )
+
+
+def _html_extract_sql() -> str:
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    html = (
+        f"'{q(_HTML_PRE)}' || 'Doc ' || doc_id::varchar || '{q(_HTML_MID)}' "
+        f"|| text || '{q(_HTML_POST)}'"
+    )
+    clean = textops.html_extract_sql(html)
+    return (
+        f"select doc_id, length({clean})::bigint as n_clean_chars, "
+        f"sha256({clean}) as clean_sha from documents"
+    )
+
+
 def _q_content_invariant(spark, sf_dir):
     """BASELINE.json input_hint row invariant: per-row sha256 of ``content``
     on the (derived) repo table — the engine must never mutate content.
@@ -3411,6 +3460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eff_radius4": _q_eff_radius,
         "radius_plot": _q_radius_plot,
         "bipartite": _q_bipartite,
+        "html_extract": _q_html_extract,
         "powerlaw_alpha": _q_powerlaw_alpha,
         "content_invariant": _q_content_invariant,
         "contract50": _q_contract50,
@@ -5674,6 +5724,7 @@ select (c * 125.0)::double as estimate, c as sampled from t
         "rmat": _rmat_sql(RMAT_SCALE, RMAT_EDGES, RMAT_A, RMAT_B, RMAT_C, RMAT_SALT),
         "eff_radius4": _eff_radius_sql(G1000_SQL, EFF_RADIUS_H),
         "bipartite": _bipartite_sql(BIP_GRAPH_SQL, BIP_ITERS),
+        "html_extract": _html_extract_sql(),
         "radius_plot": (
             f"with r as ({_eff_radius_sql(G1000_SQL, EFF_RADIUS_H)}) "
             "select eff_radius, count(*)::bigint as n_vertices "

@@ -1759,3 +1759,71 @@ def tfidf_top_terms(
         .select("doc_id", "term", F.col("tf").cast("long").alias("tf"), "tfidf",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate extraction (crawl -> text, the step before every other
+# operator in this module when the corpus is a web crawl)
+
+# fixed entity set, unescaped in THIS order (&amp; last, or already-unescaped
+# ampersands would double-expand); each entity is regex-safe as a literal
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&copy;", "©"),
+    ("&amp;", "&"),
+]
+
+
+def html_extract(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Deterministic regex HTML-to-text: drop <script>/<style> blocks and
+    comments, turn block-level tags into breaks, strip remaining tags,
+    unescape the fixed entity set, collapse whitespace. Map-only column
+    expressions — one whole-stage-codegen span, zero shuffles, so a 100 TB
+    crawl cleans at scan throughput.
+
+    Every pattern is RE2-compatible (NO backreferences — script and style
+    need separate patterns) so the DuckDB oracle replays the identical
+    chain; the operator is value-gated end to end rather than spot-tested.
+    A real crawl pipeline would swap in trafilatura-grade extraction per
+    partition; this is the declarative, oracle-checkable core (tag/entity
+    semantics), not a DOM parser.
+
+    Returns the input columns minus ``html_col`` plus ``clean_text``.
+    """
+    c = F.col(html_col)
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(
+        c, r"(?i)</?(br|p|div|h[1-6]|li|tr|td|th|table|ul|ol|blockquote)\b[^>]*>",
+        "\n",
+    )
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        c = F.regexp_replace(c, ent, ch)
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    keep = [col for col in df.columns if col != html_col]
+    return df.select(*keep, c.alias("clean_text"))
+
+
+def html_extract_sql(html_expr: str) -> str:
+    """The DuckDB expression replaying :func:`html_extract` on
+    ``html_expr`` — kept NEXT TO the Spark chain so the two stay in
+    lockstep."""
+    c = html_expr
+    c = rf"regexp_replace({c}, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g')"
+    c = rf"regexp_replace({c}, '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g')"
+    c = rf"regexp_replace({c}, '(?s)<!--.*?-->', ' ', 'g')"
+    c = (
+        rf"regexp_replace({c}, '(?i)</?(br|p|div|h[1-6]|li|tr|td|th|table"
+        rf"|ul|ol|blockquote)\b[^>]*>', chr(10), 'g')"
+    )
+    c = rf"regexp_replace({c}, '<[^>]*>', ' ', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        c = f"regexp_replace({c}, '{ent}', '{lit}', 'g')"
+    return rf"trim(regexp_replace({c}, '\s+', ' ', 'g'))"

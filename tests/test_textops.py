@@ -790,3 +790,50 @@ def test_blocklist_stats_whole_token_case_insensitive(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         blocklist_stats(df, [])
+
+
+def test_html_extract_golden(spark):
+    """Hand-written HTML -> expected text: script/style/comment removal,
+    block-tag breaks, inline tags to spaces, entity unescape, whitespace
+    collapse."""
+    html = (
+        '<html><head><SCRIPT src="x.js">if (a < b) { alert("hi"); }</script>'
+        "<style>p { color: red }</style></head><body>"
+        "<!-- boilerplate\nnav -->"
+        "<h1 class='t'>Title</h1><p>Hello <b>world</b>,&nbsp;it&#39;s"
+        " 1 &lt; 2 &amp;&amp; 3 &gt; 2.</p>"
+        "<ul><li>one</li><li>two</li></ul>"
+        '<div class="footer">&copy; 2026 Example &quot;Co.&quot;</div>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    out = textops.html_extract(df).collect()[0]
+    assert out.clean_text == (
+        "Title Hello world , it's 1 < 2 && 3 > 2. one two "
+        '© 2026 Example "Co."'
+    )
+    # column contract: html dropped, other columns kept
+    assert set(textops.html_extract(df).columns) == {"doc_id", "clean_text"}
+
+
+def test_html_extract_sql_twin_matches(spark):
+    """The DuckDB replay chain (html_extract_sql) produces the identical
+    clean_text — the lockstep contract behind the html_extract gate."""
+    import duckdb
+
+    rows = [
+        (1, "<p>a&amp;b</p><script>no</script> tail"),
+        (2, "plain, no markup at all"),
+        (3, "<div>x</div><style a=b>.x{}</style><em>y</em>&nbsp;&lt;z&gt;"),
+        (4, "<br/>line<BR>break<table><tr><td>cell</td></tr></table>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        r.doc_id: r.clean_text for r in textops.html_extract(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute("create table t(doc_id bigint, html varchar)")
+    con.executemany("insert into t values (?, ?)", rows)
+    expr = textops.html_extract_sql("html")
+    want = dict(con.sql(f"select doc_id, {expr} from t").fetchall())
+    assert got == want
