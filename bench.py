@@ -362,6 +362,27 @@ def main() -> None:
         "repetition_quality_scan",
         lambda: textops.quality_filter(docs).count(),
     )
+
+    def run_html_scan():
+        wrapped = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit('<html><body><script>var x=1;</script><p>'),
+                F.col("text"),
+                F.lit("</p><div>&amp; tail</div></body></html>"),
+            ).alias("html"),
+        )
+        return (
+            textops.html_extract(wrapped)
+            .agg(F.sum(F.length("clean_text")))
+            .first()
+        )
+
+    timed("html_extract_scan", run_html_scan)
+    timed(
+        "bipartite_converged",
+        lambda: algorithms.bipartite_check(g5000, num_partitions=gp).count(),
+    )
     timed(
         "chunk_docs_scan",
         lambda: textops.chunk_documents(docs)
