@@ -2365,6 +2365,94 @@ def _html_extract_sql() -> str:
     )
 
 
+BPE_MERGES = 8
+
+
+def _q_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge learning (Sennrich, ACL 2016) on the corpus
+    word-count table (corpus.bpe_learn): the learned merge list
+    (round, a, b, pair_count) — deterministic tie-break (count desc,
+    then (a, b) lexicographic), so DuckDB replays all 8 rounds including
+    the per-round argmax. The corpus collapses to a vocabulary-sized
+    table before round 1, which is what makes this 100 TB-shaped."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.bpe_learn(docs, n_merges=BPE_MERGES).merges_df
+
+
+def _q_bpe_vocab(spark, sf_dir):
+    """The final per-word segmentation after BPE_MERGES rounds — the
+    encoder table for every in-vocabulary word; arrays joined to strings
+    for the value hash."""
+    docs = _t(spark, sf_dir, "documents")
+    res = corpus.bpe_learn(docs, n_merges=BPE_MERGES)
+    return res.vocab.select(
+        "word", F.array_join("syms", " ").alias("seg"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+_BPE_ROUND_SQL = """
+pr{r} as materialized (
+  select p['a'] as a, p['b'] as b, sum(cnt) as n from (
+    select cnt, unnest(list_transform(generate_series(1, len(syms)-1),
+           i -> {{'a': syms[i], 'b': syms[i+1]}})) as p
+    from t{p} where len(syms) >= 2) group by 1, 2),
+b{r} as materialized (select a, b, n from pr{r} order by n desc, a, b limit 1),
+e{r} as materialized (
+  select word, cnt, i as pos, syms[i] as s,
+         case when i < len(syms) then syms[i+1] end as nxt
+  from t{p}, unnest(generate_series(1, len(syms))) as g(i)),
+m{r} as materialized (
+  select e.*, (e.s = b.a and e.nxt = b.b) as mt from e{r} e cross join b{r} b),
+r{r} as materialized (
+  select *, case when mt then pos - row_number() over
+      (partition by word, mt order by pos) end as runid
+  from m{r}),
+f{r} as materialized (
+  select *, coalesce(mt, false)
+    and ((pos - min(pos) over (partition by word, runid)) % 2 = 0) as merged
+  from r{r}),
+g{r} as materialized (
+  select *, coalesce(lag(merged) over (partition by word order by pos), false) as skip
+  from f{r}),
+t{r} as materialized (
+  select word, any_value(cnt) as cnt, list(tok order by pos) as syms
+  from (select g.word, g.cnt, g.pos,
+               case when g.merged then b.a || b.b
+                    when g.skip then null else g.s end as tok
+        from g{r} g cross join b{r} b)
+  where tok is not null group by word)"""
+
+
+def _bpe_prefix_sql(n_merges: int) -> str:
+    parts = [
+        "w as materialized (select word, count(*)::bigint as cnt from "
+        r"(select unnest(regexp_split_to_array(lower(text), '\s+')) as word "
+        "from documents) where word <> '' group by word)",
+        "t0 as materialized (select word, cnt, "
+        "string_split(word, '') || ['</w>'] as syms from w)",
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(_BPE_ROUND_SQL.format(r=r, p=r - 1).strip())
+    return ", ".join(parts)
+
+
+def _bpe_merges_sql(n_merges: int) -> str:
+    rows = " union all ".join(
+        f"select {r}::int as round, a, b, n::bigint as n from b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"with {_bpe_prefix_sql(n_merges)}\n{rows}"
+
+
+def _bpe_vocab_sql(n_merges: int) -> str:
+    return (
+        f"with {_bpe_prefix_sql(n_merges)}\n"
+        f"select word, array_to_string(syms, ' ') as seg, cnt::bigint as cnt "
+        f"from t{n_merges}"
+    )
+
+
 def _q_content_invariant(spark, sf_dir):
     """BASELINE.json input_hint row invariant: per-row sha256 of ``content``
     on the (derived) repo table — the engine must never mutate content.
@@ -3461,6 +3549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_plot": _q_radius_plot,
         "bipartite": _q_bipartite,
         "html_extract": _q_html_extract,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_vocab": _q_bpe_vocab,
         "powerlaw_alpha": _q_powerlaw_alpha,
         "content_invariant": _q_content_invariant,
         "contract50": _q_contract50,
@@ -5725,6 +5815,8 @@ select (c * 125.0)::double as estimate, c as sampled from t
         "eff_radius4": _eff_radius_sql(G1000_SQL, EFF_RADIUS_H),
         "bipartite": _bipartite_sql(BIP_GRAPH_SQL, BIP_ITERS),
         "html_extract": _html_extract_sql(),
+        "bpe_merges": _bpe_merges_sql(BPE_MERGES),
+        "bpe_vocab": _bpe_vocab_sql(BPE_MERGES),
         "radius_plot": (
             f"with r as ({_eff_radius_sql(G1000_SQL, EFF_RADIUS_H)}) "
             "select eff_radius, count(*)::bigint as n_vertices "

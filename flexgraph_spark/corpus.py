@@ -772,3 +772,181 @@ def dsir_sample(
         .limit(int(k))
         .drop("_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al., ACL 2016) — distributed
+# ---------------------------------------------------------------------------
+
+BPE_EOW = "</w>"
+
+
+def bpe_word_counts(
+    df: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """(word, cnt) over whitespace-split tokens — THE corpus-size reduction
+    step of distributed BPE: one count shuffle collapses a 100 TB corpus
+    to a vocabulary-sized table, and every merge round after it touches
+    only that table (Sennrich's own dictionary trick, made relational)."""
+    w = F.col(text_col)
+    if lowercase:
+        w = F.lower(w)
+    return (
+        df.select(F.explode(F.split(w, r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _bpe_apply_merge(symtab: DataFrame, a: str, b: str) -> DataFrame:
+    """One greedy left-to-right non-overlapping merge of the adjacent
+    symbol pair (a, b), relationally: a position matches when it starts
+    the pair; runs of CONSECUTIVE matches (only possible when a == b)
+    merge at even offsets from the run start (the pigeonhole of
+    greedy scanning); a position immediately after a merged one is
+    consumed. Windows partition by word — the table is vocabulary-sized,
+    so the per-word sort is over <= ~20 symbols."""
+    from pyspark.sql import Window
+
+    wspec = Window.partitionBy("word").orderBy("pos")
+    runw = Window.partitionBy("word", "runid")
+    ex = (
+        symtab.select("word", "cnt", F.posexplode("syms").alias("pos", "s"))
+        .withColumn("nxt", F.lead("s").over(wspec))
+        .withColumn("mt", (F.col("s") == a) & (F.col("nxt") == b))
+        .withColumn(
+            "runid",
+            F.when(
+                F.col("mt"),
+                F.col("pos")
+                - F.row_number().over(
+                    Window.partitionBy("word", "mt").orderBy("pos")
+                ),
+            ),
+        )
+        .withColumn(
+            "merged",
+            F.col("mt")
+            & ((F.col("pos") - F.min("pos").over(runw)) % 2 == 0),
+        )
+        .withColumn(
+            "skip", F.coalesce(F.lag("merged").over(wspec), F.lit(False))
+        )
+        .withColumn(
+            "tok",
+            F.when(F.col("merged"), F.lit(a + b))
+            .when(F.col("skip"), F.lit(None))
+            .otherwise(F.col("s")),
+        )
+        .filter(F.col("tok").isNotNull())
+    )
+    return ex.groupBy("word").agg(
+        F.first("cnt").alias("cnt"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+            lambda st: st.getField("tok"),
+        ).alias("syms"),
+    )
+
+
+def bpe_learn(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    lowercase: bool = True,
+    eow: str = BPE_EOW,
+    min_count: int = 1,
+    num_partitions: int | None = None,
+) -> "BpeResult":
+    """Distributed BPE merge learning. Each round: count adjacent symbol
+    pairs over the (word, cnt, syms) table (overlaps counted, Sennrich
+    get_stats semantics), pick the best pair DETERMINISTICALLY
+    (count desc, then (a, b) lexicographic — the reference implementation's
+    dict-order tie-break is nondeterministic; this one is replayable), and
+    apply it greedily left-to-right (:func:`_bpe_apply_merge`). The driver
+    loop collects ONE row per round (the argmax) — the data never leaves
+    the cluster, and every round is two vocabulary-sized shuffles.
+
+    Stops early when no pair reaches ``min_count``. Returns merges as
+    [(round, a, b, n)], the merge table as a DataFrame, and the final
+    per-word segmentation (the encoder for every in-vocabulary word)."""
+    from flexgraph_spark.gimv import truncate_plan
+
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    words = bpe_word_counts(df, text_col, lowercase)
+    symtab = truncate_plan(
+        words.select(
+            "word",
+            "cnt",
+            F.concat(F.split("word", ""), F.array(F.lit(eow))).alias("syms"),
+        ).repartition(p, "word")
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        pair_idx = F.when(
+            F.size("syms") >= 2, F.sequence(F.lit(1), F.size("syms") - 1)
+        ).otherwise(F.array())  # sequence(1, 0) would run DESCENDING
+        pairs = symtab.select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("a"),
+                        F.element_at("syms", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .first()
+        )
+        if best is None or best.n < min_count:
+            break
+        merges.append((r, best.a, best.b, int(best.n)))
+        new = truncate_plan(
+            _bpe_apply_merge(symtab, best.a, best.b).repartition(p, "word")
+        )
+        symtab.unpersist()
+        symtab = new
+    merges_df = spark.createDataFrame(
+        merges or [], "round int, a string, b string, n long"
+    )
+    return BpeResult(merges=merges, merges_df=merges_df, vocab=symtab)
+
+
+def bpe_apply(
+    words: DataFrame,
+    merges: list[tuple[int, str, str, int]] | list[tuple[str, str]],
+    word_col: str = "word",
+    eow: str = BPE_EOW,
+) -> DataFrame:
+    """Encode arbitrary (possibly out-of-vocabulary) words with a LEARNED
+    merge list: replay every merge in order with the same greedy
+    application — the BPE encoder as a DataFrame plan. For in-vocabulary
+    words this reproduces ``bpe_learn(...).vocab`` exactly
+    (pytest-pinned). Returns (word, syms array<string>)."""
+    base = words.select(
+        F.col(word_col).alias("word"),
+        F.lit(1).cast("long").alias("cnt"),
+        F.concat(F.split(word_col, ""), F.array(F.lit(eow))).alias("syms"),
+    )
+    for m in merges:
+        a, b = (m[1], m[2]) if len(m) >= 3 else (m[0], m[1])
+        base = _bpe_apply_merge(base, a, b)
+    return base.select("word", "syms")
+
+
+class BpeResult:
+    """bpe_learn output: merges [(round, a, b, pair_count)], the same as a
+    DataFrame, and the final per-word segmentation table."""
+
+    def __init__(self, merges, merges_df: DataFrame, vocab: DataFrame):
+        self.merges = merges
+        self.merges_df = merges_df
+        self.vocab = vocab

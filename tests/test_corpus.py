@@ -402,3 +402,90 @@ def test_deterministic_sample_exact_sizes_and_stability(spark):
     )
     assert a == b
     assert sorted(r.pick for r in out.filter(F.col("lang") == "en").collect()) == [1, 2, 3, 4, 5]
+
+
+def _ref_bpe(texts, k):
+    """Reference BPE (Sennrich get_stats/merge loop) with the repo's
+    deterministic tie-break: count desc, then (a, b) lexicographic."""
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.lower().split())
+    vocab = {w: tuple(list(w) + ["</w>"]) for w in wc}
+    merges = []
+    for r in range(1, k + 1):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        (a, b), n = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        merges.append((r, a, b, n))
+        nv = {}
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[w] = tuple(out)
+        vocab = nv
+    return merges, vocab
+
+
+def test_bpe_learn_matches_reference(spark):
+    """Merge list AND final segmentation reproduce the sequential
+    reference exactly — including greedy non-overlap on symbol runs
+    (aaaaa) and the deterministic tie-break."""
+    texts = [
+        "low lower lowest low low",
+        "newer newest new news low",
+        "aaaaa aaa aa a banana bandana",
+    ]
+    want_m, want_v = _ref_bpe(texts, 8)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    res = corpus.bpe_learn(df, 8)
+    assert res.merges == want_m
+    got_v = {r.word: tuple(r.syms) for r in res.vocab.collect()}
+    assert got_v == want_v
+
+
+def test_bpe_apply_replays_learned_merges(spark):
+    """bpe_apply on the training words reproduces the learn-time vocab;
+    on OOV words it applies the same greedy merges."""
+    texts = ["low lower lowest low low", "newer newest new news"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    res = corpus.bpe_learn(df, 6)
+    train_words = res.vocab.select("word")
+    enc = {
+        r.word: tuple(r.syms)
+        for r in corpus.bpe_apply(train_words, res.merges).collect()
+    }
+    want = {r.word: tuple(r.syms) for r in res.vocab.collect()}
+    assert enc == want
+    # OOV: replay the reference merge loop by hand
+    oov = spark.createDataFrame([("lowly",)], "word string")
+    got = corpus.bpe_apply(oov, res.merges).collect()[0]
+    syms = list("lowly") + ["</w>"]
+    for _, a, b, _n in res.merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    assert tuple(got.syms) == tuple(syms)
+
+
+def test_bpe_learn_min_count_stop(spark):
+    """min_count above every pair frequency stops at round 0."""
+    df = spark.createDataFrame([("ab cd",)], "text string")
+    res = corpus.bpe_learn(df, 5, min_count=10)
+    assert res.merges == []
+    assert res.merges_df.count() == 0
