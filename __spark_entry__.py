@@ -3237,6 +3237,45 @@ def _q_random_walks(spark, sf_dir):
     )
 
 
+SIMRANK_QUERIES = [1, 2, 3, 4]
+SIMRANK_LEN = 4
+SIMRANK_RUNS = 4
+SIMRANK_C = 0.6
+
+
+def _q_simrank_top(spark, sf_dir):
+    """Monte-Carlo SimRank via Fogaras-Racz coupled reverse-walk
+    fingerprints (algorithms.simrank): hash-seeded coalescing walks, tau =
+    first meeting step, score = mean over runs of c^tau folded in as
+    literal weights. The oracle replays the identical walks (the hash is
+    keyed by the CURRENT vertex, giving the coupling) and the identical
+    c^tau literals, bit-for-bit."""
+    return algorithms.simrank(
+        _graph1000(spark, sf_dir),
+        queries=SIMRANK_QUERIES,
+        walk_length=SIMRANK_LEN,
+        num_runs=SIMRANK_RUNS,
+        c=SIMRANK_C,
+        topk=10,
+    )
+
+
+def _q_neighbor_sample(spark, sf_dir):
+    """GraphSAGE-style deterministic k-hop neighbor sampling
+    (algorithms.sample_neighborhoods): per hop, keep the fanout smallest
+    neighbors by sha256(salt:hop:src:dst) — hierarchical (bucketed)
+    top-f on the Spark side, equal by construction to the oracle's plain
+    per-src window rank."""
+    return algorithms.sample_neighborhoods(
+        _graph1000(spark, sf_dir), fanouts=(3, 2), num_buckets=8
+    ).select(
+        F.col("root").cast("long").alias("root"),
+        F.col("hop").cast("long").alias("hop"),
+        F.col("parent").cast("long").alias("parent"),
+        F.col("vertex").cast("long").alias("vertex"),
+    )
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Transitive dedup: exact same-lang near-dup pairs (the oracled
     near_dup_exact set) feed the repo's own GIM-V connected-components
@@ -3624,6 +3663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_ppr10": _q_batch_ppr10,
         "batch_ppr10_blocked": _q_batch_ppr10_blocked,
         "random_walks": _q_random_walks,
+        "simrank_top": _q_simrank_top,
+        "neighbor_sample": _q_neighbor_sample,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_best": _q_dedup_keep_best,
         "perplexity_buckets": _q_perplexity_buckets,
@@ -5105,6 +5146,93 @@ def _random_walks_sql(edge_sql: str, walk_length: int, num_walks: int,
     return "with " + ",\n".join(ctes) + "\n" + steps
 
 
+def _simrank_sql(edge_sql: str, queries: list[int], walk_length: int,
+                 num_runs: int, c: float, topk: int,
+                 salt: str = "simrank") -> str:
+    """Replays algorithms.simrank: coalescing reverse walks (hash keyed
+    by the CURRENT vertex), walks terminate at in-degree-0 vertices
+    (inner joins), tau = min meeting step per (a, b, run), score = mean
+    over runs of the PRE-COMPUTED c^tau literal (repr() round-trips the
+    exact double, so both engines sum identical values)."""
+    runs = ", ".join(f"({r}::bigint)" for r in range(num_runs))
+    qs = ", ".join(str(int(q)) for q in queries)
+    weights = " ".join(
+        f"when {t} then {float(c) ** t!r}" for t in range(1, walk_length + 1)
+    )
+    ctes = [
+        f"e as materialized ({edge_sql})",
+        "rv as (select dst as u, src as nbr from e)",
+        "pos as materialized (select u, nbr, row_number() over "
+        "(partition by u order by nbr) - 1 as idx from rv)",
+        "deg as materialized (select u, count(*)::bigint as ideg "
+        "from rv group by u)",
+        "verts as (select src as v from e union select dst from e)",
+        "w0 as materialized (select v as start, r as run, v as cur "
+        f"from verts cross join (values {runs}) as rr(r))",
+    ]
+    for k in range(1, walk_length + 1):
+        ctes.append(
+            f"w{k} as materialized (select w.start, w.run, p.nbr as cur "
+            f"from w{k-1} w "
+            "join deg d on d.u = w.cur "
+            "join pos p on p.u = w.cur and p.idx = "
+            f"(('0x' || substr(sha256('{salt}:' || w.run::varchar || ':' || "
+            f"w.cur::varchar || ':{k}'), 1, 8))::ubigint % d.ideg))"
+        )
+    trace = " union all ".join(
+        f"select start, run, {k} as step, cur as pos from w{k}"
+        for k in range(1, walk_length + 1)
+    )
+    ctes.append(f"trace as materialized ({trace})")
+    ctes.append(
+        "met as (select q.start as a, b.start as b, q.run, "
+        "min(q.step) as tau from trace q "
+        "join trace b on b.run = q.run and b.step = q.step and b.pos = q.pos "
+        f"where q.start in ({qs}) and b.start <> q.start group by 1, 2, 3)"
+    )
+    ctes.append(
+        "sc as (select a, b, round(sum(case tau "
+        f"{weights} end) / {float(num_runs)!r}, 6) as simrank "
+        "from met group by a, b)"
+    )
+    return (
+        "with " + ",\n".join(ctes) + "\nselect a, b, simrank from sc "
+        f"qualify row_number() over (partition by a "
+        f"order by simrank desc, b) <= {topk}"
+    )
+
+
+def _neighbor_sample_sql(edge_sql: str, fanouts: tuple[int, ...],
+                         salt: str = "sage") -> str:
+    """Replays algorithms.sample_neighborhoods with a plain per-src
+    window rank per hop — equal to the Spark side's hierarchical
+    (bucketed) top-f by construction (the global top-f under any total
+    order is the top-f of the union of per-bucket top-f)."""
+    ctes = [
+        f"e as materialized (select distinct src, dst from ({edge_sql}))",
+        "roots as (select src as v from e union select dst from e)",
+    ]
+    unions = []
+    prev_frontier = "(select v as root, v as cur from roots)"
+    for hop, f in enumerate(fanouts, start=1):
+        ctes.append(
+            f"s{hop} as materialized (select src, dst from ("
+            "select src, dst, ('0x' || substr(sha256("
+            f"'{salt}:{hop}:' || src::varchar || ':' || dst::varchar"
+            "), 1, 8))::ubigint as h from e) "
+            f"qualify row_number() over (partition by src order by h, dst) "
+            f"<= {int(f)})"
+        )
+        ctes.append(
+            f"h{hop} as materialized (select fr.root, {hop}::bigint as hop, "
+            f"fr.cur as parent, s{hop}.dst as vertex "
+            f"from {prev_frontier} fr join s{hop} on s{hop}.src = fr.cur)"
+        )
+        unions.append(f"select root, hop, parent, vertex from h{hop}")
+        prev_frontier = f"(select distinct root, vertex as cur from h{hop})"
+    return "with " + ",\n".join(ctes) + "\n" + " union all ".join(unions)
+
+
 _COLLOCATIONS_SQL = r"""
 with n as (select trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) as norm
            from documents),
@@ -6155,6 +6283,11 @@ from documents
         "batch_ppr10": _batch_ppr_sql(G1000_SQL, 10, BATCH_PPR_SOURCES),
         "batch_ppr10_blocked": _batch_ppr_sql(G1000_SQL, 10, BATCH_PPR_SOURCES),
         "random_walks": _random_walks_sql(G1000_SQL, 4, 2),
+        "simrank_top": _simrank_sql(
+            G1000_SQL, SIMRANK_QUERIES, SIMRANK_LEN, SIMRANK_RUNS,
+            SIMRANK_C, 10,
+        ),
+        "neighbor_sample": _neighbor_sample_sql(G1000_SQL, (3, 2)),
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
         "perplexity_buckets": f"""

@@ -4933,3 +4933,229 @@ def bipartite_check(
         F.coalesce("odd_edges", F.lit(0)).cast("long").alias("odd_edges"),
         (F.coalesce("odd_edges", F.lit(0)) == 0).cast("int").alias("is_bipartite"),
     )
+
+
+def simrank(
+    edges: DataFrame,
+    queries: list[int],
+    walk_length: int = 5,
+    num_runs: int = 8,
+    c: float = 0.6,
+    salt: str = "simrank",
+    topk: int | None = None,
+) -> DataFrame:
+    """Monte-Carlo SimRank (Jeh & Widom, KDD 2002) for a query set, via
+    Fogaras-Racz coupled reverse-walk fingerprints (WWW 2005, "Scaling
+    link-based similarity search"): s(a, b) = E[c^tau] where tau is the
+    FIRST MEETING step of the reverse random walks started at a and b.
+    One walk per (vertex, run) serves every pair containing that vertex —
+    the fingerprint trick that makes SimRank linear in V instead of the
+    O(V^2) pair-state of the naive iteration.
+
+    Determinism: step t of any walk sitting at vertex u in run r moves to
+    the in-neighbor at index ``sha256(salt:r:u:t) mod in_degree(u)`` in
+    src-sorted in-adjacency order. Keying the hash by the CURRENT vertex
+    (not the start — contrast :func:`random_walks`) makes two walks that
+    occupy the same vertex at the same step take identical hops forever:
+    exactly the Fogaras-Racz pairwise coupling, which preserves each
+    pair's first-meeting-time law while collapsing the post-meeting
+    trajectories (and making "met once" == "together at every later
+    step", so min(step) is the true tau). No RNG state, so stragglers /
+    retries / reruns emit identical walks and an ANSI-SQL oracle replays
+    the estimate bit-for-bit.
+
+    Semantics: a walk at a vertex with NO in-edges terminates (the
+    recurrence has I(a) empty => s(a, .) = 0, so freezing there would
+    inflate scores); pairs that never meet within ``walk_length``
+    contribute 0 for that run — the standard truncation, biased low by at
+    most c^(walk_length+1). c^tau is folded in via PRE-COMPUTED literal
+    weights (array lookup by tau), not pow(), so Spark and the oracle use
+    bit-identical doubles. Returns (a, b, simrank) for a in ``queries``,
+    b != a, simrank = round(mean over runs of c^tau, 6) > 0; ``topk``
+    keeps the top-k per query by (simrank desc, b).
+
+    Scale shape: the walk table is V x runs x length rows built with two
+    hash joins per step (frontier keyed by the current vertex, like
+    :func:`random_walks` — no collected adjacency anywhere); the meeting
+    join is keyed by (run, step, vertex), so hot vertices skew only in
+    proportion to the walk mass actually sitting on them, and the
+    query-side filter bounds the output at |Q| x V. At 100 TB the whole
+    plan is three shuffles wide and never materializes a pair state.
+    """
+    if not queries:
+        raise ValueError("simrank needs at least one query vertex")
+    if not 0.0 < c < 1.0:
+        raise ValueError("simrank decay c must sit in (0, 1)")
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").distinct()
+    # reverse-walk adjacency: in-neighbors of u, src-sorted positions
+    from pyspark.sql import Window
+
+    rev = e.select(F.col("dst").alias("u"), F.col("src").alias("nbr"))
+    pos = rev.withColumn(
+        "idx", F.row_number().over(Window.partitionBy("u").orderBy("nbr")) - 1
+    ).select(F.col("u").alias("p_u"), "idx", F.col("nbr").alias("p_nbr"))
+    deg = rev.groupBy("u").agg(F.count("*").alias("ideg")).select(
+        F.col("u").alias("d_u"), "ideg"
+    )
+    pos = pos.persist()
+    deg = deg.persist()
+
+    verts = e.select(F.col("src").alias("v")).union(
+        e.select(F.col("dst").alias("v"))
+    ).distinct()
+    frontier = verts.crossJoin(
+        spark.range(num_runs).select(F.col("id").alias("run"))
+    ).select(F.col("v").alias("start"), "run", F.col("v").alias("cur"))
+
+    trace = None
+    for step in range(1, walk_length + 1):
+        h = F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat_ws(
+                        ":", F.lit(salt), F.col("run"), F.col("cur"),
+                        F.lit(str(step)),
+                    ),
+                    256,
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        # inner joins: walks at in-degree-0 vertices TERMINATE here
+        frontier = (
+            frontier.join(deg, frontier.cur == deg.d_u)
+            .withColumn("_pick", h % F.col("ideg"))
+            .join(
+                pos,
+                (F.col("cur") == F.col("p_u")) & (F.col("_pick") == F.col("idx")),
+            )
+            .select("start", "run", F.col("p_nbr").alias("cur"))
+        )
+        if step % 8 == 0:
+            frontier = truncate_plan(frontier)
+        stepped = frontier.select(
+            "start", "run", F.lit(step).alias("step"), F.col("cur").alias("pos")
+        )
+        trace = stepped if trace is None else trace.union(stepped)
+
+    qt = (
+        trace.filter(F.col("start").isin([int(q) for q in queries]))
+        .select(
+            F.col("start").alias("a"), "run", "step", "pos"
+        )
+    )
+    bt = trace.select(F.col("start").alias("b"), "run", "step", "pos")
+    # weights[tau] = c^tau as a literal double — identical on the oracle side
+    weights = F.array(*[F.lit(float(c) ** t) for t in range(1, walk_length + 1)])
+    met = (
+        qt.join(bt, ["run", "step", "pos"])
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b", "run")
+        .agg(F.min("step").alias("tau"))
+    )
+    out = (
+        met.select("a", "b", F.element_at(weights, F.col("tau")).alias("w"))
+        .groupBy("a", "b")
+        .agg(F.round(F.sum("w") / float(num_runs), 6).alias("simrank"))
+    )
+    if topk is not None:
+        w = Window.partitionBy("a").orderBy(
+            F.col("simrank").desc(), F.col("b")
+        )
+        out = (
+            out.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= int(topk))
+            .drop("_rk")
+        )
+    return out
+
+
+def sample_neighborhoods(
+    edges: DataFrame,
+    fanouts: tuple[int, ...] = (3, 2),
+    salt: str = "sage",
+    num_buckets: int = 32,
+    roots: DataFrame | None = None,
+) -> DataFrame:
+    """GraphSAGE-style deterministic k-hop neighbor sampling (Hamilton et
+    al., NeurIPS 2017) — the minibatch-construction step of every
+    GNN-over-link-graph training pipeline: for each root, keep at most
+    ``fanouts[0]`` of its out-neighbors, then at most ``fanouts[1]``
+    neighbors of each of those, and so on. Returns
+    (root, hop, parent, vertex) rows, hop 1-indexed.
+
+    Sampling is SHARED per hop (each vertex's neighbor list is sampled
+    once per hop depth and reused by every root that reaches it — the
+    cost-sharing variant; the per-hop salt still decorrelates depths):
+    neighbor ranking is by ``sha256(salt:hop:src:dst)`` with dst as the
+    tiebreak, so the sample is uniform-without-replacement, reproducible
+    at any parallelism, and replayable in ANSI SQL (no RNG state).
+
+    Skew shape: a naive per-src row_number window serializes a hub's
+    whole neighbor list through one task. Instead the top-f is
+    HIERARCHICAL: rank within (src, hash-bucket) and keep f per bucket,
+    then rank the surviving <= f x num_buckets rows per src — exact (the
+    global top-f by any total order is contained in the union of
+    per-bucket top-f) while the heavy first pass partitions a 10^8-degree
+    hub across ``num_buckets`` tasks. The hop joins are keyed by the
+    frontier's current vertex, the :func:`random_walks` shape.
+    """
+    if not fanouts:
+        raise ValueError("sample_neighborhoods needs at least one fanout")
+    from pyspark.sql import Window
+
+    e = edges.select("src", "dst").distinct()
+
+    def sampled_adjacency(hop: int, f: int) -> DataFrame:
+        h = F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat_ws(
+                        ":", F.lit(salt), F.lit(str(hop)), F.col("src"),
+                        F.col("dst"),
+                    ),
+                    256,
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        ranked = e.withColumn("_h", h)
+        if num_buckets > 1:
+            wb = Window.partitionBy(
+                "src", F.pmod(F.col("_h"), F.lit(num_buckets))
+            ).orderBy("_h", "dst")
+            ranked = ranked.withColumn("_rb", F.row_number().over(wb)).filter(
+                F.col("_rb") <= f
+            )
+        ws = Window.partitionBy("src").orderBy("_h", "dst")
+        return (
+            ranked.withColumn("_r", F.row_number().over(ws))
+            .filter(F.col("_r") <= f)
+            .select(F.col("src").alias("s_src"), F.col("dst").alias("s_dst"))
+        )
+
+    if roots is None:
+        roots = e.select(F.col("src").alias("v")).union(
+            e.select(F.col("dst").alias("v"))
+        ).distinct()
+    else:
+        roots = roots.select(F.col(roots.columns[0]).alias("v")).distinct()
+
+    frontier = roots.select(F.col("v").alias("root"), F.col("v").alias("cur"))
+    out = None
+    for hop, f in enumerate(fanouts, start=1):
+        adj = sampled_adjacency(hop, int(f))
+        stepped = frontier.join(
+            adj, frontier.cur == adj.s_src
+        ).select(
+            "root",
+            F.lit(hop).alias("hop"),
+            F.col("cur").alias("parent"),
+            F.col("s_dst").alias("vertex"),
+        )
+        out = stepped if out is None else out.union(stepped)
+        frontier = stepped.select("root", F.col("vertex").alias("cur")).distinct()
+    return out

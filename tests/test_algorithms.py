@@ -2330,3 +2330,135 @@ def test_rooted_bfs_distances(spark):
             want[u] = (root, dist[u])
         seen |= comp
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SimRank (Monte-Carlo, coupled reverse-walk fingerprints)
+# ---------------------------------------------------------------------------
+
+
+def _simrank_pair_dp(pairs, a0, b0, c, depth):
+    """Per-pair DP: start mass 1 on (a0, b0); step both walks uniformly
+    over in-neighbors (independent); walks die at in-degree-0; the mass
+    first reaching the diagonal at step t contributes c^t."""
+    verts = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(verts)}
+    inn = [[] for _ in verts]
+    for s, d in pairs:
+        inn[idx[d]].append(idx[s])
+    cur = {(idx[a0], idx[b0]): 1.0}
+    total = 0.0
+    for t in range(1, depth + 1):
+        nxt = {}
+        for (a, b), m in cur.items():
+            if not inn[a] or not inn[b]:
+                continue
+            w = m / (len(inn[a]) * len(inn[b]))
+            for a2 in inn[a]:
+                for b2 in inn[b]:
+                    nxt[(a2, b2)] = nxt.get((a2, b2), 0.0) + w
+        cur = {}
+        for (a2, b2), m in nxt.items():
+            if a2 == b2:
+                total += m * (c ** t)
+            else:
+                cur[(a2, b2)] = m
+    return total
+
+
+def test_simrank_mc_converges_to_pair_dp(spark):
+    """Many coupled runs approximate the exact truncated meeting value:
+    the Fogaras-Racz coupling preserves each pair's first-meeting law, so
+    the MC mean must settle near the independent-walk DP value."""
+    # two "siblings" 1 and 2 both cited by 0 and 3 -> high simrank(1, 2)
+    pairs = [(0, 1), (0, 2), (3, 1), (3, 2), (1, 0), (2, 3), (2, 0)]
+    got = {
+        (r["a"], r["b"]): r["simrank"]
+        for r in algorithms.simrank(
+            _edges(spark, pairs), queries=[1], walk_length=4, num_runs=400
+        ).collect()
+    }
+    exact = _simrank_pair_dp(pairs, 1, 2, 0.6, 4)
+    assert exact > 0.1  # the fixture really is a high-similarity pair
+    assert got[(1, 2)] == pytest.approx(exact, abs=0.08)
+    # never negative, never above c (tau >= 1 for a != b)
+    assert all(0.0 < v <= 0.6 for v in got.values())
+
+
+def test_simrank_deterministic_across_parallelism(spark):
+    pairs = [(0, 1), (0, 2), (3, 1), (3, 2), (1, 3), (2, 0), (4, 1), (4, 2)]
+    e = _edges(spark, pairs)
+    a = algorithms.simrank(e.repartition(1), queries=[1, 2], walk_length=4,
+                           num_runs=6).collect()
+    b = algorithms.simrank(e.repartition(7), queries=[1, 2], walk_length=4,
+                           num_runs=6).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_simrank_walk_dies_at_source_vertices(spark):
+    """0 -> 1, 0 -> 2: the only in-neighbor of 1 and 2 is 0, whose own
+    in-degree is 0. The walks from 1 and 2 meet at 0 at step 1 (score c)
+    and then terminate — no spurious later meetings, and vertex 0 itself
+    (in-degree 0) never scores against anyone."""
+    pairs = [(0, 1), (0, 2)]
+    rows = algorithms.simrank(
+        _edges(spark, pairs), queries=[0, 1], walk_length=5, num_runs=3
+    ).collect()
+    got = {(r["a"], r["b"]): r["simrank"] for r in rows}
+    assert got == {(1, 2): pytest.approx(0.6)}
+
+
+def test_simrank_topk_truncates_per_query(spark):
+    pairs = [(i, 9) for i in range(6)] + [(9, i) for i in range(6)]
+    out = algorithms.simrank(
+        _edges(spark, pairs), queries=[0], walk_length=3, num_runs=4, topk=2
+    )
+    assert out.count() <= 2
+
+
+# ---------------------------------------------------------------------------
+# GraphSAGE-style neighbor sampling
+# ---------------------------------------------------------------------------
+
+
+def test_sample_neighborhoods_respects_fanouts_and_edges(spark):
+    pairs = [(s, d) for s in range(8) for d in range(8) if s != d]
+    e = _edges(spark, pairs)
+    out = algorithms.sample_neighborhoods(e, fanouts=(3, 2)).collect()
+    eset = set(pairs)
+    per_parent = {}
+    for r in out:
+        assert (r["parent"], r["vertex"]) in eset  # sampled edges are real
+        per_parent.setdefault((r["root"], r["hop"], r["parent"]), set()).add(
+            r["vertex"]
+        )
+    for (root, hop, parent), kids in per_parent.items():
+        assert len(kids) <= (3 if hop == 1 else 2)
+    # hop-1 parents are the roots themselves
+    assert all(r["parent"] == r["root"] for r in out if r["hop"] == 1)
+
+
+def test_sample_neighborhoods_hierarchical_equals_plain_topf(spark):
+    """The bucketed two-stage top-f must return EXACTLY the plain window
+    top-f (the oracle's form) — exactness of hierarchical top-k."""
+    pairs = [(0, d) for d in range(1, 40)] + [(1, d) for d in range(5, 15)]
+    e = _edges(spark, pairs)
+    plain = algorithms.sample_neighborhoods(e, fanouts=(4,), num_buckets=1)
+    bucketed = algorithms.sample_neighborhoods(e, fanouts=(4,), num_buckets=8)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, bucketed.collect())
+    )
+
+
+def test_sample_neighborhoods_shared_sampling_is_consistent(spark):
+    """Two roots that reach the same hop-2 parent see the SAME sampled
+    children (per-hop shared sampling)."""
+    pairs = [(0, 2), (1, 2), (2, 3), (2, 4), (2, 5), (2, 6)]
+    out = algorithms.sample_neighborhoods(
+        _edges(spark, pairs), fanouts=(1, 2)
+    ).collect()
+    kids = {}
+    for r in out:
+        if r["hop"] == 2 and r["parent"] == 2:
+            kids.setdefault(r["root"], set()).add(r["vertex"])
+    assert kids[0] == kids[1] and len(kids[0]) == 2
