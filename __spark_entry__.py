@@ -1792,6 +1792,37 @@ def _q_triangles(spark, sf_dir):
     return spark.createDataFrame([(int(n),)], "triangles long")
 
 
+def _q_rank_select(spark, sf_dir):
+    """Link-quality data selection — the RefinedWeb/OPT "keep pages whose
+    URL ranks well" stage, composed from this repo's own two halves: rank
+    every document by the PageRank of its home module (doc_id % 1000) in
+    the g1000 link graph, keep the global top 100 by (module rank desc,
+    doc_id). Top-k runs as TakeOrderedAndProject (k-sized heap per
+    partition), never a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    res = algorithms.pagerank(
+        _graph1000(spark, sf_dir), threshold=0.0, max_iter=PAGERANK_ITERS
+    )
+    pr = res.state.select("vertex", F.round("value", 6).alias("module_pr"))
+    return (
+        docs.select("doc_id", (F.col("doc_id") % 1000).alias("vertex"))
+        .join(pr, "vertex")
+        .orderBy(F.col("module_pr").desc(), F.col("doc_id"))
+        .limit(100)
+        .select("doc_id", "module_pr")
+    )
+
+
+def _q_k4(spark, sf_dir):
+    """Exact 4-clique count (algorithms.k4_count): the degree-oriented
+    triangle table completed by a unique (degree, id)-order top vertex —
+    each K4 counted exactly once. The oracle counts id-ordered quadruples
+    a<b<c<d with all six edges present (a different but equally
+    once-per-clique canonicalization — the scalars must agree)."""
+    n = algorithms.k4_count(_graph1000(spark, sf_dir))
+    return spark.createDataFrame([(int(n),)], "k4 long")
+
+
 def _q_dyad_census(spark, sf_dir):
     """Holland–Leinhardt dyad census (mutual/asym/null dyad counts) over
     g1000 (algorithms.dyad_census). null_dyads is decimal(38,0) in the
@@ -3578,6 +3609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hadi_precision": _q_hadi_precision,
         "hadi_series": _q_hadi_series,
         "triangles": _q_triangles,
+        "k4_count": _q_k4,
+        "rank_select": _q_rank_select,
         "triangles_sampled": _q_triangles_sampled,
         "dyad_census": _q_dyad_census,
         "triad_census": _q_triad_census,
@@ -4457,6 +4490,18 @@ select count(*)::bigint as triangles
 from und e1
 join und e2 on e2.a = e1.b
 join und e3 on e3.a = e1.a and e3.b = e2.b
+"""
+
+_K4_SQL = f"""
+with e as ({G1000_SQL}),
+und as (select least(src, dst) as a, greatest(src, dst) as b from e group by 1, 2)
+select count(*)::bigint as k4
+from und e1
+join und e2 on e2.a = e1.b
+join und e3 on e3.a = e1.a and e3.b = e2.b
+join und e4 on e4.a = e2.b
+join und e5 on e5.a = e1.a and e5.b = e4.b
+join und e6 on e6.a = e1.b and e6.b = e4.b
 """
 
 _LCC_SQL = f"""
@@ -5922,6 +5967,15 @@ from cells
             "cast(null as double) as rel_err where 1 = 0"
         ),
         "triangles": _TRIANGLES_SQL,
+        "k4_count": _K4_SQL,
+        "rank_select": f"""
+select d.doc_id, pr.pr as module_pr
+from documents d
+join ({_pagerank_sql(G1000_SQL, PAGERANK_ITERS)}) pr
+  on pr.vertex = d.doc_id % 1000
+order by pr.pr desc, d.doc_id
+limit 100
+""",
         "triangles_sampled": f"""
 with e as ({G1000_SQL}),
 und as (select least(src, dst) as a, greatest(src, dst) as b from e group by 1, 2),

@@ -133,6 +133,7 @@ def main() -> None:
         ).state.count(),
     )
     timed("triangles", lambda: algorithms.triangle_count(g5000))
+    timed("k4_count", lambda: algorithms.k4_count(g5000))
     timed(
         "hits_4it",
         lambda: algorithms.hits(g5000, max_iter=4, num_partitions=gp)
@@ -241,6 +242,18 @@ def main() -> None:
         "node2vec_walks4",
         lambda: algorithms.node2vec_walks(
             g5000, walk_length=4, num_walks=1, p=0.5, q=2.0
+        ).count(),
+    )
+    timed(
+        "simrank_q4",
+        lambda: algorithms.simrank(
+            g5000, queries=[1, 2, 3, 4], walk_length=4, num_runs=4, topk=10
+        ).count(),
+    )
+    timed(
+        "neighbor_sample",
+        lambda: algorithms.sample_neighborhoods(
+            g5000, fanouts=(3, 2), num_buckets=8
         ).count(),
     )
     # weighted g5000 (min quantity per pair) drives the Borůvka rounds

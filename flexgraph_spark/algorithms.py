@@ -1316,6 +1316,34 @@ def rich_club(edges: DataFrame, ks: list[int]) -> DataFrame:
     )
 
 
+def k4_count(edges: DataFrame) -> int:
+    """Exact 4-clique (K4) count, degree-oriented (the kClist /
+    arboricity-bounded shape, Danisch et al. WWW 2018): every K4 has a
+    unique TOP vertex in the (degree, id) total order, and its other
+    three vertices form exactly one canonical triangle row of the shared
+    degree-oriented plan, so
+
+        K4 = |{(triangle (u, w1, w2), x) : u→x, w1→x, w2→x oriented}|
+
+    — three hash joins of the triangle table against the oriented edge
+    set. Completion work keys on (vertex, x) pairs and the oriented set
+    points low→high, so a hub only ever appears as the RECEIVING end:
+    the same skew argument that makes :func:`triangle_count` survive
+    web-scale degree distributions (FlexGraph itself stops at matrix
+    powers; this extends the PEGASUS-lineage motif family one level).
+    """
+    oriented, closed, _deg = _oriented_triangles(edges)
+    o = oriented
+    k4 = (
+        closed.join(o.select("u", F.col("v").alias("x")), "u")
+        .join(o.select(F.col("u").alias("w1"), F.col("v").alias("x")), ["w1", "x"])
+        .join(o.select(F.col("u").alias("w2"), F.col("v").alias("x")), ["w2", "x"])
+    )
+    n = k4.count()
+    oriented.unpersist()
+    return n
+
+
 def square_count(
     edges: DataFrame, max_center_degree: int | None = None
 ) -> DataFrame:

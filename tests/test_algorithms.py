@@ -2462,3 +2462,39 @@ def test_sample_neighborhoods_shared_sampling_is_consistent(spark):
         if r["hop"] == 2 and r["parent"] == 2:
             kids.setdefault(r["root"], set()).add(r["vertex"])
     assert kids[0] == kids[1] and len(kids[0]) == 2
+
+
+# ---------------------------------------------------------------------------
+# K4 counting
+# ---------------------------------------------------------------------------
+
+
+def test_k4_complete_graphs(spark):
+    """K5 contains C(5,4)=5 K4s; K4 + pendant edge contains exactly 1."""
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    assert algorithms.k4_count(_edges(spark, k5)) == 5
+    k4p = [(a, b) for a in range(4) for b in range(4) if a < b] + [(3, 4)]
+    assert algorithms.k4_count(_edges(spark, k4p)) == 1
+
+
+def test_k4_none_in_triangle_free_or_sparse(spark):
+    assert algorithms.k4_count(_edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])) == 0
+    # a triangle alone has no K4
+    assert algorithms.k4_count(_edges(spark, [(0, 1), (1, 2), (2, 0)])) == 0
+
+
+def test_k4_matches_bruteforce_on_random_graph(spark):
+    import itertools
+
+    rng = np.random.default_rng(7)
+    n = 12
+    pairs = [(a, b) for a in range(n) for b in range(n)
+             if a < b and rng.random() < 0.45]
+    got = algorithms.k4_count(_edges(spark, pairs))
+    eset = set(pairs)
+    want = sum(
+        1
+        for q in itertools.combinations(range(n), 4)
+        if all((x, y) in eset for x, y in itertools.combinations(q, 2))
+    )
+    assert got == want and want > 0
