@@ -2721,6 +2721,24 @@ def _q_ann_top5(spark, sf_dir):
     return out.select("query_id", F.col("rank").alias("rnk"), "neighbor_id")
 
 
+def _q_knn_mutual(spark, sf_dir):
+    """Mutual k-NN cosine graph over ALL embeddings (textops.knn_graph):
+    (a, b) kept iff each end ranks the other inside its own top-10. Exact
+    face of the similarity-graph construction step; ids only, so no float
+    comparisons reach the gate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return textops.knn_graph(emb, k=10, mutual=True)
+
+
+def _q_semantic_communities(spark, sf_dir):
+    """Embedding clustering as graph community detection: the mutual
+    10-NN graph fed into the repo's own GIM-V HashMin CC
+    (textops.semantic_communities); singletons keep their own id. Oracle
+    = same mutual-kNN SQL + recursive transitive closure."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return textops.semantic_communities(emb, k=10)
+
+
 def _q_ann_lsh_top5(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     out = textops.cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 5), 5)
@@ -3671,6 +3689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _q_simhash_neardup,
         "simhash_precision": _q_simhash_precision,
         "ann_top5": _q_ann_top5,
+        "knn_mutual": _q_knn_mutual,
+        "semantic_communities": _q_semantic_communities,
         "hard_negatives": _q_hard_negatives,
         "ann_lsh_top5": _q_ann_lsh_top5,
         "ann_ivf_top5": _q_ann_ivf_top5,
@@ -5519,6 +5539,37 @@ order by cnt desc, ngram
 limit 50
 """
 
+_KNN_MUTUAL_CTES = """
+v as materialized (select vec_id, list_transform(embedding, x -> x::double) as e
+     from embeddings),
+s as (select q.vec_id as qa, n.vec_id as qb,
+        list_dot_product(q.e, n.e) /
+          (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(n.e, n.e)))
+          as score
+      from v q, v n where q.vec_id <> n.vec_id),
+r as materialized (select qa, qb from (
+  select qa, qb, row_number() over (partition by qa
+       order by score desc, qb asc) as rnk from s) where rnk <= 10),
+mut as materialized (select r.qa as a, r.qb as b from r
+  join r r2 on r2.qa = r.qb and r2.qb = r.qa where r.qa < r.qb)
+"""
+
+_KNN_MUTUAL_SQL = f"with {_KNN_MUTUAL_CTES.strip()}\nselect a, b from mut"
+
+_SEMANTIC_COMMUNITIES_SQL = f"""
+with recursive {_KNN_MUTUAL_CTES.strip()},
+se as (select a as src, b as dst from mut union select b, a from mut),
+verts as (select src as vtx from se union select dst from se),
+reach(vtx, u) as (
+  select vtx, vtx from verts
+  union
+  select r.vtx, se.dst from reach r join se on se.src = r.u
+),
+comp as (select vtx, min(u) as cluster from reach group by vtx)
+select emb.vec_id, coalesce(c.cluster, emb.vec_id)::bigint as cluster
+from embeddings emb left join comp c on c.vtx = emb.vec_id
+"""
+
 _ANN_SQL = """
 with v as (select vec_id, list_transform(embedding, x -> x::double) as e
            from embeddings),
@@ -6200,6 +6251,8 @@ having count(*) >= 2
             "cast(null as integer) as hamming where 1 = 0"
         ),
         "ann_top5": _ANN_SQL,
+        "knn_mutual": _KNN_MUTUAL_SQL,
+        "semantic_communities": _SEMANTIC_COMMUNITIES_SQL,
         "hard_negatives": """
 with v as (select vec_id, label, list_transform(embedding, x -> x::double) as e
            from embeddings),

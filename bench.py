@@ -441,6 +441,12 @@ def main() -> None:
         ).count(),
     )
     timed(
+        "semantic_communities",
+        lambda: textops.semantic_communities(
+            emb.select("vec_id", "embedding"), k=10
+        ).count(),
+    )
+    timed(
         "semdedup_k32",
         lambda: textops.semdedup(
             emb.select("vec_id", "embedding"), n_clusters=32, threshold=0.9

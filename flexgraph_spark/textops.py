@@ -1827,3 +1827,60 @@ def html_extract_sql(html_expr: str) -> str:
         lit = ch.replace("'", "''")
         c = f"regexp_replace({c}, '{ent}', '{lit}', 'g')"
     return rf"trim(regexp_replace({c}, '\s+', ' ', 'g'))"
+
+
+def knn_graph(vectors: DataFrame, k: int = 10, mutual: bool = True) -> DataFrame:
+    """k-NN cosine similarity graph over ALL vectors — the
+    similarity-graph construction step of clustering / UMAP / label-prop
+    pipelines: directed edges from every vector to its top-``k`` cosine
+    neighbors, optionally reduced to the MUTUAL graph ((a, b) kept, a < b,
+    only when each end ranks the other inside its own top-k — the
+    standard noise-robust reduction; hubs that everyone points at but
+    that point back at almost no one lose their spurious edges).
+
+    This is the EXACT face (O(n²) dot products on the broadcast plan of
+    :func:`cosine_topk_bruteforce`), which exists to oracle-gate the
+    composition; at corpus scale swap the all-pairs scoring for
+    LSH/IVF candidate generation (:func:`cosine_topk_lsh` /
+    :func:`ivf_topk` — same (query_id, rank, neighbor_id) shape, so the
+    mutual reduction and everything downstream are unchanged).
+
+    Returns (a long, b long) when ``mutual`` else
+    (query_id, neighbor_id, rank)."""
+    nn = cosine_topk_bruteforce(vectors, vectors, k)
+    if not mutual:
+        return nn.select("query_id", "neighbor_id", "rank")
+    d = nn.select(F.col("query_id").alias("a"), F.col("neighbor_id").alias("b"))
+    rev = d.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    return d.join(rev, ["a", "b"]).filter(F.col("a") < F.col("b"))
+
+
+def semantic_communities(
+    vectors: DataFrame, k: int = 10, max_iter: int = 50
+) -> DataFrame:
+    """Semantic clustering as GRAPH community detection — the composition
+    this engine exists for: the mutual k-NN cosine graph
+    (:func:`knn_graph`) feeds the repo's own GIM-V HashMin connected
+    components, so document embeddings cluster through the exact same
+    skew-aware iterative machinery as the link graph. Vectors with no
+    mutual neighbor are singleton clusters (cluster = own id). Returns
+    (vec_id, cluster) with cluster = min vec_id of the component."""
+    from flexgraph_spark import algorithms
+
+    g = knn_graph(vectors, k=k, mutual=True)
+    res = algorithms.connected_components(
+        g.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        max_iter=max_iter,
+    )
+    labels = res.state.select(
+        F.col("vertex").alias("vec_id"),
+        F.col("value").cast("long").alias("cluster"),
+    )
+    return (
+        vectors.select("vec_id")
+        .join(labels, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster", F.col("vec_id")).cast("long").alias("cluster"),
+        )
+    )

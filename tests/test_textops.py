@@ -837,3 +837,71 @@ def test_html_extract_sql_twin_matches(spark):
     expr = textops.html_extract_sql("html")
     want = dict(con.sql(f"select doc_id, {expr} from t").fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph + semantic communities
+# ---------------------------------------------------------------------------
+
+
+def _toy_vectors(spark):
+    """Two tight blobs (0-2 near e1, 10-12 near e2) + one isolated vector
+    (20, near e3 with a twist so it's nobody's mutual neighbor at k=2)."""
+    import numpy as np
+
+    rows = []
+    base = {
+        0: [1.0, 0.05, 0.0], 1: [0.98, 0.1, 0.0], 2: [1.02, 0.0, 0.05],
+        10: [0.0, 1.0, 0.05], 11: [0.1, 0.97, 0.0], 12: [0.0, 1.03, 0.1],
+        20: [0.5, 0.5, 5.0],
+    }
+    for vid, v in base.items():
+        rows.append((vid, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_knn_graph_directed_matches_numpy(spark):
+    import numpy as np
+
+    vecs = _toy_vectors(spark)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in textops.knn_graph(vecs, k=2, mutual=False).collect()
+    }
+    rows = vecs.collect()
+    ids = [r["vec_id"] for r in rows]
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    want = set()
+    for i, q in enumerate(ids):
+        order = sorted(
+            ((-S[i, j], ids[j]) for j in range(len(ids)) if j != i)
+        )[:2]
+        want.update((q, n) for _, n in order)
+    assert got == want
+
+
+def test_knn_graph_mutual_is_symmetric_subset(spark):
+    vecs = _toy_vectors(spark)
+    directed = {
+        (r["query_id"], r["neighbor_id"])
+        for r in textops.knn_graph(vecs, k=2, mutual=False).collect()
+    }
+    mutual = [(r["a"], r["b"]) for r in textops.knn_graph(vecs, k=2).collect()]
+    assert len(mutual) == len(set(mutual))
+    for a, b in mutual:
+        assert a < b and (a, b) in directed and (b, a) in directed
+
+
+def test_semantic_communities_two_blobs_and_singleton(spark):
+    vecs = _toy_vectors(spark)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in textops.semantic_communities(vecs, k=2).collect()
+    }
+    assert got[0] == got[1] == got[2] == 0
+    assert got[10] == got[11] == got[12] == 10
+    # 20 points at the blobs but nobody points back within k=2 -> singleton
+    assert got[20] == 20
+    assert len(got) == 7
