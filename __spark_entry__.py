@@ -3286,6 +3286,17 @@ def _q_random_walks(spark, sf_dir):
     )
 
 
+def _q_walk_cooccurrence(spark, sf_dir):
+    """DeepWalk skip-gram co-occurrence table + NetMF shifted-PMI
+    statistic over the replayable deterministic walks
+    (algorithms.walk_cooccurrence): window-2 pairs on the same walks the
+    random_walks gate replays, then exact integer counting and
+    round-6 ln PMI."""
+    return algorithms.walk_cooccurrence(
+        _graph1000(spark, sf_dir), walk_length=4, num_walks=2, window=2
+    )
+
+
 SIMRANK_QUERIES = [1, 2, 3, 4]
 SIMRANK_LEN = 4
 SIMRANK_RUNS = 4
@@ -3717,6 +3728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_ppr10_blocked": _q_batch_ppr10_blocked,
         "random_walks": _q_random_walks,
         "simrank_top": _q_simrank_top,
+        "walk_cooccurrence": _q_walk_cooccurrence,
         "neighbor_sample": _q_neighbor_sample,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -6394,6 +6406,21 @@ from documents
             G1000_SQL, SIMRANK_QUERIES, SIMRANK_LEN, SIMRANK_RUNS,
             SIMRANK_C, 10,
         ),
+        "walk_cooccurrence": f"""
+with w as materialized ({_random_walks_sql(G1000_SQL, 4, 2)}),
+p as materialized (
+  select a.vertex as center, b.vertex as context, count(*)::bigint as n
+  from w a join w b on b.start = a.start and b.walk_id = a.walk_id
+  where a.step <> b.step and abs(a.step - b.step) <= 2
+  group by 1, 2),
+tt as (select sum(n)::double as nn from p),
+cm as (select center, sum(n)::double as nc from p group by center),
+xm as (select context, sum(n)::double as nx from p group by context)
+select p.center, p.context, p.n,
+       round(ln(p.n * tt.nn / (cm.nc * xm.nx)), 6) as pmi
+from p join cm on cm.center = p.center
+join xm on xm.context = p.context, tt
+""",
         "neighbor_sample": _neighbor_sample_sql(G1000_SQL, (3, 2)),
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,

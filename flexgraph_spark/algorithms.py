@@ -5187,3 +5187,76 @@ def sample_neighborhoods(
         out = stepped if out is None else out.union(stepped)
         frontier = stepped.select("root", F.col("vertex").alias("cur")).distinct()
     return out
+
+
+def walk_cooccurrence(
+    edges: DataFrame,
+    walk_length: int = 4,
+    num_walks: int = 1,
+    window: int = 2,
+    salt: str = "walk",
+) -> DataFrame:
+    """DeepWalk skip-gram corpus statistics: run the deterministic
+    uniform walks of :func:`random_walks` and aggregate (center, context)
+    co-occurrences within ``window`` steps — the training table a
+    word2vec-style embedding job consumes, plus the shifted-PMI statistic
+    NetMF (Qiu et al., WSDM 2018) proves DeepWalk implicitly factorizes:
+
+        pmi = ln( n(c, x) · N / (n(c) · n(x)) )
+
+    with N = total pair count and n(c), n(x) the marginal center/context
+    occurrence counts. Returns (center, context, n, pmi), pmi rounded to
+    6 decimals; pairs are ORDERED (center -> context both directions
+    appear, the skip-gram convention).
+
+    Scale shape: the walk table is V x num_walks x (walk_length+1) rows;
+    the window pairing is a self-join on (start, walk_id) — walk keys are
+    unique and uniformly sized (each walk has exactly walk_length+1
+    rows), so the join fans out by at most 2·window per row with ZERO key
+    skew regardless of graph skew (hubs inflate walk VISITS, which land
+    in the count aggregation, a uniform shuffle on (center, context)).
+    Everything after the walks is exact integer counting; the oracle
+    replays walks and PMI bit-for-bit."""
+    walks = random_walks(
+        edges, walk_length=walk_length, num_walks=num_walks, salt=salt
+    )
+    a = walks.select(
+        "start", "walk_id", F.col("step").alias("i"), F.col("vertex").alias("center")
+    )
+    b = walks.select(
+        "start", "walk_id", F.col("step").alias("j"), F.col("vertex").alias("context")
+    )
+    pairs = (
+        a.join(b, ["start", "walk_id"])
+        .filter(
+            (F.col("i") != F.col("j"))
+            & (F.abs(F.col("i") - F.col("j")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("n"))
+    ).persist()
+    totals = pairs.agg(F.sum("n").alias("tot"))
+    cm = pairs.groupBy("center").agg(F.sum("n").alias("nc"))
+    xm = pairs.groupBy("context").agg(F.sum("n").alias("nx"))
+    out = (
+        pairs.join(cm, "center")
+        .join(xm, "context")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "center",
+            "context",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.log(
+                    F.col("n").cast("double") * F.col("tot")
+                    / (F.col("nc").cast("double") * F.col("nx"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    from flexgraph_spark.textops import _materialize
+
+    out = _materialize(out)
+    pairs.unpersist()
+    return out

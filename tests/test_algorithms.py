@@ -2498,3 +2498,56 @@ def test_k4_matches_bruteforce_on_random_graph(spark):
         if all((x, y) in eset for x, y in itertools.combinations(q, 2))
     )
     assert got == want and want > 0
+
+
+def test_walk_cooccurrence_matches_python_replay(spark):
+    """Replay the deterministic walks in pure Python (same sha256 rule)
+    and recount window-2 pairs + PMI."""
+    import hashlib
+    import math
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3), (2, 0)]
+    got = {
+        (r["center"], r["context"]): (r["n"], r["pmi"])
+        for r in algorithms.walk_cooccurrence(
+            _edges(spark, pairs), walk_length=3, num_walks=2, window=2
+        ).collect()
+    }
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, []).append(d)
+    for v in adj:
+        adj[v].sort()
+    verts = sorted({x for p in pairs for x in p})
+    walks = []
+    for start in verts:
+        for wid in range(2):
+            cur, trail = start, [start]
+            for step in range(1, 4):
+                nbrs = adj.get(cur)
+                if nbrs:
+                    h = int(
+                        hashlib.sha256(
+                            f"walk:{start}:{wid}:{step}".encode()
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    cur = nbrs[h % len(nbrs)]
+                trail.append(cur)
+            walks.append(trail)
+    counts = {}
+    for t in walks:
+        for i, c in enumerate(t):
+            for j, x in enumerate(t):
+                if i != j and abs(i - j) <= 2:
+                    counts[(c, x)] = counts.get((c, x), 0) + 1
+    tot = sum(counts.values())
+    nc, nx = {}, {}
+    for (c, x), n in counts.items():
+        nc[c] = nc.get(c, 0) + n
+        nx[x] = nx.get(x, 0) + n
+    want = {
+        k: (n, round(math.log(n * tot / (nc[k[0]] * nx[k[1]])), 6))
+        for k, n in counts.items()
+    }
+    assert got == want
