@@ -378,3 +378,32 @@ def test_incremental_job_warm_start_and_noop(spark, tmp_path):
     a = sorted((r.vertex, r.value) for r in spark.read.parquet(out2).collect())
     b = sorted((r.vertex, r.value) for r in warm.collect())
     assert a == b
+
+
+def test_similarity_job_simrank(spark, edges_parquet, tmp_path):
+    import jobs.similarity as sim_job
+
+    out = str(tmp_path / "simrank")
+    _run(sim_job, ["--mode", "simrank", "--edges", edges_parquet,
+                   "--output", out, "--queries", "0,1",
+                   "--walk-length", "3", "--num-runs", "2"])
+    df = spark.read.parquet(out)
+    assert set(df.columns) == {"a", "b", "simrank"}
+    assert set(r["a"] for r in df.select("a").distinct().collect()) <= {0, 1}
+
+
+def test_similarity_job_communities(spark, tmp_path):
+    import jobs.similarity as sim_job
+
+    rows = [(i, [float(i % 3 == j) + 0.01 * i for j in range(3)])
+            for i in range(9)]
+    src = str(tmp_path / "emb")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(src)
+    out = str(tmp_path / "comm")
+    _run(sim_job, ["--mode", "communities", "--embeddings", src,
+                   "--output", out, "--k", "2"])
+    df = spark.read.parquet(out)
+    assert set(df.columns) == {"vec_id", "cluster"}
+    assert df.count() == 9
