@@ -231,3 +231,62 @@ def test_streaming_exact_dedup_stream_equals_batch_and_flags(spark, doc_dir):
     _drain(q)
     assert _rows(spark.table("exactdedup")) == _rows(b2)
     corpus_fp.unpersist()
+
+
+def test_streaming_cc_maintenance_matches_cold_cc(spark, tmp_path):
+    """Three micro-batches of an edge stream: final labels must equal a
+    cold CC over the union, and warm batches must converge in <= the cold
+    iteration count (the warm start can only help)."""
+    from flexgraph_spark import algorithms, streaming
+
+    src_dir = str(tmp_path / "stream_src")
+    # batch 1: two chains; batch 2: extend one; batch 3: bridge them
+    batches = [
+        [(0, 1), (1, 2), (10, 11)],
+        [(2, 3), (11, 12)],
+        [(3, 10)],
+    ]
+    import os
+
+    os.makedirs(src_dir)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "src long, dst long").coalesce(1).write.parquet(
+            f"{src_dir}/b{i}", mode="overwrite"
+        )
+        # file source ingests files under one dir; move part files up
+        import glob
+        import shutil
+
+        for f in glob.glob(f"{src_dir}/b{i}/part-*.parquet"):
+            shutil.move(f, f"{src_dir}/batch_{i}.parquet")
+        shutil.rmtree(f"{src_dir}/b{i}")
+
+    stream = (
+        spark.readStream.schema("src long, dst long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    labels_dir = str(tmp_path / "cc_state")
+    q = streaming.streaming_cc_maintenance(
+        stream, labels_dir, str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+
+    got = {
+        r["vertex"]: r["cluster"]
+        for r in spark.read.parquet(f"{labels_dir}/labels").collect()
+    }
+    all_edges = [e for b in batches for e in b]
+    cold = algorithms.connected_components(
+        spark.createDataFrame(all_edges, "src long, dst long")
+    )
+    want = {r["vertex"]: int(r["value"]) for r in cold.state.collect()}
+    assert got == want
+    # everything merged into one component rooted at 0
+    assert set(got.values()) == {0}
+    # the last (bridge) batch warm-started from near-converged labels
+    last = spark.read.parquet(f"{labels_dir}/labels").select(
+        "batch_id", "iterations"
+    ).first()
+    assert last["batch_id"] == 2
+    assert last["iterations"] <= cold.iterations + 1
