@@ -290,3 +290,51 @@ def test_streaming_cc_maintenance_matches_cold_cc(spark, tmp_path):
     ).first()
     assert last["batch_id"] == 2
     assert last["iterations"] <= cold.iterations + 1
+
+
+def test_streaming_pagerank_maintenance_matches_cold(spark, tmp_path):
+    """Two micro-batches; final warm-maintained ranks equal a cold
+    converged run on the union (unique fixpoint), in fewer supersteps."""
+    import glob
+    import os
+    import shutil
+
+    from flexgraph_spark import algorithms, streaming
+
+    src_dir = str(tmp_path / "stream_src")
+    os.makedirs(src_dir)
+    batches = [
+        [(i, (i + 1) % 20) for i in range(20)] + [(0, 10), (5, 15)],
+        [(3, 17), (8, 2)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "src long, dst long").coalesce(1).write.parquet(
+            f"{src_dir}/b{i}", mode="overwrite"
+        )
+        for f in glob.glob(f"{src_dir}/b{i}/part-*.parquet"):
+            shutil.move(f, f"{src_dir}/batch_{i}.parquet")
+        shutil.rmtree(f"{src_dir}/b{i}")
+
+    stream = (
+        spark.readStream.schema("src long, dst long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    labels_dir = str(tmp_path / "pr_state")
+    q = streaming.streaming_pagerank_maintenance(
+        stream, labels_dir, str(tmp_path / "ckpt_pr")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+
+    warm = spark.read.parquet(f"{labels_dir}/labels")
+    all_edges = [e for b in batches for e in b]
+    cold = algorithms.pagerank(
+        spark.createDataFrame(all_edges, "src long, dst long")
+    )
+    want = {r["vertex"]: r["value"] for r in cold.state.collect()}
+    got = {r["vertex"]: r["rank"] for r in warm.collect()}
+    assert set(got) == set(want)
+    for v, r in got.items():
+        assert abs(r - want[v]) < 1e-6
+    row = warm.select("batch_id", "iterations").first()
+    assert row["batch_id"] == 1 and row["iterations"] <= cold.iterations
