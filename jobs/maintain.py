@@ -1,0 +1,67 @@
+"""spark-submit entry: continuous graph maintenance over an edge stream.
+
+Watches a parquet directory as an append-only edge feed (the crawl
+ingest queue) and keeps either connected-component labels or PageRank
+current via per-micro-batch warm starts
+(streaming.streaming_cc_maintenance / streaming_pagerank_maintenance).
+``--available-now`` drains the backlog and exits (the batch-ish cron
+mode); otherwise the query runs until interrupted.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from jobs.common import get_session
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(
+        description="Streaming graph maintenance: cc | pagerank"
+    )
+    p.add_argument("--stream-dir", required=True,
+                   help="parquet directory ingested as the edge stream")
+    p.add_argument("--labels-dir", required=True,
+                   help="state directory (edge log + labels table)")
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--algorithm", choices=["cc", "pagerank"], default="cc")
+    p.add_argument("--threshold", type=float, default=1e-7)
+    p.add_argument("--max-iter", type=int, default=100)
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument("--available-now", action="store_true",
+                   help="drain the current backlog, then exit")
+    args = p.parse_args()
+
+    spark = get_session("flexgraph-maintain")
+    from flexgraph_spark import streaming
+
+    reader = spark.readStream.schema("src long, dst long")
+    if args.max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
+    stream = reader.parquet(args.stream_dir)
+
+    if args.algorithm == "cc":
+        writer = streaming.streaming_cc_maintenance(
+            stream, args.labels_dir, args.checkpoint_dir,
+            max_iter=args.max_iter,
+        )
+    else:
+        writer = streaming.streaming_pagerank_maintenance(
+            stream, args.labels_dir, args.checkpoint_dir,
+            threshold=args.threshold, max_iter=args.max_iter,
+        )
+    if args.available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        print(f"maintain[{args.algorithm}]: backlog drained -> {args.labels_dir}/labels")
+    else:
+        q = writer.start()
+        q.awaitTermination()
+
+
+if __name__ == "__main__":
+    main()

@@ -407,3 +407,29 @@ def test_similarity_job_communities(spark, tmp_path):
     df = spark.read.parquet(out)
     assert set(df.columns) == {"vec_id", "cluster"}
     assert df.count() == 9
+
+
+def test_maintain_job_cc_available_now(spark, tmp_path):
+    import jobs.maintain as maintain_job
+
+    src = str(tmp_path / "feed")
+    import os
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "src long, dst long"
+    ).coalesce(1).write.parquet(f"{src}/b0")
+    import glob
+    import shutil
+    for f in glob.glob(f"{src}/b0/part-*.parquet"):
+        shutil.move(f, f"{src}/batch0.parquet")
+    shutil.rmtree(f"{src}/b0")
+
+    labels = str(tmp_path / "state")
+    _run(maintain_job, [
+        "--stream-dir", src, "--labels-dir", labels,
+        "--checkpoint-dir", str(tmp_path / "ck"), "--algorithm", "cc",
+        "--available-now",
+    ])
+    got = {r["vertex"]: r["cluster"]
+           for r in spark.read.parquet(f"{labels}/labels").collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
