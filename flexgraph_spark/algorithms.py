@@ -5068,6 +5068,9 @@ def simrank(
         )
         trace = stepped if trace is None else trace.union(stepped)
 
+    # the meeting join reads the trace TWICE (query side + all side):
+    # persist, or the full 2L-join walk chain recomputes per side
+    trace = trace.persist()
     qt = (
         trace.filter(F.col("start").isin([int(q) for q in queries]))
         .select(
@@ -5097,6 +5100,12 @@ def simrank(
             .filter(F.col("_rk") <= int(topk))
             .drop("_rk")
         )
+    from flexgraph_spark.textops import _materialize
+
+    out = _materialize(out)  # small by construction: <= |Q| x V pairs
+    trace.unpersist()
+    pos.unpersist()
+    deg.unpersist()
     return out
 
 
@@ -5217,9 +5226,11 @@ def walk_cooccurrence(
     in the count aggregation, a uniform shuffle on (center, context)).
     Everything after the walks is exact integer counting; the oracle
     replays walks and PMI bit-for-bit."""
+    # the window pairing reads the walk table TWICE (center + context
+    # sides): persist, or the full walk-join chain recomputes per side
     walks = random_walks(
         edges, walk_length=walk_length, num_walks=num_walks, salt=salt
-    )
+    ).persist()
     a = walks.select(
         "start", "walk_id", F.col("step").alias("i"), F.col("vertex").alias("center")
     )
@@ -5259,4 +5270,5 @@ def walk_cooccurrence(
 
     out = _materialize(out)
     pairs.unpersist()
+    walks.unpersist()
     return out
