@@ -387,8 +387,40 @@ def streaming_pagerank_maintenance(
     )
 
 
+def streaming_sssp_maintenance(
+    edge_stream: DataFrame,
+    labels_dir: str,
+    checkpoint_dir: str,
+    source_vertex: int,
+    max_iter: int = 100,
+):
+    """Continuous single-source shortest-path maintenance over an
+    append-only WEIGHTED edge stream (src, dst, weight): per micro-batch,
+    warm-start the relaxation from the previous distance vector — exact
+    for edge additions by the same argument as CC (old distances are
+    per-vertex UPPER bounds and min-plus relaxation is monotone from any
+    upper-bound init; a new edge can only shorten paths). New vertices
+    enter at +inf (the cold init). Output column: ``dist`` double.
+    Completes the maintenance triad with
+    :func:`streaming_cc_maintenance` / :func:`streaming_pagerank_maintenance`."""
+
+    def run(all_edges, init, max_it):
+        from flexgraph_spark import algorithms
+
+        res = algorithms.sssp(
+            all_edges, source_vertex=source_vertex, max_iter=max_it,
+            initial_state=init,
+        )
+        return res, F.col("value").alias("dist")
+
+    return _streaming_maintenance(
+        edge_stream, labels_dir, checkpoint_dir, run, max_iter,
+        edge_cols=("src", "dst", "weight"),
+    )
+
+
 def _streaming_maintenance(edge_stream, labels_dir, checkpoint_dir, run,
-                           max_iter):
+                           max_iter, edge_cols=("src", "dst")):
     """Shared foreachBatch scaffold for warm-started per-batch graph
     recompute: append the delta to the edge log, warm-start from the
     previous labels, overwrite the labels table (via a tmp read-back so
@@ -396,7 +428,7 @@ def _streaming_maintenance(edge_stream, labels_dir, checkpoint_dir, run,
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        new_edges = batch_df.select("src", "dst").filter(
+        new_edges = batch_df.select(*edge_cols).filter(
             F.col("src") != F.col("dst")
         )
         edges_path = f"{labels_dir}/edges"

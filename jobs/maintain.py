@@ -28,18 +28,22 @@ def main() -> None:
     p.add_argument("--labels-dir", required=True,
                    help="state directory (edge log + labels table)")
     p.add_argument("--checkpoint-dir", required=True)
-    p.add_argument("--algorithm", choices=["cc", "pagerank"], default="cc")
+    p.add_argument("--algorithm", choices=["cc", "pagerank", "sssp"], default="cc")
     p.add_argument("--threshold", type=float, default=1e-7)
     p.add_argument("--max-iter", type=int, default=100)
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--available-now", action="store_true",
                    help="drain the current backlog, then exit")
+    p.add_argument("--source", type=int, default=0,
+                   help="source vertex (sssp)")
     args = p.parse_args()
 
     spark = get_session("flexgraph-maintain")
     from flexgraph_spark import streaming
 
-    reader = spark.readStream.schema("src long, dst long")
+    schema = ("src long, dst long, weight double"
+              if args.algorithm == "sssp" else "src long, dst long")
+    reader = spark.readStream.schema(schema)
     if args.max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
     stream = reader.parquet(args.stream_dir)
@@ -48,6 +52,11 @@ def main() -> None:
         writer = streaming.streaming_cc_maintenance(
             stream, args.labels_dir, args.checkpoint_dir,
             max_iter=args.max_iter,
+        )
+    elif args.algorithm == "sssp":
+        writer = streaming.streaming_sssp_maintenance(
+            stream, args.labels_dir, args.checkpoint_dir,
+            source_vertex=args.source, max_iter=args.max_iter,
         )
     else:
         writer = streaming.streaming_pagerank_maintenance(

@@ -338,3 +338,50 @@ def test_streaming_pagerank_maintenance_matches_cold(spark, tmp_path):
         assert abs(r - want[v]) < 1e-6
     row = warm.select("batch_id", "iterations").first()
     assert row["batch_id"] == 1 and row["iterations"] <= cold.iterations
+
+
+def test_streaming_sssp_maintenance_matches_cold(spark, tmp_path):
+    """A later batch adds a SHORTCUT edge; the warm-started relaxation
+    must settle to the same distances as a cold run on the union."""
+    import glob
+    import os
+    import shutil
+
+    from flexgraph_spark import algorithms, streaming
+
+    src_dir = str(tmp_path / "stream_w")
+    os.makedirs(src_dir)
+    batches = [
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)],
+        [(0, 3, 1.5)],  # shortcut: dist(3) 3.0 -> 1.5, dist(4) 4.0 -> 2.5
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "src long, dst long, weight double"
+        ).coalesce(1).write.parquet(f"{src_dir}/b{i}", mode="overwrite")
+        for f in glob.glob(f"{src_dir}/b{i}/part-*.parquet"):
+            shutil.move(f, f"{src_dir}/batch_{i}.parquet")
+        shutil.rmtree(f"{src_dir}/b{i}")
+
+    stream = (
+        spark.readStream.schema("src long, dst long, weight double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    labels_dir = str(tmp_path / "sssp_state")
+    q = streaming.streaming_sssp_maintenance(
+        stream, labels_dir, str(tmp_path / "ckpt_s"), source_vertex=0
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+
+    got = {r["vertex"]: r["dist"]
+           for r in spark.read.parquet(f"{labels_dir}/labels").collect()}
+    cold = algorithms.sssp(
+        spark.createDataFrame(
+            [e for b in batches for e in b], "src long, dst long, weight double"
+        ),
+        source_vertex=0,
+    )
+    want = {r["vertex"]: r["value"] for r in cold.state.collect()}
+    assert got == want
+    assert got[3] == 1.5 and got[4] == 2.5
