@@ -433,3 +433,13 @@ def test_maintain_job_cc_available_now(spark, tmp_path):
     got = {r["vertex"]: r["cluster"]
            for r in spark.read.parquet(f"{labels}/labels").collect()}
     assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
+
+
+def test_triangles_job_k4_motif(spark, edges_parquet, tmp_path):
+    import jobs.triangles as tri_job
+
+    out = str(tmp_path / "k4s")
+    _run(tri_job, ["--edges", edges_parquet, "--output", out,
+                   "--motif", "k4"])
+    df = spark.read.parquet(out)
+    assert df.columns == ["k4s"] and df.count() == 1
