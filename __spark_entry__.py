@@ -1813,6 +1813,44 @@ def _q_rank_select(spark, sf_dir):
     )
 
 
+GDIAM_SQL = (
+    "select distinct l_orderkey % 2000 as src, l_partkey % 2000 as dst "
+    "from lineitem where l_orderkey % 2000 <> l_partkey % 2000 "
+    "and (l_orderkey % 2000 * 31 + l_partkey % 2000) % 7 < 1"
+)
+
+
+def _graph_diam(spark, sf_dir) -> DataFrame:
+    """Mid-sparsity fixture for the iFUB gate: giant component ~858
+    vertices with diameter 6 at sf0.01 — deep enough that iFUB's
+    level-descent matters, shallow enough that the definition oracle's
+    pair closure (cap 8) stays sub-million-row."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.col("l_orderkey") % 2000
+    d = F.col("l_partkey") % 2000
+    return (
+        li.select(s.alias("src"), d.alias("dst"))
+        .filter(
+            (F.col("src") != F.col("dst"))
+            & ((F.col("src") * 31 + F.col("dst")) % 7 < 1)
+        )
+        .distinct()
+    )
+
+
+def _q_diameter(spark, sf_dir):
+    """EXACT diameter of the max-degree vertex's undirected component via
+    iFUB (algorithms.diameter_ifub) — certified lb >= 2i bound, batched
+    landmark BFS rounds. The oracle computes the same number FROM THE
+    DEFINITION (capped level-synchronous pair closure, min first-hit
+    level, max over pairs) — algorithm vs definition, like k4_count."""
+    row = algorithms.diameter_ifub(
+        _graph_diam(spark, sf_dir), batch_k=128, max_bfs=600
+    )
+    assert row.first()["certified"] == 1
+    return row.select("root", "diameter")
+
+
 def _q_k4(spark, sf_dir):
     """Exact 4-clique count (algorithms.k4_count): the degree-oriented
     triangle table completed by a unique (degree, id)-order top vertex —
@@ -3640,6 +3678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": _q_triangles,
         "k4_count": _q_k4,
         "rank_select": _q_rank_select,
+        "diameter_ifub": _q_diameter,
         "triangles_sampled": _q_triangles_sampled,
         "dyad_census": _q_dyad_census,
         "triad_census": _q_triad_census,
@@ -4523,6 +4562,46 @@ from und e1
 join und e2 on e2.a = e1.b
 join und e3 on e3.a = e1.a and e3.b = e2.b
 """
+
+def _diameter_sql(edge_sql: str, cap: int) -> str:
+    """Exact diameter from the DEFINITION: root = the max-undirected-
+    degree vertex (tie: lowest id — the engine's default), its component
+    via a cap-level reach closure, then a cap-level level-synchronous
+    pair closure; dist = first level a pair appears at, diameter = max
+    dist. The cap must exceed the true diameter — if it does not, the
+    oracle undershoots and the gate FAILS (never silently passes): a
+    graph of diameter D has pairs at every distance <= D, so a capped
+    oracle reports exactly cap while the engine reports D > cap."""
+    ctes = [
+        f"e as materialized ({edge_sql})",
+        "und as (select src, dst from e union select dst as src, src as dst from e)",
+        "rt as (select src as r from und group by src "
+        "order by count(*) desc, src limit 1)",
+        "c0 as (select r as u from rt)",
+    ]
+    for k in range(1, cap + 1):
+        ctes.append(
+            f"c{k} as materialized (select u from c{k-1} union "
+            f"select und.dst from c{k-1} join und on und.src = c{k-1}.u)"
+        )
+    ctes.append(f"p0 as (select u as v, u as x from c{cap})")
+    for k in range(1, cap + 1):
+        ctes.append(
+            f"p{k} as materialized (select v, x from p{k-1} union "
+            f"select p.v, und.dst as x from p{k-1} p "
+            "join und on und.src = p.x)"
+        )
+    lv = " union all ".join(
+        f"select v, x, {k} as h from p{k}" for k in range(cap + 1)
+    )
+    ctes.append(f"lv as ({lv})")
+    ctes.append("d as (select v, x, min(h) as dist from lv group by v, x)")
+    return (
+        "with " + ",\n".join(ctes)
+        + "\nselect (select r from rt)::bigint as root, "
+        "max(dist)::bigint as diameter from d"
+    )
+
 
 _K4_SQL = f"""
 with e as ({G1000_SQL}),
@@ -6031,6 +6110,7 @@ from cells
         ),
         "triangles": _TRIANGLES_SQL,
         "k4_count": _K4_SQL,
+        "diameter_ifub": _diameter_sql(GDIAM_SQL, 8),
         "rank_select": f"""
 select d.doc_id, pr.pr as module_pr
 from documents d

@@ -5272,3 +5272,82 @@ def walk_cooccurrence(
     pairs.unpersist()
     walks.unpersist()
     return out
+
+
+def diameter_ifub(
+    edges: DataFrame,
+    root: int | None = None,
+    batch_k: int = 16,
+    max_bfs: int = 256,
+    max_iter: int = 100,
+    **kw,
+) -> DataFrame:
+    """EXACT diameter of the root's undirected component via iFUB
+    (Crescenzi, Grossi, Habib, Lanzi, Marino: "On computing the diameter
+    of real-world undirected graphs", TCS 2013): BFS from ``root`` gives
+    levels; any pair with both endpoints at level <= i is at distance
+    <= 2i (through the root), so processing fringe vertices DEEPEST-FIRST
+    and maintaining lb = max eccentricity seen certifies ``diameter = lb``
+    the moment lb >= 2i — on small-world graphs a handful of BFS runs
+    instead of |V|. Eccentricities are computed ``batch_k`` sources per
+    edge scan via the batched landmark state (:func:`landmark_distances`),
+    so each round costs one multi-source BFS job.
+
+    ``root`` defaults to the highest-degree vertex (tie: lowest id) —
+    the standard iFUB start, it lands in the giant component and gives
+    shallow, fast-certifying BFS trees; SQL-replayable (one degree
+    argmax). Fringe ids are collected per level —
+    driver-bounded by the level width (deep levels of small-world graphs
+    are narrow; ``max_bfs`` caps the total and raises rather than
+    silently degrading). Returns ONE row
+    (root, diameter, n_bfs, certified) — certified is always 1 on return;
+    the cap raises instead of returning an uncertified number.
+    """
+    from flexgraph_spark.graph import symmetrize
+
+    und = symmetrize(edges.select("src", "dst")).persist()
+    if root is None:
+        root = int(
+            und.groupBy("src").agg(F.count("*").alias("dg"))
+            .orderBy(F.col("dg").desc(), F.col("src"))
+            .first()["src"]
+        )
+    res = landmark_distances(und, [root], max_iter=max_iter, **kw)
+    lv = (
+        res.state.select("vertex", F.element_at("value", 1).alias("dd"))
+        .filter(F.col("dd") < gimv.SSSP_INF)  # ANSI: filter inf BEFORE cast
+        .select("vertex", F.col("dd").cast("long").alias("d"))
+        .persist()
+    )
+    height = int(lv.agg(F.max("d")).first()[0])
+    lb, n_bfs = height, 1
+    spark = edges.sparkSession
+    i = height
+    while i >= 1 and lb < 2 * i:
+        fringe = sorted(
+            r["vertex"] for r in lv.filter(F.col("d") == i).collect()
+        )
+        for j in range(0, len(fringe), batch_k):
+            chunk = [int(v) for v in fringe[j:j + batch_k]]
+            if n_bfs + len(chunk) > max_bfs:
+                raise RuntimeError(
+                    f"diameter_ifub: exceeded max_bfs={max_bfs} at level {i} "
+                    f"(lb={lb}); raise max_bfs or pick a more central root"
+                )
+            r2 = landmark_distances(und, chunk, max_iter=max_iter, **kw)
+            ecc = int(
+                landmark_long(r2, chunk).agg(F.max("dist")).first()[0]
+            )
+            lb = max(lb, ecc)
+            n_bfs += len(chunk)
+            if lb >= 2 * i:
+                # every unprocessed pair has both endpoints at level <= i,
+                # hence distance <= 2i <= lb through the root
+                break
+        i -= 1
+    und.unpersist()
+    lv.unpersist()
+    return spark.createDataFrame(
+        [(int(root), int(lb), int(n_bfs), 1)],
+        "root long, diameter long, n_bfs long, certified int",
+    )

@@ -2551,3 +2551,62 @@ def test_walk_cooccurrence_matches_python_replay(spark):
         for k, n in counts.items()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# iFUB exact diameter
+# ---------------------------------------------------------------------------
+
+
+def test_diameter_ifub_known_shapes(spark):
+    path = [(i, i + 1) for i in range(9)]
+    row = algorithms.diameter_ifub(_edges(spark, path)).first()
+    assert row["diameter"] == 9 and row["certified"] == 1
+    cycle = [(i, (i + 1) % 8) for i in range(8)]
+    assert algorithms.diameter_ifub(_edges(spark, cycle)).first()["diameter"] == 4
+    star = [(0, i) for i in range(1, 6)]
+    assert algorithms.diameter_ifub(_edges(spark, star)).first()["diameter"] == 2
+
+
+def test_diameter_ifub_matches_bruteforce_random(spark):
+    rng = np.random.default_rng(3)
+    n = 25
+    pairs = [(a, b) for a in range(n) for b in range(n)
+             if a < b and rng.random() < 0.12]
+    # brute force undirected BFS from every vertex
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    root = min(min(a, b) for a, b in pairs)
+    # component of root
+    comp, frontier = {root}, {root}
+    while frontier:
+        nxt = set()
+        for v in frontier:
+            nxt |= adj.get(v, set())
+        frontier = nxt - comp
+        comp |= nxt
+    def bfs_ecc(s):
+        dist, frontier, d = {s: 0}, {s}, 0
+        while frontier:
+            d += 1
+            nxt = set()
+            for v in frontier:
+                for u in adj.get(v, ()):
+                    if u not in dist:
+                        dist[u] = d
+                        nxt.add(u)
+            frontier = nxt
+        return max(dist.values())
+    want = max(bfs_ecc(s) for s in comp)
+    row = algorithms.diameter_ifub(_edges(spark, pairs)).first()
+    assert row["diameter"] == want
+    # the point of iFUB: far fewer BFS runs than vertices
+    assert row["n_bfs"] <= len(comp)
+
+
+def test_diameter_ifub_uses_root_component_only(spark):
+    pairs = [(0, 1), (1, 2)] + [(10, 11), (11, 12), (12, 13), (13, 14)]
+    row = algorithms.diameter_ifub(_edges(spark, pairs)).first()
+    assert row["root"] == 0 and row["diameter"] == 2  # not the longer 10-chain
