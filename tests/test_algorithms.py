@@ -2609,4 +2609,7 @@ def test_diameter_ifub_matches_bruteforce_random(spark):
 def test_diameter_ifub_uses_root_component_only(spark):
     pairs = [(0, 1), (1, 2)] + [(10, 11), (11, 12), (12, 13), (13, 14)]
     row = algorithms.diameter_ifub(_edges(spark, pairs)).first()
-    assert row["root"] == 0 and row["diameter"] == 2  # not the longer 10-chain
+    # max undirected degree is 2, shared by {1, 11, 12, 13}; lowest-id tie
+    # rule picks root 1, whose component is the 3-path — diameter 2, not
+    # the longer chain's 4.
+    assert row["root"] == 1 and row["diameter"] == 2
