@@ -3220,6 +3220,21 @@ def _q_retention(spark, sf_dir):
     return analytics.retention(_t(spark, sf_dir, "events"), period="day")
 
 
+QUANTILE_QS = [0.01, 0.10, 0.25, 0.50, 0.75, 0.90, 0.99]
+
+
+def _q_exact_quantiles(spark, sf_dir):
+    """Exact order statistics over documents.n_chars via histogram
+    bisection (analytics.exact_quantiles) — k = max(1, ceil(q*n))-th
+    smallest, no global sort, driver sees only histogram rows. The oracle
+    replays the identical rank via ROW_NUMBER."""
+    from flexgraph_spark import analytics
+
+    return analytics.exact_quantiles(
+        _t(spark, sf_dir, "documents"), "n_chars", QUANTILE_QS
+    )
+
+
 def _q_event_windows(spark, sf_dir):
     """Batch face of the streaming windowed aggregation (the identical plan
     runs incrementally via readStream — tests/test_streaming.py proves
@@ -3791,6 +3806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "funnel": _q_funnel,
         "retention": _q_retention,
+        "exact_quantiles": _q_exact_quantiles,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
         "cms_token_counts": _q_cms_token_counts,
@@ -6455,6 +6471,16 @@ select strftime(f.cohort, '%Y-%m-%d') as cohort,
        date_diff('day', f.cohort, a.p)::int as offset,
        count(*)::bigint as n_users
 from a join f using (user_id) group by 1, 2
+""",
+        "exact_quantiles": """
+with t as (select cast(n_chars as double) as x from documents
+           where n_chars is not null),
+n as (select count(*) as c from t),
+r as (select x, row_number() over (order by x) as rn from t),
+qs(q) as (values (0.01),(0.10),(0.25),(0.50),(0.75),(0.90),(0.99))
+select cast(round(q*100) as int) as pct, x as val
+from qs, n join r on r.rn = greatest(1, cast(ceil(q * n.c - 1e-9) as bigint))
+order by pct
 """,
         "event_sessions": """
 with o as (

@@ -6,7 +6,7 @@ tier is expected to answer over trillions of events. Pure DataFrame plans
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -329,3 +329,128 @@ def snapshot_diff(
         .filter(F.col("status").isNotNull())
         .select(*keys, "status")
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    n_buckets: int = 8192,
+    max_refine_rows: int = 2_000_000,
+) -> DataFrame:
+    """Exact order statistics at 100 TB scale — no global sort, no
+    approx_percentile error bound.
+
+    For each q in ``qs`` returns the k-th smallest value of ``col`` with
+    ``k = max(1, ceil(q * n))`` (SQL ``ORDER BY col LIMIT 1 OFFSET k-1``
+    semantics, so a DuckDB oracle can replay it exactly). NULLs are
+    excluded, matching SQL ordered-set aggregates.
+
+    Scale shape (histogram bisection, NOT a sort):
+      pass 1  one agg -> (n, min, max).
+      pass 2  one groupBy over ``n_buckets`` equi-width buckets ->
+              (count, min, max) per bucket; only ``n_buckets`` rows reach
+              the driver, never data rows.
+      pass 3  rows from the <=len(qs) buckets that contain a target rank
+              are ranked by a per-bucket window (one task per bucket,
+              each expected n/n_buckets rows) and joined to the tiny
+              (bucket, local_rank) target table.
+    A bucket that is single-valued (min==max) resolves without pass 3; a
+    bucket larger than ``max_refine_rows`` with distinct values recurses
+    on the bucket's value range (depth is log_{n_buckets}(n/max_refine) —
+    2 levels cover 10^13 rows at the defaults). Output:
+    ``(pct int, val double)`` where pct = round(q*100).
+
+    Reference parity: the reference engine has no order statistics; this
+    is part of the training-data-pipeline addendum (length/score
+    percentile cuts for corpus filtering).
+    """
+    x = df.select(F.col(col).cast("double").alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    head = x.agg(
+        F.count("*").alias("n"), F.min("x").alias("mn"), F.max("x").alias("mx")
+    ).collect()[0]
+    n = head["n"]
+    spark = df.sparkSession
+    out_schema = "pct int, val double"
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    import math
+
+    # k = max(1, ceil(q*n)); the tiny epsilon guards float drift in q*n
+    targets = [(int(round(q * 100)), max(1, math.ceil(q * n - 1e-9))) for q in qs]
+    rows = _kth_smallest(x, targets, head["mn"], head["mx"], n, n_buckets, max_refine_rows)
+    return spark.createDataFrame(rows, out_schema).orderBy("pct")
+
+
+def _kth_smallest(
+    x: DataFrame,
+    targets: list[tuple[int, int]],
+    mn: float,
+    mx: float,
+    n: int,
+    n_buckets: int,
+    max_refine_rows: int,
+) -> list[tuple[int, float]]:
+    """Resolve (pct, k) targets over x in [mn, mx] with |x| = n rows.
+
+    Returns [(pct, value)]. k is the 1-indexed rank within this x.
+    """
+    if mn == mx:
+        return [(pct, float(mn)) for pct, _ in targets]
+    w = (mx - mn) / n_buckets
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0), F.floor((F.col("x") - F.lit(mn)) / F.lit(w))),
+    ).cast("int")
+    hist = {
+        r["b"]: r
+        for r in x.groupBy(bucket.alias("b"))
+        .agg(F.count("*").alias("c"), F.min("x").alias("bmn"), F.max("x").alias("bmx"))
+        .collect()
+    }
+    order = sorted(hist)
+    resolved: list[tuple[int, float]] = []
+    refine: list[tuple[int, int, int]] = []  # (pct, bucket, local_rank)
+    recurse: dict[int, list[tuple[int, int]]] = {}
+    for pct, k in targets:
+        cum = 0
+        for b in order:
+            c = hist[b]["c"]
+            if cum + c >= k:
+                local = k - cum
+                if hist[b]["bmn"] == hist[b]["bmx"]:
+                    resolved.append((pct, float(hist[b]["bmn"])))
+                elif c > max_refine_rows:
+                    recurse.setdefault(b, []).append((pct, local))
+                else:
+                    refine.append((pct, b, local))
+                break
+            cum += c
+    for b, sub_targets in recurse.items():
+        sub = x.filter(
+            (F.col("x") >= F.lit(float(hist[b]["bmn"])))
+            & (F.col("x") <= F.lit(float(hist[b]["bmx"])))
+        )
+        resolved.extend(
+            _kth_smallest(
+                sub, sub_targets, hist[b]["bmn"], hist[b]["bmx"], hist[b]["c"],
+                n_buckets, max_refine_rows,
+            )
+        )
+    if refine:
+        spark = x.sparkSession
+        need = spark.createDataFrame(
+            [(p, b, r) for p, b, r in refine], "pct int, b int, lr int"
+        )
+        wanted_buckets = sorted({b for _, b, _ in refine})
+        win = Window.partitionBy("b").orderBy("x")
+        ranked = (
+            x.withColumn("b", bucket)
+            .filter(F.col("b").isin(wanted_buckets))
+            .withColumn("lr", F.row_number().over(win))
+        )
+        got = ranked.join(F.broadcast(need), ["b", "lr"]).select("pct", "x").collect()
+        resolved.extend((r["pct"], float(r["x"])) for r in got)
+    return resolved

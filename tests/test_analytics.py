@@ -194,3 +194,33 @@ def test_snapshot_diff_statuses_and_null_safety(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         snapshot_diff(old.select("id"), new.select("id"), keys=["id"])
+
+
+def test_exact_quantiles_vs_sorted(spark):
+    """Histogram-bisection order statistics == the sorted-list definition,
+    on a skewed multiset with ties and negatives, at several bucket/refine
+    configs (including ones that force the recursion and the single-valued
+    bucket short-circuits)."""
+    import math
+
+    vals = ([5.0] * 40 + [-3.0] * 7 + [1000.0] * 3
+            + [float(v) for v in range(100)] + [0.25, 0.25])
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    qs = [0.01, 0.1, 0.5, 0.9, 0.99, 1.0]
+    s = sorted(vals)
+    expect = {int(round(q * 100)): s[max(1, math.ceil(q * len(s) - 1e-9)) - 1]
+              for q in qs}
+    for kw in ({}, {"n_buckets": 4, "max_refine_rows": 10},
+               {"n_buckets": 2, "max_refine_rows": 5}):
+        got = {r.pct: r.val
+               for r in analytics.exact_quantiles(df, "v", qs, **kw).collect()}
+        assert got == expect, kw
+
+
+def test_exact_quantiles_edges(spark):
+    # empty input and all-equal input (mn == mx fast path), NULLs excluded
+    empty = spark.createDataFrame([], "v double")
+    assert analytics.exact_quantiles(empty, "v", [0.5]).count() == 0
+    eq = spark.createDataFrame([(7.0,)] * 9 + [(None,)], "v double")
+    [r] = analytics.exact_quantiles(eq, "v", [0.5]).collect()
+    assert (r.pct, r.val) == (50, 7.0)
