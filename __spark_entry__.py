@@ -3220,6 +3220,46 @@ def _q_retention(spark, sf_dir):
     return analytics.retention(_t(spark, sf_dir, "events"), period="day")
 
 
+def _q_fork_detect(spark, sf_dir):
+    """Fork/mirror detection (textops.group_overlap): inverted sha256
+    index over (collection, document) sets, frequency-capped to drop
+    cross-corpus boilerplate, Jaccard >= 0.3 pairs. The corpus has no
+    natural forks, so the query plants them: every source whose numeric id
+    % 5 == 0 gets a '<source>_fork' twin carrying 60% of its docs
+    verbatim, 20% patched (unique), plus a boilerplate doc shared by ALL
+    collections — the cap (max_sha_freq=3) must drop the boilerplate or
+    every pair would score nonzero. Expected survivors: exactly the
+    (source, source_fork) pairs at jaccard 0.5."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    sn = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    forkable = docs.filter(sn % 5 == 0)
+    fork_name = F.concat("source", F.lit("_fork"))
+    catalog = (
+        docs.select("source", "text")
+        .unionByName(
+            forkable.filter(F.col("doc_id") % 10 < 6)
+            .select(fork_name.alias("source"), "text")
+        )
+        .unionByName(
+            forkable.filter(F.col("doc_id") % 10 >= 8)
+            .select(fork_name.alias("source"),
+                    F.concat("text", F.lit(" forkpatch")).alias("text"))
+        )
+        .unionByName(
+            docs.select("source").distinct()
+            .select("source", F.lit("shared boilerplate header").alias("text"))
+        )
+        .unionByName(
+            forkable.select(fork_name.alias("source")).distinct()
+            .select("source", F.lit("shared boilerplate header").alias("text"))
+        )
+    )
+    return textops.group_overlap(
+        catalog, group_col="source", text_col="text",
+        min_jaccard=0.3, max_sha_freq=3,
+    )
+
+
 QUANTILE_QS = [0.01, 0.10, 0.25, 0.50, 0.75, 0.90, 0.99]
 
 
@@ -3807,6 +3847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": _q_funnel,
         "retention": _q_retention,
         "exact_quantiles": _q_exact_quantiles,
+        "fork_detect": _q_fork_detect,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
         "cms_token_counts": _q_cms_token_counts,
@@ -6471,6 +6512,35 @@ select strftime(f.cohort, '%Y-%m-%d') as cohort,
        date_diff('day', f.cohort, a.p)::int as offset,
        count(*)::bigint as n_users
 from a join f using (user_id) group by 1, 2
+""",
+        "fork_detect": """
+with nums as (select doc_id, source, text,
+                     cast(regexp_extract(source, '(\\d+)', 1) as int) as sn
+              from documents),
+catalog as (
+  select source as g, text from nums
+  union all
+  select source || '_fork', text from nums where sn % 5 = 0 and doc_id % 10 < 6
+  union all
+  select source || '_fork', text || ' forkpatch' from nums
+  where sn % 5 = 0 and doc_id % 10 >= 8
+  union all
+  select distinct source, 'shared boilerplate header' from nums
+  union all
+  select distinct source || '_fork', 'shared boilerplate header' from nums
+  where sn % 5 = 0
+),
+s0 as (select distinct g, sha256(text) as h from catalog),
+rare as (select h from s0 group by h having count(*) <= 3),
+s as (select s0.* from s0 join rare using (h)),
+sizes as (select g, count(*) as n from s group by 1),
+p as (select a.g as ga, b.g as gb, count(*) as shared
+      from s a join s b using (h) where a.g < b.g group by 1, 2)
+select ga as group_a, gb as group_b, shared, na.n as n_a, nb.n as n_b,
+       round(cast(shared as double) / (na.n + nb.n - shared), 6) as jaccard,
+       round(cast(shared as double) / least(na.n, nb.n), 6) as containment
+from p join sizes na on na.g = p.ga join sizes nb on nb.g = p.gb
+where round(cast(shared as double) / (na.n + nb.n - shared), 6) >= 0.3
 """,
         "exact_quantiles": """
 with t as (select cast(n_chars as double) as x from documents

@@ -1884,3 +1884,78 @@ def semantic_communities(
             F.coalesce("cluster", F.col("vec_id")).cast("long").alias("cluster"),
         )
     )
+
+
+def group_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    min_jaccard: float = 0.5,
+    max_sha_freq: int | None = 1000,
+) -> DataFrame:
+    """Fork/mirror detection across document collections (repos, crawls,
+    dumps): which pairs of groups share a large fraction of identical
+    documents?
+
+    Each group is fingerprinted as its set of distinct content sha256s;
+    pairs are scored with Jaccard = |shared| / |union| and containment =
+    |shared| / min(|A|, |B|) and kept when Jaccard >= ``min_jaccard``.
+    Returns (group_a, group_b, shared, n_a, n_b, jaccard, containment)
+    with group_a < group_b.
+
+    Scale shape — inverted index on the sha, never group-pairs:
+      * one distinct (group, sha) projection (uniform 256-bit shuffle keys);
+      * shas occurring in more than ``max_sha_freq`` groups are dropped
+        BEFORE pairing (ubiquitous boilerplate — the CCNet top-paragraph
+        move), which bounds per-sha pair fanout at max_sha_freq^2 and makes
+        the candidate volume sum-of-squares over rare shas, not |G|^2;
+        sizes are computed on the same capped universe so the scores are
+        the exact Jaccard/containment of the rare-sha fingerprint sets;
+      * pair counting is a self-join keyed on the sha followed by a
+        (group_a, group_b) count — both shuffles on uniform keys.
+    At 10^8 repos x 10^4 files this is the standard fork-graph plan; the
+    all-pairs alternative is infeasible and never constructed.
+    """
+    s = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.sha2(F.col(text_col), 256).alias("h"),
+    ).distinct()
+    if max_sha_freq is not None:
+        rare = (
+            s.groupBy("h")
+            .agg(F.count("*").alias("_f"))
+            .filter(F.col("_f") <= max_sha_freq)
+            .select("h")
+        )
+        s = s.join(rare, "h")
+    s = s.persist()
+    sizes = s.groupBy("g").agg(F.count("*").alias("n"))
+    a = s.select(F.col("g").alias("group_a"), "h")
+    b = s.select(F.col("g").alias("group_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("g", "group_a")
+                   .withColumnRenamed("n", "n_a"), "group_a")
+        .join(sizes.withColumnRenamed("g", "group_b")
+              .withColumnRenamed("n", "n_b"), "group_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6
+            ),
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("shared") / F.least("n_a", "n_b"), 6),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("group_a", "group_b", "shared", "n_a", "n_b",
+                "jaccard", "containment")
+    )
+    return out

@@ -905,3 +905,27 @@ def test_semantic_communities_two_blobs_and_singleton(spark):
     # 20 points at the blobs but nobody points back within k=2 -> singleton
     assert got[20] == 20
     assert len(got) == 7
+
+
+def test_group_overlap_fork_scores_and_freq_cap(spark):
+    """Hand-built catalog: repo A and its fork share 3 of A's 4 docs; the
+    fork adds 1 unique doc; a boilerplate doc lives in ALL four repos and
+    must be dropped by the frequency cap (otherwise unrelated B/C pairs
+    would score). Exact Jaccard/containment asserted."""
+    rows = []
+    for d in ("d1", "d2", "d3", "d4"):
+        rows.append(("A", d))
+    for d in ("d1", "d2", "d3", "fork-only"):
+        rows.append(("A_fork", d))
+    rows += [("B", "b1"), ("B", "b2"), ("C", "c1")]
+    rows += [(g, "boiler") for g in ("A", "A_fork", "B", "C")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = textops.group_overlap(df, min_jaccard=0.3, max_sha_freq=3).collect()
+    assert len(out) == 1
+    [r] = out
+    # shared=3, n_a=4, n_b=4 (boiler excluded everywhere), union=5
+    assert (r.group_a, r.group_b, r.shared, r.n_a, r.n_b) == ("A", "A_fork", 3, 4, 4)
+    assert r.jaccard == 0.6 and r.containment == 0.75
+    # without the cap the boilerplate links every pair
+    uncapped = textops.group_overlap(df, min_jaccard=0.0, max_sha_freq=None)
+    assert uncapped.count() == 6  # all C(4,2) pairs share >= the boiler doc
