@@ -2905,6 +2905,17 @@ def _q_ann_ivf_top5(spark, sf_dir):
     return out.select("query_id", F.col("rank").alias("rnk"), "neighbor_id")
 
 
+def _q_ann_sq_top5(spark, sf_dir):
+    """Int8 scalar-quantized cosine top-k (textops.ann_topk_int8): the
+    quantization (global max-abs scale, floor(x*127/m+0.5) clamp) is the
+    only approximation and the oracle replays it bit-for-bit, so this row
+    gates the full SQ-ANN path — scale pass, quantize, integer dot
+    products, ranking."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = textops.ann_topk_int8(emb, emb.filter(F.col("vec_id") < 5), top_k=5)
+    return out.select("query_id", F.col("rank").alias("rnk"), "neighbor_id")
+
+
 def _q_winnow_fp(spark, sf_dir):
     return textops.winnow_fingerprints(_t(spark, sf_dir, "documents")).select(
         "doc_id", "n_fps"
@@ -3799,6 +3810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": _q_hard_negatives,
         "ann_lsh_top5": _q_ann_lsh_top5,
         "ann_ivf_top5": _q_ann_ivf_top5,
+        "ann_sq_top5": _q_ann_sq_top5,
         "random_projection": _q_random_projection,
         "kmeans_assign_gate": _q_kmeans_assign_gate,
         "emb_neardup": _q_emb_neardup,
@@ -6417,6 +6429,26 @@ select query_id, rnk, neighbor_id, round(score, 6) as score from (
 where rnk <= 5
 """,
         "ann_ivf_top5": _ANN_SQL,
+        "ann_sq_top5": """
+with e as (select vec_id, embedding from embeddings),
+m as (select max(abs(u.x)) as mm from e, unnest(e.embedding) as u(x)),
+v as (select vec_id,
+             list_transform(embedding,
+               x -> greatest(-127.0, least(127.0,
+                      floor(x::double * 127.0 / mm + 0.5))))
+             as q
+      from e, m),
+qs as (select * from v where vec_id < 5),
+s as (select qs.vec_id as query_id, v.vec_id as neighbor_id,
+        list_dot_product(qs.q, v.q) /
+          (sqrt(list_dot_product(qs.q, qs.q)) * sqrt(list_dot_product(v.q, v.q)))
+          as score
+      from qs, v where qs.vec_id <> v.vec_id)
+select query_id, rnk, neighbor_id from (
+  select *, row_number() over (partition by query_id
+           order by score desc, neighbor_id asc) as rnk from s)
+where rnk <= 5
+""",
         "random_projection": _RP_SQL,
         "emb_neardup_precision": (
             "select cast(null as bigint) as vec_id_a, cast(null as bigint) "

@@ -929,3 +929,29 @@ def test_group_overlap_fork_scores_and_freq_cap(spark):
     # without the cap the boilerplate links every pair
     uncapped = textops.group_overlap(df, min_jaccard=0.0, max_sha_freq=None)
     assert uncapped.count() == 6  # all C(4,2) pairs share >= the boiler doc
+
+
+def test_quantize_int8_bounds_and_scale(spark):
+    df = spark.createDataFrame(
+        [(1, [2.0, -4.0, 0.0]), (2, [1.0, 1.0, -2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    qv, m = textops.quantize_int8(df)
+    assert m == 4.0
+    got = {r.vec_id: r.qvec for r in qv.collect()}
+    # floor(x*127/4 + 0.5): 2.0 -> 64 (63.5+0.5), -4.0 -> -127, 0 -> 0
+    assert got[1] == [64, -127, 0]
+    assert got[2] == [32, 32, -63]  # -63.5 + 0.5 = -63 exactly -> floor -63
+    for v in got.values():
+        assert all(-127 <= x <= 127 for x in v)
+
+
+def test_ann_topk_int8_recall_vs_float(spark, embeddings):
+    """int8 quantization preserves cosine ranking almost everywhere on
+    real-ish embeddings: top-5 sets >= 80% recall vs float brute force."""
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    sq = textops.ann_topk_int8(embeddings, queries, top_k=5)
+    bf = textops.cosine_topk_bruteforce(embeddings, queries, 5)
+    got = {(r["query_id"], r["neighbor_id"]) for r in sq.collect()}
+    exp = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    assert len(got & exp) / len(exp) >= 0.8
