@@ -2916,6 +2916,25 @@ def _q_ann_sq_top5(spark, sf_dir):
     return out.select("query_id", F.col("rank").alias("rnk"), "neighbor_id")
 
 
+def _q_pq_gates(spark, sf_dir):
+    """Product-quantization invariant gate (oracle: EMPTY): union of
+    (a) subspace codes that are not the argmin-distance centroid
+    (textops.pq_assign_violations — re-derived from full squared
+    distances, independent of the matmul shortcut in encode) and
+    (b) (query, vector) pairs where the ADC table-lookup distance differs
+    from ||q - decode(codes)||^2 (textops.pq_adc_violations). Gates the
+    learned-codebook path the way kmeans_assign_gate gates IVF; pq_topk
+    recall is pytest-checked vs exact L2."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = textops.pq_assign_violations(emb, m_subspaces=8, n_centroids=8).select(
+        F.col("vec_id").alias("id_a"), F.col("subspace").cast("long").alias("id_b")
+    )
+    b = textops.pq_adc_violations(emb, m_subspaces=8, n_centroids=8).select(
+        F.col("query_id").alias("id_a"), F.col("vec_id").alias("id_b")
+    )
+    return a.unionByName(b)
+
+
 def _q_winnow_fp(spark, sf_dir):
     return textops.winnow_fingerprints(_t(spark, sf_dir, "documents")).select(
         "doc_id", "n_fps"
@@ -3811,6 +3830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_top5": _q_ann_lsh_top5,
         "ann_ivf_top5": _q_ann_ivf_top5,
         "ann_sq_top5": _q_ann_sq_top5,
+        "pq_gates": _q_pq_gates,
         "random_projection": _q_random_projection,
         "kmeans_assign_gate": _q_kmeans_assign_gate,
         "emb_neardup": _q_emb_neardup,
@@ -6406,6 +6426,10 @@ having count(*) >= 2
         "minhash_precision": (
             "select cast(null as bigint) as doc_a, cast(null as bigint) as doc_b, "
             "cast(null as double) as jaccard where 1 = 0"
+        ),
+        "pq_gates": (
+            "select cast(null as bigint) as id_a, cast(null as bigint) as id_b "
+            "where 1 = 0"
         ),
         "simhash_precision": (
             "select cast(null as bigint) as doc_a, cast(null as bigint) as doc_b, "

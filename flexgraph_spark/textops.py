@@ -2025,3 +2025,211 @@ def ann_topk_int8(
         .filter(F.col("rank") <= top_k)
         .select("query_id", "rank", "neighbor_id", "score")
     )
+
+
+def pq_index(
+    vectors: DataFrame,
+    m_subspaces: int = 8,
+    n_centroids: int = 16,
+    seed: int = 42,
+    embedding_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """Product quantization (Jegou et al., PAMI 2011): split the embedding
+    into ``m_subspaces`` contiguous sub-vectors, k-means each subspace
+    (pyspark.ml KMeans — distributed, k-means|| init, deterministic under
+    the seed), and encode every vector as ``m`` centroid ids — 64-dim
+    float32 compresses to m bytes/vector (8 here), the layout that lets a
+    100 TB vector corpus live in cluster RAM.
+
+    Returns (codes = vectors + ``codes array<int>``, codebooks ndarray
+    [m, k, sub_dim]). The m fits run over the same cached projection;
+    encoding is ONE Arrow-batched pass doing m argmin matmuls per batch
+    (no per-subspace joins). Assignment optimality is gated by
+    ``pq_assign_violations``; the ADC lookup machinery by
+    ``pq_adc_violations``.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim_row = vectors.select(F.size(embedding_col).alias("d")).first()
+    dim = dim_row["d"]
+    if dim % m_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
+    sub = dim // m_subspaces
+    feat = vectors.select(
+        "vec_id",
+        F.transform(embedding_col, lambda x: x.cast("double")).alias("e"),
+    ).persist()
+    books = []
+    for j in range(m_subspaces):
+        fj = feat.withColumn(
+            "_feat", array_to_vector(F.slice("e", j * sub + 1, sub))
+        )
+        model = KMeans(k=n_centroids, seed=seed + j, featuresCol="_feat").fit(fj)
+        books.append(
+            np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
+        )
+    codebooks = np.stack(books)  # [m, k, sub]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(e: pd.Series) -> pd.Series:
+        mat = np.stack(e.to_numpy()).astype(np.float64)  # (b, dim)
+        codes = np.empty((mat.shape[0], m_subspaces), dtype=np.int32)
+        for j in range(m_subspaces):
+            x = mat[:, j * sub:(j + 1) * sub]  # (b, sub)
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant in argmin
+            d = -2.0 * (x @ codebooks[j].T) + (codebooks[j] ** 2).sum(1)[None, :]
+            codes[:, j] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    codes_df = feat.select("vec_id", encode(F.col("e")).alias("codes"))
+    return codes_df, codebooks
+
+
+def pq_assign_violations(
+    vectors: DataFrame, m_subspaces: int = 8, n_centroids: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Assignment-optimality gate for pq_index: re-derives each subspace
+    code as the exact argmin over FULL squared distances (independent of
+    the matmul shortcut in encode, which drops the ||x||^2 term) and
+    returns disagreeing (vec_id, subspace) rows — EMPTY when consistent."""
+    codes, books = pq_index(vectors, m_subspaces, n_centroids, seed)
+    dim = books.shape[0] * books.shape[2]
+    sub = books.shape[2]
+    joined = vectors.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    ).join(codes, "vec_id")
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def best(e: pd.Series) -> pd.Series:
+        mat = np.stack(e.to_numpy()).astype(np.float64)
+        out = np.empty((mat.shape[0], books.shape[0]), dtype=np.int32)
+        for j in range(books.shape[0]):
+            x = mat[:, j * sub:(j + 1) * sub]
+            d = ((x[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            out[:, j] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return (
+        joined.withColumn("_best", best(F.col("e")))
+        .select(
+            "vec_id",
+            F.posexplode(F.zip_with("codes", "_best", lambda a, b: a != b))
+            .alias("subspace", "bad"),
+        )
+        .filter("bad")
+        .select("vec_id", "subspace")
+    )
+
+
+def pq_adc_violations(
+    vectors: DataFrame, m_subspaces: int = 8, n_centroids: int = 16,
+    seed: int = 42, n_queries: int = 3, tol: float = 1e-9,
+) -> DataFrame:
+    """ADC-identity gate: the asymmetric distance computed by table
+    lookups (sum over subspaces of the per-subspace distance table entry
+    at the vector's code) must equal ||q - decode(codes)||^2 computed
+    directly from the reconstructed vector. Violating (query_id, vec_id)
+    rows — EMPTY when the lookup machinery is correct."""
+    codes, books = pq_index(vectors, m_subspaces, n_centroids, seed)
+    sub = books.shape[2]
+    qs = [
+        (r["vec_id"], np.asarray(r["e"], dtype=np.float64))
+        for r in vectors.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        ).filter(F.col("vec_id") < n_queries).collect()
+    ]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bad_queries(c: pd.Series) -> pd.Series:
+        codes_mat = np.stack(c.to_numpy()).astype(np.int64)  # (b, m)
+        recon = np.concatenate(
+            [books[j][codes_mat[:, j]] for j in range(books.shape[0])], axis=1
+        )  # (b, dim)
+        out = []
+        for i in range(codes_mat.shape[0]):
+            bad = []
+            for qid, q in qs:
+                # table path: per-subspace tables built from q
+                adc = 0.0
+                for j in range(books.shape[0]):
+                    tbl = ((q[j * sub:(j + 1) * sub][None, :] - books[j]) ** 2).sum(1)
+                    adc += tbl[codes_mat[i, j]]
+                direct = float(((q - recon[i]) ** 2).sum())
+                if abs(adc - direct) > tol:
+                    bad.append(qid)
+            out.append(bad)
+        return pd.Series(out)
+
+    return (
+        codes.withColumn("_bad", bad_queries(F.col("codes")))
+        .select("vec_id", F.explode("_bad").alias("query_id"))
+        .select("query_id", "vec_id")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    top_k: int = 10,
+) -> DataFrame:
+    """PQ ANN search via asymmetric distance computation: per query, an
+    [m, k] distance table is built once driver-side (m*k floats — tiny)
+    and broadcast; each Arrow batch of codes scores ALL queries with one
+    fancy-indexing gather + sum per subspace — O(m) byte lookups per
+    (query, vector), no float reconstruction, the PQ scan layout. L2
+    distances, smaller = closer. Compose with ivf_index to restrict the
+    scan to probed lists at scale. (query_id, rank, neighbor_id, dist)."""
+    m, k, sub = codebooks.shape
+    qrows = [
+        (r["vec_id"], np.asarray(r["e"], dtype=np.float64))
+        for r in queries.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        ).collect()
+    ]
+    qids = np.array([q[0] for q in qrows], dtype=np.int64)
+    tables = np.stack(
+        [
+            np.stack(
+                [
+                    ((q[j * sub:(j + 1) * sub][None, :] - codebooks[j]) ** 2).sum(1)
+                    for j in range(m)
+                ]
+            )
+            for _, q in qrows
+        ]
+    )  # [nq, m, k]
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def adc(c: pd.Series) -> pd.Series:
+        cm = np.stack(c.to_numpy()).astype(np.int64)  # (b, m)
+        # dists[b, q] = sum_j tables[q, j, cm[b, j]]
+        d = np.zeros((cm.shape[0], tables.shape[0]))
+        for j in range(m):
+            d += tables[:, j, :][:, cm[:, j]].T  # (b, nq)
+        return pd.Series(list(d))
+
+    qid_arr = F.array(*[F.lit(int(x)) for x in qids])
+    scored = (
+        codes.withColumn("_d", adc(F.col("codes")))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.explode(F.arrays_zip(qid_arr.alias("query_id"), F.col("_d").alias("dist"))).alias("z"),
+        )
+        .select(
+            F.col("z.query_id").cast("long").alias("query_id"),
+            "neighbor_id",
+            F.col("z.dist").alias("dist"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "rank", "neighbor_id", "dist")
+    )

@@ -955,3 +955,31 @@ def test_ann_topk_int8_recall_vs_float(spark, embeddings):
     got = {(r["query_id"], r["neighbor_id"]) for r in sq.collect()}
     exp = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
     assert len(got & exp) / len(exp) >= 0.8
+
+
+def test_pq_gates_empty(spark, embeddings):
+    assert textops.pq_assign_violations(embeddings, m_subspaces=8,
+                                        n_centroids=8).count() == 0
+    assert textops.pq_adc_violations(embeddings, m_subspaces=8,
+                                     n_centroids=8).count() == 0
+
+
+def test_pq_topk_recall_vs_exact_l2(spark, embeddings):
+    """PQ ADC search at m=32 (2-dim subspaces, 128-bit codes) recovers
+    >= half of the exact L2 top-5 on the synthetic embeddings —
+    deterministic given the k-means seed."""
+    import numpy as np
+
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in embeddings.collect()}
+    codes, books = textops.pq_index(embeddings, m_subspaces=32, n_centroids=16)
+    qs = embeddings.filter(F.col("vec_id") < 10)
+    pq = textops.pq_topk(codes, books, qs, top_k=5)
+    got = {(r["query_id"], r["neighbor_id"]) for r in pq.collect()}
+    exp = set()
+    for qid in range(10):
+        q = rows[qid]
+        d = sorted((float(((q - v) ** 2).sum()), vid)
+                   for vid, v in rows.items() if vid != qid)
+        exp |= {(qid, vid) for _, vid in d[:5]}
+    assert len(got & exp) / len(exp) >= 0.5
