@@ -473,6 +473,37 @@ def main() -> None:
         ).agg(F.sum("n_dropped"), F.sum(F.length("clean_text"))).first(),
     )
 
+    from flexgraph_spark import analytics
+
+    timed(
+        "exact_quantiles",
+        lambda: analytics.exact_quantiles(
+            docs, "n_chars", [0.01, 0.25, 0.5, 0.75, 0.99]
+        ).count(),
+    )
+    timed(
+        "fork_overlap",
+        # source-level sha-overlap fork scan (all pairs above jaccard 0,
+        # freq-capped) — times the inverted-index pairing plan
+        lambda: textops.group_overlap(
+            docs, group_col="source", min_jaccard=0.0, max_sha_freq=100
+        ).count(),
+    )
+    timed(
+        "ann_sq_top10",
+        lambda: textops.ann_topk_int8(
+            emb, emb.filter(F.col("vec_id") < 20), top_k=10
+        ).count(),
+    )
+
+    def run_pq():
+        codes, books = textops.pq_index(emb, m_subspaces=8, n_centroids=16)
+        return textops.pq_topk(
+            codes, books, emb.filter(F.col("vec_id") < 20), top_k=10
+        ).count()
+
+    timed("pq_index_search", run_pq)
+
     edges_per_sec_per_superstep = n_edges / med_flat
     print(
         json.dumps(
