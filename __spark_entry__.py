@@ -2916,6 +2916,50 @@ def _q_ann_sq_top5(spark, sf_dir):
     return out.select("query_id", F.col("rank").alias("rnk"), "neighbor_id")
 
 
+INFLUENCE_P = 0.2
+INFLUENCE_HOPS = 8
+
+
+def _q_influence(spark, sf_dir):
+    """Independent-cascade influence spread (algorithms.influence_spread):
+    live-edge reachability from the v%101==0 seed set at p=0.2 with a
+    deterministic multiplicative-hash coin — the oracle filters the same
+    live set and unrolls min-hop BFS to the same cap."""
+    edges = _graph1000(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    seeds = verts.filter(F.col("vertex") % 101 == 0)
+    return algorithms.influence_spread(
+        edges, seeds, p=INFLUENCE_P, cascade_seed=1, max_hops=INFLUENCE_HOPS
+    )
+
+
+def _influence_sql(edge_sql: str, p: float, hops: int) -> str:
+    cutoff = int(p * 1_000_000)
+    ctes = [
+        f"e0 as materialized ({edge_sql})",
+        "live as materialized (select src, dst from e0 where "
+        "(src::hugeint * 2654435761 + dst::hugeint * 40503 + 97003) "
+        f"% 1000000 < {cutoff})",
+        "verts as (select src as v from e0 union select dst from e0)",
+        "it0 as (select v, 0.0 as dist from verts where v % 101 = 0)",
+    ]
+    for k in range(1, hops + 1):
+        ctes.append(
+            f"it{k} as materialized (select v, min(dist) as dist from ("
+            f"select v, dist from it{k-1} union all "
+            f"select live.dst as v, p.dist + 1.0 as dist from live "
+            f"join it{k-1} p on p.v = live.src) group by v)"
+        )
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect v as vertex, cast(dist as int) as hops from it{hops}"
+    )
+
+
 def _q_pq_gates(spark, sf_dir):
     """Product-quantization invariant gate (oracle: EMPTY): union of
     (a) subspace codes that are not the argmin-distance centroid
@@ -3831,6 +3875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_top5": _q_ann_ivf_top5,
         "ann_sq_top5": _q_ann_sq_top5,
         "pq_gates": _q_pq_gates,
+        "influence": _q_influence,
         "random_projection": _q_random_projection,
         "kmeans_assign_gate": _q_kmeans_assign_gate,
         "emb_neardup": _q_emb_neardup,
@@ -6427,6 +6472,7 @@ having count(*) >= 2
             "select cast(null as bigint) as doc_a, cast(null as bigint) as doc_b, "
             "cast(null as double) as jaccard where 1 = 0"
         ),
+        "influence": _influence_sql(G1000_SQL, INFLUENCE_P, INFLUENCE_HOPS),
         "pq_gates": (
             "select cast(null as bigint) as id_a, cast(null as bigint) as id_b "
             "where 1 = 0"

@@ -5351,3 +5351,58 @@ def diameter_ifub(
         [(int(root), int(lb), int(n_bfs), 1)],
         "root long, diameter long, n_bfs long, certified int",
     )
+
+
+INFLUENCE_MOD = 1_000_000
+
+
+def influence_spread(
+    edges: DataFrame,
+    seeds: DataFrame,
+    p: float = 0.3,
+    cascade_seed: int = 1,
+    max_hops: int = 8,
+    **kw,
+) -> DataFrame:
+    """Independent-cascade influence spread (Kempe et al., KDD'03) via the
+    live-edge equivalence: one IC simulation == reachability from the
+    seed set in the subgraph where each directed edge is kept with
+    probability ``p``. The coin is a deterministic multiplicative hash of
+    (src, dst, cascade_seed) — the DOULION idiom (triangle_count_sampled),
+    */%/+ arithmetic only, so a SQL oracle replays the draw bit-for-bit;
+    vary ``cascade_seed`` for Monte-Carlo averaging (each seed is one
+    independent sample, runnable as a batch).
+
+    Execution: live edges + weight-0 virtual edges from a super-source
+    (-1) to every seed, then the existing delta-messaged min-plus SSSP
+    engine — unit weights make dist == activation round, and frontier
+    messaging means each tail round ships only newly-activated vertices.
+    ``seeds`` is a DataFrame with a ``vertex`` column. Returns
+    (vertex, hops int) for activated vertices; seeds are hops 0.
+
+    Scale: the live filter is map-side (no shuffle); everything after is
+    the SSSP plan — the 100 TB story is the engine's, unchanged.
+    """
+    key = F.pmod(
+        F.col("src").cast("decimal(38,0)") * 2654435761
+        + F.col("dst").cast("decimal(38,0)") * 40503
+        + F.lit(int(cascade_seed)) * 97003,
+        F.lit(INFLUENCE_MOD),
+    )
+    cutoff = int(p * INFLUENCE_MOD)
+    live = (
+        edges.where(F.col("src") != F.col("dst"))
+        .where(key < cutoff)
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+    virt = seeds.select(
+        F.lit(-1).cast("long").alias("src"),
+        F.col("vertex").cast("long").alias("dst"),
+        F.lit(0.0).alias("weight"),
+    )
+    res = sssp(live.unionByName(virt), -1, max_iter=max_hops + 1, **kw)
+    return (
+        res.state.filter(F.col("vertex") != -1)
+        .filter(F.col("value") < gimv.SSSP_INF)
+        .select("vertex", F.col("value").cast("int").alias("hops"))
+    )

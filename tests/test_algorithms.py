@@ -2613,3 +2613,44 @@ def test_diameter_ifub_uses_root_component_only(spark):
     # rule picks root 1, whose component is the 3-path — diameter 2, not
     # the longer chain's 4.
     assert row["root"] == 1 and row["diameter"] == 2
+
+
+def test_influence_spread_matches_python_live_edge_bfs(spark):
+    """IC spread == BFS over the live-edge subgraph: replay the
+    multiplicative-hash coin and the min-hop BFS in plain python on a
+    random digraph and require identical (vertex, hops) maps, including
+    isolated seeds and the hop cap."""
+    from flexgraph_spark.algorithms import INFLUENCE_MOD, influence_spread
+    from flexgraph_spark import fixtures
+
+    raw = fixtures.rand_er(60, 0.06, seed=7)
+    seeds = [0, 17, 34, 51, 59]
+    p, cseed, max_hops = 0.5, 3, 4
+    cutoff = int(p * INFLUENCE_MOD)
+    live = [
+        (s, d) for s, d in raw
+        if s != d and (s * 2654435761 + d * 40503 + cseed * 97003)
+        % INFLUENCE_MOD < cutoff
+    ]
+    adj = {}
+    for s, d in live:
+        adj.setdefault(s, []).append(d)
+    dist = {v: 0 for v in seeds}
+    frontier = list(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = h
+                    nxt.append(v)
+        frontier = nxt
+    edges = fixtures.edges_df(spark, raw)
+    seeds_df = spark.createDataFrame([(v,) for v in seeds], "vertex long")
+    got = {
+        r.vertex: r.hops
+        for r in influence_spread(
+            edges, seeds_df, p=p, cascade_seed=cseed, max_hops=max_hops
+        ).collect()
+    }
+    assert got == dist
