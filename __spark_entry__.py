@@ -2916,6 +2916,72 @@ def _q_ann_sq_top5(spark, sf_dir):
     return out.select("query_id", F.col("rank").alias("rnk"), "neighbor_id")
 
 
+def _q_bridges(spark, sf_dir):
+    """Bridge (cut-edge) detection on the sparse fixture graph
+    (algorithms.bridges): BFS spanning forest + XOR coverage of non-tree
+    edges + pointer-doubled subtree XOR. The oracle is DEFINITIONAL, not
+    a replay: an edge is a bridge iff its endpoints disconnect when that
+    one edge is excluded from the reach closure — so it independently
+    certifies the whole construction, 48-bit hash non-cancellation
+    included."""
+    return algorithms.bridges(_graph_sparse2000(spark, sf_dir), max_depth=64)
+
+
+_BRIDGES_SQL = f"""
+with recursive e0 as ({GSPARSE_SQL}),
+und as (select least(src, dst) as a, greatest(src, dst) as b
+        from e0 group by 1, 2),
+se as (select a as src, b as dst from und union all select b, a from und),
+reach(ea, eb, u) as (
+  select a, b, a from und
+  union
+  select r.ea, r.eb, se.dst from reach r join se on se.src = r.u
+  where not (least(se.src, se.dst) = r.ea and greatest(se.src, se.dst) = r.eb)
+)
+select u.a, u.b from und u
+where not exists (select 1 from reach r
+                  where r.ea = u.a and r.eb = u.b and r.u = u.b)
+"""
+
+
+def _q_two_ecc(spark, sf_dir):
+    """2-edge-connected components = CC after deleting the bridges
+    (algorithms.two_edge_components); oracle recomputes bridges
+    definitionally then min-label-closes the surviving edges."""
+    return algorithms.two_edge_components(
+        _graph_sparse2000(spark, sf_dir), max_depth=64
+    )
+
+
+_TWO_ECC_SQL = f"""
+with recursive e0 as ({GSPARSE_SQL}),
+und as (select least(src, dst) as a, greatest(src, dst) as b
+        from e0 group by 1, 2),
+se as (select a as src, b as dst from und union all select b, a from und),
+reach(ea, eb, u) as (
+  select a, b, a from und
+  union
+  select r.ea, r.eb, se.dst from reach r join se on se.src = r.u
+  where not (least(se.src, se.dst) = r.ea and greatest(se.src, se.dst) = r.eb)
+),
+br as (
+  select u.a, u.b from und u
+  where not exists (select 1 from reach r
+                    where r.ea = u.a and r.eb = u.b and r.u = u.b)
+),
+kept as (select a, b from und u where not exists
+         (select 1 from br where br.a = u.a and br.b = u.b)),
+se2 as (select a as src, b as dst from kept union all select b, a from kept),
+verts as (select a as v from und union select b from und),
+reach2(v, u) as (
+  select v, v from verts
+  union
+  select r.v, se2.dst from reach2 r join se2 on se2.src = r.u
+)
+select v as vertex, min(u) as ecc_label from reach2 group by v
+"""
+
+
 INFLUENCE_P = 0.2
 INFLUENCE_HOPS = 8
 
@@ -3876,6 +3942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq_top5": _q_ann_sq_top5,
         "pq_gates": _q_pq_gates,
         "influence": _q_influence,
+        "bridges": _q_bridges,
+        "two_ecc": _q_two_ecc,
         "random_projection": _q_random_projection,
         "kmeans_assign_gate": _q_kmeans_assign_gate,
         "emb_neardup": _q_emb_neardup,
@@ -6473,6 +6541,8 @@ having count(*) >= 2
             "cast(null as double) as jaccard where 1 = 0"
         ),
         "influence": _influence_sql(G1000_SQL, INFLUENCE_P, INFLUENCE_HOPS),
+        "bridges": _BRIDGES_SQL,
+        "two_ecc": _TWO_ECC_SQL,
         "pq_gates": (
             "select cast(null as bigint) as id_a, cast(null as bigint) as id_b "
             "where 1 = 0"

@@ -7,6 +7,7 @@ degree-oriented join plan.
 
 from __future__ import annotations
 
+import math
 import time
 from dataclasses import dataclass, field
 
@@ -5405,4 +5406,172 @@ def influence_spread(
         res.state.filter(F.col("vertex") != -1)
         .filter(F.col("value") < gimv.SSSP_INF)
         .select("vertex", F.col("value").cast("int").alias("hops"))
+    )
+
+
+BRIDGE_HASH_MOD = 1 << 48
+
+
+def bridges(
+    edges: DataFrame,
+    max_depth: int = 32,
+    **kw,
+) -> DataFrame:
+    """Bridge detection (cut edges) on the undirected simple graph — the
+    link-graph robustness primitive ("which single link, removed,
+    disconnects part of the web?").
+
+    Algorithm (the XOR-coverage forest method, a deterministic
+    re-expression of Pritchard/Tarjan cycle-space sampling):
+      1. BFS spanning forest: per-component roots (the HashMin component
+         label = min vertex) fed through the delta-messaged struct-min
+         SSSP-tree engine via a weight-0 virtual super-source — one
+         deterministic forest, ties to the lowest parent id.
+      2. every NON-tree edge gets a 48-bit multiplicative hash; each
+         vertex's value = bit_xor of incident non-tree hashes.
+      3. subtree XOR: ancestor closure by pointer doubling on parent
+         pointers (log2(depth) self-joins, O(V·depth) pairs — bounded on
+         the low-diameter graphs this engine targets), then one
+         bit_xor groupBy per subtree root.
+      4. a tree edge (parent, c) is a bridge iff subtree(c)'s XOR is 0:
+         non-tree edges with both endpoints inside cancel pairwise, any
+         crossing edge leaves its hash — so 0 means no cycle covers the
+         edge. Non-tree edges are never bridges.
+    False-bridge risk is a 2^-48 hash-subset cancellation (deterministic,
+    input-only — reproducible by the SQL oracle bit-for-bit; widen the
+    modulus or re-run with a different mix constant to certify).
+
+    Every step is DataFrame joins/aggregations on uniform keys; the only
+    driver values are the doubling-round counter. Returns canonical
+    bridge edges (a, b) with a < b.
+    """
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    # 1. roots = HashMin component labels (min vertex per component)
+    cc = connected_components(und.selectExpr("a as src", "b as dst"), **kw)
+    roots = cc.state.filter(F.col("vertex") == F.col("value")).select("vertex")
+    virt = roots.select(
+        F.lit(-1).cast("long").alias("src"),
+        F.col("vertex").cast("long").alias("dst"),
+        F.lit(0.0).alias("weight"),
+    )
+    forest = sssp_tree(
+        sym.withColumn("weight", F.lit(1.0)).unionByName(virt),
+        -1,
+        max_iter=max_depth + 1,
+        **kw,
+    )
+    parents = (
+        forest.state.filter(F.col("vertex") != -1)
+        .select(
+            "vertex",
+            F.col("value.parent").alias("parent"),
+        )
+        .filter(F.col("parent") >= 0)
+        .persist()
+    )  # (child, parent): exactly the tree edges
+    tree = parents.select(
+        F.least("vertex", "parent").alias("a"),
+        F.greatest("vertex", "parent").alias("b"),
+        F.col("vertex").alias("child"),
+    )
+    non_tree = und.join(tree.select("a", "b"), ["a", "b"], "left_anti")
+    # 2. 48-bit deterministic edge hash -> per-vertex XOR value
+    h = F.pmod(
+        F.col("a").cast("decimal(38,0)") * 2654435761
+        + F.col("b").cast("decimal(38,0)") * 40503
+        + 1099511628211,
+        F.lit(BRIDGE_HASH_MOD),
+    ).cast("long")
+    nt = non_tree.withColumn("h", h)
+    vals = (
+        nt.select(F.col("a").alias("vertex"), "h")
+        .unionByName(nt.select(F.col("b").alias("vertex"), "h"))
+        .groupBy("vertex")
+        .agg(F.expr("bit_xor(h)").alias("val"))
+    )
+    # 3. ancestor closure by pointer doubling: anc holds ALL (v, ancestor)
+    anc = parents.select(F.col("vertex").alias("v"), F.col("parent").alias("anc"))
+    jump = anc  # (v, 2^k-th ... ancestors frontier), doubles per round
+    rounds = max(1, math.ceil(math.log2(max(2, max_depth))))
+    for _ in range(rounds):
+        nxt = (
+            jump.alias("x")
+            .join(
+                anc.alias("y"),
+                F.col("x.anc") == F.col("y.v"),
+            )
+            .select(F.col("x.v").alias("v"), F.col("y.anc").alias("anc"))
+        )
+        anc = gimv.truncate_plan(anc.unionByName(nxt).distinct())
+        jump = nxt
+    sub_xor = (
+        anc.join(vals, anc["v"] == vals["vertex"])
+        .groupBy("anc")
+        .agg(F.expr("bit_xor(val)").alias("sub"))
+        .withColumnRenamed("anc", "vertex")
+    )
+    # 4. sig(child) = val(child) XOR descendants' XOR; bridge iff 0
+    sig = (
+        parents.join(vals.withColumnRenamed("vertex", "vx"),
+                     parents["vertex"] == F.col("vx"), "left")
+        .join(sub_xor.withColumnRenamed("vertex", "sx"),
+              parents["vertex"] == F.col("sx"), "left")
+        .select(
+            "vertex",
+            "parent",
+            (
+                F.coalesce(F.col("val"), F.lit(0)).bitwiseXOR(
+                    F.coalesce(F.col("sub"), F.lit(0))
+                )
+            ).alias("sig"),
+        )
+    )
+    out = (
+        sig.filter(F.col("sig") == 0)
+        .select(
+            F.least("vertex", "parent").alias("a"),
+            F.greatest("vertex", "parent").alias("b"),
+        )
+        .orderBy("a", "b")
+    )
+    return out
+
+
+def two_edge_components(edges: DataFrame, max_depth: int = 32, **kw) -> DataFrame:
+    """2-edge-connected components: delete the bridges, take connected
+    components — every remaining component survives any single link
+    failure (the mirror-placement / replication-domain question). Labels
+    are HashMin (min vertex id in the component); bridge-isolated
+    vertices become singletons. Returns (vertex, ecc_label)."""
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    br = bridges(edges, max_depth=max_depth, **kw)
+    kept = und.join(br, ["a", "b"], "left_anti")
+    verts = (
+        und.select(F.col("a").alias("vertex"))
+        .union(und.select("b"))
+        .distinct()
+    )
+    cc = connected_components(kept.selectExpr("a as src", "b as dst"), **kw)
+    return (
+        verts.join(cc.state, "vertex", "left")
+        .select(
+            "vertex",
+            F.coalesce(F.col("value"), F.col("vertex")).cast("long").alias("ecc_label"),
+        )
     )
