@@ -443,3 +443,28 @@ def test_triangles_job_k4_motif(spark, edges_parquet, tmp_path):
                    "--motif", "k4"])
     df = spark.read.parquet(out)
     assert df.columns == ["k4s"] and df.count() == 1
+
+
+def test_structure_job_modes(spark, tmp_path):
+    import jobs.structure as st_job
+    from flexgraph_spark import fixtures
+
+    raw = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (3, 5), (5, 6)]
+    src = str(tmp_path / "st_edges")
+    fixtures.edges_df(spark, raw).write.parquet(src)
+    out = str(tmp_path / "bridges")
+    _run(st_job, ["--edges", src, "--mode", "bridges", "--output", out])
+    got = {(r.a, r.b) for r in spark.read.parquet(out).collect()}
+    assert got == {(2, 3), (5, 6)}
+    out2 = str(tmp_path / "ecc")
+    _run(st_job, ["--edges", src, "--mode", "2ecc", "--output", out2])
+    labels = {r.vertex: r.ecc_label for r in spark.read.parquet(out2).collect()}
+    assert labels[0] == labels[1] == labels[2] == 0
+    out3 = str(tmp_path / "spread")
+    _run(st_job, ["--edges", src, "--mode", "influence", "--seed-mod", "6",
+                  "--prob", "1.0", "--output", out3])
+    # p=1.0 keeps every edge: seeds {0, 6} flood the whole graph
+    assert spark.read.parquet(out3).count() == 7
+    with pytest.raises(SystemExit):
+        _run(st_job, ["--edges", src, "--mode", "bridges", "--engine",
+                      "blocked", "--output", out])
