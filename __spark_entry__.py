@@ -2916,6 +2916,17 @@ def _q_ann_sq_top5(spark, sf_dir):
     return out.select("query_id", F.col("rank").alias("rnk"), "neighbor_id")
 
 
+def _q_vertex_cover(spark, sf_dir):
+    """Gavril 2-approx vertex cover = both endpoints of the lex-priority
+    maximal matching (algorithms.vertex_cover); oracle = endpoints of the
+    unrolled matching oracle. Maximality makes validity (every edge
+    covered) a theorem, and |cover| = 2|matching| <= 2 OPT."""
+    return algorithms.vertex_cover(
+        _graph_sparse2000(spark, sf_dir), max_rounds=MATCH_ROUNDS,
+        priority="lex",
+    )
+
+
 def _q_bridges(spark, sf_dir):
     """Bridge (cut-edge) detection on the sparse fixture graph
     (algorithms.bridges): BFS spanning forest + XOR coverage of non-tree
@@ -3342,6 +3353,29 @@ def _q_snapshot_diff(spark, sf_dir):
         (d + 1000000).alias("doc_id"), "text", "lang"
     )
     return snapshot_diff(docs, modified.unionByName(added), keys=["doc_id"])
+
+
+def _q_sales_cube(spark, sf_dir):
+    """OLAP CUBE rollup (priority x returnflag + all subtotal planes) —
+    the Spark built-in grouping-sets surface under the gate; revenue
+    summed in decimal(18,2) so both engines aggregate exactly, cast to
+    double only at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    return (
+        j.cube("o_orderpriority", "l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_rev"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            "n",
+            F.col("_rev").cast("double").alias("revenue"),
+        )
+    )
 
 
 def _q_funnel(spark, sf_dir):
@@ -3944,6 +3978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influence": _q_influence,
         "bridges": _q_bridges,
         "two_ecc": _q_two_ecc,
+        "vertex_cover": _q_vertex_cover,
         "random_projection": _q_random_projection,
         "kmeans_assign_gate": _q_kmeans_assign_gate,
         "emb_neardup": _q_emb_neardup,
@@ -3992,6 +4027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": _q_funnel,
         "retention": _q_retention,
         "exact_quantiles": _q_exact_quantiles,
+        "sales_cube": _q_sales_cube,
         "fork_detect": _q_fork_detect,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
@@ -6543,6 +6579,10 @@ having count(*) >= 2
         "influence": _influence_sql(G1000_SQL, INFLUENCE_P, INFLUENCE_HOPS),
         "bridges": _BRIDGES_SQL,
         "two_ecc": _TWO_ECC_SQL,
+        "vertex_cover": (
+            f"with m as ({_matching_sql(GSPARSE_SQL, MATCH_ROUNDS)}) "
+            "select a as vertex from m union select b from m"
+        ),
         "pq_gates": (
             "select cast(null as bigint) as id_a, cast(null as bigint) as id_b "
             "where 1 = 0"
@@ -6713,6 +6753,14 @@ select ga as group_a, gb as group_b, shared, na.n as n_a, nb.n as n_b,
        round(cast(shared as double) / least(na.n, nb.n), 6) as containment
 from p join sizes na on na.g = p.ga join sizes nb on nb.g = p.gb
 where round(cast(shared as double) / (na.n + nb.n - shared), 6) >= 0.3
+""",
+        "sales_cube": """
+select coalesce(o_orderpriority, 'ALL') as priority,
+       coalesce(l_returnflag, 'ALL') as rflag,
+       count(*) as n,
+       cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as revenue
+from lineitem join orders on l_orderkey = o_orderkey
+group by cube(o_orderpriority, l_returnflag)
 """,
         "exact_quantiles": """
 with t as (select cast(n_chars as double) as x from documents

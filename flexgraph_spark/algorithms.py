@@ -5575,3 +5575,19 @@ def two_edge_components(edges: DataFrame, max_depth: int = 32, **kw) -> DataFram
             F.coalesce(F.col("value"), F.col("vertex")).cast("long").alias("ecc_label"),
         )
     )
+
+
+def vertex_cover(edges: DataFrame, max_rounds: int = 50, **kw) -> DataFrame:
+    """2-approximate minimum vertex cover: both endpoints of every edge
+    in a maximal matching (Gavril's classic bound — the matching's
+    |M| <= OPT lower bound certifies |cover| = 2|M| <= 2·OPT). Inherits
+    :func:`maximal_matching`'s deterministic rounds; validity (every
+    edge touches the cover) is guaranteed by maximality. Returns
+    (vertex) rows.
+    """
+    m = maximal_matching(edges, max_rounds=max_rounds, **kw)
+    return (
+        m.state.select(F.col("a").alias("vertex"))
+        .union(m.state.select("b"))
+        .distinct()
+    )

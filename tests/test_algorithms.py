@@ -2721,3 +2721,17 @@ def test_two_edge_components_hand_graph(spark):
     assert got[0] == got[1] == got[2] == 0
     assert got[3] == got[4] == got[5] == 3
     assert got[6] == 6 and got[10] == 10 and got[11] == 11
+
+
+def test_vertex_cover_valid_and_2approx(spark):
+    from flexgraph_spark import fixtures
+    raw = fixtures.rand_er(60, 0.08, seed=3)
+    edges = fixtures.edges_df(spark, raw)
+    cover = {r.vertex for r in algorithms.vertex_cover(edges).collect()}
+    # validity: every edge has an endpoint in the cover
+    for s, d in raw:
+        if s != d:
+            assert s in cover or d in cover
+    # 2-approx certificate: cover size == 2 * matching size
+    m = algorithms.maximal_matching(edges).state.count()
+    assert len(cover) == 2 * m
