@@ -31,7 +31,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flexgraph_spark import algorithms, codeops, corpus, gimv, sketches, streaming, textops
+from flexgraph_spark import algorithms, analytics, codeops, corpus, gimv, sketches, streaming, textops
 from flexgraph_spark.graph import derive_graph, remap_contiguous
 
 SSP_EDGES_SQL = "select distinct l_suppkey as src, l_partkey as dst from lineitem"
@@ -3378,6 +3378,69 @@ def _q_sales_cube(spark, sf_dir):
     )
 
 
+def _q_entity_match(spark, sf_dir):
+    """Entity resolution (analytics.entity_resolution) over customer
+    records with planted duplicates: every c_custkey%10==0 customer gets
+    a +1000000 twin (' jr' name suffix, one pseudo-address char flipped);
+    records carry a sha256-derived pseudo-address so both engines build
+    identical text, blocking is by nation, trigram Jaccard >= 0.6 pairs
+    close transitively to entity ids. TPC-H names share a long common
+    prefix, so the threshold must reject high cross-record similarity —
+    the realistic ER pressure."""
+    c = _t(spark, sf_dir, "customer")
+    addr = F.substring(F.sha2(F.col("c_custkey").cast("string"), 256), 1, 24)
+    base = c.select(
+        F.col("c_custkey").alias("rec_id"),
+        F.col("c_name").alias("name"),
+        addr.alias("addr"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    dup = base.filter(F.col("rec_id") % 10 == 0).select(
+        (F.col("rec_id") + 1000000).alias("rec_id"),
+        F.concat("name", F.lit(" jr")).alias("name"),
+        F.concat(F.lit("x"), F.substring("addr", 2, 23)).alias("addr"),
+        "nation",
+    )
+    return analytics.entity_resolution(
+        base.unionByName(dup), "rec_id", ["name", "addr"], "nation",
+        threshold=0.6,
+    )
+
+
+_ENTITY_MATCH_SQL = r"""
+with recursive base as (
+  select c_custkey as rec_id, c_name as name,
+         substr(sha256(cast(c_custkey as varchar)), 1, 24) as addr,
+         c_nationkey as nation
+  from customer
+),
+recs as (
+  select rec_id, name, addr, nation from base
+  union all
+  select rec_id + 1000000, name || ' jr', 'x' || substr(addr, 2, 23), nation
+  from base where rec_id % 10 = 0
+),
+n as (select rec_id, nation,
+             lower(regexp_replace(name || ' ' || addr, '\s+', ' ', 'g')) as norm
+      from recs),
+sh as (select rec_id, nation, list_distinct(list_transform(
+         generate_series(1, greatest(length(norm) - 2, 1)),
+         i -> substr(norm, i, 3))) as sh
+       from n),
+p as (select a.rec_id as ia, b.rec_id as ib
+      from sh a join sh b on a.nation = b.nation and a.rec_id < b.rec_id
+      where len(list_intersect(a.sh, b.sh))::double /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+e as (select ia as src, ib as dst from p union all select ib, ia from p),
+reach(v, u) as (
+  select rec_id, rec_id from sh
+  union
+  select r.v, e.dst from reach r join e on e.src = r.u
+)
+select v as rec_id, min(u) as entity_id from reach group by v
+"""
+
+
 def _q_funnel(spark, sf_dir):
     """Ordered min-timestamp funnel view→click→purchase over events
     (flexgraph_spark.analytics.funnel)."""
@@ -4028,6 +4091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": _q_retention,
         "exact_quantiles": _q_exact_quantiles,
         "sales_cube": _q_sales_cube,
+        "entity_match": _q_entity_match,
         "fork_detect": _q_fork_detect,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
@@ -6754,6 +6818,7 @@ select ga as group_a, gb as group_b, shared, na.n as n_a, nb.n as n_b,
 from p join sizes na on na.g = p.ga join sizes nb on nb.g = p.gb
 where round(cast(shared as double) / (na.n + nb.n - shared), 6) >= 0.3
 """,
+        "entity_match": _ENTITY_MATCH_SQL,
         "sales_cube": """
 select coalesce(o_orderpriority, 'ALL') as priority,
        coalesce(l_returnflag, 'ALL') as rflag,

@@ -454,3 +454,75 @@ def _kth_smallest(
         got = ranked.join(F.broadcast(need), ["b", "lr"]).select("pct", "x").collect()
         resolved.extend((r["pct"], float(r["x"])) for r in got)
     return resolved
+
+
+def entity_resolution(
+    records: DataFrame,
+    key_col: str,
+    text_cols: list[str],
+    block_col: str,
+    threshold: float = 0.6,
+    k: int = 3,
+) -> DataFrame:
+    """Record linkage / entity resolution over structured records: which
+    rows are the same real-world entity?
+
+    Pipeline (the classic blocking + pairwise-similarity + transitive-
+    closure shape):
+      1. serialize ``text_cols`` into one normalized string (lower,
+         whitespace-collapsed) and shingle it into distinct character
+         ``k``-grams — all column expressions;
+      2. candidate pairs ONLY within a ``block_col`` group (the blocking
+         key caps the quadratic term: cost is sum of block^2, never
+         corpus^2 — at web scale pick blocks like zip+name-initial and
+         cap block sizes upstream);
+      3. exact Jaccard over the shingle arrays keeps pairs >= threshold;
+      4. matched pairs feed the GIM-V HashMin CC engine; entity_id = min
+         key in the component, singletons resolve to themselves.
+    Returns (``key_col``, entity_id).
+    """
+    from flexgraph_spark import algorithms
+
+    norm = F.lower(
+        F.regexp_replace(F.concat_ws(" ", *text_cols), r"\s+", " ")
+    )
+    n = records.select(
+        F.col(key_col).cast("long").alias("_id"),
+        F.col(block_col).alias("_blk"),
+        norm.alias("_norm"),
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("_norm") - (k - 1), F.lit(1))),
+            lambda i: F.col("_norm").substr(i, F.lit(k)),
+        )
+    )
+    sh = n.select("_id", "_blk", grams.alias("_sh")).persist()
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_blk").alias("_blk"),
+                  F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_blk").alias("_blk"),
+                  F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    pairs = (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "_j",
+            inter.cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - inter),
+        )
+        .filter(F.col("_j") >= threshold)
+        .select("id_a", "id_b")
+    )
+    cc = algorithms.connected_components(
+        pairs.selectExpr("id_a as src", "id_b as dst")
+    )
+    return (
+        sh.select(F.col("_id").alias(key_col))
+        .join(cc.state.withColumnRenamed("vertex", key_col), key_col, "left")
+        .select(
+            key_col,
+            F.coalesce(F.col("value"), F.col(key_col)).cast("long")
+            .alias("entity_id"),
+        )
+    )

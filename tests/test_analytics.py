@@ -224,3 +224,21 @@ def test_exact_quantiles_edges(spark):
     eq = spark.createDataFrame([(7.0,)] * 9 + [(None,)], "v double")
     [r] = analytics.exact_quantiles(eq, "v", [0.5]).collect()
     assert (r.pct, r.val) == (50, 7.0)
+
+
+def test_entity_resolution_blocks_and_clusters(spark):
+    """Planted twins link; unrelated records stay singletons; identical
+    records in DIFFERENT blocks never pair (blocking is a hard gate)."""
+    rows = [
+        (1, "alice johnson", "12 oak street apt 4", "A"),
+        (2, "alice johnson jr", "12 oak street apt 4", "A"),   # twin of 1
+        (3, "bob smith", "99 pine avenue suite 7", "A"),
+        (4, "carol davis", "1 elm road floor 2", "B"),
+        (5, "alice johnson", "12 oak street apt 4", "B"),      # = 1, other block
+    ]
+    df = spark.createDataFrame(rows, "rec_id long, name string, addr string, blk string")
+    got = {r.rec_id: r.entity_id for r in analytics.entity_resolution(
+        df, "rec_id", ["name", "addr"], "blk", threshold=0.6).collect()}
+    assert got[1] == got[2] == 1
+    assert got[3] == 3 and got[4] == 4
+    assert got[5] == 5  # blocking prevented the cross-block match
