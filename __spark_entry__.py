@@ -3355,6 +3355,60 @@ def _q_snapshot_diff(spark, sf_dir):
     return snapshot_diff(docs, modified.unionByName(added), keys=["doc_id"])
 
 
+def _q_semantic_decontam(spark, sf_dir):
+    """Semantic eval-leak screen (corpus.semantic_decontaminate): eval
+    set = vec_id < 30; training = the rest PLUS planted paraphrase leaks
+    (the _emb_with_dups v + 0.15*v_next construction — cosine ~0.99 to
+    the eval vector, zero shared n-grams, exactly what the n-gram screen
+    misses). Training vectors with cosine >= 0.9 to any eval vector are
+    reported with their best match; threshold sits far above the
+    corpus's natural max pairwise cosine (~0.49), so the flagged set is
+    exactly the planted leaks. Oracle replays every fold."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ev = emb.filter(F.col("vec_id") < 30)
+    nxt = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("other")
+    )
+    leaks = (
+        ev.join(nxt, "vec_id")
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.zip_with(
+                "embedding", "other",
+                lambda a, b: (a + F.lit(0.15) * b).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    tr = emb.filter(F.col("vec_id") >= 30).unionByName(leaks)
+    from flexgraph_spark import corpus as _c
+
+    return _c.semantic_decontaminate(tr, ev, threshold=0.9)
+
+
+_SEM_DECON_SQL = """
+with base as (select vec_id, embedding from embeddings),
+ev0 as (select vec_id, embedding from base where vec_id < 30),
+leaks as (select b.vec_id + 100000 as vec_id,
+    list_transform(range(1, len(b.embedding) + 1),
+        i -> cast(b.embedding[i] + 0.15 * n.embedding[i] as float)) as embedding
+    from ev0 b join base n on n.vec_id = b.vec_id + 1),
+tr0 as (select vec_id, embedding from base where vec_id >= 30
+        union all select vec_id, embedding from leaks),
+ev as (select vec_id as eval_id,
+              list_transform(embedding, x -> x::double) as v from ev0),
+tr as (select vec_id, list_transform(embedding, x -> x::double) as v from tr0),
+s as (select tr.vec_id, ev.eval_id,
+        list_dot_product(tr.v, ev.v) /
+          (sqrt(list_dot_product(tr.v, tr.v)) * sqrt(list_dot_product(ev.v, ev.v)))
+          as cos
+      from tr, ev),
+f as (select *, row_number() over (partition by vec_id
+        order by cos desc, eval_id asc) as rn
+      from s where cos >= 0.9)
+select vec_id, eval_id, round(cos, 6) as cos from f where rn = 1
+"""
+
+
 def _q_sales_cube(spark, sf_dir):
     """OLAP CUBE rollup (priority x returnflag + all subtotal planes) —
     the Spark built-in grouping-sets surface under the gate; revenue
@@ -4092,6 +4146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": _q_exact_quantiles,
         "sales_cube": _q_sales_cube,
         "entity_match": _q_entity_match,
+        "semantic_decontam": _q_semantic_decontam,
         "fork_detect": _q_fork_detect,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
@@ -6819,6 +6874,7 @@ from p join sizes na on na.g = p.ga join sizes nb on nb.g = p.gb
 where round(cast(shared as double) / (na.n + nb.n - shared), 6) >= 0.3
 """,
         "entity_match": _ENTITY_MATCH_SQL,
+        "semantic_decontam": _SEM_DECON_SQL,
         "sales_cube": """
 select coalesce(o_orderpriority, 'ALL') as priority,
        coalesce(l_returnflag, 'ALL') as rflag,

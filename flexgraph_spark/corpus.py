@@ -950,3 +950,49 @@ class BpeResult:
         self.merges = merges
         self.merges_df = merges_df
         self.vocab = vocab
+
+
+def semantic_decontaminate(
+    train_vecs: DataFrame,
+    eval_vecs: DataFrame,
+    threshold: float = 0.95,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Semantic contamination report — the embedding-space sibling of
+    :func:`ngram_decontaminate` (catches paraphrased/retranslated eval
+    leakage that shares no n-grams): every training vector whose cosine
+    to ANY held-out vector reaches ``threshold``, with its best-matching
+    eval id. Returns (vec_id, eval_id, cos) — one row per contaminated
+    training doc (ties to the lowest eval_id).
+
+    Scale shape: the eval set (small by definition) broadcasts; the scan
+    is one JVM fold per (train, eval) pair — O(|train|·|eval|) exactly
+    like the brute-force ANN baseline, and the IVF/LSH candidate paths
+    compose when |eval| grows. No Python in the loop.
+    """
+    from flexgraph_spark.textops import _dot, _norm
+
+    t = train_vecs.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("tv"),
+    )
+    e = eval_vecs.select(
+        F.col("vec_id").alias("eval_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("ev"),
+    )
+    if broadcast_eval:
+        e = F.broadcast(e)
+    scored = t.crossJoin(e).select(
+        "vec_id",
+        "eval_id",
+        (_dot(F.col("tv"), F.col("ev"))
+         / (_norm(F.col("tv")) * _norm(F.col("ev")))).alias("cos"),
+    ).filter(F.col("cos") >= threshold)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("eval_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "eval_id", F.round("cos", 6).alias("cos"))
+    )

@@ -489,3 +489,21 @@ def test_bpe_learn_min_count_stop(spark):
     res = corpus.bpe_learn(df, 5, min_count=10)
     assert res.merges == []
     assert res.merges_df.count() == 0
+
+
+def test_semantic_decontaminate_planted_leaks(spark):
+    """Planted near-copies of eval vectors are flagged with their source;
+    orthogonal training vectors pass clean."""
+    from flexgraph_spark import corpus
+
+    rows_ev = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    rows_tr = [
+        (10, [0.99, 0.1, 0.0]),   # leak of eval 0
+        (11, [0.0, 0.0, 1.0]),    # clean
+        (12, [0.05, 0.98, 0.0]),  # leak of eval 1
+    ]
+    ev = spark.createDataFrame(rows_ev, "vec_id long, embedding array<float>")
+    tr = spark.createDataFrame(rows_tr, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.eval_id
+           for r in corpus.semantic_decontaminate(tr, ev, threshold=0.9).collect()}
+    assert got == {10: 0, 12: 1}
