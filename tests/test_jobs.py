@@ -468,3 +468,28 @@ def test_structure_job_modes(spark, tmp_path):
     with pytest.raises(SystemExit):
         _run(st_job, ["--edges", src, "--mode", "bridges", "--engine",
                       "blocked", "--output", out])
+
+
+def test_analytics_job_quantiles_and_entity(spark, tmp_path):
+    import jobs.analytics as an_job
+
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "doc_id long, n_chars double"
+    ).write.parquet(docs)
+    out = str(tmp_path / "q")
+    _run(an_job, ["--input", docs, "--mode", "quantiles", "--column",
+                  "n_chars", "--qs", "0.5,1.0", "--output", out])
+    got = {r.pct: r.val for r in spark.read.parquet(out).collect()}
+    assert got == {50: 50.0, 100: 100.0}
+    recs = str(tmp_path / "recs")
+    spark.createDataFrame(
+        [(1, "alice johnson", "A"), (2, "alice johnson jr", "A"),
+         (3, "bob smith xyz", "A")],
+        "rec_id long, name string, blk string",
+    ).write.parquet(recs)
+    out2 = str(tmp_path / "ents")
+    _run(an_job, ["--input", recs, "--mode", "entity", "--text-cols", "name",
+                  "--output", out2])
+    ids = {r.rec_id: r.entity_id for r in spark.read.parquet(out2).collect()}
+    assert ids[1] == ids[2] == 1 and ids[3] == 3
