@@ -3409,6 +3409,35 @@ select vec_id, eval_id, round(cos, 6) as cos from f where rn = 1
 """
 
 
+WQUANT_PCTS = [10, 25, 50, 75, 90, 99]
+
+
+def _q_weighted_quantiles(spark, sf_dir):
+    """Revenue-weighted quantity quantiles (analytics.weighted_quantiles):
+    smallest x with 100*W(<=x) >= W_total*pct — multiplied through so
+    decimal weights make every boundary comparison exact in both
+    engines. Histogram bisection, ties grouped by value."""
+    from flexgraph_spark import analytics
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("w"),
+    )
+    return analytics.weighted_quantiles(li, "x", "w", WQUANT_PCTS)
+
+
+_WQUANT_SQL = """
+with t as (select cast(l_quantity as double) as x,
+                  cast(l_extendedprice as decimal(18,2)) as w from lineitem),
+g as (select x, sum(w) as ws from t group by x),
+c as (select x, sum(ws) over (order by x) as cw from g),
+tot as (select sum(w) as tw from t),
+p(pct) as (values (10),(25),(50),(75),(90),(99))
+select pct, min(x) as val from p, tot, c
+where 100 * cw >= tw * pct group by pct order by pct
+"""
+
+
 def _q_sales_cube(spark, sf_dir):
     """OLAP CUBE rollup (priority x returnflag + all subtotal planes) —
     the Spark built-in grouping-sets surface under the gate; revenue
@@ -4147,6 +4176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_cube": _q_sales_cube,
         "entity_match": _q_entity_match,
         "semantic_decontam": _q_semantic_decontam,
+        "weighted_quantiles": _q_weighted_quantiles,
         "fork_detect": _q_fork_detect,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
@@ -6875,6 +6905,7 @@ where round(cast(shared as double) / (na.n + nb.n - shared), 6) >= 0.3
 """,
         "entity_match": _ENTITY_MATCH_SQL,
         "semantic_decontam": _SEM_DECON_SQL,
+        "weighted_quantiles": _WQUANT_SQL,
         "sales_cube": """
 select coalesce(o_orderpriority, 'ALL') as priority,
        coalesce(l_returnflag, 'ALL') as rflag,

@@ -526,3 +526,118 @@ def entity_resolution(
             .alias("entity_id"),
         )
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    col: str,
+    weight_col: str,
+    pcts: list[int],
+    n_buckets: int = 8192,
+    max_refine_values: int = 2_000_000,
+) -> DataFrame:
+    """Exact WEIGHTED quantiles at scale: for each integer percent in
+    ``pcts`` return the smallest value x with
+    100 * W(<= x) >= W_total * pct — the weighted-CDF inverse (revenue
+    percentiles of a size column, token-weighted length cuts). Same
+    histogram-bisection shape as :func:`exact_quantiles` (bucket pass,
+    driver sees only bucket rows, per-bucket refine, recursion on
+    oversized buckets) but aggregating sum(weight), with ties grouped by
+    value so the answer is tie-order-free.
+
+    The boundary test multiplies through by 100 instead of dividing
+    (100*cum >= W*pct), so with DECIMAL weights every comparison is
+    exact in both this engine and a SQL oracle — pass decimal weights
+    when cross-engine bit-equality matters; double weights are subject
+    to summation-order rounding at exact boundaries. NULL values/weights
+    are excluded. Output (pct int, val double).
+    """
+    x = df.select(
+        F.col(col).cast("double").alias("x"), F.col(weight_col).alias("w")
+    ).filter(F.col("x").isNotNull() & F.col("w").isNotNull())
+    head = x.agg(
+        F.sum("w").alias("tw"), F.min("x").alias("mn"), F.max("x").alias("mx")
+    ).collect()[0]
+    spark = df.sparkSession
+    out_schema = "pct int, val double"
+    if head["tw"] is None:
+        return spark.createDataFrame([], out_schema)
+    targets = [(int(p), head["tw"] * int(p)) for p in pcts]  # RHS of 100*cum >= W*pct
+    rows = _weighted_kth(
+        x, targets, head["mn"], head["mx"], n_buckets, max_refine_values
+    )
+    return spark.createDataFrame(rows, out_schema).orderBy("pct")
+
+
+def _weighted_kth(
+    x: DataFrame,
+    targets: list[tuple[int, object]],
+    mn: float,
+    mx: float,
+    n_buckets: int,
+    max_refine_values: int,
+) -> list[tuple[int, float]]:
+    """Resolve (pct, rhs) targets: smallest x with 100*cumweight >= rhs,
+    over x in [mn, mx]."""
+    if mn == mx:
+        return [(pct, float(mn)) for pct, _ in targets]
+    w = (mx - mn) / n_buckets
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0), F.floor((F.col("x") - F.lit(mn)) / F.lit(w))),
+    ).cast("int")
+    hist = {
+        r["b"]: r
+        for r in x.groupBy(bucket.alias("b"))
+        .agg(
+            F.sum("w").alias("bw"),
+            F.count_distinct("x").alias("nv"),
+            F.min("x").alias("bmn"),
+            F.max("x").alias("bmx"),
+        )
+        .collect()
+    }
+    order = sorted(hist)
+    resolved: list[tuple[int, float]] = []
+    refine: list[tuple[int, int, object]] = []  # (pct, bucket, remaining rhs)
+    recurse: dict[int, list[tuple[int, object]]] = {}
+    for pct, rhs in targets:
+        cum = 0
+        for b in order:
+            r = hist[b]
+            if 100 * (cum + r["bw"]) >= rhs:
+                rem = rhs - 100 * cum
+                if r["bmn"] == r["bmx"]:
+                    resolved.append((pct, float(r["bmn"])))
+                elif r["nv"] > max_refine_values:
+                    recurse.setdefault(b, []).append((pct, rem))
+                else:
+                    refine.append((pct, b, rem))
+                break
+            cum += r["bw"]
+    for b, sub in recurse.items():
+        subx = x.filter(
+            (F.col("x") >= F.lit(float(hist[b]["bmn"])))
+            & (F.col("x") <= F.lit(float(hist[b]["bmx"])))
+        )
+        resolved.extend(
+            _weighted_kth(subx, sub, hist[b]["bmn"], hist[b]["bmx"],
+                          n_buckets, max_refine_values)
+        )
+    if refine:
+        for pct, b, rem in refine:
+            vals = (
+                x.withColumn("b", bucket)
+                .filter(F.col("b") == b)
+                .groupBy("x")
+                .agg(F.sum("w").alias("vw"))
+            )
+            win = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+            hit = (
+                vals.withColumn("cw", F.sum("vw").over(win))
+                .filter((F.lit(100) * F.col("cw")) >= F.lit(rem))
+                .agg(F.min("x"))
+                .collect()[0][0]
+            )
+            resolved.append((pct, float(hit)))
+    return resolved

@@ -34,6 +34,8 @@ def main() -> None:
     p.add_argument("--column", default="n_chars", help="quantiles: column")
     p.add_argument("--qs", default="0.25,0.5,0.75,0.99",
                    help="quantiles: comma-separated q values in (0,1]")
+    p.add_argument("--weight-col", default=None,
+                   help="quantiles: weight column -> weighted-CDF inverse")
     p.add_argument("--key", default="rec_id", help="entity: key column")
     p.add_argument("--text-cols", default="name",
                    help="entity: comma-separated text columns")
@@ -50,9 +52,15 @@ def main() -> None:
     elif args.mode == "retention":
         out = analytics.retention(df, period="day")
     elif args.mode == "quantiles":
-        out = analytics.exact_quantiles(
-            df, args.column, [float(q) for q in args.qs.split(",")]
-        )
+        if args.weight_col:
+            out = analytics.weighted_quantiles(
+                df, args.column, args.weight_col,
+                [int(round(float(q) * 100)) for q in args.qs.split(",")],
+            )
+        else:
+            out = analytics.exact_quantiles(
+                df, args.column, [float(q) for q in args.qs.split(",")]
+            )
     else:
         out = analytics.entity_resolution(
             df, args.key, args.text_cols.split(","), args.block_col,

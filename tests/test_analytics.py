@@ -242,3 +242,30 @@ def test_entity_resolution_blocks_and_clusters(spark):
     assert got[1] == got[2] == 1
     assert got[3] == 3 and got[4] == 4
     assert got[5] == 5  # blocking prevented the cross-block match
+
+
+def test_weighted_quantiles_vs_python(spark):
+    """Weighted-CDF inverse vs a plain-python replay on decimal weights,
+    including the recursion path and tie grouping."""
+    from decimal import Decimal
+
+    rows = [(float(v), Decimal(w)) for v, w in
+            [(5, 1), (5, 3), (1, 10), (9, 2), (7, 4), (3, 0), (9, 5)]]
+    df = spark.createDataFrame(rows, "x double, w decimal(18,2)")
+    pcts = [1, 25, 50, 75, 100]
+    # python oracle: group ties, cumulative weights
+    agg = {}
+    for v, w in rows:
+        agg[v] = agg.get(v, Decimal(0)) + w
+    total = sum(agg.values())
+    def py_q(p):
+        cum = Decimal(0)
+        for v in sorted(agg):
+            cum += agg[v]
+            if 100 * cum >= total * p:
+                return v
+    expect = {p: py_q(p) for p in pcts}
+    for kw in ({}, {"n_buckets": 2, "max_refine_values": 2}):
+        got = {r.pct: r.val for r in analytics.weighted_quantiles(
+            df, "x", "w", pcts, **kw).collect()}
+        assert got == expect, kw
