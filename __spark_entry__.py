@@ -3237,6 +3237,87 @@ def _q_pii_redact(spark, sf_dir):
     return textops.redact_pii(_dirty_docs(spark, sf_dir))
 
 
+def _q_url_canonical(spark, sf_dir):
+    """URL canonicalization (textops.canonicalize_urls) over a messy
+    synthetic URL table (four variants per (doc_id%13, doc_id%50) page:
+    tracking params + fragment + default port + trailing slash vs the
+    clean form): canonicalization must collapse variant pairs to one
+    shuffle key — (canonical, n) counts gate the whole normalization
+    chain against the oracle's replay."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://Site"), (d % 13).cast("string"),
+        F.lit(".Example.ORG"),
+        F.when(d % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"), (d % 50).cast("string"),
+        F.when(d % 4 == 0, F.lit("/?utm_source=x&b=2&a=1#f"))
+        .when(d % 4 == 1, F.lit("?a=1&b=2"))
+        .when(d % 4 == 2, F.lit("/"))
+        .otherwise(F.lit("")),
+    )
+    urls = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return (
+        textops.canonicalize_urls(urls)
+        .groupBy("canonical")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_URL_CANON_SQL = r"""
+with u as (
+  select 'HTTPS://Site' || (doc_id % 13) || '.Example.ORG' ||
+         case when doc_id % 4 = 0 then ':443' else '' end ||
+         '/p/' || (doc_id % 50) ||
+         case when doc_id % 4 = 0 then '/?utm_source=x&b=2&a=1#f'
+              when doc_id % 4 = 1 then '?a=1&b=2'
+              when doc_id % 4 = 2 then '/'
+              else '' end as url
+  from documents),
+parts as (
+  select url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) as scheme,
+    lower(regexp_extract(url, '^[^:]+://([^/?#:]+)', 1)) as host,
+    regexp_extract(url, '^[^:]+://[^/?#:]+:(\d+)', 1) as port,
+    regexp_extract(url, '^[^:]+://[^/?#]+([^?#]*)', 1) as path,
+    regexp_extract(url, '\?([^#]*)', 1) as query
+  from u),
+canon as (
+  select scheme || '://' || host ||
+    case when port = '' or (scheme = 'http' and port = '80')
+              or (scheme = 'https' and port = '443')
+         then '' else ':' || port end ||
+    case when length(path) > 1 and path like '%/'
+         then substr(path, 1, length(path) - 1) else path end ||
+    case when cq <> '' then '?' || cq else '' end as canonical
+  from (select *, array_to_string(list_sort(list_filter(
+          string_split(query, '&'),
+          kv -> kv <> '' and not regexp_matches(
+            regexp_extract(kv, '^([^=]+)', 1),
+            '^(?i)({tracking})$'))), '&') as cq
+        from parts) t)
+select canonical, count(*)::bigint as n from canon group by canonical
+""".format(tracking=textops.TRACKING_PARAMS)
+
+
+def _q_compression_gate(spark, sf_dir):
+    """Compression-ratio invariant gate (oracle: EMPTY): a document
+    repeated 3x must compress strictly better than its single copy
+    (deflate exploits the repetition), and every ratio must lie in
+    (0, 1.2]. Violating doc_ids — zlib itself is not SQL-replayable, so
+    the gate checks the signal's defining monotonicity instead (the
+    winnow_containment pattern)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 50)
+    single = textops.compression_ratio(docs.select("doc_id", "text"))
+    tripled = textops.compression_ratio(
+        docs.select("doc_id", F.repeat("text", 3).alias("text"))
+    ).select("doc_id", F.col("ratio").alias("ratio3"))
+    j = single.join(tripled, "doc_id")
+    return j.filter(
+        ~((F.col("ratio3") < F.col("ratio"))
+          & (F.col("ratio") > 0) & (F.col("ratio") <= 1.2))
+    ).select("doc_id")
+
+
 def _q_url_domains(spark, sf_dir):
     """Per-domain URL stats (extract-all → explode → partial-agg groupBy)."""
     return textops.url_stats(_dirty_docs(spark, sf_dir))
@@ -4177,6 +4258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_match": _q_entity_match,
         "semantic_decontam": _q_semantic_decontam,
         "weighted_quantiles": _q_weighted_quantiles,
+        "url_canonical": _q_url_canonical,
+        "compression_gate": _q_compression_gate,
         "fork_detect": _q_fork_detect,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
@@ -6906,6 +6989,10 @@ where round(cast(shared as double) / (na.n + nb.n - shared), 6) >= 0.3
         "entity_match": _ENTITY_MATCH_SQL,
         "semantic_decontam": _SEM_DECON_SQL,
         "weighted_quantiles": _WQUANT_SQL,
+        "url_canonical": _URL_CANON_SQL,
+        "compression_gate": (
+            "select cast(null as bigint) as doc_id where 1 = 0"
+        ),
         "sales_cube": """
 select coalesce(o_orderpriority, 'ALL') as priority,
        coalesce(l_returnflag, 'ALL') as rflag,

@@ -2233,3 +2233,89 @@ def pq_topk(
         .filter(F.col("rank") <= top_k)
         .select("query_id", "rank", "neighbor_id", "dist")
     )
+
+
+TRACKING_PARAMS = (
+    "utm_source|utm_medium|utm_campaign|utm_term|utm_content|gclid|fbclid|"
+    "ref|mc_cid|mc_eid"
+)
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL canonicalization for crawl dedup — the normalization that makes
+    "the same page" one shuffle key: lowercase scheme+host, strip a
+    default port, drop fragments, strip tracking query parameters
+    (utm_*, gclid, fbclid, ...), sort the surviving query params, drop a
+    trailing slash on the path. Pure column expressions (regexp + split +
+    array ops), no UDFs; dedup then groups on ``canonical``.
+
+    Returns the input plus a ``canonical`` column. The transform is
+    deliberately conservative (no %-decoding, no www-stripping — those
+    change identity for some sites); extend the regex table per policy.
+    """
+    # scheme://host[:port][/path][?query][#fragment]
+    scheme = F.lower(F.regexp_extract(url_col, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    host = F.lower(F.regexp_extract(url_col, r"^[^:]+://([^/?#:]+)", 1))
+    port = F.regexp_extract(url_col, r"^[^:]+://[^/?#:]+:(\d+)", 1)
+    path = F.regexp_extract(url_col, r"^[^:]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(url_col, r"\?([^#]*)", 1)
+    keep_port = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    clean_path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.expr(f"substring({'_p'}, 1, length({'_p'}) - 1)"),
+    ).otherwise(F.col("_p"))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda kv: (kv != "")
+        & ~F.regexp_extract(kv, r"^([^=]+)", 1).rlike(f"^(?i)({TRACKING_PARAMS})$"),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    out = (
+        df.withColumn("_p", path)
+        .withColumn("_cp", clean_path)
+        .withColumn("_q", canon_q)
+        .withColumn(
+            "canonical",
+            F.concat(
+                scheme, F.lit("://"), host, keep_port, F.col("_cp"),
+                F.when(F.col("_q") != "", F.concat(F.lit("?"), F.col("_q")))
+                .otherwise(F.lit("")),
+            ),
+        )
+        .drop("_p", "_cp", "_q")
+    )
+    return out
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Deflate compression ratio per document — the cheap
+    redundancy/quality signal (Gopher/RefinedWeb-style: boilerplate and
+    generated spam compress far better than natural prose; near-random
+    strings barely compress). ratio = deflate_bytes / utf8_bytes, lower
+    = more redundant. Arrow-batched pandas UDF (zlib is stdlib; one
+    Python call per document, vectorized transfer — the decode-style
+    plumbing, not a JVM expression, so this is the documented Python
+    island). Empty docs get ratio 0. Returns input + (n_bytes, ratio).
+    """
+    import zlib
+
+    @F.pandas_udf("struct<n_bytes: long, ratio: double>")
+    def _comp(texts: pd.Series) -> pd.DataFrame:
+        n, r = [], []
+        for t in texts:
+            b = (t or "").encode("utf-8")
+            n.append(len(b))
+            r.append(len(zlib.compress(b, level)) / len(b) if b else 0.0)
+        return pd.DataFrame({"n_bytes": n, "ratio": r})
+
+    return df.withColumn("_c", _comp(F.col(text_col))).select(
+        "*", F.col("_c.n_bytes").alias("n_bytes"),
+        F.round(F.col("_c.ratio"), 6).alias("ratio"),
+    ).drop("_c")

@@ -983,3 +983,37 @@ def test_pq_topk_recall_vs_exact_l2(spark, embeddings):
                    for vid, v in rows.items() if vid != qid)
         exp |= {(qid, vid) for _, vid in d[:5]}
     assert len(got & exp) / len(exp) >= 0.5
+
+
+def test_canonicalize_urls_rules(spark):
+    cases = {
+        "HTTPS://Example.COM:443/path/?utm_source=x&b=2&a=1#frag":
+            "https://example.com/path?a=1&b=2",
+        "http://example.com:8080/a/b/": "http://example.com:8080/a/b",
+        "https://example.com/": "https://example.com/",  # root slash kept
+        "http://site.org/page?gclid=123": "http://site.org/page",
+        "http://site.org/page?z=1&y=2&UTM_CAMPAIGN=s":
+            "http://site.org/page?y=2&z=1",
+        "http://example.com:80/x": "http://example.com/x",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r.url: r.canonical
+           for r in textops.canonicalize_urls(df).collect()}
+    assert got == cases
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    import random
+    random.seed(4)
+    rows = [
+        (1, "abc " * 200),                                   # redundant
+        (2, "".join(random.choice("abcdefghijklmnopqrstuvwxyz0123456789 ")
+                    for _ in range(800))),                   # high-entropy
+        (3, ""),                                             # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bytes, r.ratio)
+           for r in textops.compression_ratio(df).collect()}
+    assert got[1][0] == 800 and got[2][0] == 800
+    assert got[1][1] < 0.05 < got[2][1] <= 1.1
+    assert got[3] == (0, 0.0)
