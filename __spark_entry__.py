@@ -3299,6 +3299,51 @@ select canonical, count(*)::bigint as n from canon group by canonical
 """.format(tracking=textops.TRACKING_PARAMS)
 
 
+CT_TOPK = 64
+
+
+def _q_ct_language(spark, sf_dir):
+    """Cavnar-Trenkle n-gram language ID (textops.language_profiles +
+    classify_language): per-lang top-64 trigram profiles trained on the
+    labeled corpus, out-of-place distance classification — ranks, the
+    missing-gram penalty, and both tie orders replayed exactly by the
+    oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    prof = textops.language_profiles(docs, top_k=CT_TOPK)
+    out = textops.classify_language(docs, prof, top_k=CT_TOPK)
+    return out.select("doc_id", "pred_lang", F.col("distance").cast("long"))
+
+
+_CT_LANG_SQL = r"""
+with n as (select doc_id, lang,
+                  lower(regexp_replace(text, '\s+', ' ', 'g')) as norm
+           from documents),
+g as (select doc_id, lang,
+             unnest(list_transform(
+               generate_series(1, greatest(length(norm) - 2, 1)),
+               i -> substr(norm, i, 3))) as gram
+      from n),
+lc as (select lang, gram, count(*) as c from g group by 1, 2),
+prof as (select lang, gram, rank from (
+           select *, row_number() over (partition by lang
+             order by c desc, gram asc) as rank from lc) where rank <= 64),
+dc as (select doc_id, gram, count(*) as c from g group by 1, 2),
+dt as (select doc_id, gram, drank from (
+         select *, row_number() over (partition by doc_id
+           order by c desc, gram asc) as drank from dc) where drank <= 64),
+langs as (select distinct lang from prof),
+sc as (select dt.doc_id, l.lang,
+              cast(sum(coalesce(abs(dt.drank - p.rank), 64)) as bigint)
+                as distance
+       from dt cross join langs l
+       left join prof p on p.lang = l.lang and p.gram = dt.gram
+       group by 1, 2),
+pick as (select *, row_number() over (partition by doc_id
+           order by distance asc, lang asc) as rn from sc)
+select doc_id, lang as pred_lang, distance from pick where rn = 1
+"""
+
+
 def _q_compression_gate(spark, sf_dir):
     """Compression-ratio invariant gate (oracle: EMPTY): a document
     repeated 3x must compress strictly better than its single copy
@@ -4260,6 +4305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_quantiles": _q_weighted_quantiles,
         "url_canonical": _q_url_canonical,
         "compression_gate": _q_compression_gate,
+        "ct_language": _q_ct_language,
         "fork_detect": _q_fork_detect,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
@@ -6993,6 +7039,7 @@ where round(cast(shared as double) / (na.n + nb.n - shared), 6) >= 0.3
         "compression_gate": (
             "select cast(null as bigint) as doc_id where 1 = 0"
         ),
+        "ct_language": _CT_LANG_SQL,
         "sales_cube": """
 select coalesce(o_orderpriority, 'ALL') as priority,
        coalesce(l_returnflag, 'ALL') as rflag,

@@ -2319,3 +2319,90 @@ def compression_ratio(
         "*", F.col("_c.n_bytes").alias("n_bytes"),
         F.round(F.col("_c.ratio"), 6).alias("ratio"),
     ).drop("_c")
+
+
+def _char_grams(text: F.Column, k: int) -> F.Column:
+    """ALL character k-grams (with multiplicity — unlike ``shingles``,
+    which dedups) of lowercased whitespace-collapsed text."""
+    norm = F.lower(F.regexp_replace(text, r"\s+", " "))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: norm.substr(i, F.lit(k)))
+
+
+def language_profiles(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    top_k: int = 100,
+    k: int = 3,
+) -> DataFrame:
+    """Cavnar-Trenkle language profiles: per language, the ``top_k`` most
+    frequent character ``k``-grams ranked 1..top_k (ties broken
+    lexicographically so the profile is deterministic and
+    SQL-replayable). Returns (lang, gram, rank) — langs x top_k rows, a
+    broadcastable model trained with one groupBy over the labeled
+    corpus."""
+    grams = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(_char_grams(F.col(text_col), k)).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("gram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("lang", "gram", "rank")
+    )
+
+
+def classify_language(
+    df: DataFrame,
+    profiles: DataFrame,
+    text_col: str = "text",
+    top_k: int = 100,
+    k: int = 3,
+) -> DataFrame:
+    """Cavnar-Trenkle out-of-place classification: rank each document's
+    own top-``top_k`` ``k``-grams, score each candidate language as
+    sum(|doc_rank - profile_rank|) with a ``top_k`` penalty for grams
+    missing from the profile, predict the argmin (ties -> lowest lang).
+    Returns (doc_id, pred_lang, distance).
+
+    Scale shape: the profile table (langs x top_k rows) broadcasts; the
+    document side is one gram count + one per-doc window + one broadcast
+    join + one argmin window — no shuffle keyed on anything bigger than
+    doc_id. The classic n-gram LID, strictly stronger than the stopword
+    scorer (textops.language_id) on short or stopword-free text."""
+    grams = df.select(
+        "doc_id", F.explode(_char_grams(F.col(text_col), k)).alias("gram")
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    dw = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("gram"))
+    doc_top = (
+        counts.withColumn("drank", F.row_number().over(dw))
+        .filter(F.col("drank") <= top_k)
+        .select("doc_id", "gram", "drank")
+    )
+    langs = profiles.select("lang").distinct()
+    scored = (
+        doc_top.crossJoin(F.broadcast(langs))
+        .join(
+            F.broadcast(profiles).withColumnRenamed("rank", "prank"),
+            ["lang", "gram"],
+            "left",
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("drank") - F.col("prank")), F.lit(top_k)
+                )
+            ).alias("distance")
+        )
+    )
+    aw = Window.partitionBy("doc_id").orderBy(F.asc("distance"), F.asc("lang"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(aw))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), "distance")
+    )

