@@ -3299,6 +3299,59 @@ select canonical, count(*)::bigint as n from canon group by canonical
 """.format(tracking=textops.TRACKING_PARAMS)
 
 
+COVER_K = 6
+
+
+def _q_coverage_select(spark, sf_dir):
+    """Greedy maximum-coverage selection (corpus.greedy_coverage_select):
+    6 rounds of pick-the-doc-covering-the-most-new-5-grams (ties lowest
+    doc_id); oracle unrolls the identical greedy recurrence with
+    materialized covered/picked sets per round."""
+    from flexgraph_spark import corpus as _c
+
+    return _c.greedy_coverage_select(
+        _t(spark, sf_dir, "documents"), k=COVER_K, gram_k=5
+    )
+
+
+def _coverage_sql(k: int) -> str:
+    ctes = [
+        r"n as (select doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) "
+        "as norm from documents)",
+        "g as materialized (select doc_id, unnest(list_distinct(list_transform("
+        "generate_series(1, greatest(length(norm) - 4, 1)), "
+        "i -> substr(norm, i, 5)))) as gm from n)",
+    ]
+    for r in range(1, k + 1):
+        if r == 1:
+            gains = "select doc_id, count(*) as gain from g group by doc_id"
+        else:
+            gains = (
+                f"select doc_id, count(*) as gain from g "
+                f"where gm not in (select gm from cov{r-1}) "
+                f"and doc_id not in (select doc_id from pk{r-1}) "
+                f"group by doc_id"
+            )
+        ctes.append(
+            f"p{r} as materialized (select {r} as pick, doc_id, gain "
+            f"from ({gains}) t order by gain desc, doc_id asc limit 1)"
+        )
+        cov_prev = f"select gm from cov{r-1} union " if r > 1 else ""
+        ctes.append(
+            f"cov{r} as materialized ({cov_prev}"
+            f"select g.gm from g join p{r} using (doc_id))"
+        )
+        pk_prev = f"select doc_id from pk{r-1} union " if r > 1 else ""
+        ctes.append(
+            f"pk{r} as materialized ({pk_prev}select doc_id from p{r})"
+        )
+    union = " union all ".join(
+        f"select pick, doc_id, gain::bigint as gain from p{r}"
+        for r in range(1, k + 1)
+    )
+    return "with " + ",\n".join(ctes) + f"\nselect * from ({union}) t"
+
+
 CT_TOPK = 64
 
 
@@ -4306,6 +4359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _q_url_canonical,
         "compression_gate": _q_compression_gate,
         "ct_language": _q_ct_language,
+        "coverage_select": _q_coverage_select,
         "fork_detect": _q_fork_detect,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
@@ -7040,6 +7094,7 @@ where round(cast(shared as double) / (na.n + nb.n - shared), 6) >= 0.3
             "select cast(null as bigint) as doc_id where 1 = 0"
         ),
         "ct_language": _CT_LANG_SQL,
+        "coverage_select": _coverage_sql(COVER_K),
         "sales_cube": """
 select coalesce(o_orderpriority, 'ALL') as priority,
        coalesce(l_returnflag, 'ALL') as rflag,

@@ -103,6 +103,26 @@ def run_one(cpus: int, num_edges: int, n: int, engine: str,
             return algorithms.earliest_arrival(edges, 0, max_iter=iters, **kw)
         return algorithms.pagerank(edges, threshold=0.0, max_iter=iters, **kw)
 
+    if algo == "bridges":
+        # composite plan (forest + XOR closure), no superstep metrics —
+        # throughput = edges / median wall seconds of 2 timed runs after
+        # one warmup (the warmup absorbs JIT + Arrow worker start)
+        algorithms.connected_components(edges, max_iter=4).state.count()
+        times = []
+        for _ in range(2):
+            tb = time.time()
+            algorithms.bridges(edges, max_depth=64).count()
+            times.append(time.time() - tb)
+        med = sorted(times)[0]
+        spark.stop()
+        return {
+            "cpus": cpus, "algo": algo, "engine": engine, "edges": e_count,
+            "iters": 1, "seconds": round(sum(times), 2),
+            "median_superstep_sec": round(med, 2),
+            "per_iter": [round(x, 2) for x in times],
+            "edges_per_sec_per_superstep": round(e_count / med, 1),
+        }
+
     job(1).state.count()
 
     t0 = time.time()
@@ -137,7 +157,7 @@ def main() -> None:
     p.add_argument("--vertices", type=int, default=DEFAULT_VERTICES)
     p.add_argument("--engine", default="flat", choices=["flat", "blocked"])
     p.add_argument("--algo", default="pagerank",
-                   choices=["pagerank", "landmark4", "temporal"],
+                   choices=["pagerank", "landmark4", "temporal", "bridges"],
                    help="non-pagerank algos print results without "
                         "rewriting --out (supplementary evidence)")
     p.add_argument("--out", default="BENCH/BASELINE.md")

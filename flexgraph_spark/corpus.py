@@ -996,3 +996,59 @@ def semantic_decontaminate(
         .filter(F.col("_rn") == 1)
         .select("vec_id", "eval_id", F.round("cos", 6).alias("cos"))
     )
+
+
+def greedy_coverage_select(
+    df: DataFrame,
+    k: int = 10,
+    gram_k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy maximum-coverage data selection (the classic (1-1/e)
+    submodular-greedy coreset): pick ``k`` documents one at a time, each
+    round taking the document covering the most character ``gram_k``-grams
+    NOT yet covered by the picks so far (ties -> lowest doc_id) — the
+    diversity-maximizing subset selection used for seed corpora and
+    eval-set construction, where near-duplicate picks are worthless.
+
+    Scale shape: the gram table builds once (distinct (doc_id, gram),
+    uniform keys) and persists; each of the k rounds is one anti-join
+    against the covered-gram set plus one count + global argmax (k is
+    small by definition — the selection budget). The covered set and the
+    pick list live as DataFrames; only the k winning (doc_id, gain) rows
+    ever reach the driver. Returns (pick int, doc_id, gain) in pick
+    order.
+    """
+    from flexgraph_spark.textops import shingles
+
+    grams = (
+        df.select("doc_id", F.explode(shingles(F.col(text_col), gram_k)).alias("g"))
+        .distinct()
+        .persist()
+    )
+    spark = df.sparkSession
+    covered = spark.createDataFrame([], "g string")
+    picks: list[tuple[int, int, int]] = []
+    # stops early when no remaining document adds coverage (gain 0 rows
+    # never enter `gains`, so an exhausted corpus ends the selection)
+    for r in range(1, k + 1):
+        gains = (
+            grams.join(covered, "g", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("gain"))
+        )
+        if picks:
+            chosen = spark.createDataFrame(
+                [(p[1],) for p in picks], "doc_id long"
+            )
+            gains = gains.join(chosen, "doc_id", "left_anti")
+        top = gains.orderBy(F.desc("gain"), F.asc("doc_id")).limit(1).collect()
+        if not top:
+            break
+        doc, gain = int(top[0]["doc_id"]), int(top[0]["gain"])
+        picks.append((r, doc, gain))
+        covered = covered.unionByName(
+            grams.filter(F.col("doc_id") == doc).select("g")
+        ).distinct().persist()
+    grams.unpersist()
+    return spark.createDataFrame(picks, "pick int, doc_id long, gain long")

@@ -507,3 +507,23 @@ def test_semantic_decontaminate_planted_leaks(spark):
     got = {r.vec_id: r.eval_id
            for r in corpus.semantic_decontaminate(tr, ev, threshold=0.9).collect()}
     assert got == {10: 0, 12: 1}
+
+
+def test_greedy_coverage_select_hand_case(spark):
+    """Greedy picks the biggest doc first, then the most COMPLEMENTARY one
+    (not the second-biggest), and stops early when coverage is exhausted."""
+    from flexgraph_spark import corpus
+
+    rows = [
+        (1, "abcdefgh"),        # grams(5): abcde bcdef cdefg defgh -> 4
+        (2, "abcdefg"),         # subset of 1 -> gain 0 after pick 1
+        (3, "vwxyz"),           # 1 new gram
+        (4, "abcdeXY"),         # abcde bcdeX cdeXY -> 2 new after pick 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.pick, r.doc_id, r.gain)
+           for r in corpus.greedy_coverage_select(df, k=10, gram_k=5)
+           .orderBy("pick").collect()]
+    assert got == [(1, 1, 4), (2, 4, 2), (3, 3, 1)]
+    # doc 2 is a gram-subset of doc 1: zero marginal coverage, so greedy
+    # stops after 3 picks — zero-gain docs are never selected
