@@ -3617,6 +3617,51 @@ where 100 * cw >= tw * pct group by pct order by pct
 """
 
 
+def _q_attribution(spark, sf_dir):
+    """Last-touch attribution (analytics.attribution): purchases credited
+    to the latest view/click within 72h (ties -> lowest touch event_id),
+    NULL touch = the direct bucket; oracle replays the credit rule with
+    the identical tie order."""
+    from flexgraph_spark import analytics as _a
+
+    out = _a.attribution(
+        _t(spark, sf_dir, "events"),
+        touch_types=["view", "click"],
+        conversion_type="purchase",
+        model="last",
+        lookback_hours=72,
+    )
+    return out.select(
+        "conv_id",
+        "user",
+        F.date_format("conv_ts", "yyyy-MM-dd HH:mm:ss").alias("conv_ts"),
+        F.coalesce("touch_id", F.lit(-1)).alias("touch_id"),
+        F.coalesce("touch_type", F.lit("direct")).alias("touch_type"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+_ATTRIBUTION_SQL = """
+with conv as (select event_id as conv_id, user_id as user, ts as conv_ts,
+                     value from events where event_type = 'purchase'),
+touch as (select event_id as touch_id, user_id as user, ts as touch_ts,
+                 event_type as touch_type from events
+          where event_type in ('view', 'click')),
+j as (select c.*, t.touch_id, t.touch_ts, t.touch_type,
+             coalesce(t.touch_ts <= c.conv_ts and
+                      t.touch_ts >= c.conv_ts - interval '72 hours',
+                      false) as ok
+      from conv c left join touch t using (user)),
+r as (select *, row_number() over (partition by conv_id
+        order by ok desc, touch_ts desc, touch_id asc) as rn from j)
+select conv_id, user, strftime(conv_ts, '%Y-%m-%d %H:%M:%S') as conv_ts,
+       coalesce(case when ok then touch_id end, -1) as touch_id,
+       case when ok then touch_type else 'direct' end as touch_type,
+       round(value, 6) as value
+from r where rn = 1
+"""
+
+
 def _q_sales_cube(spark, sf_dir):
     """OLAP CUBE rollup (priority x returnflag + all subtotal planes) —
     the Spark built-in grouping-sets surface under the gate; revenue
@@ -4360,6 +4405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_gate": _q_compression_gate,
         "ct_language": _q_ct_language,
         "coverage_select": _q_coverage_select,
+        "attribution": _q_attribution,
         "fork_detect": _q_fork_detect,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
@@ -7095,6 +7141,7 @@ where round(cast(shared as double) / (na.n + nb.n - shared), 6) >= 0.3
         ),
         "ct_language": _CT_LANG_SQL,
         "coverage_select": _coverage_sql(COVER_K),
+        "attribution": _ATTRIBUTION_SQL,
         "sales_cube": """
 select coalesce(o_orderpriority, 'ALL') as priority,
        coalesce(l_returnflag, 'ALL') as rflag,

@@ -641,3 +641,73 @@ def _weighted_kth(
             )
             resolved.append((pct, float(hit)))
     return resolved
+
+
+def attribution(
+    events: DataFrame,
+    touch_types: list[str],
+    conversion_type: str,
+    model: str = "last",
+    lookback_hours: int | None = 72,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Marketing/touch attribution: credit each conversion to ONE touch
+    event — ``model='last'`` (industry default) takes the latest touch at
+    or before the conversion inside the lookback window, ``'first'`` the
+    earliest. Ties at the same timestamp break to the lowest touch
+    event_id, so the credit assignment is deterministic and
+    SQL-replayable. Conversions with no eligible touch report a NULL
+    touch (the "direct" bucket). Returns (conv_id, user, conv_ts,
+    touch_id, touch_type, value).
+
+    Scale shape: one conversions⨝touches join keyed on the user id plus
+    a per-conversion argmin/argmax window — the join is the only
+    shuffle, and it is user-keyed (uniform); no per-user event-sequence
+    sort, no window over the whole corpus. At 10^12 events the lookback
+    predicate prunes the join output to conversion-local touches.
+    """
+    if model not in ("last", "first"):
+        raise ValueError("model must be 'last' or 'first'")
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(id_col).alias("conv_id"),
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("conv_ts"),
+        F.col(value_col).alias("value"),
+    )
+    touch = events.filter(F.col(type_col).isin(touch_types)).select(
+        F.col(id_col).alias("touch_id"),
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("touch_ts"),
+        F.col(type_col).alias("touch_type"),
+    )
+    cond = F.col("touch_ts") <= F.col("conv_ts")
+    if lookback_hours is not None:
+        cond = cond & (
+            F.col("touch_ts")
+            >= F.col("conv_ts") - F.expr(f"INTERVAL {int(lookback_hours)} HOURS")
+        )
+    joined = conv.join(touch, "user", "left").withColumn(
+        "_ok", F.coalesce(cond, F.lit(False))
+    )
+    order = (
+        [F.desc("_ok"), F.desc("touch_ts"), F.asc("touch_id")]
+        if model == "last"
+        else [F.desc("_ok"), F.asc("touch_ts"), F.asc("touch_id")]
+    )
+    w = Window.partitionBy("conv_id").orderBy(*order)
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "conv_id",
+            "user",
+            "conv_ts",
+            F.when(F.col("_ok"), F.col("touch_id")).alias("touch_id"),
+            F.when(F.col("_ok"), F.col("touch_type")).alias("touch_type"),
+            "value",
+        )
+    )

@@ -269,3 +269,33 @@ def test_weighted_quantiles_vs_python(spark):
         got = {r.pct: r.val for r in analytics.weighted_quantiles(
             df, "x", "w", pcts, **kw).collect()}
         assert got == expect, kw
+
+
+def test_attribution_models_and_lookback(spark):
+    from datetime import datetime as d
+    rows = [
+        (1, d(2026, 1, 1, 8), 7, "view", 0.0),     # outside 2h lookback
+        (2, d(2026, 1, 1, 11), 7, "view", 0.0),
+        (3, d(2026, 1, 1, 11, 30), 7, "click", 0.0),
+        (4, d(2026, 1, 1, 12), 7, "purchase", 9.5),
+        (5, d(2026, 1, 1, 13), 7, "view", 0.0),    # after conversion
+        (6, d(2026, 1, 2, 12), 8, "purchase", 1.0),  # no touches: direct
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    last = {r.conv_id: r.touch_id for r in analytics.attribution(
+        ev, ["view", "click"], "purchase", model="last",
+        lookback_hours=2).collect()}
+    assert last == {4: 3, 6: None}
+    first = {r.conv_id: r.touch_id for r in analytics.attribution(
+        ev, ["view", "click"], "purchase", model="first",
+        lookback_hours=2).collect()}
+    assert first == {4: 2, 6: None}  # event 1 excluded by the window
+    nolimit = {r.conv_id: r.touch_id for r in analytics.attribution(
+        ev, ["view", "click"], "purchase", model="first",
+        lookback_hours=None).collect()}
+    assert nolimit[4] == 1
+    import pytest as _p
+    with _p.raises(ValueError):
+        analytics.attribution(ev, ["view"], "purchase", model="linear")
