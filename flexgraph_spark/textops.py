@@ -2406,3 +2406,88 @@ def classify_language(
         .filter(F.col("_rn") == 1)
         .select("doc_id", F.col("lang").alias("pred_lang"), "distance")
     )
+
+
+def group_overlap_minhash(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    min_jaccard: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_sha_freq: int | None = 1000,
+) -> DataFrame:
+    """Scale face of :func:`group_overlap` for when collections are too
+    numerous for even the frequency-capped inverted index: MinHash the
+    per-collection member-sha SET (one int64 key per distinct member),
+    LSH-band the signatures so only bucket-colliding collection pairs
+    ever meet, then EXACT-verify the survivors with the same inverted
+    shared-count join restricted to candidates. Output and semantics
+    match group_overlap (pairs with exact Jaccard >= min_jaccard over
+    the capped universe); recall is the banding's (r,b) S-curve —
+    pytest-checked against the exact operator. Never all-pairs.
+    """
+    members = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.xxhash64(F.sha2(F.col(text_col), 256)).alias("m"),
+    ).distinct()
+    if max_sha_freq is not None:
+        rare = (
+            members.groupBy("m").agg(F.count("*").alias("_f"))
+            .filter(F.col("_f") <= max_sha_freq).select("m")
+        )
+        members = members.join(rare, "m")
+    members = members.persist()
+    # signature WITHOUT materializing the member set: num_hashes min
+    # aggregates in ONE groupBy (map-side partial agg) — a 10^8-member
+    # collection never becomes a 10^8-element array row
+    sigs = (
+        members.groupBy("g")
+        .agg(*[
+            F.min(F.xxhash64("m", F.lit(i))).alias(f"_s{i}")
+            for i in range(num_hashes)
+        ])
+        .select(
+            F.col("g").alias("doc_id"),
+            F.array(*[F.col(f"_s{i}") for i in range(num_hashes)]).alias("sig"),
+        )
+    )
+    rows_per_band = num_hashes // bands
+    bb = sigs.select(
+        F.col("doc_id").alias("g"),
+        _band_explode(bands, rows_per_band).alias("bb"),
+    ).select("g", "bb.band", "bb.bucket")
+    cand = (
+        bb.alias("x")
+        .join(bb.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.g") < F.col("y.g"))
+        .select(F.col("x.g").alias("group_a"), F.col("y.g").alias("group_b"))
+        .distinct()
+    )
+    # exact verify on candidates only: shared member counts + sizes
+    sizes = members.groupBy("g").agg(F.count("*").alias("n"))
+    a = members.select(F.col("g").alias("group_a"), "m")
+    b = members.select(F.col("g").alias("group_b"), "m")
+    shared = (
+        a.join(b, "m")
+        .join(cand, ["group_a", "group_b"])  # semi-restrict to candidates
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("g", "group_a")
+                    .withColumnRenamed("n", "n_a"), "group_a")
+        .join(sizes.withColumnRenamed("g", "group_b")
+              .withColumnRenamed("n", "n_b"), "group_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared")
+                    / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6),
+        )
+        .withColumn("containment",
+                    F.round(F.col("shared") / F.least("n_a", "n_b"), 6))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("group_a", "group_b", "shared", "n_a", "n_b",
+                "jaccard", "containment")
+    )
+    return out

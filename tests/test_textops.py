@@ -1034,3 +1034,26 @@ def test_ct_language_classifies_distinct_styles(spark):
     got = {r.doc_id: r.pred_lang
            for r in textops.classify_language(df, prof, top_k=20).collect()}
     assert got == {1: "aa", 2: "aa", 3: "zz", 4: "zz"}
+
+
+def test_group_overlap_minhash_recall_vs_exact(spark):
+    """LSH-banded fork detection finds every high-Jaccard pair the exact
+    operator finds on planted forks (16 bands of 4 rows: ~1.0 collision
+    probability at J>=0.5), with identical scores on the survivors."""
+    rows = []
+    for g in range(8):
+        for d in range(30):
+            rows.append((f"repo{g}", f"doc {g} {d} content xyz"))
+        if g % 2 == 0:  # fork shares 24/30 docs, adds 6 unique
+            for d in range(24):
+                rows.append((f"repo{g}_fork", f"doc {g} {d} content xyz"))
+            for d in range(6):
+                rows.append((f"repo{g}_fork", f"unique {g} {d} zzz"))
+    df = spark.createDataFrame(rows, "source string, text string")
+    exact = {(r.group_a, r.group_b): (r.shared, r.jaccard)
+             for r in textops.group_overlap(df, min_jaccard=0.5).collect()}
+    mh = {(r.group_a, r.group_b): (r.shared, r.jaccard)
+          for r in textops.group_overlap_minhash(
+              df, min_jaccard=0.5, num_hashes=64, bands=16).collect()}
+    assert len(exact) == 4
+    assert mh == exact  # full recall at this S-curve operating point
