@@ -3299,6 +3299,56 @@ select canonical, count(*)::bigint as n from canon group by canonical
 """.format(tracking=textops.TRACKING_PARAMS)
 
 
+FEATPROP_K = 2
+FEATPROP_DIMS = 8
+
+
+def _q_feature_prop(spark, sf_dir):
+    """SIGN/SGC k-hop feature smoothing (algorithms.feature_propagation):
+    2 rounds of in-neighbor mean over the mod-500 graph with the first 8
+    embedding dims as features, long format — oracle unrolls the same
+    join+avg recurrence; round-6 absorbs float summation-order drift."""
+    li = _t(spark, sf_dir, "lineitem")
+    g500 = (
+        li.select((F.col("l_orderkey") % 500).alias("src"),
+                  (F.col("l_partkey") % 500).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    out = algorithms.feature_propagation(
+        g500, emb.filter(F.col("vec_id") < 500), k=FEATPROP_K,
+        dims=FEATPROP_DIMS,
+    )
+    return out.select("vertex", "j", F.round("x", 6).alias("x"))
+
+
+def _featprop_sql(k: int, dims: int) -> str:
+    ctes = [
+        "e as materialized (select distinct l_orderkey % 500 as src, "
+        "l_partkey % 500 as dst from lineitem "
+        "where l_orderkey % 500 <> l_partkey % 500)",
+        f"f0 as materialized (select vec_id as vertex, t.j - 1 as j, "
+        f"cast(embedding[t.j] as double) as x from embeddings, "
+        f"unnest(generate_series(1, {dims})) as t(j) "
+        f"where vec_id < 500)",
+    ]
+    for r in range(1, k + 1):
+        ctes.append(
+            f"m{r} as materialized (select e.dst as vertex, f.j, avg(f.x) as mx "
+            f"from e join f{r-1} f on f.vertex = e.src group by 1, 2)"
+        )
+        ctes.append(
+            f"f{r} as materialized (select f.vertex, f.j, "
+            f"coalesce(m.mx, f.x) as x from f{r-1} f "
+            f"left join m{r} m using (vertex, j))"
+        )
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect vertex, j, round(x, 6) as x from f{k}"
+    )
+
+
 COVER_K = 6
 
 
@@ -4406,6 +4456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ct_language": _q_ct_language,
         "coverage_select": _q_coverage_select,
         "attribution": _q_attribution,
+        "feature_prop": _q_feature_prop,
         "fork_detect": _q_fork_detect,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
@@ -7142,6 +7193,7 @@ where round(cast(shared as double) / (na.n + nb.n - shared), 6) >= 0.3
         "ct_language": _CT_LANG_SQL,
         "coverage_select": _coverage_sql(COVER_K),
         "attribution": _ATTRIBUTION_SQL,
+        "feature_prop": _featprop_sql(FEATPROP_K, FEATPROP_DIMS),
         "sales_cube": """
 select coalesce(o_orderpriority, 'ALL') as priority,
        coalesce(l_returnflag, 'ALL') as rflag,

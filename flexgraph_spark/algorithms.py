@@ -5591,3 +5591,47 @@ def vertex_cover(edges: DataFrame, max_rounds: int = 50, **kw) -> DataFrame:
         .union(m.state.select("b"))
         .distinct()
     )
+
+
+def feature_propagation(
+    edges: DataFrame,
+    features: DataFrame,
+    k: int = 2,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    dims: int | None = None,
+) -> DataFrame:
+    """SIGN/SGC-style k-hop feature smoothing — the GNN preprocessing
+    trick (Wu et al. SGC, Frasca et al. SIGN): propagate node features
+    through the graph BEFORE training so the downstream model is a plain
+    MLP. Each round replaces a vertex's feature with the mean of its
+    in-neighbors' features (isolated vertices keep their value).
+
+    Executed in LONG format (vertex, j, x): one round = one src-keyed
+    join + one (dst, j) groupBy-avg — both shuffles on uniform keys,
+    pure codegen, no arrays through aggregation. Dimension count
+    multiplies rows, not width: at 100 TB prefer ``dims`` row-slicing or
+    the blocked batch kernels for very wide features; for the 64-256-dim
+    embedding case the long plan is the simple exact path. Returns
+    (vertex, j, x) after k rounds.
+    """
+    f = features.select(
+        F.col(id_col).cast("long").alias("vertex"),
+        F.posexplode(
+            F.slice(embedding_col, 1, dims) if dims else F.col(embedding_col)
+        ).alias("j", "x"),
+    ).select("vertex", "j", F.col("x").cast("double").alias("x"))
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    cur = f
+    for _ in range(k):
+        msg = (
+            e.join(cur.withColumnRenamed("vertex", "src"), "src")
+            .groupBy(F.col("dst").alias("vertex"), "j")
+            .agg(F.avg("x").alias("mx"))
+        )
+        cur = truncate_plan(
+            cur.join(msg, ["vertex", "j"], "left")
+            .select("vertex", "j",
+                    F.coalesce("mx", "x").alias("x"))
+        )
+    return cur

@@ -2735,3 +2735,23 @@ def test_vertex_cover_valid_and_2approx(spark):
     # 2-approx certificate: cover size == 2 * matching size
     m = algorithms.maximal_matching(edges).state.count()
     assert len(cover) == 2 * m
+
+
+def test_feature_propagation_mean_and_isolated(spark):
+    """One round on a hand graph: v's feature becomes the mean of its
+    in-neighbors; isolated / in-degree-0 vertices keep their own."""
+    edges = spark.createDataFrame([(1, 3), (2, 3), (3, 1)], "src long, dst long")
+    feats = spark.createDataFrame(
+        [(1, [10.0, 0.0]), (2, [20.0, 2.0]), (3, [0.0, 4.0]), (9, [7.0, 7.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r.vertex, r.j): r.x for r in
+           algorithms.feature_propagation(edges, feats, k=1).collect()}
+    assert got[(3, 0)] == 15.0 and got[(3, 1)] == 1.0   # mean of 1,2
+    assert got[(1, 0)] == 0.0 and got[(1, 1)] == 4.0    # from 3
+    assert got[(2, 0)] == 20.0                           # in-degree 0: kept
+    assert got[(9, 0)] == 7.0                            # not in graph: kept
+    # two rounds: v1 gets round-1 value of v3
+    got2 = {(r.vertex, r.j): r.x for r in
+            algorithms.feature_propagation(edges, feats, k=2).collect()}
+    assert got2[(1, 0)] == 15.0
