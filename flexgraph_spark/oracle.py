@@ -110,3 +110,41 @@ def triangle_count(edges, n):
             adj[d, s] = True
     a = adj.astype(np.int64)
     return int(np.trace(a @ a @ a) // 6)
+
+
+def py_bridges(raw):
+    """Plain-python iterative Tarjan bridge finder (low-link): the
+    independent reference for algorithms.bridges' XOR-coverage
+    construction (property-based gates + hand tests)."""
+    adj = {}
+    for s, d in raw:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    disc, low = {}, {}
+    out = set()
+    t = [0]
+    for root in sorted(adj):
+        if root in disc:
+            continue
+        stack = [(root, None, iter(sorted(adj[root])))]
+        disc[root] = low[root] = t[0]; t[0] += 1
+        while stack:
+            u, parent, it = stack[-1]
+            advanced = False
+            for v in it:
+                if v not in disc:
+                    disc[v] = low[v] = t[0]; t[0] += 1
+                    stack.append((v, u, iter(sorted(adj[v]))))
+                    advanced = True
+                    break
+                elif v != parent:
+                    low[u] = min(low[u], disc[v])
+            if not advanced:
+                stack.pop()
+                if parent is not None:
+                    low[parent] = min(low[parent], low[u])
+                    if low[u] > disc[parent]:
+                        out.add((min(u, parent), max(u, parent)))
+    return out

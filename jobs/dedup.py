@@ -11,6 +11,11 @@ Two candidate paths:
 * ``--method minhash`` — MinHash signatures + LSH banding + exact verify
   (cheaper at extreme scale; banding recall at the threshold boundary is
   the standard LSH trade-off, precision stays exact).
+
+``--mode fork`` switches to COLLECTION-level fork/mirror detection:
+group documents by ``--group-col`` and report collection pairs whose
+exact content-sha Jaccard reaches the threshold (inverted-index exact
+path, or the banded-MinHash scale face with ``--method minhash``).
 """
 
 from __future__ import annotations
@@ -36,11 +41,29 @@ def main() -> None:
     p.add_argument("--method", choices=["exact", "minhash"], default="exact")
     p.add_argument("--num-hashes", type=int, default=32)
     p.add_argument("--bands", type=int, default=16)
+    p.add_argument("--mode", choices=["docs", "fork"], default="docs")
+    p.add_argument("--group-col", default="source",
+                   help="fork mode: collection column")
+    p.add_argument("--max-sha-freq", type=int, default=1000,
+                   help="fork mode: drop shas in more collections than this")
     args = p.parse_args()
 
     spark = get_session("flexgraph-dedup")
     docs = spark.read.parquet(args.documents)
     from flexgraph_spark import corpus, textops
+
+    if args.mode == "fork":
+        fn = (textops.group_overlap_minhash if args.method == "minhash"
+              else textops.group_overlap)
+        kw = ({"num_hashes": args.num_hashes, "bands": args.bands}
+              if args.method == "minhash" else {})
+        out = fn(docs, group_col=args.group_col, text_col=args.text_col,
+                 min_jaccard=args.threshold,
+                 max_sha_freq=args.max_sha_freq, **kw)
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"dedup[fork/{args.method}]: {out.count()} collection pairs "
+              f"-> {args.output}")
+        return
 
     if args.method == "minhash":
         pairs = textops.minhash_near_duplicates(

@@ -2656,45 +2656,11 @@ def test_influence_spread_matches_python_live_edge_bfs(spark):
     assert got == dist
 
 
-def _py_bridges(raw):
-    """Plain-python iterative Tarjan bridge finder (low-link), the
-    independent oracle for the XOR-coverage construction."""
-    adj = {}
-    for s, d in raw:
-        if s == d:
-            continue
-        adj.setdefault(s, set()).add(d)
-        adj.setdefault(d, set()).add(s)
-    disc, low = {}, {}
-    out = set()
-    t = [0]
-    for root in sorted(adj):
-        if root in disc:
-            continue
-        stack = [(root, None, iter(sorted(adj[root])))]
-        disc[root] = low[root] = t[0]; t[0] += 1
-        while stack:
-            u, parent, it = stack[-1]
-            advanced = False
-            for v in it:
-                if v not in disc:
-                    disc[v] = low[v] = t[0]; t[0] += 1
-                    stack.append((v, u, iter(sorted(adj[v]))))
-                    advanced = True
-                    break
-                elif v != parent:
-                    low[u] = min(low[u], disc[v])
-            if not advanced:
-                stack.pop()
-                if parent is not None:
-                    low[parent] = min(low[parent], low[u])
-                    if low[u] > disc[parent]:
-                        out.add((min(u, parent), max(u, parent)))
-    return out
 
 
 def test_bridges_hand_graph(spark):
     from flexgraph_spark import fixtures
+    from flexgraph_spark.oracle import py_bridges as _py_bridges
     raw = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (3, 5), (5, 6),
            (10, 11)]
     got = {(r.a, r.b) for r in
@@ -2704,6 +2670,7 @@ def test_bridges_hand_graph(spark):
 
 def test_bridges_random_vs_tarjan(spark):
     from flexgraph_spark import fixtures
+    from flexgraph_spark.oracle import py_bridges as _py_bridges
     raw = fixtures.rand_er(80, 0.035, seed=11)
     got = {(r.a, r.b) for r in
            algorithms.bridges(fixtures.edges_df(spark, raw)).collect()}

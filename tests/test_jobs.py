@@ -493,3 +493,21 @@ def test_analytics_job_quantiles_and_entity(spark, tmp_path):
                   "--output", out2])
     ids = {r.rec_id: r.entity_id for r in spark.read.parquet(out2).collect()}
     assert ids[1] == ids[2] == 1 and ids[3] == 3
+
+
+def test_dedup_job_fork_mode(spark, tmp_path):
+    import jobs.dedup as dd_job
+
+    rows = ([("A", f"d{i}") for i in range(10)]
+            + [("A_fork", f"d{i}") for i in range(8)]
+            + [("A_fork", "u1"), ("A_fork", "u2")]
+            + [("B", "b1"), ("B", "b2")])
+    src = str(tmp_path / "fork_docs")
+    spark.createDataFrame(rows, "source string, text string").write.parquet(src)
+    for method in ("exact", "minhash"):
+        out = str(tmp_path / f"forks_{method}")
+        _run(dd_job, ["--documents", src, "--mode", "fork", "--method", method,
+                      "--threshold", "0.5", "--output", out])
+        got = [(r.group_a, r.group_b, r.shared)
+               for r in spark.read.parquet(out).collect()]
+        assert got == [("A", "A_fork", 8)], method

@@ -187,3 +187,45 @@ def test_blocked_batch_min_equals_flat_on_random_graphs(
     assert set(f) == set(b)
     for k in f:
         assert f[k] == pytest.approx(b[k], abs=0.0), k
+
+
+@given(es=_edges)
+@settings(**_SETTINGS)
+def test_bridges_match_tarjan_on_random_graphs(spark, es):
+    """XOR-coverage bridges == plain-python Tarjan low-link on random
+    digraphs (direction ignored — bridges are an undirected property)."""
+    from flexgraph_spark.oracle import py_bridges as _py_bridges
+
+    df = fixtures.edges_df(spark, es)
+    got = {(r.a, r.b) for r in algorithms.bridges(df).collect()}
+    assert got == _py_bridges(es)
+
+
+@given(es=_edges, seed=st.integers(0, 5))
+@settings(**_SETTINGS)
+def test_influence_matches_live_edge_bfs_on_random_graphs(spark, es, seed):
+    from flexgraph_spark.algorithms import INFLUENCE_MOD
+
+    es, n = _dense(es)
+    seeds = [v for v in range(n) if v % 3 == 0]
+    p, max_hops = 0.6, 4
+    cutoff = int(p * INFLUENCE_MOD)
+    adj = {}
+    for s, d in es:
+        if (s * 2654435761 + d * 40503 + seed * 97003) % INFLUENCE_MOD < cutoff:
+            adj.setdefault(s, []).append(d)
+    dist = {v: 0 for v in seeds}
+    frontier = list(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = h
+                    nxt.append(v)
+        frontier = nxt
+    df = fixtures.edges_df(spark, es)
+    sdf = spark.createDataFrame([(v,) for v in seeds], "vertex long")
+    got = {r.vertex: r.hops for r in algorithms.influence_spread(
+        df, sdf, p=p, cascade_seed=seed, max_hops=max_hops).collect()}
+    assert got == dist
