@@ -5511,7 +5511,14 @@ def bridges(
                 F.col("x.anc") == F.col("y.v"),
             )
             .select(F.col("x.v").alias("v"), F.col("y.anc").alias("anc"))
+            .persist()
         )
+        # data-driven exit: when the frontier composes to nothing, the
+        # closure is complete — max_depth is a CAP, not a round count
+        # (a depth-10 forest stops after ~4 rounds, not log2(cap))
+        if nxt.isEmpty():
+            nxt.unpersist()
+            break
         anc = gimv.truncate_plan(anc.unionByName(nxt).distinct())
         jump = nxt
     sub_xor = (
