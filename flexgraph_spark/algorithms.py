@@ -5456,7 +5456,11 @@ def bridges(
     sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    # 1. roots = HashMin component labels (min vertex per component)
+    # 1. roots = HashMin component labels (min vertex per component).
+    # EXACTLY one root per component is load-bearing: with two trees in
+    # one component, the edge joining them is classified non-tree yet
+    # can itself be a bridge — the "non-tree edges are never bridges"
+    # step only holds when every non-tree edge closes a cycle.
     cc = connected_components(und.selectExpr("a as src", "b as dst"), **kw)
     roots = cc.state.filter(F.col("vertex") == F.col("value")).select("vertex")
     virt = roots.select(
