@@ -3712,6 +3712,33 @@ from r where rn = 1
 """
 
 
+def _q_lang_quantiles(spark, sf_dir):
+    """Per-language exact length quantiles
+    (analytics.grouped_exact_quantiles): one shared histogram pass for
+    every language, same k = max(1, ceil(q*n_g)) rank rule as
+    exact_quantiles; oracle = per-group ROW_NUMBER."""
+    from flexgraph_spark import analytics as _a
+
+    return _a.grouped_exact_quantiles(
+        _t(spark, sf_dir, "documents"), "n_chars", "lang",
+        [0.10, 0.50, 0.90],
+    )
+
+
+_LANG_QUANT_SQL = """
+with t as (select lang, cast(n_chars as double) as x from documents
+           where n_chars is not null and lang is not null),
+n as (select lang, count(*) as c from t group by 1),
+r as (select lang, x, row_number() over (partition by lang order by x) as rn
+      from t),
+qs(q) as (values (0.10), (0.50), (0.90))
+select r.lang as lang, cast(round(q*100) as int) as pct, x as val
+from qs, n join r on r.lang = n.lang
+ and r.rn = greatest(1, cast(ceil(q * n.c - 1e-9) as bigint))
+order by r.lang, pct
+"""
+
+
 def _q_sales_cube(spark, sf_dir):
     """OLAP CUBE rollup (priority x returnflag + all subtotal planes) —
     the Spark built-in grouping-sets surface under the gate; revenue
@@ -4457,6 +4484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_select": _q_coverage_select,
         "attribution": _q_attribution,
         "feature_prop": _q_feature_prop,
+        "lang_quantiles": _q_lang_quantiles,
         "fork_detect": _q_fork_detect,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
@@ -7194,6 +7222,7 @@ where round(cast(shared as double) / (na.n + nb.n - shared), 6) >= 0.3
         "coverage_select": _coverage_sql(COVER_K),
         "attribution": _ATTRIBUTION_SQL,
         "feature_prop": _featprop_sql(FEATPROP_K, FEATPROP_DIMS),
+        "lang_quantiles": _LANG_QUANT_SQL,
         "sales_cube": """
 select coalesce(o_orderpriority, 'ALL') as priority,
        coalesce(l_returnflag, 'ALL') as rflag,

@@ -711,3 +711,96 @@ def attribution(
             "value",
         )
     )
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    qs: list[float],
+    n_buckets: int = 8192,
+) -> DataFrame:
+    """Exact per-group order statistics — one histogram pass for ALL
+    groups at once (per-language length cuts, per-domain score
+    percentiles): k = max(1, ceil(q*n_g))-th smallest within each group,
+    the same rank rule as :func:`exact_quantiles`.
+
+    Scale shape: pass 1 one (group) agg for (n, min, max); pass 2 ONE
+    groupBy (group, equi-width bucket) histogram — driver sees
+    n_groups x n_buckets rows at most (histogram rows, never data);
+    pass 3 ranks only the target buckets with a window PARTITIONED BY
+    (group, bucket) and joins the tiny (group, bucket, local_rank)
+    table. Designed for moderate group counts (languages, sources —
+    10^2..10^4); for 10^6+ groups with small members a plain per-group
+    sort-within-partitions wins and this histogram route is overkill.
+    Output (``group_col``, pct int, val double).
+    """
+    import math
+
+    x = df.select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(col).cast("double").alias("x"),
+    ).filter(F.col("x").isNotNull() & F.col("_g").isNotNull())
+    heads = {
+        r["_g"]: r
+        for r in x.groupBy("_g")
+        .agg(F.count("*").alias("n"), F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    }
+    spark = df.sparkSession
+    out_schema = f"{group_col} string, pct int, val double"
+    resolved: list[tuple[str, int, float]] = []
+    # (group, bucket) -> [(pct, local_rank)]
+    refine: list[tuple[str, int, int, int]] = []
+    wexprs = {}
+    for g, h in heads.items():
+        mn, mx, n = h["mn"], h["mx"], h["n"]
+        for q in qs:
+            pct = int(round(q * 100))
+            k = max(1, math.ceil(q * n - 1e-9))
+            if mn == mx:
+                resolved.append((str(g), pct, float(mn)))
+            else:
+                wexprs[g] = (mx - mn) / n_buckets
+                refine.append((str(g), pct, k, 0))  # bucket filled below
+    if refine:
+        # histogram for all non-degenerate groups in ONE pass
+        w_map = F.create_map(
+            *[l for g, w in wexprs.items() for l in (F.lit(g), F.lit(w))]
+        )
+        mn_map = F.create_map(
+            *[l for g in wexprs for l in (F.lit(g), F.lit(float(heads[g]["mn"])))]
+        )
+        bucket = F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("x") - mn_map[F.col("_g")]) / w_map[F.col("_g")]),
+            ),
+        ).cast("int")
+        xs = x.filter(F.col("_g").isin(list(wexprs))).withColumn("b", bucket)
+        hist: dict[tuple[str, int], int] = {}
+        for r in xs.groupBy("_g", "b").agg(F.count("*").alias("c")).collect():
+            hist[(r["_g"], r["b"])] = r["c"]
+        needs = []
+        for g, pct, k, _ in refine:
+            cum = 0
+            for b in range(n_buckets):
+                c = hist.get((g, b), 0)
+                if cum + c >= k:
+                    needs.append((g, b, k - cum, pct))
+                    break
+                cum += c
+        need_df = spark.createDataFrame(
+            needs, "_g string, b int, lr int, pct int"
+        )
+        win = Window.partitionBy("_g", "b").orderBy("x")
+        ranked = (
+            xs.join(need_df.select("_g", "b").distinct(), ["_g", "b"])
+            .withColumn("lr", F.row_number().over(win))
+        )
+        got = ranked.join(F.broadcast(need_df), ["_g", "b", "lr"]).select(
+            "_g", "pct", "x"
+        ).collect()
+        resolved.extend((r["_g"], r["pct"], float(r["x"])) for r in got)
+    return spark.createDataFrame(resolved, out_schema).orderBy(group_col, "pct")

@@ -299,3 +299,29 @@ def test_attribution_models_and_lookback(spark):
     import pytest as _p
     with _p.raises(ValueError):
         analytics.attribution(ev, ["view"], "purchase", model="linear")
+
+
+def test_grouped_exact_quantiles_vs_sorted(spark):
+    """Per-group ranks equal the sorted-list definition, including a
+    single-valued group (mn==mx fast path) and an integer group key."""
+    import math
+
+    data = {"a": [5.0, 1.0, 9.0, 3.0, 3.0], "b": [7.0] * 4,
+            "c": [float(v) for v in range(20)]}
+    rows = [(g, v) for g, vals in data.items() for v in vals]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    qs = [0.1, 0.5, 1.0]
+    got = {(r.grp, r.pct): r.val
+           for r in analytics.grouped_exact_quantiles(
+               df, "v", "grp", qs).collect()}
+    for g, vals in data.items():
+        s = sorted(vals)
+        for q in qs:
+            k = max(1, math.ceil(q * len(s) - 1e-9))
+            assert got[(g, int(round(q * 100)))] == s[k - 1], (g, q)
+    # integer group keys round-trip through the string cast
+    idf = spark.createDataFrame([(1, 2.0), (1, 4.0), (2, 9.0)], "grp int, v double")
+    igot = {(r.grp, r.pct): r.val
+            for r in analytics.grouped_exact_quantiles(
+                idf, "v", "grp", [0.5]).collect()}
+    assert igot == {("1", 50): 2.0, ("2", 50): 9.0}
