@@ -3739,6 +3739,42 @@ order by r.lang, pct
 """
 
 
+def _q_spearman(spark, sf_dir):
+    """Exact tie-aware Spearman rank correlation of quantity vs revenue
+    (analytics.spearman_correlation): doubled average ranks keep every
+    sum integer-exact in decimal; only the final division is float,
+    round-6 both sides."""
+    from flexgraph_spark import analytics as _a
+
+    return _a.spearman_correlation(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
+    )
+
+
+_SPEARMAN_SQL = """
+with p as (select cast(l_quantity as double) as x,
+                  cast(l_extendedprice as double) as y from lineitem
+           where l_quantity is not null and l_extendedprice is not null),
+cx as (select x, count(*) as c from p group by x),
+rx as (select x, (2 * coalesce(sum(c) over (order by x
+         rows between unbounded preceding and 1 preceding), 0) + c + 1)::hugeint
+         as rx from cx),
+cy as (select y, count(*) as c from p group by y),
+ry as (select y, (2 * coalesce(sum(c) over (order by y
+         rows between unbounded preceding and 1 preceding), 0) + c + 1)::hugeint
+         as ry from cy),
+j as (select rx.rx, ry.ry from p join rx using (x) join ry using (y)),
+s as (select count(*)::hugeint as n, sum(rx) as sx, sum(ry) as sy,
+             sum(rx * ry) as sxy, sum(rx * rx) as sxx, sum(ry * ry) as syy
+      from j)
+select n::bigint as n,
+       round(cast(n * sxy - sx * sy as double) /
+             (sqrt(cast(n * sxx - sx * sx as double)) *
+              sqrt(cast(n * syy - sy * sy as double))), 6) as rho
+from s
+"""
+
+
 def _q_sales_cube(spark, sf_dir):
     """OLAP CUBE rollup (priority x returnflag + all subtotal planes) —
     the Spark built-in grouping-sets surface under the gate; revenue
@@ -4485,6 +4521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": _q_attribution,
         "feature_prop": _q_feature_prop,
         "lang_quantiles": _q_lang_quantiles,
+        "spearman": _q_spearman,
         "fork_detect": _q_fork_detect,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
@@ -7223,6 +7260,7 @@ where round(cast(shared as double) / (na.n + nb.n - shared), 6) >= 0.3
         "attribution": _ATTRIBUTION_SQL,
         "feature_prop": _featprop_sql(FEATPROP_K, FEATPROP_DIMS),
         "lang_quantiles": _LANG_QUANT_SQL,
+        "spearman": _SPEARMAN_SQL,
         "sales_cube": """
 select coalesce(o_orderpriority, 'ALL') as priority,
        coalesce(l_returnflag, 'ALL') as rflag,

@@ -804,3 +804,64 @@ def grouped_exact_quantiles(
         ).collect()
         resolved.extend((r["_g"], r["pct"], float(r["x"])) for r in got)
     return spark.createDataFrame(resolved, out_schema).orderBy(group_col, "pct")
+
+
+def spearman_correlation(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Exact Spearman rank correlation at scale — monotonic-association
+    measure robust to outliers (the screening statistic for feature/
+    quality-signal redundancy), with PROPER tie handling (average
+    ranks), computed so every intermediate is integer-exact:
+
+      * per-column average ranks come from the distinct-value count
+        table: avg_rank(v) = |{x < v}| + (c_v + 1)/2 — a window over
+        DISTINCT values only (scales when distinct ≪ rows; a fully
+        continuous column degrades to a rows-sized window and belongs in
+        approx territory);
+      * DOUBLED ranks (2·avg_rank, always integral) ride through the
+        Pearson sums as decimal(38,0), so Σxy/Σx²/(Σx)² are exact and
+        the only float op is the final division — bit-identical in any
+        engine.
+    Returns one row (n, rho). rho is NULL when either column is
+    constant (zero variance).
+    """
+    from pyspark.sql import Window
+
+    pairs = df.select(
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+
+    def dranks(c: str, out: str) -> DataFrame:
+        counts = pairs.groupBy(c).agg(F.count("*").alias("_c"))
+        w = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, -1)
+        return counts.select(
+            c,
+            (
+                2 * F.coalesce(F.sum("_c").over(w), F.lit(0))
+                + F.col("_c") + 1
+            ).cast("decimal(38,0)").alias(out),
+        )
+    withr = (
+        pairs.join(dranks("x", "rx"), "x")
+        .join(dranks("y", "ry"), "y")
+    )
+    s = withr.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6),
+        ).alias("rho"),
+    )

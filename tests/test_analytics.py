@@ -325,3 +325,29 @@ def test_grouped_exact_quantiles_vs_sorted(spark):
             for r in analytics.grouped_exact_quantiles(
                 idf, "v", "grp", [0.5]).collect()}
     assert igot == {("1", 50): 2.0, ("2", 50): 9.0}
+
+
+def test_spearman_vs_scipy_free_reference(spark):
+    """Tie-aware Spearman == the average-rank Pearson definition computed
+    in plain python, on data with heavy ties; constant column -> NULL."""
+    xs = [1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 5.0, 8.0]
+    ys = [2.0, 1.0, 4.0, 4.0, 6.0, 9.0, 6.0, 9.0]
+
+    def avg_ranks(vals):
+        order = sorted(vals)
+        return [ (order.index(v) + 1 + len(order) - order[::-1].index(v)) / 2
+                 for v in vals ]
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    exp = (n * sxy - sx * sy) / (
+        (n * sxx - sx * sx) ** 0.5 * (n * syy - sy * sy) ** 0.5)
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    [r] = analytics.spearman_correlation(df, "x", "y").collect()
+    assert r.n == n and abs(r.rho - exp) < 1e-6
+    const = spark.createDataFrame([(1.0, 2.0), (1.0, 5.0)], "x double, y double")
+    [rc] = analytics.spearman_correlation(const, "x", "y").collect()
+    assert rc.rho is None
