@@ -3447,6 +3447,21 @@ select doc_id, lang as pred_lang, distance from pick where rn = 1
 """
 
 
+def _q_quality_clf_gate(spark, sf_dir):
+    """Scoring-identity gate for the weak-label quality classifier
+    (corpus.quality_classifier_violations, oracle: EMPTY): the trained
+    LogisticRegression's probability must equal sigmoid(intercept + w·x)
+    recomputed from its own coefficients as column expressions — catches
+    feature/column misalignment in the assembly; separation quality is
+    pytest-checked on constructed fluent-vs-shuffled text (LBFGS weights
+    have no SQL twin)."""
+    from flexgraph_spark import corpus as _c
+
+    return _c.quality_classifier_violations(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
 def _q_compression_gate(spark, sf_dir):
     """Compression-ratio invariant gate (oracle: EMPTY): a document
     repeated 3x must compress strictly better than its single copy
@@ -4516,6 +4531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_quantiles": _q_weighted_quantiles,
         "url_canonical": _q_url_canonical,
         "compression_gate": _q_compression_gate,
+        "quality_clf_gate": _q_quality_clf_gate,
         "ct_language": _q_ct_language,
         "coverage_select": _q_coverage_select,
         "attribution": _q_attribution,
@@ -7256,6 +7272,9 @@ where round(cast(shared as double) / (na.n + nb.n - shared), 6) >= 0.3
             "select cast(null as bigint) as doc_id where 1 = 0"
         ),
         "ct_language": _CT_LANG_SQL,
+        "quality_clf_gate": (
+            "select cast(null as bigint) as doc_id where 1 = 0"
+        ),
         "coverage_select": _coverage_sql(COVER_K),
         "attribution": _ATTRIBUTION_SQL,
         "feature_prop": _featprop_sql(FEATPROP_K, FEATPROP_DIMS),

@@ -1052,3 +1052,159 @@ def greedy_coverage_select(
         ).distinct().persist()
     grams.unpersist()
     return spark.createDataFrame(picks, "pick int, doc_id long, gain long")
+
+
+def _shuffled_negatives(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic word-shuffled twins of the input docs: tokens
+    reordered by xxhash64(doc_id, position) — unigram statistics survive,
+    word ORDER (what the bigram LM measures) is destroyed. The standard
+    weak-negative construction for a fluency classifier."""
+    toks = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    return (
+        toks.withColumn("_r", F.xxhash64("doc_id", "pos"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_r", "pos", "tok"))),
+                    lambda st: st["tok"],
+                ),
+                " ",
+            ).alias(text_col)
+        )
+    )
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    seed: int = 42,
+    reg_param: float = 0.01,
+):
+    """Weak-label quality classifier — the GPT-3/LLaMA-style
+    "looks like curated text" filter, trained WITHOUT labels: positives
+    are the input documents, negatives their deterministically
+    word-shuffled twins (:func:`_shuffled_negatives`), features are the
+    fluency/shape signals the rest of the module already computes
+    (interpolated-bigram perplexity under a LM fit on positives,
+    punctuation/digit/upper ratios, mean line length). A seeded
+    pyspark.ml LogisticRegression separates them; every input document
+    is scored with P(curated).
+
+    Returns (scored, model) where scored = (doc_id, p_good double).
+    Verification: scoring-identity gate (model.transform probability ==
+    sigmoid(intercept + w·x) recomputed from the coefficients as column
+    expressions — catches feature/column misalignment) + held-out AUC
+    pytest. Training is float-order sensitive at the 1e-15 level, so
+    there is no cross-engine oracle for the weights themselves.
+
+    Scale shape: features are column expressions + two LM joins; the
+    LBFGS iterations are pyspark.ml's distributed treeAggregate. The
+    shuffled-negative build is one posexplode + groupBy (collect_list
+    bounded by document length).
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    from flexgraph_spark import textops
+
+    pos = df.select("doc_id", text_col)
+    neg = _shuffled_negatives(pos, text_col).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), text_col
+    )
+    both = pos.unionByName(neg).persist()
+    lm = pos  # fluency model fit on positives only
+    feats = (
+        bigram_logprob(both, text_col, lm_docs=lm)
+        .select("doc_id", F.coalesce("avg_logprob", F.lit(0.0)).alias("f_lp"))
+        .join(
+            textops.quality_scores(both, text_col).select(
+                "doc_id", "punct_ratio", "digit_ratio", "upper_ratio",
+                (F.col("mean_line_len") / 100.0).alias("line_len_s"),
+            ),
+            "doc_id",
+        )
+    )
+    fcols = ["f_lp", "punct_ratio", "digit_ratio", "upper_ratio", "line_len_s"]
+    train = feats.select(
+        "doc_id",
+        array_to_vector(F.array(*[F.col(c) for c in fcols])).alias("features"),
+        (F.col("doc_id") < 10_000_000).cast("double").alias("label"),
+    )
+    model = LogisticRegression(
+        maxIter=25, regParam=reg_param, featuresCol="features",
+        labelCol="label",
+    ).fit(train)
+    from pyspark.ml.functions import vector_to_array
+
+    scored_all = model.transform(train)
+    get_p1 = F.element_at(vector_to_array(F.col("probability")), 2)
+    scored = (
+        scored_all.filter(F.col("doc_id") < 10_000_000)
+        .select("doc_id", get_p1.alias("p_good"))
+    )
+    both.unpersist()
+    return scored, model
+
+
+def quality_classifier_violations(
+    df: DataFrame, text_col: str = "text", seed: int = 42, tol: float = 1e-9
+) -> DataFrame:
+    """Scoring-identity gate for :func:`quality_classifier`: recompute
+    sigmoid(intercept + w·x) from the trained coefficients as column
+    expressions and return doc_ids where it disagrees with the model's
+    probability beyond ``tol`` — EMPTY when the feature assembly and
+    scoring path line up."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.functions import vector_to_array as _v2a
+
+    from flexgraph_spark import textops
+
+    pos = df.select("doc_id", text_col)
+    neg = _shuffled_negatives(pos, text_col).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), text_col
+    )
+    both = pos.unionByName(neg).persist()
+    feats = (
+        bigram_logprob(both, text_col, lm_docs=pos)
+        .select("doc_id", F.coalesce("avg_logprob", F.lit(0.0)).alias("f_lp"))
+        .join(
+            textops.quality_scores(both, text_col).select(
+                "doc_id", "punct_ratio", "digit_ratio", "upper_ratio",
+                (F.col("mean_line_len") / 100.0).alias("line_len_s"),
+            ),
+            "doc_id",
+        )
+    )
+    fcols = ["f_lp", "punct_ratio", "digit_ratio", "upper_ratio", "line_len_s"]
+    train = feats.select(
+        "doc_id",
+        array_to_vector(F.array(*[F.col(c) for c in fcols])).alias("features"),
+        (F.col("doc_id") < 10_000_000).cast("double").alias("label"),
+        *[F.col(c) for c in fcols],
+    )
+    model = LogisticRegression(
+        maxIter=25, regParam=0.01, featuresCol="features", labelCol="label",
+    ).fit(train)
+    w = model.coefficients.toArray()
+    b = float(model.intercept)
+    manual = F.lit(b)
+    for i, c in enumerate(fcols):
+        manual = manual + F.lit(float(w[i])) * F.col(c)
+    manual_p = F.lit(1.0) / (F.lit(1.0) + F.exp(-manual))
+    out = (
+        model.transform(train)
+        .withColumn("_mp", manual_p)
+        .withColumn(
+            "_p",
+            F.element_at(_v2a(F.col("probability")), 2),
+        )
+        .filter(F.abs(F.col("_p") - F.col("_mp")) > tol)
+        .select("doc_id")
+    )
+    both.unpersist()
+    return out

@@ -527,3 +527,32 @@ def test_greedy_coverage_select_hand_case(spark):
     assert got == [(1, 1, 4), (2, 4, 2), (3, 3, 1)]
     # doc 2 is a gram-subset of doc 1: zero marginal coverage, so greedy
     # stops after 3 picks — zero-gain docs are never selected
+
+
+def test_quality_classifier_separates_fluent_from_shuffled(spark):
+    """On text with real word-order structure the classifier separates
+    originals from their shuffled twins (the synthetic driver corpus has
+    near-random word order, so this uses constructed fluent docs)."""
+    from flexgraph_spark import corpus
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "the quick brown fox runs back to the quiet barn again")
+    rows = [(i, f"{base} episode {i} " + base) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    scored, model = corpus.quality_classifier(docs)
+    pos_mean = scored.agg(F.avg("p_good")).first()[0]
+    assert pos_mean > 0.6
+    # the scoring identity holds regardless of corpus
+    assert corpus.quality_classifier_violations(docs).count() == 0
+
+
+def test_shuffled_negatives_preserve_tokens(spark):
+    from collections import Counter
+    from flexgraph_spark.corpus import _shuffled_negatives
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y")], "doc_id long, text string")
+    got = {r.doc_id: r.text for r in _shuffled_negatives(docs).collect()}
+    assert Counter(got[1].split()) == Counter("a b c d e f".split())
+    assert got[1] != "a b c d e f"  # actually shuffled
+    assert Counter(got[2].split()) == Counter(["x", "y"])
