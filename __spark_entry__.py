@@ -1146,6 +1146,18 @@ def _q_landmark_dist(spark, sf_dir):
     return algorithms.landmark_long(res, lms)
 
 
+def _q_closeness_sampled(spark, sf_dir):
+    """Eppstein-Wang sampled closeness from the 4 lowest-id landmarks
+    (algorithms.closeness_sampled) — the landmark_dist4 unroll plus a
+    per-vertex mean/invert, replayed by the oracle end-to-end."""
+    edges = _graph1000_w(spark, sf_dir)
+    verts = edges.select(F.col("src").alias("v")).union(
+        edges.select(F.col("dst").alias("v"))
+    ).distinct()
+    lms = [int(r.v) for r in verts.orderBy("v").limit(4).collect()]
+    return algorithms.closeness_sampled(edges, lms, max_iter=SSSP_ITERS)
+
+
 def _tgraph1000(spark, sf_dir) -> DataFrame:
     """Temporal graph: one edge per lineitem row, timestamped by epoch-day
     of l_shipdate. Parallel (src, dst) edges at different times are kept —
@@ -4371,6 +4383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp8": _q_sssp8,
         "sssp8_tree": _q_sssp8_tree,
         "landmark_dist4": _q_landmark_dist,
+        "closeness_sampled": _q_closeness_sampled,
         "landmark_dist4_blocked": _q_landmark_dist_blocked,
         "temporal_reach": _q_temporal_reach,
         "temporal_reach_blocked": _q_temporal_reach_blocked,
@@ -6748,6 +6761,14 @@ def oracle_sql() -> dict[str, str]:
         "sssp8": _sssp_sql(G1000_W_SQL, SSSP_ITERS),
         "sssp8_tree": _sssp_tree_sql(G1000_W_SQL, SSSP_ITERS),
         "landmark_dist4": _landmark_sql(G1000_W_SQL, SSSP_ITERS),
+        "closeness_sampled": (
+            f"with lmk as ({_landmark_sql(G1000_W_SQL, SSSP_ITERS)}) "
+            "select vertex, count(*)::bigint as n_samples, "
+            "round(avg(dist), 6) as avg_dist, "
+            "round(case when avg(dist) > 0 then 1.0 / avg(dist) end, 6) "
+            "as closeness_est from lmk where dist < 8.988465674311579e307 "
+            "group by vertex"
+        ),
         "landmark_dist4_blocked": _landmark_sql(G1000_W_SQL, SSSP_ITERS),
         "temporal_reach": _temporal_sql(TG1000_SQL, TEMPORAL_ITERS),
         "temporal_reach_blocked": _temporal_sql(TG1000_SQL, TEMPORAL_ITERS),

@@ -5646,3 +5646,39 @@ def feature_propagation(
                     F.coalesce("mx", "x").alias("x"))
         )
     return cur
+
+
+def closeness_sampled(
+    edges: DataFrame,
+    landmarks: list[int],
+    max_iter: int = 100,
+    **kw,
+) -> DataFrame:
+    """Eppstein-Wang sampled closeness centrality: with k sampled
+    landmarks, estimate each vertex's inverse-closeness as the mean of
+    its distances FROM the landmarks — the O(k·E)-work estimator whose
+    error is O(sqrt(log n / k) · diameter) w.h.p. (Eppstein & Wang,
+    SODA'01), vs O(V·E) for exact closeness. Rides the batched
+    multi-source min-plus engine (one edge scan per superstep serves all
+    k landmarks); vertices unreached by a landmark simply drop that
+    sample (reachable-universe semantics, same choice as
+    closeness_exact). Returns (vertex, n_samples, avg_dist,
+    closeness_est = (n_samples>0) ? 1/avg_dist : null).
+    """
+    res = landmark_distances(edges, landmarks, max_iter=max_iter, **kw)
+    long = landmark_long(res, landmarks)
+    return (
+        long.filter(F.col("dist") < gimv.SSSP_INF)
+        .groupBy("vertex")
+        .agg(
+            F.count("*").cast("long").alias("n_samples"),
+            F.avg("dist").alias("avg_dist"),
+        )
+        .select(
+            "vertex", "n_samples",
+            F.round("avg_dist", 6).alias("avg_dist"),
+            F.round(
+                F.when(F.col("avg_dist") > 0, 1.0 / F.col("avg_dist")), 6
+            ).alias("closeness_est"),
+        )
+    )

@@ -2722,3 +2722,19 @@ def test_feature_propagation_mean_and_isolated(spark):
     got2 = {(r.vertex, r.j): r.x for r in
             algorithms.feature_propagation(edges, feats, k=2).collect()}
     assert got2[(1, 0)] == 15.0
+
+
+def test_closeness_sampled_star_graph(spark):
+    """Star center: distance 1 from every leaf landmark -> closeness 1;
+    leaves: 1 to the center-landmark? No — landmarks {0,1}: center 0 at
+    dist 0 from itself and 1 from leaf-landmark 1; leaves at dist 1 from
+    0 and 2 from 1 (through the center)."""
+    from flexgraph_spark import fixtures
+
+    raw = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    edges = fixtures.edges_df(spark, raw)
+    got = {r.vertex: (r.n_samples, r.avg_dist, r.closeness_est)
+           for r in algorithms.closeness_sampled(edges, [0, 1]).collect()}
+    assert got[0] == (2, 0.5, 2.0)       # dists 0 and 1
+    assert got[2] == (2, 1.5, 0.666667)  # dists 1 and 2
+    assert got[1] == (2, 0.5, 2.0)       # 1 from 0, 0 from itself
