@@ -1178,6 +1178,30 @@ TG1000_SQL = (
     "from lineitem where l_orderkey % 1000 <> l_partkey % 1000"
 )
 TEMPORAL_ITERS = 8
+TDPR_DECAY = 0.05
+
+
+def _q_temporal_pagerank(spark, sf_dir):
+    """Time-decayed PageRank: each temporal edge contributes hyperbolic
+    recency weight 1/(1 + decay*(t_max - t)) (division, not exp — IEEE
+    bit-stable across engines), parallel edges sum, then the gated
+    weighted-PageRank engine runs — recent link structure outranks
+    stale links, the freshness-aware variant a crawl ranker wants."""
+    tg = _tgraph1000(spark, sf_dir)
+    tmax = tg.agg(F.max("t")).first()[0]
+    w = F.lit(1.0) / (F.lit(1.0) + F.lit(TDPR_DECAY) * (F.lit(tmax) - F.col("t")))
+    edges = tg.groupBy("src", "dst").agg(F.sum(w).alias("weight"))
+    res = algorithms.pagerank(
+        edges, threshold=0.0, max_iter=PAGERANK_ITERS, weighted=True
+    )
+    return res.state.select("vertex", F.round("value", 6).alias("pr"))
+
+
+_TDPR_EDGE_SQL = (
+    f"select src, dst, sum(1.0 / (1.0 + {TDPR_DECAY} * (tm.tmax - t)))"
+    f" as w from ({TG1000_SQL}) tg, "
+    f"(select max(t) as tmax from ({TG1000_SQL})) tm group by src, dst"
+)
 
 
 def _q_landmark_dist_blocked(spark, sf_dir):
@@ -4384,6 +4408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp8_tree": _q_sssp8_tree,
         "landmark_dist4": _q_landmark_dist,
         "closeness_sampled": _q_closeness_sampled,
+        "temporal_pagerank": _q_temporal_pagerank,
         "landmark_dist4_blocked": _q_landmark_dist_blocked,
         "temporal_reach": _q_temporal_reach,
         "temporal_reach_blocked": _q_temporal_reach_blocked,
@@ -6737,6 +6762,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank10": _pagerank_sql(SSP_EDGES_SQL, PAGERANK_ITERS),
         "wpagerank10": _pagerank_sql(G1000_W_SQL, PAGERANK_ITERS, weighted=True),
+        "temporal_pagerank": _pagerank_sql(
+            _TDPR_EDGE_SQL, PAGERANK_ITERS, weighted=True
+        ),
         "wpagerank10_blocked": _pagerank_sql(
             G1000_W_SQL, PAGERANK_ITERS, weighted=True
         ),
