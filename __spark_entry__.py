@@ -3029,6 +3029,99 @@ select v as vertex, min(u) as ecc_label from reach2 group by v
 """
 
 
+PERC_KEEP = 700_000  # of 1e6 — vertex survival probability 0.7
+
+
+def _q_percolation(spark, sf_dir):
+    """Site percolation: drop each vertex with probability 0.3 via the
+    deterministic multiplicative coin, take the induced subgraph on
+    survivors (isolated survivors count as singletons), and report the
+    component-size histogram — the random-failure robustness face that
+    pairs with bridges' targeted-failure face. HashMin CC on the induced
+    edges; oracle = same coin + recursive closure + histogram."""
+    edges = _graph_sparse2000(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    coin = (
+        F.pmod(F.col("vertex").cast("decimal(38,0)") * 2654435761 + 7919,
+               F.lit(1_000_000))
+        < PERC_KEEP
+    )
+    kept = verts.filter(coin).persist()
+    ke = (
+        edges.join(kept.withColumnRenamed("vertex", "src"), "src")
+        .join(kept.withColumnRenamed("vertex", "dst"), "dst")
+        .select("src", "dst")
+    )
+    cc = algorithms.connected_components(ke)
+    labeled = (
+        kept.join(cc.state, "vertex", "left")
+        .select(F.coalesce(F.col("value"), F.col("vertex")).alias("label"))
+    )
+    return (
+        labeled.groupBy("label").count()
+        .groupBy(F.col("count").alias("size"))
+        .agg(F.count("*").alias("n_components"))
+    )
+
+
+_PERCOLATION_SQL = """
+with e0 as materialized ({g}),
+verts as (select src as v from e0 union select dst from e0),
+kept as materialized (select v from verts
+         where (v::hugeint * 2654435761 + 7919) % 1000000 < 700000),
+ke as (select e0.src, e0.dst from e0
+       join kept a on a.v = e0.src join kept b on b.v = e0.dst),
+se as materialized (select src, dst from ke union select dst, src from ke),
+lab0 as materialized (select v, v as l from kept),
+lab1 as materialized (select v, min(l) as l from (select v, l from lab0 union all select se.dst as v, p.l from se join lab0 p on p.v = se.src) group by v),
+lab2 as materialized (select v, min(l) as l from (select v, l from lab1 union all select se.dst as v, p.l from se join lab1 p on p.v = se.src) group by v),
+lab3 as materialized (select v, min(l) as l from (select v, l from lab2 union all select se.dst as v, p.l from se join lab2 p on p.v = se.src) group by v),
+lab4 as materialized (select v, min(l) as l from (select v, l from lab3 union all select se.dst as v, p.l from se join lab3 p on p.v = se.src) group by v),
+lab5 as materialized (select v, min(l) as l from (select v, l from lab4 union all select se.dst as v, p.l from se join lab4 p on p.v = se.src) group by v),
+lab6 as materialized (select v, min(l) as l from (select v, l from lab5 union all select se.dst as v, p.l from se join lab5 p on p.v = se.src) group by v),
+lab7 as materialized (select v, min(l) as l from (select v, l from lab6 union all select se.dst as v, p.l from se join lab6 p on p.v = se.src) group by v),
+lab8 as materialized (select v, min(l) as l from (select v, l from lab7 union all select se.dst as v, p.l from se join lab7 p on p.v = se.src) group by v),
+lab9 as materialized (select v, min(l) as l from (select v, l from lab8 union all select se.dst as v, p.l from se join lab8 p on p.v = se.src) group by v),
+lab10 as materialized (select v, min(l) as l from (select v, l from lab9 union all select se.dst as v, p.l from se join lab9 p on p.v = se.src) group by v),
+lab11 as materialized (select v, min(l) as l from (select v, l from lab10 union all select se.dst as v, p.l from se join lab10 p on p.v = se.src) group by v),
+lab12 as materialized (select v, min(l) as l from (select v, l from lab11 union all select se.dst as v, p.l from se join lab11 p on p.v = se.src) group by v),
+lab13 as materialized (select v, min(l) as l from (select v, l from lab12 union all select se.dst as v, p.l from se join lab12 p on p.v = se.src) group by v),
+lab14 as materialized (select v, min(l) as l from (select v, l from lab13 union all select se.dst as v, p.l from se join lab13 p on p.v = se.src) group by v),
+lab15 as materialized (select v, min(l) as l from (select v, l from lab14 union all select se.dst as v, p.l from se join lab14 p on p.v = se.src) group by v),
+lab16 as materialized (select v, min(l) as l from (select v, l from lab15 union all select se.dst as v, p.l from se join lab15 p on p.v = se.src) group by v),
+lab17 as materialized (select v, min(l) as l from (select v, l from lab16 union all select se.dst as v, p.l from se join lab16 p on p.v = se.src) group by v),
+lab18 as materialized (select v, min(l) as l from (select v, l from lab17 union all select se.dst as v, p.l from se join lab17 p on p.v = se.src) group by v),
+lab19 as materialized (select v, min(l) as l from (select v, l from lab18 union all select se.dst as v, p.l from se join lab18 p on p.v = se.src) group by v),
+lab20 as materialized (select v, min(l) as l from (select v, l from lab19 union all select se.dst as v, p.l from se join lab19 p on p.v = se.src) group by v),
+lab21 as materialized (select v, min(l) as l from (select v, l from lab20 union all select se.dst as v, p.l from se join lab20 p on p.v = se.src) group by v),
+lab22 as materialized (select v, min(l) as l from (select v, l from lab21 union all select se.dst as v, p.l from se join lab21 p on p.v = se.src) group by v),
+lab23 as materialized (select v, min(l) as l from (select v, l from lab22 union all select se.dst as v, p.l from se join lab22 p on p.v = se.src) group by v),
+lab24 as materialized (select v, min(l) as l from (select v, l from lab23 union all select se.dst as v, p.l from se join lab23 p on p.v = se.src) group by v),
+lab25 as materialized (select v, min(l) as l from (select v, l from lab24 union all select se.dst as v, p.l from se join lab24 p on p.v = se.src) group by v),
+lab26 as materialized (select v, min(l) as l from (select v, l from lab25 union all select se.dst as v, p.l from se join lab25 p on p.v = se.src) group by v),
+lab27 as materialized (select v, min(l) as l from (select v, l from lab26 union all select se.dst as v, p.l from se join lab26 p on p.v = se.src) group by v),
+lab28 as materialized (select v, min(l) as l from (select v, l from lab27 union all select se.dst as v, p.l from se join lab27 p on p.v = se.src) group by v),
+lab29 as materialized (select v, min(l) as l from (select v, l from lab28 union all select se.dst as v, p.l from se join lab28 p on p.v = se.src) group by v),
+lab30 as materialized (select v, min(l) as l from (select v, l from lab29 union all select se.dst as v, p.l from se join lab29 p on p.v = se.src) group by v),
+lab31 as materialized (select v, min(l) as l from (select v, l from lab30 union all select se.dst as v, p.l from se join lab30 p on p.v = se.src) group by v),
+lab32 as materialized (select v, min(l) as l from (select v, l from lab31 union all select se.dst as v, p.l from se join lab31 p on p.v = se.src) group by v),
+lab33 as materialized (select v, min(l) as l from (select v, l from lab32 union all select se.dst as v, p.l from se join lab32 p on p.v = se.src) group by v),
+lab34 as materialized (select v, min(l) as l from (select v, l from lab33 union all select se.dst as v, p.l from se join lab33 p on p.v = se.src) group by v),
+lab35 as materialized (select v, min(l) as l from (select v, l from lab34 union all select se.dst as v, p.l from se join lab34 p on p.v = se.src) group by v),
+lab36 as materialized (select v, min(l) as l from (select v, l from lab35 union all select se.dst as v, p.l from se join lab35 p on p.v = se.src) group by v),
+lab37 as materialized (select v, min(l) as l from (select v, l from lab36 union all select se.dst as v, p.l from se join lab36 p on p.v = se.src) group by v),
+lab38 as materialized (select v, min(l) as l from (select v, l from lab37 union all select se.dst as v, p.l from se join lab37 p on p.v = se.src) group by v),
+lab39 as materialized (select v, min(l) as l from (select v, l from lab38 union all select se.dst as v, p.l from se join lab38 p on p.v = se.src) group by v),
+lab40 as materialized (select v, min(l) as l from (select v, l from lab39 union all select se.dst as v, p.l from se join lab39 p on p.v = se.src) group by v),
+sizes as (select l, count(*) as c from lab40 group by l)
+select c as size, count(*)::bigint as n_components from sizes group by c
+""".format(g=GSPARSE_SQL)
+
+
 INFLUENCE_P = 0.2
 INFLUENCE_HOPS = 8
 
@@ -4409,6 +4502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_dist4": _q_landmark_dist,
         "closeness_sampled": _q_closeness_sampled,
         "temporal_pagerank": _q_temporal_pagerank,
+        "percolation": _q_percolation,
         "landmark_dist4_blocked": _q_landmark_dist_blocked,
         "temporal_reach": _q_temporal_reach,
         "temporal_reach_blocked": _q_temporal_reach_blocked,
@@ -7138,6 +7232,7 @@ having count(*) >= 2
         "influence": _influence_sql(G1000_SQL, INFLUENCE_P, INFLUENCE_HOPS),
         "bridges": _BRIDGES_SQL,
         "two_ecc": _TWO_ECC_SQL,
+        "percolation": _PERCOLATION_SQL,
         "vertex_cover": (
             f"with m as ({_matching_sql(GSPARSE_SQL, MATCH_ROUNDS)}) "
             "select a as vertex from m union select b from m"
