@@ -504,6 +504,31 @@ def main() -> None:
 
     timed("pq_index_search", run_pq)
 
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    timed(
+        "attribution_scan",
+        lambda: analytics.attribution(
+            ev, ["view", "click"], "purchase", model="last",
+            lookback_hours=72,
+        ).count(),
+    )
+    timed(
+        "ct_language_scan",
+        lambda: textops.classify_language(
+            docs, textops.language_profiles(docs, top_k=64), top_k=64
+        ).count(),
+    )
+    timed(
+        "coverage_select4",
+        lambda: corpus.greedy_coverage_select(docs, k=4).count(),
+    )
+    timed(
+        "spearman",
+        lambda: analytics.spearman_correlation(
+            li, "l_quantity", "l_extendedprice"
+        ).first(),
+    )
+
     edges_per_sec_per_superstep = n_edges / med_flat
     print(
         json.dumps(
