@@ -3176,10 +3176,15 @@ def _q_pq_gates(spark, sf_dir):
     learned-codebook path the way kmeans_assign_gate gates IVF; pq_topk
     recall is pytest-checked vs exact L2."""
     emb = _t(spark, sf_dir, "embeddings")
-    a = textops.pq_assign_violations(emb, m_subspaces=8, n_centroids=8).select(
+    idx = textops.pq_index(emb, m_subspaces=8, n_centroids=8)
+    a = textops.pq_assign_violations(
+        emb, m_subspaces=8, n_centroids=8, index=idx
+    ).select(
         F.col("vec_id").alias("id_a"), F.col("subspace").cast("long").alias("id_b")
     )
-    b = textops.pq_adc_violations(emb, m_subspaces=8, n_centroids=8).select(
+    b = textops.pq_adc_violations(
+        emb, m_subspaces=8, n_centroids=8, index=idx
+    ).select(
         F.col("query_id").alias("id_a"), F.col("vec_id").alias("id_b")
     )
     return a.unionByName(b)

@@ -105,8 +105,9 @@ def run_one(cpus: int, num_edges: int, n: int, engine: str,
 
     if algo == "bridges":
         # composite plan (forest + XOR closure), no superstep metrics —
-        # throughput = edges / median wall seconds of 2 timed runs after
-        # one warmup (the warmup absorbs JIT + Arrow worker start)
+        # throughput = edges / BEST-of-2 wall seconds after one warmup
+        # (the warmup absorbs JIT + Arrow worker start); the JSON key
+        # keeps the harness-wide name for the shared efficiency math
         algorithms.connected_components(edges, max_iter=4).state.count()
         times = []
         for _ in range(2):

@@ -5507,6 +5507,7 @@ def bridges(
     anc = parents.select(F.col("vertex").alias("v"), F.col("parent").alias("anc"))
     jump = anc  # (v, 2^k-th ... ancestors frontier), doubles per round
     rounds = max(1, math.ceil(math.log2(max(2, max_depth))))
+    frontiers = []
     for _ in range(rounds):
         nxt = (
             jump.alias("x")
@@ -5524,6 +5525,7 @@ def bridges(
             nxt.unpersist()
             break
         anc = gimv.truncate_plan(anc.unionByName(nxt).distinct())
+        frontiers.append(nxt)
         jump = nxt
     sub_xor = (
         anc.join(vals, anc["v"] == vals["vertex"])
@@ -5555,6 +5557,13 @@ def bridges(
         )
         .orderBy("a", "b")
     )
+    # materialize, then release every cached intermediate (frontier
+    # chain + und + parents) — long sessions run bridges repeatedly
+    out = gimv.truncate_plan(out)
+    for f in frontiers:
+        f.unpersist()
+    und.unpersist()
+    parents.unpersist()
     return out
 
 

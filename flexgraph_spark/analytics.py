@@ -497,11 +497,16 @@ def entity_resolution(
             lambda i: F.col("_norm").substr(i, F.lit(k)),
         )
     )
-    sh = n.select("_id", "_blk", grams.alias("_sh")).persist()
-    a = sh.select(F.col("_id").alias("id_a"), F.col("_blk").alias("_blk"),
-                  F.col("_sh").alias("sh_a"))
-    b = sh.select(F.col("_id").alias("id_b"), F.col("_blk").alias("_blk"),
-                  F.col("_sh").alias("sh_b"))
+    sh = n.select("_id", "_blk", grams.alias("_sh"),
+                  (F.length("_norm") > 0).alias("_has_text")).persist()
+    # blank records (all text cols empty/NULL) share the degenerate [""]
+    # shingle set and would all merge at Jaccard 1.0 — exclude them from
+    # pairing entirely; they resolve to themselves below
+    pairable = sh.filter("_has_text")
+    a = pairable.select(F.col("_id").alias("id_a"), F.col("_blk").alias("_blk"),
+                        F.col("_sh").alias("sh_a"))
+    b = pairable.select(F.col("_id").alias("id_b"), F.col("_blk").alias("_blk"),
+                        F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     pairs = (
         a.join(b, "_blk")
@@ -625,21 +630,36 @@ def _weighted_kth(
                           n_buckets, max_refine_values)
         )
     if refine:
-        for pct, b, rem in refine:
-            vals = (
-                x.withColumn("b", bucket)
-                .filter(F.col("b") == b)
-                .groupBy("x")
-                .agg(F.sum("w").alias("vw"))
+        # ONE pass for every remaining target: per-bucket distinct-value
+        # cumweights (window partitioned by bucket), joined against the
+        # tiny (bucket, pct, rem) table — no per-target rescan
+        spark = x.sparkSession
+        need = spark.createDataFrame(
+            [(b, pct, str(rem)) for pct, b, rem in refine],
+            "b int, pct int, rem string",
+        )
+        wanted = sorted({b for _, b, _ in refine})
+        vals = (
+            x.withColumn("b", bucket)
+            .filter(F.col("b").isin(wanted))
+            .groupBy("b", "x")
+            .agg(F.sum("w").alias("vw"))
+        )
+        win = Window.partitionBy("b").orderBy("x").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        got = (
+            vals.withColumn("cw", F.sum("vw").over(win))
+            .join(F.broadcast(need), "b")
+            .filter(
+                (F.lit(100) * F.col("cw"))
+                >= F.col("rem").cast("decimal(38,6)")
             )
-            win = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-            hit = (
-                vals.withColumn("cw", F.sum("vw").over(win))
-                .filter((F.lit(100) * F.col("cw")) >= F.lit(rem))
-                .agg(F.min("x"))
-                .collect()[0][0]
-            )
-            resolved.append((pct, float(hit)))
+            .groupBy("pct")
+            .agg(F.min("x").alias("x"))
+            .collect()
+        )
+        resolved.extend((r["pct"], float(r["x"])) for r in got)
     return resolved
 
 
@@ -690,8 +710,14 @@ def attribution(
             F.col("touch_ts")
             >= F.col("conv_ts") - F.expr(f"INTERVAL {int(lookback_hours)} HOURS")
         )
-    joined = conv.join(touch, "user", "left").withColumn(
-        "_ok", F.coalesce(cond, F.lit(False))
+    # eligibility lives IN the join condition so ineligible touches are
+    # pruned before the window — a hot user with 10^6 touches never
+    # fans out against every conversion; the left join still emits one
+    # NULL-touch row per unmatched conversion (the direct bucket)
+    joined = conv.join(
+        touch, (conv["user"] == touch["user"]) & cond, "left"
+    ).drop(touch["user"]).withColumn(
+        "_ok", F.col("touch_id").isNotNull()
     )
     order = (
         [F.desc("_ok"), F.desc("touch_ts"), F.asc("touch_id")]
@@ -832,6 +858,16 @@ def spearman_correlation(
         F.col(x_col).cast("double").alias("x"),
         F.col(y_col).cast("double").alias("y"),
     ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    # exactness bound: the numerator n·Σ(rx·ry) ~ 4n^4 must fit
+    # decimal(38,0); beyond ~1e9 rows Spark would NULL (non-ANSI) or
+    # throw (ANSI) on overflow — refuse loudly and point at sampling
+    n_rows = pairs.count()
+    if n_rows > 1_000_000_000:
+        raise ValueError(
+            f"spearman_correlation: {n_rows} rows exceeds the "
+            "decimal(38,0) exactness bound (~1e9); rank-correlate a "
+            "deterministic sample (corpus.deterministic_sample) instead"
+        )
 
     def dranks(c: str, out: str) -> DataFrame:
         counts = pairs.groupBy(c).agg(F.count("*").alias("_c"))

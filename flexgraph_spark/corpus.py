@@ -1047,9 +1047,13 @@ def greedy_coverage_select(
             break
         doc, gain = int(top[0]["doc_id"]), int(top[0]["gain"])
         picks.append((r, doc, gain))
+        prev = covered
         covered = covered.unionByName(
             grams.filter(F.col("doc_id") == doc).select("g")
         ).distinct().persist()
+        covered.count()  # materialize before releasing the prior round
+        if r > 1:
+            prev.unpersist()
     grams.unpersist()
     return spark.createDataFrame(picks, "pick int, doc_id long, gain long")
 
@@ -1076,6 +1080,24 @@ def _shuffled_negatives(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias(text_col)
         )
     )
+
+
+def _strip_summary(model) -> None:
+    """Drop a fitted model's trainingSummary before transform: the
+    summary holds a SparkSession reference, and serializing the
+    prediction UDF then drags the session's non-serializable
+    ObservationManager into the task closure — "Task not serializable"
+    in any session that has ever run an Observation-bearing query (every
+    GIM-V job here). The summary is reachable via a package-private
+    setter; bytecode-public, so py4j can call it."""
+    try:
+        jvm = model._java_obj
+        sc_none = jvm.getClass().getClassLoader().loadClass(
+            "scala.None$"
+        ).getField("MODULE$").get(None)
+        jvm.setSummary(sc_none)
+    except Exception:  # noqa: BLE001 — best-effort; scoring still works
+        pass
 
 
 def quality_classifier(
@@ -1112,8 +1134,11 @@ def quality_classifier(
     from flexgraph_spark import textops
 
     pos = df.select("doc_id", text_col)
+    # negative ids offset past the REAL max id (a fixed constant would
+    # silently mislabel corpora whose ids exceed it)
+    off = int(pos.agg(F.max("doc_id")).first()[0]) + 1
     neg = _shuffled_negatives(pos, text_col).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"), text_col
+        (F.col("doc_id") + off).alias("doc_id"), text_col
     )
     both = pos.unionByName(neg).persist()
     lm = pos  # fluency model fit on positives only
@@ -1132,18 +1157,19 @@ def quality_classifier(
     train = feats.select(
         "doc_id",
         array_to_vector(F.array(*[F.col(c) for c in fcols])).alias("features"),
-        (F.col("doc_id") < 10_000_000).cast("double").alias("label"),
+        (F.col("doc_id") < off).cast("double").alias("label"),
     )
     model = LogisticRegression(
         maxIter=25, regParam=reg_param, featuresCol="features",
         labelCol="label",
     ).fit(train)
+    _strip_summary(model)
     from pyspark.ml.functions import vector_to_array
 
     scored_all = model.transform(train)
     get_p1 = F.element_at(vector_to_array(F.col("probability")), 2)
     scored = (
-        scored_all.filter(F.col("doc_id") < 10_000_000)
+        scored_all.filter(F.col("doc_id") < off)
         .select("doc_id", get_p1.alias("p_good"))
     )
     both.unpersist()
@@ -1151,7 +1177,8 @@ def quality_classifier(
 
 
 def quality_classifier_violations(
-    df: DataFrame, text_col: str = "text", seed: int = 42, tol: float = 1e-9
+    df: DataFrame, text_col: str = "text", seed: int = 42, tol: float = 1e-9,
+    reg_param: float = 0.01,
 ) -> DataFrame:
     """Scoring-identity gate for :func:`quality_classifier`: recompute
     sigmoid(intercept + w·x) from the trained coefficients as column
@@ -1165,8 +1192,9 @@ def quality_classifier_violations(
     from flexgraph_spark import textops
 
     pos = df.select("doc_id", text_col)
+    off = int(pos.agg(F.max("doc_id")).first()[0]) + 1
     neg = _shuffled_negatives(pos, text_col).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"), text_col
+        (F.col("doc_id") + off).alias("doc_id"), text_col
     )
     both = pos.unionByName(neg).persist()
     feats = (
@@ -1184,12 +1212,14 @@ def quality_classifier_violations(
     train = feats.select(
         "doc_id",
         array_to_vector(F.array(*[F.col(c) for c in fcols])).alias("features"),
-        (F.col("doc_id") < 10_000_000).cast("double").alias("label"),
+        (F.col("doc_id") < off).cast("double").alias("label"),
         *[F.col(c) for c in fcols],
     )
     model = LogisticRegression(
-        maxIter=25, regParam=0.01, featuresCol="features", labelCol="label",
+        maxIter=25, regParam=reg_param, featuresCol="features",
+        labelCol="label",
     ).fit(train)
+    _strip_summary(model)
     w = model.coefficients.toArray()
     b = float(model.intercept)
     manual = F.lit(b)

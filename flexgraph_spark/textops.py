@@ -2088,13 +2088,13 @@ def pq_index(
 
 def pq_assign_violations(
     vectors: DataFrame, m_subspaces: int = 8, n_centroids: int = 16,
-    seed: int = 42,
+    seed: int = 42, index=None,
 ) -> DataFrame:
     """Assignment-optimality gate for pq_index: re-derives each subspace
     code as the exact argmin over FULL squared distances (independent of
     the matmul shortcut in encode, which drops the ||x||^2 term) and
     returns disagreeing (vec_id, subspace) rows — EMPTY when consistent."""
-    codes, books = pq_index(vectors, m_subspaces, n_centroids, seed)
+    codes, books = index or pq_index(vectors, m_subspaces, n_centroids, seed)
     dim = books.shape[0] * books.shape[2]
     sub = books.shape[2]
     joined = vectors.select(
@@ -2125,14 +2125,14 @@ def pq_assign_violations(
 
 def pq_adc_violations(
     vectors: DataFrame, m_subspaces: int = 8, n_centroids: int = 16,
-    seed: int = 42, n_queries: int = 3, tol: float = 1e-9,
+    seed: int = 42, n_queries: int = 3, tol: float = 1e-9, index=None,
 ) -> DataFrame:
     """ADC-identity gate: the asymmetric distance computed by table
     lookups (sum over subspaces of the per-subspace distance table entry
     at the vector's code) must equal ||q - decode(codes)||^2 computed
     directly from the reconstructed vector. Violating (query_id, vec_id)
     rows — EMPTY when the lookup machinery is correct."""
-    codes, books = pq_index(vectors, m_subspaces, n_centroids, seed)
+    codes, books = index or pq_index(vectors, m_subspaces, n_centroids, seed)
     sub = books.shape[2]
     qs = [
         (r["vec_id"], np.asarray(r["e"], dtype=np.float64))
