@@ -540,6 +540,9 @@ def test_quality_classifier_separates_fluent_from_shuffled(spark):
     rows = [(i, f"{base} episode {i} " + base) for i in range(40)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     scored, model = corpus.quality_classifier(docs)
+    # the training summary must be stripped — it drags the session's
+    # non-serializable ObservationManager into transform task closures
+    assert model.hasSummary is False
     pos_mean = scored.agg(F.avg("p_good")).first()[0]
     assert pos_mean > 0.6
     # the scoring identity holds regardless of corpus
