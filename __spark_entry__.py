@@ -3888,6 +3888,52 @@ order by r.lang, pct
 """
 
 
+RBO_DEPTH = 50
+RBO_P = 0.9
+
+
+def _q_rank_overlap(spark, sf_dir):
+    """Rank-biased overlap (analytics.rank_biased_overlap) between the
+    unweighted and weighted PageRank heads of graph1000 — "how much does
+    edge weighting reorder the top-50?" — both rankings taken on round-6
+    scores with vertex tie-break so the two engines order identically;
+    oracle composes the two PageRank unrolls with the same overlap
+    curve."""
+    from flexgraph_spark import analytics as _a
+
+    pr = algorithms.pagerank(
+        _graph1000(spark, sf_dir), threshold=0.0, max_iter=PAGERANK_ITERS
+    ).state.select("vertex", F.round("value", 6).alias("score"))
+    wpr = algorithms.pagerank(
+        _graph1000_w(spark, sf_dir), threshold=0.0, max_iter=PAGERANK_ITERS,
+        weighted=True,
+    ).state.select("vertex", F.round("value", 6).alias("score"))
+    return _a.rank_biased_overlap(pr, wpr, p=RBO_P, depth=RBO_DEPTH)
+
+
+def _rbo_sql() -> str:
+    pr = _pagerank_sql(G1000_SQL, PAGERANK_ITERS)
+    wpr = _pagerank_sql(G1000_W_SQL, PAGERANK_ITERS, weighted=True)
+    d, p = RBO_DEPTH, RBO_P
+    return f"""
+with pa as ({pr}),
+pb as ({wpr}),
+ra as (select vertex as item, row_number() over
+         (order by pr desc, vertex asc) as ra from pa),
+rb as (select vertex as item, row_number() over
+         (order by pr desc, vertex asc) as rb from pb),
+j as (select greatest(ra.ra, rb.rb) as m from ra join rb using (item)
+      where ra.ra <= {d} and rb.rb <= {d}),
+dd as (select unnest(generate_series(1, {d})) as d),
+xd as (select dd.d, sum(case when j.m <= dd.d then 1 else 0 end) as x
+       from dd, j group by dd.d),
+s as (select dd.d, coalesce(xd.x, 0) as x from dd left join xd using (d))
+select {d} as depth, round({p}, 6) as p,
+       round((1.0 - {p}) * sum(pow({p}, d - 1) * x / d), 6) as rbo
+from s
+"""
+
+
 def _q_spearman(spark, sf_dir):
     """Exact tie-aware Spearman rank correlation of quantity vs revenue
     (analytics.spearman_correlation): doubled average ranks keep every
@@ -4675,6 +4721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_prop": _q_feature_prop,
         "lang_quantiles": _q_lang_quantiles,
         "spearman": _q_spearman,
+        "rank_overlap": _q_rank_overlap,
         "fork_detect": _q_fork_detect,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
@@ -7429,6 +7476,7 @@ where round(cast(shared as double) / (na.n + nb.n - shared), 6) >= 0.3
         "feature_prop": _featprop_sql(FEATPROP_K, FEATPROP_DIMS),
         "lang_quantiles": _LANG_QUANT_SQL,
         "spearman": _SPEARMAN_SQL,
+        "rank_overlap": _rbo_sql(),
         "sales_cube": """
 select coalesce(o_orderpriority, 'ALL') as priority,
        coalesce(l_returnflag, 'ALL') as rflag,

@@ -901,3 +901,60 @@ def spearman_correlation(
             F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6),
         ).alias("rho"),
     )
+
+
+def rank_biased_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    item_col: str = "vertex",
+    score_col: str = "score",
+    p: float = 0.9,
+    depth: int = 50,
+) -> DataFrame:
+    """Truncated rank-biased overlap (Webber et al., TOIS 2010) between
+    two rankings — THE comparison metric for top-weighted lists (how
+    similar are PageRank and TrustRank orderings? did the incremental
+    recompute preserve the head?). Ranks are taken by (score desc, item
+    asc) — deterministic under ties; RBO@depth = (1-p)·Σ_{d=1..D}
+    p^(d-1)·|A_d ∩ B_d|/d, computed without materializing prefixes: an
+    item contributes to every d >= max(rank_a, rank_b), so the overlap
+    curve is one cumulative count over the joined rank table crossed
+    with the tiny depth table (≤ depth² rows). Returns one row
+    (depth, p, rbo).
+
+    Scale: two top-``depth`` rank windows (global k-heaps at
+    TakeOrdered size — depth is small by definition) + one item join;
+    nothing corpus-sized past the windows.
+    """
+    from pyspark.sql import Window
+
+    def top(df: DataFrame, rank_name: str) -> DataFrame:
+        w = Window.orderBy(F.desc(score_col), F.asc(item_col))
+        return (
+            df.withColumn(rank_name, F.row_number().over(w))
+            .filter(F.col(rank_name) <= depth)
+            .select(F.col(item_col).alias("item"), rank_name)
+        )
+
+    joined = top(a, "ra").join(top(b, "rb"), "item").select(
+        F.greatest("ra", "rb").alias("m")
+    )
+    spark = a.sparkSession
+    depths = spark.range(1, depth + 1).select(F.col("id").cast("int").alias("d"))
+    xd = (
+        depths.crossJoin(joined)
+        .groupBy("d")
+        .agg(F.sum((F.col("m") <= F.col("d")).cast("int")).alias("x"))
+    )
+    term = (
+        F.pow(F.lit(float(p)), F.col("d") - 1) * F.col("x") / F.col("d")
+    )
+    return (
+        depths.join(xd, "d", "left")
+        .select(F.coalesce("x", F.lit(0)).alias("x"), "d")
+        .agg(
+            F.lit(depth).alias("depth"),
+            F.round(F.lit(float(p)), 6).alias("p"),
+            F.round((1.0 - p) * F.sum(term), 6).alias("rbo"),
+        )
+    )

@@ -351,3 +351,27 @@ def test_spearman_vs_scipy_free_reference(spark):
     const = spark.createDataFrame([(1.0, 2.0), (1.0, 5.0)], "x double, y double")
     [rc] = analytics.spearman_correlation(const, "x", "y").collect()
     assert rc.rho is None
+
+
+def test_rank_biased_overlap_identical_and_disjoint(spark):
+    """RBO == 1 - p^depth-ish geometric mass for identical rankings
+    (truncated: sum_{d<=D}(1-p)p^(d-1) since X_d = d), 0 for disjoint
+    lists, and strictly between for a head swap."""
+    import math
+
+    a = spark.createDataFrame(
+        [(i, 100.0 - i) for i in range(10)], "vertex long, score double")
+    same = analytics.rank_biased_overlap(a, a, p=0.5, depth=10).first()
+    expect = sum((1 - 0.5) * 0.5 ** (d - 1) for d in range(1, 11))
+    assert abs(same.rbo - round(expect, 6)) < 1e-9
+    b = spark.createDataFrame(
+        [(i + 100, 100.0 - i) for i in range(10)], "vertex long, score double")
+    assert analytics.rank_biased_overlap(a, b, p=0.5, depth=10).first().rbo == 0.0
+    # swap ranks 1 and 2 in b': overlap X_1 = 0, X_d = d for d >= 2
+    bswap = spark.createDataFrame(
+        [(0, 99.0), (1, 100.0)] + [(i, 100.0 - i) for i in range(2, 10)],
+        "vertex long, score double")
+    mid = analytics.rank_biased_overlap(a, bswap, p=0.5, depth=10).first().rbo
+    exp_mid = sum((1 - 0.5) * 0.5 ** (d - 1) * (0 if d == 1 else 1)
+                  for d in range(1, 11))
+    assert abs(mid - round(exp_mid, 6)) < 1e-9
