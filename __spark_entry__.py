@@ -2686,6 +2686,57 @@ def _q_bm25_top20(spark, sf_dir):
     return textops.bm25_rank(_t(spark, sf_dir, "documents"), BM25_QUERY, topk=20)
 
 
+def _q_ndcg_bm25(spark, sf_dir):
+    """NDCG@20 of the BM25 ranking (analytics.ndcg_at_k) against a
+    deterministic graded relevance — rel(doc) = how many of the 4 query
+    terms the doc contains — evaluating the gated retrieval stack with
+    the gated metric; oracle composes the BM25 SQL with the same
+    DCG/IDCG formula."""
+    from pyspark.sql import Window
+
+    from flexgraph_spark import analytics as _a
+
+    docs = _t(spark, sf_dir, "documents")
+    ranked = textops.bm25_rank(docs, BM25_QUERY, topk=20).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        ),
+    )
+    rel = docs.select(
+        "doc_id",
+        sum(
+            F.when(
+                F.col("text").rlike(rf"\b{t}\b"), 1
+            ).otherwise(0)
+            for t in BM25_QUERY.split()
+        ).cast("double").alias("rel"),
+    )
+    return _a.ndcg_at_k(ranked, rel, k=20)
+
+
+def _ndcg_sql() -> str:
+    rel_terms = " + ".join(
+        f"(case when regexp_matches(text, '\\b{t}\\b') then 1 else 0 end)"
+        for t in BM25_QUERY.split()
+    )
+    return f"""
+with ranked0 as ({_bm25_sql(BM25_QUERY)}),
+ranked as (select doc_id, row_number() over
+             (order by bm25 desc, doc_id asc) as r from ranked0),
+rel as (select doc_id, ({rel_terms})::double as rel from documents),
+dcg as (select coalesce(sum(coalesce(rel.rel, 0) / log2(r + 1)), 0) as dcg
+        from ranked left join rel using (doc_id) where r <= 20),
+ideal as (select rel, row_number() over
+            (order by rel desc, doc_id asc) as r from rel),
+idcg as (select sum(rel / log2(r + 1)) as idcg from ideal
+         where r <= 20 and rel > 0)
+select 20 as k, round(dcg, 6) as dcg, round(idcg, 6) as idcg,
+       round(case when idcg > 0 then dcg / idcg end, 6) as ndcg
+from dcg, idcg
+"""
+
+
 def _q_tfidf_terms(spark, sf_dir):
     return textops.tfidf_top_terms(_t(spark, sf_dir, "documents"), per_doc_k=3)
 
@@ -4722,6 +4773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quantiles": _q_lang_quantiles,
         "spearman": _q_spearman,
         "rank_overlap": _q_rank_overlap,
+        "ndcg_bm25": _q_ndcg_bm25,
         "fork_detect": _q_fork_detect,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
@@ -7477,6 +7529,7 @@ where round(cast(shared as double) / (na.n + nb.n - shared), 6) >= 0.3
         "lang_quantiles": _LANG_QUANT_SQL,
         "spearman": _SPEARMAN_SQL,
         "rank_overlap": _rbo_sql(),
+        "ndcg_bm25": _ndcg_sql(),
         "sales_cube": """
 select coalesce(o_orderpriority, 'ALL') as priority,
        coalesce(l_returnflag, 'ALL') as rflag,

@@ -958,3 +958,54 @@ def rank_biased_overlap(
             F.round((1.0 - p) * F.sum(term), 6).alias("rbo"),
         )
     )
+
+
+def ndcg_at_k(
+    ranking: DataFrame,
+    relevance: DataFrame,
+    k: int = 20,
+    item_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """NDCG@k — the graded ranking-quality metric: DCG over the system's
+    top-k (rel / log2(rank+1)) normalized by the ideal DCG over the
+    corpus-wide top-k relevances (ties -> lowest item id, so both sides
+    are deterministic). Returns one row (k, dcg, idcg, ndcg); ndcg NULL
+    when no item in the corpus is relevant.
+
+    Scale: the ideal ranking is a global k-heap over the relevance table
+    (TakeOrdered, never a full sort); the DCG side joins the tiny ranked
+    list to relevance on the item id. Evaluate retrieval (BM25, rank
+    selection) without leaving the engine.
+    """
+    from pyspark.sql import Window
+
+    ranked = ranking.filter(F.col(rank_col) <= k).select(
+        F.col(item_col).alias("item"), F.col(rank_col).alias("r")
+    )
+    rel = relevance.select(
+        F.col(item_col).alias("item"), F.col(rel_col).cast("double").alias("rel")
+    )
+    dcg = (
+        ranked.join(rel, "item", "left")
+        .select(
+            (F.coalesce("rel", F.lit(0.0)) / F.log2(F.col("r") + 1)).alias("g")
+        )
+        .agg(F.coalesce(F.sum("g"), F.lit(0.0)).alias("dcg"))
+    )
+    iw = Window.orderBy(F.desc("rel"), F.asc("item"))
+    idcg = (
+        rel.withColumn("r", F.row_number().over(iw))
+        .filter((F.col("r") <= k) & (F.col("rel") > 0))
+        .select((F.col("rel") / F.log2(F.col("r") + 1)).alias("g"))
+        .agg(F.sum("g").alias("idcg"))
+    )
+    return dcg.crossJoin(idcg).select(
+        F.lit(k).alias("k"),
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round(
+            F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")), 6
+        ).alias("ndcg"),
+    )

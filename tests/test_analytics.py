@@ -375,3 +375,26 @@ def test_rank_biased_overlap_identical_and_disjoint(spark):
     exp_mid = sum((1 - 0.5) * 0.5 ** (d - 1) * (0 if d == 1 else 1)
                   for d in range(1, 11))
     assert abs(mid - round(exp_mid, 6)) < 1e-9
+
+
+def test_ndcg_at_k_closed_forms(spark):
+    import math
+
+    rel = spark.createDataFrame(
+        [(1, 3.0), (2, 2.0), (3, 1.0), (4, 0.0)], "doc_id long, rel double")
+    perfect = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    [r] = analytics.ndcg_at_k(perfect, rel, k=3).collect()
+    assert r.ndcg == 1.0
+    # worst order of the same items
+    worst = spark.createDataFrame(
+        [(3, 1), (2, 2), (1, 3)], "doc_id long, rank int")
+    [w] = analytics.ndcg_at_k(worst, rel, k=3).collect()
+    dcg = 1.0 / math.log2(2) + 2.0 / math.log2(3) + 3.0 / math.log2(4)
+    idcg = 3.0 / math.log2(2) + 2.0 / math.log2(3) + 1.0 / math.log2(4)
+    assert abs(w.ndcg - round(dcg / idcg, 6)) < 1e-9
+    # no relevant items anywhere -> NULL ndcg
+    zero = spark.createDataFrame(
+        [(1, 0.0), (2, 0.0)], "doc_id long, rel double")
+    [z] = analytics.ndcg_at_k(perfect, zero, k=3).collect()
+    assert z.ndcg is None
