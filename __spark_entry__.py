@@ -2737,6 +2737,52 @@ from dcg, idcg
 """
 
 
+def _q_call_graph(spark, sf_dir):
+    """Function-level call-graph derivation (codeops.call_graph): files
+    planted with one function each calling f[(7*id)%n] plus an external
+    (never-defined) helper — edges must resolve within the repo only, so
+    the planted call survives iff caller and callee share repo id%10;
+    the oracle replays extraction, candidate regex, and the resolution
+    join."""
+    docs = _t(spark, sf_dir, "documents")
+    nd = docs.count()
+    d = F.col("doc_id")
+    tgt = (d * 7) % nd
+    content = F.concat(
+        F.lit("def f"), d.cast("string"), F.lit("():\n    return f"),
+        tgt.cast("string"), F.lit("() + ext_"), d.cast("string"),
+        F.lit("()\n"),
+    )
+    files = docs.select(
+        F.concat(F.lit("repo"), (d % 10).cast("string")).alias("repo"),
+        F.concat(F.lit("src/f"), d.cast("string"), F.lit(".py")).alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("py").alias("lang"),
+        content.alias("content"),
+    )
+    return codeops.call_graph(files)
+
+
+_CALL_GRAPH_SQL = r"""
+with n as (select count(*) as c from documents),
+f as (select 'repo' || (doc_id % 10) as repo,
+             'f' || doc_id as caller,
+             'def f' || doc_id || '():' || chr(10) || '    return f' ||
+               ((doc_id * 7) % n.c) || '() + ext_' || doc_id || '()' || chr(10)
+               as fn_src
+      from documents, n),
+defs as (select distinct repo, caller as callee from f),
+calls as (select repo, caller,
+                 unnest(regexp_extract_all(fn_src,
+                   '([A-Za-z_][A-Za-z0-9_]*)\(', 1)) as callee
+          from f),
+sel as (select distinct c.repo, c.caller, c.callee
+        from calls c join defs d using (repo, callee)
+        where c.callee <> c.caller)
+select repo, caller, callee from sel
+"""
+
+
 def _q_tfidf_terms(spark, sf_dir):
     return textops.tfidf_top_terms(_t(spark, sf_dir, "documents"), per_doc_k=3)
 
@@ -4774,6 +4820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman": _q_spearman,
         "rank_overlap": _q_rank_overlap,
         "ndcg_bm25": _q_ndcg_bm25,
+        "call_graph": _q_call_graph,
         "fork_detect": _q_fork_detect,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
@@ -7530,6 +7577,7 @@ where round(cast(shared as double) / (na.n + nb.n - shared), 6) >= 0.3
         "spearman": _SPEARMAN_SQL,
         "rank_overlap": _rbo_sql(),
         "ndcg_bm25": _ndcg_sql(),
+        "call_graph": _CALL_GRAPH_SQL,
         "sales_cube": """
 select coalesce(o_orderpriority, 'ALL') as priority,
        coalesce(l_returnflag, 'ALL') as rflag,
