@@ -2783,6 +2783,58 @@ select repo, caller, callee from sel
 """
 
 
+def _q_dead_code(spark, sf_dir):
+    """Dead-function detection (codeops.dead_functions): entry points are
+    the main_* functions (doc_id%13==0), everything else is f<id>
+    calling f[(7*id)%n] — a function survives only if some main_* chain
+    reaches it within its repo; repos without any entry point report
+    every function. Oracle: same planted corpus, recursive reach
+    closure over the replayed call graph."""
+    docs = _t(spark, sf_dir, "documents")
+    nd = docs.count()
+    d = F.col("doc_id")
+    fname = F.when(
+        d % 13 == 0, F.concat(F.lit("main_"), d.cast("string"))
+    ).otherwise(F.concat(F.lit("f"), d.cast("string")))
+    tgt = (d * 7) % nd
+    content = F.concat(
+        F.lit("def "), fname, F.lit("():\n    return f"),
+        tgt.cast("string"), F.lit("() + ext_"), d.cast("string"), F.lit("()\n"),
+    )
+    files = docs.select(
+        F.concat(F.lit("repo"), (d % 10).cast("string")).alias("repo"),
+        F.concat(F.lit("src/f"), d.cast("string"), F.lit(".py")).alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("py").alias("lang"),
+        content.alias("content"),
+    )
+    return codeops.dead_functions(files, root_pattern=r"^main_")
+
+
+_DEAD_CODE_SQL = r"""
+with recursive n as (select count(*) as c from documents),
+f as (select 'repo' || (doc_id % 10) as repo,
+             case when doc_id % 13 = 0 then 'main_' || doc_id
+                  else 'f' || doc_id end as fn,
+             'f' || ((doc_id * 7) % n.c) as tgt
+      from documents, n),
+defs as (select distinct repo, fn from f),
+cg as (select distinct f.repo, f.fn as caller, f.tgt as callee
+       from f join defs d on d.repo = f.repo and d.fn = f.tgt
+       where f.tgt <> f.fn),
+reach(repo, fn) as (
+  select repo, fn from defs where fn like 'main\_%' escape '\'
+  union
+  select cg.repo, cg.callee from reach r
+  join cg on cg.repo = r.repo and cg.caller = r.fn
+),
+dead as (select repo, fn from defs
+         where not exists (select 1 from reach r
+                           where r.repo = defs.repo and r.fn = defs.fn))
+select repo, fn as fn_name from dead
+"""
+
+
 def _q_tfidf_terms(spark, sf_dir):
     return textops.tfidf_top_terms(_t(spark, sf_dir, "documents"), per_doc_k=3)
 
@@ -4821,6 +4873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_overlap": _q_rank_overlap,
         "ndcg_bm25": _q_ndcg_bm25,
         "call_graph": _q_call_graph,
+        "dead_code": _q_dead_code,
         "fork_detect": _q_fork_detect,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
@@ -7578,6 +7631,7 @@ where round(cast(shared as double) / (na.n + nb.n - shared), 6) >= 0.3
         "rank_overlap": _rbo_sql(),
         "ndcg_bm25": _ndcg_sql(),
         "call_graph": _CALL_GRAPH_SQL,
+        "dead_code": _DEAD_CODE_SQL,
         "sales_cube": """
 select coalesce(o_orderpriority, 'ALL') as priority,
        coalesce(l_returnflag, 'ALL') as rflag,
