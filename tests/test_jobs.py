@@ -511,3 +511,24 @@ def test_dedup_job_fork_mode(spark, tmp_path):
         got = [(r.group_a, r.group_b, r.shared)
                for r in spark.read.parquet(out).collect()]
         assert got == [("A", "A_fork", 8)], method
+
+
+def test_code_job_callgraph_and_dead(spark, tmp_path):
+    import jobs.code as code_job
+
+    rows = [
+        ("r1", "src/a.py", "c0", "py",
+         "def main():\n    return used()\n\ndef used():\n    return 1\n"),
+        ("r1", "src/b.py", "c0", "py", "def orphan():\n    return used()\n"),
+    ]
+    src = str(tmp_path / "files")
+    spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).write.parquet(src)
+    out = str(tmp_path / "cg")
+    _run(code_job, ["--repo-table", src, "--mode", "callgraph", "--output", out])
+    got = {(r.caller, r.callee) for r in spark.read.parquet(out).collect()}
+    assert got == {("main", "used"), ("orphan", "used")}
+    out2 = str(tmp_path / "dead")
+    _run(code_job, ["--repo-table", src, "--mode", "dead", "--output", out2])
+    assert {r.fn_name for r in spark.read.parquet(out2).collect()} == {"orphan"}
