@@ -4670,6 +4670,143 @@ def _q_heavy_hitters_gate(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "louvain_gate": _q_louvain_gate,
+        "ktruss": _q_ktruss,
+        "trussness_consistency": _q_trussness_consistency,
+        "msf": _q_msf,
+        "scc": _q_scc,
+        "betweenness8": _q_betweenness8,
+        "diameter_ifub": _q_diameter,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_vocab": _q_bpe_vocab,
+        "effective_diameter": _q_effective_diameter,
+        "hadi_precision": _q_hadi_precision,
+        "hadi_series": _q_hadi_series,
+        "semdedup_k1": _q_semdedup_k1,
+        "semdedup": _q_semdedup,
+        "semdedup_containment": _q_semdedup_containment,
+        "winnow_containment": _q_winnow_containment,
+        "semantic_communities": _q_semantic_communities,
+        "knn_mutual": _q_knn_mutual,
+        "ann_sq_top5": _q_ann_sq_top5,
+        "pq_gates": _q_pq_gates,
+        "hard_negatives": _q_hard_negatives,
+        "kcore": _q_kcore,
+        "coreness4": _q_coreness4,
+        "coreness_kcore_consistency": _q_coreness_kcore_consistency,
+        "modularity_moves2": _q_modularity_moves2,
+        "hits4": _q_hits4,
+        "salsa4": _q_salsa4,
+        "katz8": _q_katz8,
+        "katz8_blocked": _q_katz8_blocked,
+        "fabp4": _q_fabp4,
+        "spectral5": _q_spectral5,
+        "trustrank4": _q_trustrank4,
+        "trustrank4_blocked": _q_trustrank4_blocked,
+        "spam_mass": _q_spam_mass,
+        "hitting_prob4": _q_hitting_prob4,
+        "ppr_sweep": _q_ppr_sweep,
+        "ppr_push12": _q_ppr_push,
+        "batch_ppr10": _q_batch_ppr10,
+        "batch_ppr10_blocked": _q_batch_ppr10_blocked,
+        "bridges": _q_bridges,
+        "two_ecc": _q_two_ecc,
+        "influence": _q_influence,
+        "block_cut_stats": _q_block_cut_stats,
+        "local_clustering": _q_local_clustering,
+        "global_clustering": _q_global_clustering,
+        "triangles_sampled": _q_triangles_sampled,
+        "k4_count": _q_k4,
+        "squares": _q_squares,
+        "link_prediction": _q_link_prediction,
+        "neighborhood3": _q_neighborhood3,
+        "rank_select": _q_rank_select,
+        "dyad_census": _q_dyad_census,
+        "triad_census": _q_triad_census,
+        "slashburn": _q_slashburn,
+        "oddball": _q_oddball,
+        "rmat": _q_rmat,
+        "eff_radius4": _q_eff_radius,
+        "radius_plot": _q_radius_plot,
+        "bipartite": _q_bipartite,
+        "html_extract": _q_html_extract,
+        "powerlaw_alpha": _q_powerlaw_alpha,
+        "contract50": _q_contract50,
+        "mis": _q_mis,
+        "matching": _q_matching,
+        "cond_levels": _q_cond_levels,
+        "dag_depth": _q_dag_depth,
+        "rich_club": _q_rich_club,
+        "gstats": _q_gstats,
+        "shuffle_order": _q_shuffle_order,
+        "densest_series": _q_densest_series,
+        "densest_members": _q_densest_members,
+        "node2vec_walks": _q_node2vec_walks,
+        "closeness4": _q_closeness4,
+        "co_occurrence": _q_co_occurrence,
+        "bm25_top20": _q_bm25_top20,
+        "tfidf_terms": _q_tfidf_terms,
+        "vertex_cover": _q_vertex_cover,
+        "random_projection": _q_random_projection,
+        "kmeans_assign_gate": _q_kmeans_assign_gate,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "stream_exact_dedup": _q_stream_exact_dedup,
+        "dup_spans": _q_dup_spans,
+        "dup_span_removal": _q_dup_span_removal,
+        "blocklist": _q_blocklist,
+        "repetition_stats": _q_repetition_stats,
+        "quality_filter": _q_quality_filter,
+        "chunk_docs": _q_chunk_docs,
+        "pii_redact": _q_pii_redact,
+        "url_domains": _q_url_domains,
+        "random_walks": _q_random_walks,
+        "simrank_top": _q_simrank_top,
+        "walk_cooccurrence": _q_walk_cooccurrence,
+        "neighbor_sample": _q_neighbor_sample,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "perplexity_buckets": _q_perplexity_buckets,
+        "decontaminate": _q_decontaminate,
+        "sample_stratified": _q_sample_stratified,
+        "top_bigrams": _q_top_bigrams,
+        "collocations": _q_collocations,
+        "unigram_logprob": _q_unigram_logprob,
+        "bigram_logprob": _q_bigram_logprob,
+        "mixture_weights": _q_mixture_weights,
+        "sample_exact": _q_sample_exact,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_sample": _q_dsir_sample,
+        "pack_documents": _q_pack_documents,
+        "edge_window_degrees": _q_edge_window_degrees,
+        "rollup": _q_rollup,
+        "interval_join": _q_interval_join,
+        "asof_enrich": _q_asof_enrich,
+        "snapshot_diff": _q_snapshot_diff,
+        "funnel": _q_funnel,
+        "retention": _q_retention,
+        "exact_quantiles": _q_exact_quantiles,
+        "sales_cube": _q_sales_cube,
+        "entity_match": _q_entity_match,
+        "semantic_decontam": _q_semantic_decontam,
+        "weighted_quantiles": _q_weighted_quantiles,
+        "url_canonical": _q_url_canonical,
+        "compression_gate": _q_compression_gate,
+        "quality_clf_gate": _q_quality_clf_gate,
+        "ct_language": _q_ct_language,
+        "coverage_select": _q_coverage_select,
+        "attribution": _q_attribution,
+        "feature_prop": _q_feature_prop,
+        "lang_quantiles": _q_lang_quantiles,
+        "spearman": _q_spearman,
+        "rank_overlap": _q_rank_overlap,
+        "ndcg_bm25": _q_ndcg_bm25,
+        "call_graph": _q_call_graph,
+        "dead_code": _q_dead_code,
+        "fork_detect": _q_fork_detect,
+        "cms_token_counts": _q_cms_token_counts,
+        "bloom_screen": _q_bloom_screen,
+        "hll_distinct_tokens": _q_hll_distinct_tokens,
+        "heavy_hitters_gate": _q_heavy_hitters_gate,
         "edges_supplier_part": _q_edges,
         "out_degree_top20": _q_out_degree_top20,
         "in_degree_hist": _q_degree_hist,
@@ -4720,70 +4857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring_gate": _q_coloring_gate,
         "pagerank_warm_start": _q_pagerank_warm_start,
         "cc_warm_start": _q_cc_warm_start,
-        "block_cut_stats": _q_block_cut_stats,
-        "coreness4": _q_coreness4,
-        "coreness_kcore_consistency": _q_coreness_kcore_consistency,
-        "trussness_consistency": _q_trussness_consistency,
-        "modularity_moves2": _q_modularity_moves2,
-        "louvain_gate": _q_louvain_gate,
-        "hits4": _q_hits4,
-        "kcore": _q_kcore,
-        "local_clustering": _q_local_clustering,
-        "link_prediction": _q_link_prediction,
-        "neighborhood3": _q_neighborhood3,
-        "effective_diameter": _q_effective_diameter,
-        "hadi_precision": _q_hadi_precision,
-        "hadi_series": _q_hadi_series,
         "triangles": _q_triangles,
-        "k4_count": _q_k4,
-        "rank_select": _q_rank_select,
-        "diameter_ifub": _q_diameter,
-        "triangles_sampled": _q_triangles_sampled,
-        "dyad_census": _q_dyad_census,
-        "triad_census": _q_triad_census,
-        "slashburn": _q_slashburn,
-        "oddball": _q_oddball,
-        "rmat": _q_rmat,
-        "eff_radius4": _q_eff_radius,
-        "radius_plot": _q_radius_plot,
-        "bipartite": _q_bipartite,
-        "html_extract": _q_html_extract,
-        "bpe_merges": _q_bpe_merges,
-        "bpe_vocab": _q_bpe_vocab,
-        "powerlaw_alpha": _q_powerlaw_alpha,
         "content_invariant": _q_content_invariant,
-        "contract50": _q_contract50,
-        "scc": _q_scc,
-        "mis": _q_mis,
-        "matching": _q_matching,
-        "cond_levels": _q_cond_levels,
-        "katz8": _q_katz8,
-        "dag_depth": _q_dag_depth,
-        "katz8_blocked": _q_katz8_blocked,
-        "fabp4": _q_fabp4,
-        "spectral5": _q_spectral5,
-        "trustrank4": _q_trustrank4,
-        "trustrank4_blocked": _q_trustrank4_blocked,
-        "spam_mass": _q_spam_mass,
-        "hitting_prob4": _q_hitting_prob4,
-        "ppr_sweep": _q_ppr_sweep,
-        "ppr_push12": _q_ppr_push,
-        "global_clustering": _q_global_clustering,
-        "squares": _q_squares,
-        "rich_club": _q_rich_club,
-        "salsa4": _q_salsa4,
-        "betweenness8": _q_betweenness8,
-        "gstats": _q_gstats,
-        "shuffle_order": _q_shuffle_order,
-        "ktruss": _q_ktruss,
-        "msf": _q_msf,
-        "densest_series": _q_densest_series,
-        "densest_members": _q_densest_members,
-        "node2vec_walks": _q_node2vec_walks,
-        "closeness4": _q_closeness4,
-        "co_occurrence": _q_co_occurrence,
-        "bm25_top20": _q_bm25_top20,
-        "tfidf_terms": _q_tfidf_terms,
         "token_stats": _q_token_stats,
         "regex_tokens": _q_regex_tokens,
         "quality_scores": _q_quality,
@@ -4798,89 +4873,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _q_simhash_neardup,
         "simhash_precision": _q_simhash_precision,
         "ann_top5": _q_ann_top5,
-        "knn_mutual": _q_knn_mutual,
-        "semantic_communities": _q_semantic_communities,
-        "hard_negatives": _q_hard_negatives,
         "ann_lsh_top5": _q_ann_lsh_top5,
         "ann_ivf_top5": _q_ann_ivf_top5,
-        "ann_sq_top5": _q_ann_sq_top5,
-        "pq_gates": _q_pq_gates,
-        "influence": _q_influence,
-        "bridges": _q_bridges,
-        "two_ecc": _q_two_ecc,
-        "vertex_cover": _q_vertex_cover,
-        "random_projection": _q_random_projection,
-        "kmeans_assign_gate": _q_kmeans_assign_gate,
         "emb_neardup": _q_emb_neardup,
         "emb_neardup_precision": _q_emb_neardup_precision,
-        "semdedup_k1": _q_semdedup_k1,
-        "semdedup": _q_semdedup,
-        "semdedup_containment": _q_semdedup_containment,
         "winnow_fp": _q_winnow_fp,
-        "winnow_containment": _q_winnow_containment,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "stream_exact_dedup": _q_stream_exact_dedup,
-        "dup_spans": _q_dup_spans,
-        "dup_span_removal": _q_dup_span_removal,
-        "blocklist": _q_blocklist,
-        "repetition_stats": _q_repetition_stats,
-        "quality_filter": _q_quality_filter,
-        "chunk_docs": _q_chunk_docs,
-        "pii_redact": _q_pii_redact,
-        "url_domains": _q_url_domains,
-        "batch_ppr10": _q_batch_ppr10,
-        "batch_ppr10_blocked": _q_batch_ppr10_blocked,
-        "random_walks": _q_random_walks,
-        "simrank_top": _q_simrank_top,
-        "walk_cooccurrence": _q_walk_cooccurrence,
-        "neighbor_sample": _q_neighbor_sample,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "perplexity_buckets": _q_perplexity_buckets,
-        "decontaminate": _q_decontaminate,
-        "sample_stratified": _q_sample_stratified,
-        "top_bigrams": _q_top_bigrams,
-        "collocations": _q_collocations,
-        "unigram_logprob": _q_unigram_logprob,
-        "bigram_logprob": _q_bigram_logprob,
-        "mixture_weights": _q_mixture_weights,
-        "sample_exact": _q_sample_exact,
-        "dsir_weights": _q_dsir_weights,
-        "dsir_sample": _q_dsir_sample,
-        "pack_documents": _q_pack_documents,
         "event_window_counts": _q_event_windows,
-        "edge_window_degrees": _q_edge_window_degrees,
-        "rollup": _q_rollup,
-        "interval_join": _q_interval_join,
-        "asof_enrich": _q_asof_enrich,
-        "snapshot_diff": _q_snapshot_diff,
-        "funnel": _q_funnel,
-        "retention": _q_retention,
-        "exact_quantiles": _q_exact_quantiles,
-        "sales_cube": _q_sales_cube,
-        "entity_match": _q_entity_match,
-        "semantic_decontam": _q_semantic_decontam,
-        "weighted_quantiles": _q_weighted_quantiles,
-        "url_canonical": _q_url_canonical,
-        "compression_gate": _q_compression_gate,
-        "quality_clf_gate": _q_quality_clf_gate,
-        "ct_language": _q_ct_language,
-        "coverage_select": _q_coverage_select,
-        "attribution": _q_attribution,
-        "feature_prop": _q_feature_prop,
-        "lang_quantiles": _q_lang_quantiles,
-        "spearman": _q_spearman,
-        "rank_overlap": _q_rank_overlap,
-        "ndcg_bm25": _q_ndcg_bm25,
-        "call_graph": _q_call_graph,
-        "dead_code": _q_dead_code,
-        "fork_detect": _q_fork_detect,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
-        "cms_token_counts": _q_cms_token_counts,
-        "bloom_screen": _q_bloom_screen,
-        "hll_distinct_tokens": _q_hll_distinct_tokens,
-        "heavy_hitters_gate": _q_heavy_hitters_gate,
     }
 
 
