@@ -5410,6 +5410,7 @@ def influence_spread(
 
 
 BRIDGE_HASH_MOD = 1 << 48
+BRIDGE_MAX_DEPTH = 1 << 16  # auto-doubling ceiling for the BFS forest
 
 
 def bridges(
@@ -5483,6 +5484,25 @@ def bridges(
         .filter(F.col("parent") >= 0)
         .persist()
     )  # (child, parent): exactly the tree edges
+    # Depth-cap guard: a vertex the capped BFS forest never reached keeps
+    # dist=INF, so its incident edges would all be classified non-tree and
+    # XOR-poison every signature on its component — silently wrong, not
+    # slow. Detect the truncation and auto-deepen instead.
+    unreached = (
+        forest.state.filter(F.col("vertex") != -1)
+        .filter(F.col("value.dist") >= gimv.SSSP_INF)
+        .limit(1)
+    )
+    if not unreached.isEmpty():
+        und.unpersist()
+        parents.unpersist()
+        if max_depth >= BRIDGE_MAX_DEPTH:
+            raise RuntimeError(
+                "bridges(): BFS forest truncated at max_depth="
+                f"{max_depth}; graph depth exceeds the hard cap "
+                f"{BRIDGE_MAX_DEPTH} — results would be wrong, aborting"
+            )
+        return bridges(edges, max_depth=max_depth * 2, **kw)
     tree = parents.select(
         F.least("vertex", "parent").alias("a"),
         F.greatest("vertex", "parent").alias("b"),

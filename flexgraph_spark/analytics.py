@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from flexgraph_spark import gimv
+
 
 def funnel(
     events: DataFrame,
@@ -498,8 +500,10 @@ def entity_resolution(
         )
     )
     sh = n.select("_id", "_blk", grams.alias("_sh"),
-                  (F.length("_norm") > 0).alias("_has_text")).persist()
-    # blank records (all text cols empty/NULL) share the degenerate [""]
+                  (F.length(F.trim(F.col("_norm"))) > 0).alias("_has_text")
+                  ).persist()
+    # blank records (all text cols empty/NULL, or whitespace-only — the
+    # concat_ws + collapse leaves " ", hence the trim) share a degenerate
     # shingle set and would all merge at Jaccard 1.0 — exclude them from
     # pairing entirely; they resolve to themselves below
     pairable = sh.filter("_has_text")
@@ -522,7 +526,7 @@ def entity_resolution(
     cc = algorithms.connected_components(
         pairs.selectExpr("id_a as src", "id_b as dst")
     )
-    return (
+    out = (
         sh.select(F.col("_id").alias(key_col))
         .join(cc.state.withColumnRenamed("vertex", key_col), key_col, "left")
         .select(
@@ -531,6 +535,11 @@ def entity_resolution(
             .alias("entity_id"),
         )
     )
+    # materialize before releasing the shingle cache — long sessions run
+    # entity_resolution repeatedly and the persist would otherwise leak
+    out = gimv.truncate_plan(out)
+    sh.unpersist(blocking=False)
+    return out
 
 
 def weighted_quantiles(
@@ -608,6 +617,7 @@ def _weighted_kth(
     recurse: dict[int, list[tuple[int, object]]] = {}
     for pct, rhs in targets:
         cum = 0
+        hit = False
         for b in order:
             r = hist[b]
             if 100 * (cum + r["bw"]) >= rhs:
@@ -618,8 +628,16 @@ def _weighted_kth(
                     recurse.setdefault(b, []).append((pct, rem))
                 else:
                     refine.append((pct, b, rem))
+                hit = True
                 break
             cum += r["bw"]
+        if not hit and order:
+            # With double (non-decimal) weights, summing per-bucket can
+            # land the grand total an ulp BELOW rhs (e.g. pct=100), so no
+            # bucket satisfies the boundary test. The mathematical answer
+            # is then the global maximum — clamp to the last non-empty
+            # bucket's max instead of silently dropping the pct row.
+            resolved.append((pct, float(hist[order[-1]]["bmx"])))
     for b, sub in recurse.items():
         subx = x.filter(
             (F.col("x") >= F.lit(float(hist[b]["bmn"])))

@@ -1134,9 +1134,15 @@ def quality_classifier(
     from flexgraph_spark import textops
 
     pos = df.select("doc_id", text_col)
-    # negative ids offset past the REAL max id (a fixed constant would
-    # silently mislabel corpora whose ids exceed it)
-    off = int(pos.agg(F.max("doc_id")).first()[0]) + 1
+    # negative-twin ids are SPAN-shifted past the real id range: off =
+    # max-min+1 keeps shifted ids collision-free even when real doc_ids
+    # are negative (max+1 alone would land doc_id=-5's twin back inside
+    # the positive range and mislabel it)
+    head = pos.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")).first()
+    if head["mx"] is None:
+        raise ValueError("quality_classifier: empty input — nothing to train on")
+    mn, mx = int(head["mn"]), int(head["mx"])
+    off = mx - mn + 1
     neg = _shuffled_negatives(pos, text_col).select(
         (F.col("doc_id") + off).alias("doc_id"), text_col
     )
@@ -1157,7 +1163,7 @@ def quality_classifier(
     train = feats.select(
         "doc_id",
         array_to_vector(F.array(*[F.col(c) for c in fcols])).alias("features"),
-        (F.col("doc_id") < off).cast("double").alias("label"),
+        (F.col("doc_id") <= mx).cast("double").alias("label"),
     )
     model = LogisticRegression(
         maxIter=25, regParam=reg_param, featuresCol="features",
@@ -1169,7 +1175,7 @@ def quality_classifier(
     scored_all = model.transform(train)
     get_p1 = F.element_at(vector_to_array(F.col("probability")), 2)
     scored = (
-        scored_all.filter(F.col("doc_id") < off)
+        scored_all.filter(F.col("doc_id") <= mx)
         .select("doc_id", get_p1.alias("p_good"))
     )
     both.unpersist()
@@ -1192,7 +1198,11 @@ def quality_classifier_violations(
     from flexgraph_spark import textops
 
     pos = df.select("doc_id", text_col)
-    off = int(pos.agg(F.max("doc_id")).first()[0]) + 1
+    head = pos.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")).first()
+    if head["mx"] is None:
+        raise ValueError("quality_classifier: empty input — nothing to train on")
+    mn, mx = int(head["mn"]), int(head["mx"])
+    off = mx - mn + 1  # span shift: collision-free even for negative ids
     neg = _shuffled_negatives(pos, text_col).select(
         (F.col("doc_id") + off).alias("doc_id"), text_col
     )
@@ -1212,7 +1222,7 @@ def quality_classifier_violations(
     train = feats.select(
         "doc_id",
         array_to_vector(F.array(*[F.col(c) for c in fcols])).alias("features"),
-        (F.col("doc_id") < off).cast("double").alias("label"),
+        (F.col("doc_id") <= mx).cast("double").alias("label"),
         *[F.col(c) for c in fcols],
     )
     model = LogisticRegression(

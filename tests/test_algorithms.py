@@ -2738,3 +2738,15 @@ def test_closeness_sampled_star_graph(spark):
     assert got[0] == (2, 0.5, 2.0)       # dists 0 and 1
     assert got[2] == (2, 1.5, 0.666667)  # dists 1 and 2
     assert got[1] == (2, 0.5, 2.0)       # 1 from 0, 0 from itself
+
+
+def test_bridges_auto_deepens_past_max_depth(spark):
+    """Regression: a BFS forest truncated by max_depth used to classify
+    unreached vertices' edges as non-tree, silently poisoning the XOR
+    signatures. bridges() now detects the truncation and auto-doubles —
+    every edge of a depth-13 path graph is a bridge even at max_depth=4."""
+    from flexgraph_spark import fixtures
+    raw = [(i, i + 1) for i in range(13)]
+    got = {(r.a, r.b) for r in algorithms.bridges(
+        fixtures.edges_df(spark, raw), max_depth=4).collect()}
+    assert got == set(raw)

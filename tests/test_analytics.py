@@ -398,3 +398,33 @@ def test_ndcg_at_k_closed_forms(spark):
         [(1, 0.0), (2, 0.0)], "doc_id long, rel double")
     [z] = analytics.ndcg_at_k(perfect, zero, k=3).collect()
     assert z.ndcg is None
+
+
+def test_weighted_quantiles_double_weights_always_emit_every_pct(spark):
+    """Regression: with double (non-decimal) weights, float accumulation
+    can leave pct=100's rhs an ulp above the scanned total, previously
+    dropping the row silently. Every requested pct must come back, and
+    pct=100 is the global max."""
+    rows = [(float(v), 0.1) for v in range(1, 8)]
+    df = spark.createDataFrame(rows, "x double, w double")
+    got = {r.pct: r.val for r in analytics.weighted_quantiles(
+        df, "x", "w", [25, 50, 100]).collect()}
+    assert sorted(got) == [25, 50, 100]
+    assert got[100] == 7.0
+
+
+def test_entity_resolution_whitespace_only_records_stay_singletons(spark):
+    """Regression: whitespace-only records normalize to ' ' (not ''), and
+    previously stayed pairable — all merging at Jaccard 1.0. They must
+    resolve to themselves; real twins still link."""
+    rows = [
+        (1, " ", "  ", "A"),
+        (2, "\t", " ", "A"),
+        (3, "acme corporation ltd", "5 main street", "A"),
+        (4, "acme corporation ltd", "5 main street", "A"),
+    ]
+    df = spark.createDataFrame(rows, "rec_id long, name string, addr string, blk string")
+    got = {r.rec_id: r.entity_id for r in analytics.entity_resolution(
+        df, "rec_id", ["name", "addr"], "blk", threshold=0.6).collect()}
+    assert got[1] == 1 and got[2] == 2
+    assert got[3] == got[4] == 3

@@ -559,3 +559,29 @@ def test_shuffled_negatives_preserve_tokens(spark):
     assert Counter(got[1].split()) == Counter("a b c d e f".split())
     assert got[1] != "a b c d e f"  # actually shuffled
     assert Counter(got[2].split()) == Counter(["x", "y"])
+
+
+def test_quality_classifier_empty_input_raises(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty"):
+        corpus.quality_classifier(df)
+
+
+def test_quality_classifier_negative_doc_ids(spark):
+    """Regression: negative doc_ids shifted by max+1 used to collide with
+    real positive ids (mislabeling rows). The span shift keeps every twin
+    id past the real range — scored output is exactly the input ids."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "a well written paragraph flows from one sentence to the next one",
+        "spark executes distributed dataframe plans across many machines",
+        "language models are trained on carefully filtered web documents",
+        "clean prose with normal punctuation reads naturally and clearly",
+        "the pipeline deduplicates documents before tokenization happens",
+    ]
+    rows = [(i - 3, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scored, _ = corpus.quality_classifier(df)
+    out = scored.collect()
+    assert sorted(r.doc_id for r in out) == sorted(r[0] for r in rows)
+    assert all(0.0 <= r.p_good <= 1.0 for r in out)
