@@ -441,9 +441,15 @@ def main() -> None:
         ).count(),
     )
     timed(
-        "semantic_communities",
+        # the PRODUCTION face: LSH candidate generation (shuffle bucket
+        # self-join, no query broadcast) feeding the mutual reduction +
+        # HashMin CC — what semantic clustering costs at corpus scale.
+        # The exact O(n^2) face exists to sit under the DuckDB oracle and
+        # is recall-gated against this one in pytest.
+        "semantic_communities_lsh",
         lambda: textops.semantic_communities(
-            emb.select("vec_id", "embedding"), k=10
+            emb.select("vec_id", "embedding"), k=10,
+            candidates="lsh", num_planes=4, num_tables=16,
         ).count(),
     )
     timed(

@@ -1244,11 +1244,19 @@ def cosine_topk_lsh(
     num_planes: int = 8,
     num_tables: int = 4,
     seed: int = 42,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to vectors sharing any LSH
     table bucket with the query (bucket joins instead of crossJoin) — the
     100 TB-scale path. Multi-table union keeps recall high; recall is
-    tested against the brute-force baseline in tests."""
+    tested against the brute-force baseline in tests.
+
+    ``broadcast_queries=True`` fits the search-service shape (small query
+    set vs big corpus). When the query set IS the corpus (self-kNN, e.g.
+    :func:`knn_graph`), pass False: the bucket join and the scoring join
+    run as plain shuffle joins on uniform (table, bucket) / id keys
+    instead of shipping the whole corpus to every executor."""
+    maybe_bc = F.broadcast if broadcast_queries else (lambda df: df)
     vb = lsh_assign_buckets(vectors, num_planes, num_tables, seed)
     qb = lsh_assign_buckets(queries, num_planes, num_tables, seed)
     v = vb.select(
@@ -1257,7 +1265,7 @@ def cosine_topk_lsh(
     q = qb.select("table", "bucket", F.col("vec_id").alias("query_id"),
                   F.col("embedding").alias("q_emb"))
     cand = (
-        F.broadcast(q.drop("q_emb"))
+        maybe_bc(q.drop("q_emb"))
         .join(v.select("table", "bucket", "neighbor_id"), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
@@ -1272,7 +1280,7 @@ def cosine_topk_lsh(
         F.transform("embedding", lambda x: x.cast("double")).alias("q"),
     )
     scored = (
-        cand.join(F.broadcast(qe), "query_id")
+        cand.join(maybe_bc(qe), "query_id")
         .join(ve, "neighbor_id")
         .select(
             "query_id",
@@ -1451,12 +1459,17 @@ def ivf_topk(
     queries: DataFrame,
     top_k: int = 10,
     nprobe: int = 4,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF search: each query probes its ``nprobe`` nearest centroids (by
     cosine, computed in one NumPy matmul per Arrow batch) and scores only
     vectors assigned to those centroids — candidate work is
     ~nprobe/n_centroids of brute force, the inverted-file ANN layout.
-    Output (query_id, rank, neighbor_id, score)."""
+    Output (query_id, rank, neighbor_id, score).
+
+    ``broadcast_queries=False`` for self-kNN (query set == corpus): the
+    probe join becomes a shuffle join on centroid_id instead of shipping
+    every query row to every executor."""
     cn = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
@@ -1480,7 +1493,7 @@ def ivf_topk(
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     scored = (
-        F.broadcast(q)
+        (F.broadcast(q) if broadcast_queries else q)
         .join(v, "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
@@ -1829,7 +1842,13 @@ def html_extract_sql(html_expr: str) -> str:
     return rf"trim(regexp_replace({c}, '\s+', ' ', 'g'))"
 
 
-def knn_graph(vectors: DataFrame, k: int = 10, mutual: bool = True) -> DataFrame:
+def knn_graph(
+    vectors: DataFrame,
+    k: int = 10,
+    mutual: bool = True,
+    candidates: str = "exact",
+    **cand_kw,
+) -> DataFrame:
     """k-NN cosine similarity graph over ALL vectors — the
     similarity-graph construction step of clustering / UMAP / label-prop
     pipelines: directed edges from every vector to its top-``k`` cosine
@@ -1838,16 +1857,43 @@ def knn_graph(vectors: DataFrame, k: int = 10, mutual: bool = True) -> DataFrame
     standard noise-robust reduction; hubs that everyone points at but
     that point back at almost no one lose their spurious edges).
 
-    This is the EXACT face (O(n²) dot products on the broadcast plan of
-    :func:`cosine_topk_bruteforce`), which exists to oracle-gate the
-    composition; at corpus scale swap the all-pairs scoring for
-    LSH/IVF candidate generation (:func:`cosine_topk_lsh` /
-    :func:`ivf_topk` — same (query_id, rank, neighbor_id) shape, so the
-    mutual reduction and everything downstream are unchanged).
+    ``candidates`` selects the neighbor-generation strategy — all three
+    share the (query_id, rank, neighbor_id) shape, so the mutual
+    reduction and everything downstream are identical:
 
+    * ``"exact"`` — O(n²) dot products (:func:`cosine_topk_bruteforce`);
+      the oracle face, and fine up to ~10^5 vectors.
+    * ``"lsh"`` — random-hyperplane bucket self-join
+      (:func:`cosine_topk_lsh` with shuffle joins, no query broadcast);
+      ``cand_kw``: num_planes, num_tables, seed. The 100 TB path.
+    * ``"ivf"`` — k-means inverted lists (:func:`ivf_index` +
+      :func:`ivf_topk`, shuffle probe join); ``cand_kw``: n_centroids,
+      nprobe, seed. The 100 TB path when a trained quantizer is wanted.
+
+    Approximate faces are recall-gated against the exact face in pytest.
     Returns (a long, b long) when ``mutual`` else
     (query_id, neighbor_id, rank)."""
-    nn = cosine_topk_bruteforce(vectors, vectors, k)
+    if candidates == "exact":
+        nn = cosine_topk_bruteforce(vectors, vectors, k)
+    elif candidates == "lsh":
+        nn = cosine_topk_lsh(
+            vectors, vectors, top_k=k, broadcast_queries=False, **cand_kw
+        )
+    elif candidates == "ivf":
+        assigned, cents = ivf_index(
+            vectors,
+            n_centroids=cand_kw.pop("n_centroids", 16),
+            seed=cand_kw.pop("seed", 42),
+        )
+        nn = ivf_topk(
+            assigned, cents, vectors, top_k=k,
+            broadcast_queries=False, **cand_kw,
+        )
+    else:
+        raise ValueError(
+            f"knn_graph: unknown candidates={candidates!r} "
+            "(expected 'exact', 'lsh', or 'ivf')"
+        )
     if not mutual:
         return nn.select("query_id", "neighbor_id", "rank")
     d = nn.select(F.col("query_id").alias("a"), F.col("neighbor_id").alias("b"))
@@ -1856,7 +1902,11 @@ def knn_graph(vectors: DataFrame, k: int = 10, mutual: bool = True) -> DataFrame
 
 
 def semantic_communities(
-    vectors: DataFrame, k: int = 10, max_iter: int = 50
+    vectors: DataFrame,
+    k: int = 10,
+    max_iter: int = 50,
+    candidates: str = "exact",
+    **cand_kw,
 ) -> DataFrame:
     """Semantic clustering as GRAPH community detection — the composition
     this engine exists for: the mutual k-NN cosine graph
@@ -1864,10 +1914,14 @@ def semantic_communities(
     components, so document embeddings cluster through the exact same
     skew-aware iterative machinery as the link graph. Vectors with no
     mutual neighbor are singleton clusters (cluster = own id). Returns
-    (vec_id, cluster) with cluster = min vec_id of the component."""
+    (vec_id, cluster) with cluster = min vec_id of the component.
+
+    ``candidates`` / ``cand_kw`` pass through to :func:`knn_graph`:
+    'exact' is the oracle face; 'lsh' / 'ivf' are the corpus-scale
+    candidate generators (a parameter, not a code edit)."""
     from flexgraph_spark import algorithms
 
-    g = knn_graph(vectors, k=k, mutual=True)
+    g = knn_graph(vectors, k=k, mutual=True, candidates=candidates, **cand_kw)
     res = algorithms.connected_components(
         g.select(F.col("a").alias("src"), F.col("b").alias("dst")),
         max_iter=max_iter,

@@ -1057,3 +1057,40 @@ def test_group_overlap_minhash_recall_vs_exact(spark):
               df, min_jaccard=0.5, num_hashes=64, bands=16).collect()}
     assert len(exact) == 4
     assert mh == exact  # full recall at this S-curve operating point
+
+
+def test_knn_graph_candidate_faces_recall(spark, embeddings):
+    """The candidates= hook: 'lsh'/'ivf' reuse the bucketed generators
+    with shuffle joins (no query broadcast) and feed the SAME mutual
+    reduction. IVF probing every inverted list is exact; LSH recall is
+    bounded below against the exact face."""
+    vecs = embeddings.filter("vec_id < 300")
+    exact = {(r.a, r.b) for r in textops.knn_graph(vecs, k=5).collect()}
+    assert exact
+    ivf = {(r.a, r.b) for r in textops.knn_graph(
+        vecs, k=5, candidates="ivf", n_centroids=8, nprobe=8).collect()}
+    assert ivf == exact  # nprobe == n_centroids -> every list probed
+    lsh = {(r.a, r.b) for r in textops.knn_graph(
+        vecs, k=5, candidates="lsh", num_planes=4, num_tables=16).collect()}
+    assert len(lsh & exact) / len(exact) >= 0.6
+    with pytest.raises(ValueError, match="candidates"):
+        textops.knn_graph(vecs, k=5, candidates="bogus")
+
+
+def test_semantic_communities_scale_faces_match_exact_on_blobs(spark):
+    """On well-separated blobs every candidate generator recovers the
+    same mutual graph, so the cluster assignment is identical across
+    'exact', 'lsh', and 'ivf'."""
+    vecs = _toy_vectors(spark)
+    exact = {r.vec_id: r.cluster
+             for r in textops.semantic_communities(vecs, k=2).collect()}
+    lsh = {r.vec_id: r.cluster
+           for r in textops.semantic_communities(
+               vecs, k=2, candidates="lsh", num_planes=2, num_tables=8
+           ).collect()}
+    assert lsh == exact
+    ivf = {r.vec_id: r.cluster
+           for r in textops.semantic_communities(
+               vecs, k=2, candidates="ivf", n_centroids=3, nprobe=3
+           ).collect()}
+    assert ivf == exact
