@@ -321,15 +321,23 @@ def streaming_cc_maintenance(
     checkpoint_dir: str,
     max_iter: int = 100,
 ):
-    """Continuous connected-components maintenance over an APPEND-ONLY
-    edge stream — the streaming face of incremental CC (jobs/incremental):
-    each micro-batch unions the new edges in and WARM-STARTS HashMin from
+    """Continuous connected-components maintenance over an edge stream —
+    the streaming face of incremental CC (jobs/incremental): each
+    micro-batch unions the new edges in and WARM-STARTS HashMin from
     the previous labels (``initial_state``), which is exact for edge
     additions (old labels are per-vertex upper bounds on the min-id and
     HashMin is monotone from any upper-bound init — see
     algorithms.connected_components). Labels live as a parquet table at
     ``labels_dir`` (read → warm run → overwrite per batch); new vertices
     enter at their own id, exactly a cold vertex's init.
+
+    DELETIONS (crawl page removals, GDPR deletes) are supported via an
+    optional ``op`` column ('add' | 'del') on the stream: deleted edges
+    leave the live set, and :func:`_cc_delete_reset` cold-restarts ONLY
+    the components that lost an edge (a delete can split a component, so
+    their min labels are no longer trusted upper bounds) while every
+    untouched component keeps its exact labels — per-batch cost stays
+    proportional to the affected components, not the graph.
 
     GIM-V iteration inside a streaming trigger is expressed via
     ``foreachBatch`` — the documented escape hatch for batch-only plans
@@ -352,7 +360,35 @@ def streaming_cc_maintenance(
         return res, F.col("value").cast("long").alias("cluster")
 
     return _streaming_maintenance(
-        edge_stream, labels_dir, checkpoint_dir, run, max_iter
+        edge_stream, labels_dir, checkpoint_dir, run, max_iter,
+        reset=_cc_delete_reset,
+    )
+
+
+def _cc_delete_reset(init: DataFrame, dels: DataFrame, live: DataFrame) -> DataFrame:
+    """Decremental CC repair: a deleted edge can SPLIT a component, so the
+    min-label warm start is invalid for every vertex of any component that
+    lost an edge (its label may be the id of a vertex it no longer
+    reaches). Reset exactly those components to cold init (vertex = own
+    id) and warm-start the rest — HashMin from this mixed init is exact:
+    untouched components hold their (still-exact) labels, reset ones
+    recompute from scratch, and both are upper bounds for the monotone
+    min. Cost ∝ the AFFECTED components' sizes, not the graph."""
+    endpoints = (
+        dels.select(F.col("src").alias("vertex"))
+        .unionByName(dels.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    hit = (
+        init.join(endpoints, "vertex")
+        .select(F.col("value").alias("_hl"))
+        .distinct()
+    )
+    return init.join(hit, init["value"] == F.col("_hl"), "left").select(
+        "vertex",
+        F.when(F.col("_hl").isNotNull(), F.col("vertex"))
+        .otherwise(F.col("value"))
+        .alias("value"),
     )
 
 
@@ -371,7 +407,10 @@ def streaming_pagerank_maintenance(
     cold spectral-gap bound). New vertices enter at the cold init; the
     final normalize re-spreads rank over the grown graph. Mechanics
     (foreachBatch, edge log, label overwrite) shared with
-    :func:`streaming_cc_maintenance`. Output column: ``rank`` double."""
+    :func:`streaming_cc_maintenance`; deletions (``op`` column) need no
+    repair pass here — PageRank's fixpoint is unique, so any previous
+    vector is a valid warm start over whatever the live edge set is.
+    Output column: ``rank`` double."""
 
     def run(all_edges, init, max_it):
         from flexgraph_spark import algorithms
@@ -394,15 +433,22 @@ def streaming_sssp_maintenance(
     source_vertex: int,
     max_iter: int = 100,
 ):
-    """Continuous single-source shortest-path maintenance over an
-    append-only WEIGHTED edge stream (src, dst, weight): per micro-batch,
-    warm-start the relaxation from the previous distance vector — exact
-    for edge additions by the same argument as CC (old distances are
-    per-vertex UPPER bounds and min-plus relaxation is monotone from any
+    """Continuous single-source shortest-path maintenance over a
+    WEIGHTED edge stream (src, dst, weight): per micro-batch, warm-start
+    the relaxation from the previous distance vector — exact for edge
+    additions by the same argument as CC (old distances are per-vertex
+    UPPER bounds and min-plus relaxation is monotone from any
     upper-bound init; a new edge can only shorten paths). New vertices
     enter at +inf (the cold init). Output column: ``dist`` double.
-    Completes the maintenance triad with
-    :func:`streaming_cc_maintenance` / :func:`streaming_pagerank_maintenance`."""
+
+    DELETIONS (optional ``op`` column, 'add' | 'del'): a removed edge can
+    LENGTHEN distances, which monotone relaxation cannot express — so
+    :func:`_sssp_delete_reset` computes the affected closure (vertices
+    whose shortest path may have used a deleted edge, Ramalingam–Reps
+    style) and resets exactly those to +inf before the warm run; the
+    rest keep their still-exact distances. Completes the maintenance
+    triad with :func:`streaming_cc_maintenance` /
+    :func:`streaming_pagerank_maintenance`."""
 
     def run(all_edges, init, max_it):
         from flexgraph_spark import algorithms
@@ -416,25 +462,117 @@ def streaming_sssp_maintenance(
     return _streaming_maintenance(
         edge_stream, labels_dir, checkpoint_dir, run, max_iter,
         edge_cols=("src", "dst", "weight"),
+        reset=_sssp_delete_reset(source_vertex),
     )
 
 
+def _sssp_delete_reset(source_vertex: int, eps: float = 1e-9,
+                       max_rounds: int = 200):
+    """Decremental SSSP repair (the Ramalingam–Reps affected-set idea,
+    re-expressed as DataFrame joins): a deleted edge can LENGTHEN
+    distances, and min-plus relaxation never raises a value — so every
+    vertex whose shortest path MAY have used a deleted edge must be reset
+    to +inf before the warm run.
+
+    Affected closure, overapproximated for safety (resetting too many
+    vertices only costs recompute, never correctness):
+      * seeds = heads v of deleted edges (u,v,w) with
+        dist[v] >= dist[u] + w - eps (the edge could have been v's
+        support);
+      * propagate forward over LIVE "tight" edges (same eps test) until
+        the frontier empties — descendants in any shortest-path DAG are
+        covered; rounds ∝ the delta's impact radius.
+    Unaffected vertices keep distances that are still EXACT in the new
+    graph; affected ones restart at +inf; the source is pinned at 0. All
+    initial values are then >= the true distance, which is exactly the
+    warm-start precondition of the monotone relaxation."""
+
+    def reset(init: DataFrame, dels: DataFrame, live: DataFrame) -> DataFrame:
+        from flexgraph_spark import gimv
+
+        d_src = init.select(F.col("vertex").alias("src"),
+                            F.col("value").alias("_ds"))
+        d_dst = init.select(F.col("vertex").alias("dst"),
+                            F.col("value").alias("_dd"))
+
+        def tight(edges: DataFrame) -> DataFrame:
+            return (
+                edges.join(d_src, "src").join(d_dst, "dst")
+                .filter(F.col("_ds") < gimv.SSSP_INF)
+                .filter(F.col("_dd") >= F.col("_ds") + F.col("weight") - eps)
+            )
+
+        aff = gimv.truncate_plan(
+            tight(dels).select(F.col("dst").alias("vertex")).distinct()
+        )
+        live_tight = gimv.truncate_plan(tight(live).select("src", "dst"))
+        frontier = aff
+        for _ in range(max_rounds):
+            nxt = gimv.truncate_plan(
+                live_tight.join(
+                    frontier.withColumnRenamed("vertex", "src"), "src"
+                )
+                .select(F.col("dst").alias("vertex"))
+                .distinct()
+                .join(aff, "vertex", "left_anti")
+            )
+            if nxt.isEmpty():
+                break
+            aff = gimv.truncate_plan(aff.unionByName(nxt))
+            frontier = nxt
+        aff = aff.filter(F.col("vertex") != source_vertex)
+        return init.join(
+            aff.withColumn("_a", F.lit(1)), "vertex", "left"
+        ).select(
+            "vertex",
+            F.when(F.col("_a").isNotNull(), F.lit(gimv.SSSP_INF))
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+
+    return reset
+
+
 def _streaming_maintenance(edge_stream, labels_dir, checkpoint_dir, run,
-                           max_iter, edge_cols=("src", "dst")):
+                           max_iter, edge_cols=("src", "dst"), reset=None):
     """Shared foreachBatch scaffold for warm-started per-batch graph
     recompute: append the delta to the edge log, warm-start from the
     previous labels, overwrite the labels table (via a tmp read-back so
-    the read and write paths stay disjoint within one batch)."""
+    the read and write paths stay disjoint within one batch).
+
+    DELETIONS: batches may carry an ``op`` column ('add' | 'del';
+    absent column = all adds). The edge log records (edge, op, batch)
+    and the live edge set is last-writer-wins per edge identity (within
+    a batch, 'del' beats 'add') — at corpus scale the same log compacts
+    via Iceberg MERGE with identical semantics. When a batch contains
+    deletions, ``reset`` (per-algorithm) repairs the warm-start vector
+    first: monotone semirings (HashMin, min-plus) can never RAISE a
+    value, so state whose support may have been deleted must return to
+    cold init while everything else keeps its still-exact value."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
         spark = batch_df.sparkSession
-        new_edges = batch_df.select(*edge_cols).filter(
-            F.col("src") != F.col("dst")
-        )
+        has_op = "op" in batch_df.columns
+        batch = batch_df.select(
+            *edge_cols,
+            (F.lower(F.col("op")) if has_op else F.lit("add")).alias("op"),
+        ).filter(F.col("src") != F.col("dst"))
         edges_path = f"{labels_dir}/edges"
         labels_path = f"{labels_dir}/labels"
-        new_edges.write.mode("append").parquet(edges_path)
-        all_edges = spark.read.parquet(edges_path)
+        batch.withColumn("_b", F.lit(batch_id)).write.mode("append").parquet(
+            edges_path
+        )
+        log = spark.read.parquet(edges_path)
+        w = Window.partitionBy(*edge_cols).orderBy(
+            F.col("_b").desc(), (F.col("op") == "del").cast("int").desc()
+        )
+        all_edges = (
+            log.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("op") == "add"))
+            .select(*edge_cols)
+        )
         try:
             prev = spark.read.parquet(labels_path)
             init = prev.select(
@@ -442,6 +580,10 @@ def _streaming_maintenance(edge_stream, labels_dir, checkpoint_dir, run,
             )
         except Exception:  # first batch: cold start
             init = None
+        if init is not None and reset is not None:
+            dels = batch.filter(F.col("op") == "del").select(*edge_cols)
+            if not dels.isEmpty():
+                init = reset(init, dels, all_edges)
         res, value_col = run(all_edges, init, max_iter)
         out = res.state.select(
             "vertex", value_col,

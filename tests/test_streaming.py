@@ -385,3 +385,130 @@ def test_streaming_sssp_maintenance_matches_cold(spark, tmp_path):
     want = {r["vertex"]: r["value"] for r in cold.state.collect()}
     assert got == want
     assert got[3] == 1.5 and got[4] == 2.5
+
+
+def _write_batches(spark, src_dir, batches, schema):
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(src_dir)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src_dir}/b{i}", mode="overwrite"
+        )
+        for f in glob.glob(f"{src_dir}/b{i}/part-*.parquet"):
+            shutil.move(f, f"{src_dir}/batch_{i}.parquet")
+        shutil.rmtree(f"{src_dir}/b{i}")
+
+
+def test_streaming_cc_maintenance_delete_splits_component(spark, tmp_path):
+    """Decremental gate: a batch DELETES the bridge of a merged
+    component; the warm-maintained labels must equal a cold CC over the
+    live edge set (the split is recovered), and an untouched component
+    keeps its label without a cold restart."""
+    from flexgraph_spark import algorithms, streaming
+
+    src_dir = str(tmp_path / "stream_del")
+    batches = [
+        [(0, 1, "add"), (1, 2, "add"), (10, 11, "add"), (11, 12, "add"),
+         (100, 101, "add")],
+        [(2, 10, "add")],   # bridge: merges {0..2} with {10..12}
+        [(2, 10, "del")],   # delete the bridge: split back
+    ]
+    _write_batches(spark, src_dir, batches, "src long, dst long, op string")
+    stream = (
+        spark.readStream.schema("src long, dst long, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    labels_dir = str(tmp_path / "cc_del_state")
+    q = streaming.streaming_cc_maintenance(
+        stream, labels_dir, str(tmp_path / "ckpt_del")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+
+    got = {r["vertex"]: r["cluster"]
+           for r in spark.read.parquet(f"{labels_dir}/labels").collect()}
+    live = [(0, 1), (1, 2), (10, 11), (11, 12), (100, 101)]
+    cold = algorithms.connected_components(
+        spark.createDataFrame(live, "src long, dst long"))
+    want = {r["vertex"]: int(r["value"]) for r in cold.state.collect()}
+    assert got == want
+    assert got[10] == got[11] == got[12] == 10  # split recovered
+    assert got[0] == got[1] == got[2] == 0
+    assert got[100] == got[101] == 100          # untouched component
+
+
+def test_streaming_sssp_maintenance_delete_lengthens_and_disconnects(
+        spark, tmp_path):
+    """Decremental gate: deleting the shortest-path edge must LENGTHEN
+    dist(2) to the alternate route (monotone relaxation alone could
+    never raise it), and deleting the only edge into 4 must return it to
+    +inf. Final state equals a cold run on the live edges."""
+    from flexgraph_spark import algorithms, streaming
+
+    src_dir = str(tmp_path / "stream_wdel")
+    batches = [
+        [(0, 1, 1.0, "add"), (1, 2, 1.0, "add"), (0, 3, 5.0, "add"),
+         (3, 2, 1.0, "add"), (2, 4, 1.0, "add")],
+        [(1, 2, 1.0, "del")],   # dist(2): 2.0 -> 6.0, dist(4): 3.0 -> 7.0
+        [(2, 4, 1.0, "del")],   # 4 becomes unreachable
+    ]
+    _write_batches(
+        spark, src_dir, batches, "src long, dst long, weight double, op string")
+    stream = (
+        spark.readStream.schema("src long, dst long, weight double, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    labels_dir = str(tmp_path / "sssp_del_state")
+    q = streaming.streaming_sssp_maintenance(
+        stream, labels_dir, str(tmp_path / "ckpt_wdel"), source_vertex=0
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+
+    got = {r["vertex"]: r["dist"]
+           for r in spark.read.parquet(f"{labels_dir}/labels").collect()}
+    live = [(0, 1, 1.0), (0, 3, 5.0), (3, 2, 1.0)]
+    cold = algorithms.sssp(
+        spark.createDataFrame(live, "src long, dst long, weight double"),
+        source_vertex=0)
+    want = {r["vertex"]: r["value"] for r in cold.state.collect()}
+    # the maintained table remembers vertices 2's/4's existence even after
+    # their edges vanish; the cold graph never saw 4's edge at all — align
+    # on the intersection plus explicit checks
+    for v, d in want.items():
+        assert got[v] == d, (v, got[v], d)
+    assert got[1] == 1.0 and got[2] == 6.0
+    # 4 lost its only incident edge: it leaves the graph (and the state),
+    # exactly like the cold run over the live edges
+    assert 4 not in got and 4 not in want
+
+
+def test_streaming_maintenance_re_add_after_delete(spark, tmp_path):
+    """Last-writer-wins edge log: add -> del -> add leaves the edge LIVE
+    and the labels merge again."""
+    from flexgraph_spark import streaming
+
+    src_dir = str(tmp_path / "stream_reads")
+    batches = [
+        [(0, 1, "add"), (10, 11, "add")],
+        [(0, 10, "add")],
+        [(0, 10, "del")],
+        [(0, 10, "add")],
+    ]
+    _write_batches(spark, src_dir, batches, "src long, dst long, op string")
+    stream = (
+        spark.readStream.schema("src long, dst long, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    labels_dir = str(tmp_path / "readd_state")
+    q = streaming.streaming_cc_maintenance(
+        stream, labels_dir, str(tmp_path / "ckpt_readd")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    got = {r["vertex"]: r["cluster"]
+           for r in spark.read.parquet(f"{labels_dir}/labels").collect()}
+    assert set(got.values()) == {0}  # everything one component again
