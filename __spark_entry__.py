@@ -2968,6 +2968,51 @@ def _q_ann_lsh_top5(spark, sf_dir):
     return out.select("query_id", F.col("rank").alias("rnk"), "neighbor_id")
 
 
+def _q_lsh_recall_gate(spark, sf_dir):
+    """FULL value gate for the hyperplane-LSH ANN path: with
+    plane_source='sha' the hyperplanes are ±1 signs from sha256 parity
+    (the random_projection deterministic-hash contract), so the DuckDB
+    oracle replays the ENTIRE pipeline — plane signs, per-table
+    sign-bucket codes, bucket-collision candidate set, exact cosine
+    scoring, top-5 ranking — value-for-value. This closes the ann_lsh
+    rows-only gap: the same bucketing/join/scoring code runs in both
+    modes, only the plane constants differ; seeded-Gaussian recall stays
+    pytest-measured."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = textops.cosine_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 5), top_k=5,
+        num_planes=8, num_tables=4, seed=42, plane_source="sha",
+    )
+    return out.select("query_id", F.col("rank").alias("rnk"), "neighbor_id")
+
+
+def _q_minhash_recall_gate(spark, sf_dir):
+    """Deterministic RECALL gate for MinHash+LSH (the winnow_containment
+    trick applied to banding): plant, for each doc_id < 50 with >= 20
+    chars, a companion (doc_id + 600000) whose RAW text differs
+    (upper-cased, doubled spaces) but whose NORMALIZED shingle set is
+    IDENTICAL — equal sets force equal signatures, so EVERY band collides
+    and exact Jaccard is 1.0: recall of the planted pairs is a certainty,
+    not a probability. Returns emitted ∩ planted; the oracle is the
+    planted set itself (pure doc_id arithmetic), so one missed pair fails
+    the row-count gate. Probabilistic recall at J in (t,1) remains
+    pytest-measured (xxhash64 signatures aren't SQL-replayable)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter((F.col("doc_id") < 50) & (F.length("text") >= 20))
+    planted = base.select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
+    )
+    out = textops.minhash_near_duplicates(
+        docs.unionByName(planted), threshold=0.5, num_hashes=32, bands=16
+    )
+    pairs = base.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 600000).alias("doc_b"),
+    )
+    return out.select("doc_a", "doc_b").join(pairs, ["doc_a", "doc_b"])
+
+
 def _emb_with_dups(spark, sf_dir):
     """Embeddings + planted near-duplicates (vec_id+100000: v' = v + 0.15 *
     v_next) — the driver embeddings are well-separated (max pairwise cosine
@@ -4670,6 +4715,8 @@ def _q_heavy_hitters_gate(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "lsh_recall_gate": _q_lsh_recall_gate,
+        "minhash_recall_gate": _q_minhash_recall_gate,
         "louvain_gate": _q_louvain_gate,
         "ktruss": _q_ktruss,
         "trussness_consistency": _q_trussness_consistency,
@@ -7450,6 +7497,42 @@ having count(*) >= 2
             "cast(null as integer) as hamming where 1 = 0"
         ),
         "ann_top5": _ANN_SQL,
+        # Full LSH replay: sha-parity sign planes -> per-table sign-bucket
+        # codes -> bucket-collision candidates -> exact cosine -> top-5.
+        "lsh_recall_gate": """
+with dims as (select unnest(range(0, (select len(embedding) from embeddings limit 1))) as i),
+js as (select unnest(range(0, 32)) as j),
+planes as materialized (
+  select j, list(case when ('0x' || substr(sha256('lsh42:' || i || ':' || j), 1, 15))::bigint % 2 = 0
+                      then 1.0 else -1.0 end order by i) as pl
+  from dims, js group by j),
+v as materialized (select vec_id, list_transform(embedding, x -> x::double) as e
+                   from embeddings),
+d as materialized (select v.vec_id, p.j, list_dot_product(v.e, p.pl) as dot
+                   from v, planes p),
+b as materialized (select vec_id, (j // 8) as tbl,
+      sum(case when dot > 0 then 1 << (j % 8) else 0 end) as bucket
+    from d group by 1, 2),
+cand as (select distinct qb.vec_id as query_id, vb.vec_id as neighbor_id
+         from b qb join b vb on qb.tbl = vb.tbl and qb.bucket = vb.bucket
+         where qb.vec_id < 5 and vb.vec_id <> qb.vec_id),
+s as (select c.query_id, c.neighbor_id,
+        list_dot_product(q.e, n.e) /
+          (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(n.e, n.e)))
+          as score
+      from cand c join v q on q.vec_id = c.query_id
+                  join v n on n.vec_id = c.neighbor_id)
+select query_id, rnk, neighbor_id from (
+  select *, row_number() over (partition by query_id
+           order by score desc, neighbor_id asc) as rnk from s)
+where rnk <= 5
+""",
+        # Oracle = the planted set itself: companions are shingle-set
+        # identical, so every band collides and the pair MUST be emitted.
+        "minhash_recall_gate": (
+            "select doc_id as doc_a, doc_id + 600000 as doc_b "
+            "from documents where doc_id < 50 and length(text) >= 20"
+        ),
         "knn_mutual": _KNN_MUTUAL_SQL,
         "semantic_communities": _SEMANTIC_COMMUNITIES_SQL,
         "hard_negatives": """

@@ -1158,15 +1158,41 @@ def lsh_assign_buckets(
     num_tables: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    plane_source: str = "gaussian",
 ) -> DataFrame:
     """Random-hyperplane LSH, multi-table: each vector gets ``num_tables``
     sign-bucket ids (one per independent set of ``num_planes`` hyperplanes).
     Output: one row per (vec_id, table, bucket). Vectorized pandas UDF —
-    one matmul per Arrow batch."""
+    one matmul per Arrow batch.
+
+    ``plane_source``: 'gaussian' (seeded NumPy standard normals — the
+    default production hyperplanes) or 'sha' — ±1 signs from the parity
+    of ``sha256('lsh{seed}:{i}:{j}')``, the :func:`random_projection`
+    deterministic-hash contract. Sign planes are an equally valid
+    hyperplane family (Achlioptas 2003) with one extra property: a SQL
+    oracle can replay them bit-for-bit, which upgrades the LSH ANN path
+    from rows-only to fully value-gated (see lsh_recall_gate)."""
     if dim is None:
         dim = len(vectors.select("embedding").first()[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, num_planes * num_tables))
+    if plane_source == "sha":
+        import hashlib
+
+        def _sgn(i: int, j: int) -> float:
+            h = hashlib.sha256(f"lsh{seed}:{i}:{j}".encode()).hexdigest()
+            return 1.0 if int(h[:15], 16) % 2 == 0 else -1.0
+
+        planes = np.array(
+            [[_sgn(i, j) for j in range(num_planes * num_tables)]
+             for i in range(dim)],
+            dtype=np.float64,
+        )
+    elif plane_source == "gaussian":
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, num_planes * num_tables))
+    else:
+        raise ValueError(
+            f"lsh_assign_buckets: unknown plane_source={plane_source!r}"
+        )
     weights = 1 << np.arange(num_planes)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
@@ -1245,11 +1271,14 @@ def cosine_topk_lsh(
     num_tables: int = 4,
     seed: int = 42,
     broadcast_queries: bool = True,
+    plane_source: str = "gaussian",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to vectors sharing any LSH
     table bucket with the query (bucket joins instead of crossJoin) — the
     100 TB-scale path. Multi-table union keeps recall high; recall is
     tested against the brute-force baseline in tests.
+    ``plane_source='sha'`` swaps in the oracle-replayable sign planes
+    (see :func:`lsh_assign_buckets`).
 
     ``broadcast_queries=True`` fits the search-service shape (small query
     set vs big corpus). When the query set IS the corpus (self-kNN, e.g.
@@ -1257,8 +1286,10 @@ def cosine_topk_lsh(
     run as plain shuffle joins on uniform (table, bucket) / id keys
     instead of shipping the whole corpus to every executor."""
     maybe_bc = F.broadcast if broadcast_queries else (lambda df: df)
-    vb = lsh_assign_buckets(vectors, num_planes, num_tables, seed)
-    qb = lsh_assign_buckets(queries, num_planes, num_tables, seed)
+    vb = lsh_assign_buckets(vectors, num_planes, num_tables, seed,
+                            plane_source=plane_source)
+    qb = lsh_assign_buckets(queries, num_planes, num_tables, seed,
+                            plane_source=plane_source)
     v = vb.select(
         "table", "bucket", F.col("vec_id").alias("neighbor_id"), "embedding"
     )

@@ -1094,3 +1094,25 @@ def test_semantic_communities_scale_faces_match_exact_on_blobs(spark):
                vecs, k=2, candidates="ivf", n_centroids=3, nprobe=3
            ).collect()}
     assert ivf == exact
+
+
+def test_cosine_topk_lsh_sha_planes_recall_and_determinism(spark, embeddings):
+    """sha-parity sign planes are a valid hyperplane family: recall vs
+    brute force holds like the Gaussian mode, and the assignment is
+    deterministic (no RNG state — pure content hash)."""
+    queries = embeddings.filter("vec_id < 10")
+    brute = textops.cosine_topk_bruteforce(embeddings, queries, top_k=5)
+    approx = textops.cosine_topk_lsh(
+        embeddings, queries, top_k=5, num_planes=4, num_tables=16,
+        plane_source="sha",
+    )
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(a & b) / len(b) >= 0.6
+    again = textops.cosine_topk_lsh(
+        embeddings, queries, top_k=5, num_planes=4, num_tables=16,
+        plane_source="sha",
+    )
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in approx.collect()}
+    with pytest.raises(ValueError, match="plane_source"):
+        textops.lsh_assign_buckets(embeddings, plane_source="nope")
