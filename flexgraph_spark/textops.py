@@ -1617,10 +1617,10 @@ def extract_media_features(media: DataFrame, feature_dim: int = 8, real_decode: 
     ``real_decode=True``: per-kind decoders resolved at RUNTIME on the
     executors — images via Pillow (grayscale pixel histogram), audio via
     the stdlib ``wave`` reader (normalized |amplitude| histogram of 16-bit
-    PCM). A kind whose decoder library is absent raises
-    NotImplementedError naming the missing dependency (video always does:
-    no pure-Python container demuxer exists). Decoders import once per
-    Arrow batch, never per row."""
+    PCM), video via PyAV (up to 8 sampled frames, grayscale pixel
+    histogram averaged across frames). A kind whose decoder library is
+    absent raises NotImplementedError naming the missing dependency.
+    Decoders import once per Arrow batch, never per row."""
 
     def _fake(payload: bytes) -> np.ndarray:
         arr = np.frombuffer(payload, dtype=np.uint8)
@@ -1629,7 +1629,7 @@ def extract_media_features(media: DataFrame, feature_dim: int = 8, real_decode: 
         hist, _ = np.histogram(arr, bins=feature_dim, range=(0, 256))
         return (hist / max(len(arr), 1)).astype(np.float32)
 
-    def _real(payload: bytes, kind: str, pil_image) -> np.ndarray:
+    def _real(payload: bytes, kind: str, pil_image, av_mod) -> np.ndarray:
         import io
 
         if kind == "image":
@@ -1650,22 +1650,44 @@ def extract_media_features(media: DataFrame, feature_dim: int = 8, real_decode: 
                 return np.zeros(feature_dim, dtype=np.float32)
             hist, _ = np.histogram(samples, bins=feature_dim, range=(0, 32768))
             return (hist / len(samples)).astype(np.float32)
+        if kind == "video":
+            if av_mod is None:
+                raise NotImplementedError(
+                    "real video decoding requires PyAV (pip install av)"
+                )
+            acc = np.zeros(feature_dim, dtype=np.float64)
+            n_frames = 0
+            with av_mod.open(io.BytesIO(payload)) as container:
+                for frame in container.decode(video=0):
+                    px = frame.to_ndarray(format="gray")
+                    hist, _ = np.histogram(px, bins=feature_dim, range=(0, 256))
+                    acc += hist / max(px.size, 1)
+                    n_frames += 1
+                    if n_frames >= 8:  # frame-sample cap
+                        break
+            if n_frames == 0:
+                return np.zeros(feature_dim, dtype=np.float32)
+            return (acc / n_frames).astype(np.float32)
         raise NotImplementedError(
-            f"real decoding of kind={kind!r} needs a codec library "
-            "(e.g. av for video) not present on the executors"
+            f"real decoding of kind={kind!r}: no decoder registered"
         )
 
     def run(batches):
         pil_image = None
+        av_mod = None
         if real_decode:
             try:
                 from PIL import Image as pil_image  # noqa: N813
             except ImportError:
                 pil_image = None
+            try:
+                import av as av_mod  # noqa: N813
+            except ImportError:
+                av_mod = None
         for pdf in batches:
             if real_decode:
                 feats = [
-                    _real(p, k, pil_image)
+                    _real(p, k, pil_image, av_mod)
                     for p, k in zip(pdf["payload"], pdf["kind"])
                 ]
             else:

@@ -56,6 +56,60 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
     return problems
 
 
+def _update_coverage(results: dict[str, bool], oracles: dict[str, str],
+                     registry: list[str]) -> None:
+    """Merge this invocation's outcomes into COVERAGE.json — one file that
+    answers "what fraction of the registry is currently proven" without a
+    full sweep. Per query: oracle kind, the last driver CORRECTNESS round
+    that contained it, and the last local verify outcome (persisted
+    across partial runs, stamped with the run time)."""
+    import glob
+    import json
+    import re
+
+    root = Path(__file__).resolve().parent.parent
+    cov_path = root / "COVERAGE.json"
+    try:
+        cov = json.loads(cov_path.read_text()).get("queries", {})
+    except Exception:  # noqa: BLE001 — first run / corrupt file
+        cov = {}
+    driver_round: dict[str, int] = {}
+    for f in sorted(glob.glob(str(root / "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)", f)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            for q, row in json.loads(Path(f).read_text()).items():
+                if row.get("err") is None:
+                    driver_round[q] = max(driver_round.get(q, 0), rnd)
+        except Exception:  # noqa: BLE001
+            continue
+    stamp = time.strftime("%Y-%m-%dT%H:%M:%S")
+    for q in registry:
+        entry = cov.get(q, {})
+        entry["oracle"] = "value" if q in oracles else "rows_only"
+        entry["last_driver_round"] = driver_round.get(q)
+        if q in results:
+            entry["local_ok"] = bool(results[q])
+            entry["local_checked_at"] = stamp
+        cov[q] = entry
+    ok = [q for q, e in cov.items() if e.get("local_ok")]
+    proven = [q for q, e in cov.items()
+              if e.get("local_ok") or e.get("last_driver_round")]
+    summary = {
+        "registry_total": len(registry),
+        "value_gated": sum(1 for q in registry if q in oracles),
+        "rows_only": sum(1 for q in registry if q not in oracles),
+        "ever_driver_checked": sum(1 for q in registry if q in driver_round),
+        "local_ok": len(ok),
+        "proven_any": len(proven),
+        "updated_at": stamp,
+    }
+    cov_path.write_text(json.dumps(
+        {"summary": summary, "queries": cov}, indent=1, sort_keys=True))
+    print(f"COVERAGE.json: {summary['proven_any']}/{summary['registry_total']} "
+          "proven (driver or local)")
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -67,6 +121,7 @@ def main() -> int:
         )
     qs, oracles = E.queries(), E.oracle_sql()
     failures = 0
+    results: dict[str, bool] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -76,27 +131,33 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {ex}")
             failures += 1
+            results[name] = False
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"ok*   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             if len(sdf) == 0 and name not in ("dup_groups",):
                 print(f"      WARN {name}: empty result on rows-only query")
+            results[name] = len(sdf) > 0 or name in ("dup_groups",)
             continue
         try:
             ddf = con.sql(sql).df()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {ex}")
             failures += 1
+            results[name] = False
             continue
         problems = compare(name, sdf, ddf)
         if problems:
             failures += 1
+            results[name] = False
             print(f"FAIL  {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             for p in problems:
                 print(f"      {p}")
         else:
+            results[name] = True
             print(f"ok    {name}: {len(sdf)} rows match ({time.time()-t0:.1f}s)")
+    _update_coverage(results, oracles, list(qs))
     print(f"\n{failures} failures")
     return 1 if failures else 0
 

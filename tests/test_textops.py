@@ -1116,3 +1116,23 @@ def test_cosine_topk_lsh_sha_planes_recall_and_determinism(spark, embeddings):
     assert {tuple(r) for r in again.collect()} == {tuple(r) for r in approx.collect()}
     with pytest.raises(ValueError, match="plane_source"):
         textops.lsh_assign_buckets(embeddings, plane_source="nope")
+
+
+def test_media_real_decode_video_resolves_pyav(spark):
+    """Video decode resolves PyAV at runtime, mirroring the Pillow/wave
+    pattern: absent -> NotImplementedError naming the dependency; present
+    -> frames sample into an averaged grayscale histogram."""
+    try:
+        import av  # noqa: F401
+        have_av = True
+    except ImportError:
+        have_av = False
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(b"not-an-mp4"), {})], textops.MEDIA_SCHEMA
+    )
+    if not have_av:
+        with pytest.raises(Exception, match="PyAV"):
+            textops.extract_media_features(media, real_decode=True).collect()
+    else:
+        with pytest.raises(Exception):  # invalid payload still fails cleanly
+            textops.extract_media_features(media, real_decode=True).collect()
