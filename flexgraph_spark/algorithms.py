@@ -1688,13 +1688,21 @@ def ktruss(
     (vertex peeling, :func:`kcore`) and the standard cohesive-subgraph
     query over a link graph.
 
-    Scale notes: every round re-runs the degree-oriented triangle plan
-    (:func:`triangle_count`'s wedge join — work concentrates on low-degree
-    endpoints, hub-skew-safe) on a SHRINKING edge set, then one support
-    aggregation keyed by the (a, b) edge pair (uniform) and an inner join
-    back. Peeling is monotone and deterministic, so a bounded
-    ``max_rounds`` run is exactly reproducible by an equally-unrolled
-    oracle even before the fixpoint (same trick as the kcore gate).
+    Scale notes — INCREMENTAL peeling (the frontier/delta idea applied to
+    support): round 1 runs the degree-oriented triangle plan
+    (:func:`triangle_count`'s wedge join — work concentrates on
+    low-degree endpoints, hub-skew-safe) ONCE and materializes a
+    per-edge support table. Every later round only enumerates the
+    triangles that CONTAIN a just-dropped edge (common-neighbor join of
+    the dropped set against the previous adjacency — cost ∝ |dropped| ×
+    degree, not the surviving graph) and subtracts their contribution:
+    support_new(e) = support_old(e) − #{triangles through e with ≥ 1
+    dropped edge}, which is exactly the recount (triangles of the new
+    graph = triangles of the old minus those touching dropped edges).
+    Per-round edge sets are therefore IDENTICAL to the recount-per-round
+    formulation, so the equally-unrolled bounded-``max_rounds`` oracle
+    (same trick as the kcore gate) is unchanged. Support agg and joins
+    key on the uniform (a, b) pair.
     """
     if k < 3:
         raise ValueError(f"k-truss needs k >= 3, got {k}")
@@ -1707,28 +1715,69 @@ def ktruss(
     metrics: list[IterationMetrics] = []
     converged = False
     rounds = 0
+    sup = None  # (a, b, support) for the CURRENT edge set, exact
+    dropped_df = None
     for r in range(1, max_rounds + 1):
         t0 = time.time()
-        oriented, closed, _deg = _oriented_triangles(
-            und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        )
-        tri = closed.select("u", "w1", "w2")
-        sides = (
-            tri.select(F.least("u", "w1").alias("a"), F.greatest("u", "w1").alias("b"))
-            .unionAll(
-                tri.select(F.least("u", "w2").alias("a"), F.greatest("u", "w2").alias("b"))
+        if r == 1:
+            oriented, closed, _deg = _oriented_triangles(
+                und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
             )
-            .unionAll(tri.select(F.col("w1").alias("a"), F.col("w2").alias("b")))
+            tri = closed.select("u", "w1", "w2")
+            sides = (
+                tri.select(F.least("u", "w1").alias("a"),
+                           F.greatest("u", "w1").alias("b"))
+                .unionAll(tri.select(F.least("u", "w2").alias("a"),
+                                     F.greatest("u", "w2").alias("b")))
+                .unionAll(tri.select(F.col("w1").alias("a"),
+                                     F.col("w2").alias("b")))
+            )
+            new_sup = sides.groupBy("a", "b").agg(F.count("*").alias("support"))
+            oriented_to_release = oriented
+        else:
+            # triangles of the PREVIOUS graph containing >= 1 dropped
+            # edge: distinct common-neighbor completion of the dropped
+            # set against the previous adjacency (und ∪ dropped).
+            prev_graph = und.unionByName(dropped_df)
+            sym = prev_graph.select(F.col("a").alias("u"), F.col("b").alias("v")) \
+                .unionByName(prev_graph.select(F.col("b").alias("u"),
+                                               F.col("a").alias("v")))
+            s1 = sym.select(F.col("u").alias("a"), F.col("v").alias("c"))
+            s2 = sym.select(F.col("u").alias("b"), F.col("v").alias("c"))
+            tri = (
+                dropped_df.join(s1, "a")
+                .join(s2, ["b", "c"])  # hash join on (b, c): wedge close
+                .select(F.sort_array(F.array("a", "b", "c")).alias("t"))
+                .select(
+                    F.element_at("t", 1).alias("x"),
+                    F.element_at("t", 2).alias("y"),
+                    F.element_at("t", 3).alias("z"),
+                )
+                .distinct()
+            )
+            d_sides = (
+                tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+                .unionAll(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+                .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+            )
+            delta = d_sides.groupBy("a", "b").agg(F.count("*").alias("_d"))
+            new_sup = (
+                sup.join(delta, ["a", "b"], "left")
+                .select(
+                    "a", "b",
+                    (F.col("support") - F.coalesce(F.col("_d"), F.lit(0)))
+                    .alias("support"),
+                )
+            )
+            oriented_to_release = None
+        strong = truncate_plan(
+            new_sup.where(F.col("support") >= k - 2)
         )
-        strong = (
-            sides.groupBy("a", "b")
-            .agg(F.count("*").alias("support"))
-            .where(F.col("support") >= k - 2)
-            .select("a", "b")
-        )
-        kept = truncate_plan(und.join(strong, ["a", "b"]))
+        kept = truncate_plan(und.join(strong.select("a", "b"), ["a", "b"]))
         m = kept.count()
-        oriented.unpersist()
+        if oriented_to_release is not None:
+            oriented_to_release.unpersist()
+        new_dropped = truncate_plan(und.join(kept, ["a", "b"], "left_anti"))
         und.unpersist()
         rounds = r
         metrics.append(
@@ -1740,7 +1789,10 @@ def ktruss(
                 seconds=time.time() - t0,
             )
         )
-        und, dropped, n = kept, n - m, m
+        # support restricted to survivors (all kept edges have rows:
+        # kept ⊆ strong by construction)
+        sup = truncate_plan(strong.join(kept, ["a", "b"]))
+        und, dropped, n, dropped_df = kept, n - m, m, new_dropped
         if dropped == 0 or n == 0:
             converged = True
             break
