@@ -535,6 +535,53 @@ def main() -> None:
         ).first(),
     )
 
+    # ------------------------------------------------------------------
+    # Blocked-engine crossover at BENCH scale: the sf0.1 link graph
+    # (~600k edges) sits BELOW the measured ~1M-edges/core crossover, so
+    # the 10-iteration rows above make the skew engine look like a loss
+    # (fixed per-superstep overhead dominates). Measure both engines once
+    # on the 50M-edge synthetic power-law graph (bench/scaling.py's
+    # xxhash64 generator — no data files) where the blocked engine's
+    # hub handling pays for itself; single rep, per-superstep medians
+    # (each superstep is its own sample, robust to one-off GC pauses).
+    # Disable with SPARK_GRAFT_BENCH_50M=0 for quick local iteration.
+    big = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_50M", "1") != "0":
+        sys.path.insert(0, str(Path(__file__).resolve().parent / "bench"))
+        from scaling import gen_edges
+
+        big_edges = gen_edges(spark, 50_000_000, 500_000).persist()
+        n_big = big_edges.count()
+
+        def big_run(**kw):
+            algorithms.pagerank(big_edges, threshold=0.0, max_iter=1, **kw)  # warmup
+            res = algorithms.pagerank(big_edges, threshold=0.0, max_iter=4, **kw)
+            res.state.agg(F.sum("value")).first()
+            secs = sorted(m.seconds for m in res.metrics)
+            return secs[len(secs) // 2]
+
+        big_flat = big_run()
+        from flexgraph_spark import blocks as B
+
+        # p=16 (256 blocks): the measured optimum at 50M edges/32 cores —
+        # auto_p's max(cores, E/3M)=32 grid pays ~50% more per superstep
+        # here (2.04s vs 1.34s), a finer grid's fixed per-block cost; the
+        # crossover row reports the engine at its right operating point.
+        blk = B.prepartition(big_edges, 16, 100).persist()
+        blk.count()
+        big_blocked = big_run(engine="blocked", p=16, blocks=blk)
+        blk.unpersist()
+        big_edges.unpersist()
+        queries["pagerank_flat_50m"] = round(big_flat, 3)
+        queries["pagerank_blocked_50m"] = round(big_blocked, 3)
+        big = {
+            "edges_50m": n_big,
+            "superstep_median_flat_50m_sec": round(big_flat, 3),
+            "superstep_median_blocked_50m_sec": round(big_blocked, 3),
+            "eps_flat_50m": round(n_big / big_flat, 1),
+            "eps_blocked_50m": round(n_big / big_blocked, 1),
+        }
+
     edges_per_sec_per_superstep = n_edges / med_flat
     print(
         json.dumps(
@@ -551,6 +598,7 @@ def main() -> None:
                 "superstep_median_flat_sec": round(med_flat, 3),
                 "superstep_median_blocked_sec": round(med_blocked, 3),
                 "pagerank_total_sec_flat": round(pr_time, 3),
+                **big,
             }
         )
     )

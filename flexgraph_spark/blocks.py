@@ -77,13 +77,19 @@ AUTO_EDGES_PER_BLOCK = 3_000_000  # measured rule of thumb, BENCH/BASELINE.md
 
 
 def auto_p(n_edges: int, cores: int) -> int:
-    """p ≈ max(cores, E / 3M): at least one merged column per core so every
-    core works, and a few million edges per column so the per-block
-    Arrow/NumPy fixed cost amortizes (measured crossover,
-    BENCH/BASELINE.md round-2 notes)."""
+    """p ≈ max(8, E / 3M): a few million edges per merged column so the
+    per-block Arrow/NumPy fixed cost amortizes, floored at 8 columns.
+
+    Round 4 measurement killed the earlier ``cores`` floor: at both 591k
+    edges (p=8: 0.62s/superstep vs p=32: 0.78s) and 50M edges (p=16:
+    1.34s vs p=32: 2.04s) on 32 cores the optimum sits BELOW the core
+    count — column-stage parallelism does not pay for a finer grid's
+    fixed cost; the shuffle-reduce between stages already uses every
+    core. The E/3M term is what scales: on a real cluster the edge
+    volume, not the core count, sets the grid (100B edges → p ≈ 33k)."""
     if n_edges <= 0:
-        return max(1, cores)
-    return max(cores, -(-n_edges // AUTO_EDGES_PER_BLOCK))
+        return 8
+    return max(8, -(-n_edges // AUTO_EDGES_PER_BLOCK))
 
 
 def suggest_dense_threshold(
