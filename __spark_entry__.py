@@ -3013,6 +3013,91 @@ def _q_minhash_recall_gate(spark, sf_dir):
     return out.select("doc_a", "doc_b").join(pairs, ["doc_a", "doc_b"])
 
 
+WKCORE_T = 2200
+WKCORE_ROUNDS = 8
+
+
+def _q_wkcore(spark, sf_dir):
+    """Weighted (generalized) core peel: survivors whose weighted degree
+    (decimal-exact sum of canonical min edge weights) stays >= WKCORE_T
+    through WKCORE_ROUNDS rounds — the s-core sibling of the kcore gate,
+    same bounded-unroll comparability trick."""
+    res = algorithms.weighted_kcore(
+        _graph1000_w(spark, sf_dir), t=WKCORE_T, max_rounds=WKCORE_ROUNDS
+    )
+    return res.state.select("vertex")
+
+
+def _q_cyclomatic(spark, sf_dir):
+    """Per-function cyclomatic complexity (codeops.cyclomatic_complexity)
+    on a planted corpus whose branch tokens are arithmetic in doc_id:
+    each f<id> carries (id % 4) 'if x and x:' lines (2 tokens each) and a
+    'for' loop when id % 3 == 0 — so the oracle is pure doc_id
+    arithmetic and one regexp miscount anywhere fails the value gate."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    content = F.concat(
+        F.lit("def f"), d.cast("string"), F.lit("():\n    x = 1\n"),
+        F.expr("repeat('    if x and x:\\n        x = 2\\n', cast(doc_id % 4 as int))"),
+        F.when(d % 3 == 0, F.lit("    for i in [x]:\n        x = 3\n"))
+        .otherwise(F.lit("")),
+        F.lit("    return x\n"),
+    )
+    files = docs.select(
+        F.concat(F.lit("repo"), (d % 10).cast("string")).alias("repo"),
+        F.concat(F.lit("src/f"), d.cast("string"), F.lit(".py")).alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("py").alias("lang"),
+        content.alias("content"),
+    )
+    return codeops.cyclomatic_complexity(files)
+
+
+def _q_import_cycles(spark, sf_dir):
+    """Import-cycle detection composed from the gated pieces: the module
+    link graph (derive_graph's file-module projection, ids = the .f<id>
+    suffix) fed into the SCC engine; modules in components of size >= 2
+    are mutually entangled (the 'break this dependency cycle' report).
+    The fixture import map id -> (7*id) % n is a functional graph, so the
+    cycles are exactly the orbits of x -> 7x mod n; oracle = same edges +
+    the mutual-reachability closure with min-member labels."""
+    files = _repo_files(spark, sf_dir)
+    vertices, edges = derive_graph(files)
+    v = vertices.select("vertex", "module")
+    mid = lambda c: F.regexp_extract(c, r"\.f(\d+)$", 1).cast("long")  # noqa: E731
+    me = (
+        edges.join(v.withColumnRenamed("vertex", "src"), "src")
+        .withColumnRenamed("module", "sm")
+        .join(v.withColumnRenamed("vertex", "dst"), "dst")
+        .withColumnRenamed("module", "dm")
+        .select(mid(F.col("sm")).alias("src"), mid(F.col("dm")).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    res = algorithms.scc(me, max_outer=100)
+    lab = res.state.select("vertex", F.col("value").alias("scc_id"))
+    sizes = lab.groupBy("scc_id").agg(F.count("*").alias("n")).filter("n >= 2")
+    return (
+        lab.join(sizes.select("scc_id"), "scc_id")
+        .select(
+            F.concat(
+                F.lit("repo"), (F.col("vertex") % 10).cast("string"),
+                F.lit(".f"), F.col("vertex").cast("string"),
+            ).alias("module"),
+            "scc_id",
+        )
+    )
+
+
+def _q_ngram_novelty(spark, sf_dir):
+    """Per-document 5-gram novelty (textops.ngram_novelty): fraction of a
+    doc's distinct shingles appearing in no other doc — the selection
+    signal inverse to the dedup family. Engine counts over xxhash64
+    shingle keys (the scale representation); the oracle replays the same
+    counts over shingle strings."""
+    return textops.ngram_novelty(_t(spark, sf_dir, "documents"))
+
+
 def _emb_with_dups(spark, sf_dir):
     """Embeddings + planted near-duplicates (vec_id+100000: v' = v + 0.15 *
     v_next) — the driver embeddings are well-separated (max pairwise cosine
@@ -4717,6 +4802,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lsh_recall_gate": _q_lsh_recall_gate,
         "minhash_recall_gate": _q_minhash_recall_gate,
+        "wkcore": _q_wkcore,
+        "cyclomatic": _q_cyclomatic,
+        "import_cycles": _q_import_cycles,
+        "ngram_novelty": _q_ngram_novelty,
         "louvain_gate": _q_louvain_gate,
         "ktruss": _q_ktruss,
         "trussness_consistency": _q_trussness_consistency,
@@ -5596,6 +5685,27 @@ def _kcore_sql(edge_sql: str, k: int, rounds: int) -> str:
             f"a{r} as materialized (select se.src as v from se "
             f"join a{r-1} x on x.v = se.src join a{r-1} y on y.v = se.dst "
             f"group by se.src having count(*) >= {k})"
+        )
+    return "with " + ",\n".join(ctes) + f"\nselect v as vertex from a{rounds}"
+
+
+def _wkcore_sql(edge_sql: str, t, rounds: int) -> str:
+    """Unrolled weighted-core peeling: canonical (least, greatest, min w)
+    pairs symmetrized, each round keeps sources whose decimal-exact
+    surviving weighted degree is >= t (both endpoints alive)."""
+    ctes = [
+        f"e0 as materialized ({edge_sql})",
+        "cn as materialized (select least(src, dst) as a, greatest(src, dst) as b, "
+        "min(cast(w as decimal(38,6))) as w from e0 where src <> dst group by 1, 2)",
+        "se as materialized (select a as src, b as dst, w from cn "
+        "union all select b, a, w from cn)",
+        "a0 as (select distinct src as v from se)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"a{r} as materialized (select se.src as v from se "
+            f"join a{r-1} x on x.v = se.src join a{r-1} y on y.v = se.dst "
+            f"group by se.src having sum(se.w) >= {t})"
         )
     return "with " + ",\n".join(ctes) + f"\nselect v as vertex from a{rounds}"
 
@@ -7242,6 +7352,54 @@ from cells
 """,
         "hits4": _hits_sql(G1000_SQL, HITS_ITERS),
         "kcore": _kcore_sql(G1000_SQL, KCORE_K, KCORE_ROUNDS),
+        "wkcore": _wkcore_sql(G1000_W_SQL, WKCORE_T, WKCORE_ROUNDS),
+        "cyclomatic": """
+select 'repo' || (doc_id % 10) as repo,
+       'src/f' || doc_id || '.py' as path,
+       'f' || doc_id as fn_name,
+       (1 + 2 * (doc_id % 4)
+          + case when doc_id % 3 = 0 then 1 else 0 end)::bigint as complexity
+from documents
+""",
+        "import_cycles": f"""
+with recursive
+d as (select doc_id, (select count(*) from documents) as nd from documents),
+e as materialized (select distinct doc_id as src, (doc_id * 7) % nd as dst
+                   from d where doc_id <> (doc_id * 7) % nd),
+v as (select src as vertex from e union select dst from e),
+reach(s, dd) as (
+  select src, dst from e
+  union
+  select r.s, e.dst from reach r join e on r.dd = e.src
+),
+mutual as materialized (
+  select a.s as u, a.dd as w from reach a join reach b on b.s = a.dd and b.dd = a.s
+),
+lab as (
+  select v.vertex as vertex,
+         least(v.vertex, coalesce(min(m.w), v.vertex)) as scc_id
+  from v left join mutual m on m.u = v.vertex
+  group by v.vertex
+),
+sz as (select scc_id from lab group by scc_id having count(*) >= 2)
+select 'repo' || (l.vertex % 10) || '.f' || l.vertex as module, l.scc_id
+from lab l join sz using (scc_id)
+""",
+        "ngram_novelty": r"""
+with n as (select doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) as norm
+           from documents),
+sh as materialized (select doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(length(norm) - 4, 1)),
+    i -> substr(norm, i, 5)))) as s
+  from n),
+freq as materialized (select s, count(distinct doc_id) as nd from sh group by s),
+per as (select sh.doc_id, count(*)::bigint as n_shingles,
+          sum(case when f.nd = 1 then 1 else 0 end)::bigint as n_novel
+        from sh join freq f using (s) group by 1)
+select doc_id, n_shingles, n_novel,
+       round(n_novel::double / n_shingles, 6) as novelty
+from per
+""",
         "local_clustering": _LCC_SQL,
         "link_prediction": _LINK_PRED_SQL,
         "neighborhood3": _neighborhood_sql(G1000_SQL, NEIGHBORHOOD_H),

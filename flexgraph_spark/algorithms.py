@@ -865,6 +865,102 @@ def kcore(
     return GimvResult(state=alive, iterations=rounds, converged=converged, metrics=metrics)
 
 
+def weighted_kcore(
+    edges: DataFrame,
+    t,
+    max_rounds: int = 50,
+    num_partitions: int | None = None,
+) -> GimvResult:
+    """Generalized (weighted) core: iteratively peel vertices whose
+    SURVIVING weighted degree — the sum of incident edge weights on the
+    symmetrized simple graph — is < ``t`` (Eidsaa & Almaas's s-core, the
+    weighted sibling of :func:`kcore`'s count peel; on a link graph with
+    link weights = co-citation counts this is the "strongly-embedded
+    pages" query that plain k-core gets wrong on hub-adjacent leaves).
+
+    Edges canonicalize to the undirected pair (least, greatest) with the
+    MIN weight of any parallel/reverse duplicate — a deterministic
+    contract the SQL oracle replays. Weights are cast to decimal(38,6)
+    so the ``>= t`` peel condition is EXACT arithmetic: float sums would
+    make the boundary order-dependent across executor counts (and across
+    engines), which a monotone peel then amplifies into different
+    survivor sets. Peeling is monotone, so a bounded ``max_rounds`` run
+    equals the oracle's same-depth unroll (the kcore gate trick).
+    Returns state = (vertex) survivors; per-round plan = kcore's two
+    semi-joins + one sum aggregate on uniform keys."""
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    wd = F.col("weight").cast("decimal(38,6)")
+    canon = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            wd.alias("w"),
+        )
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+    )
+    und = (
+        canon.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .unionByName(
+            canon.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+        )
+        .repartition(p, "src")
+        .persist()
+    )
+    edges_count = und.count()
+    alive = und.select(F.col("src").alias("vertex")).distinct().repartition(p, "vertex")
+    alive = truncate_plan(alive)
+    n_alive = alive.count()
+    thr = F.lit(str(t)).cast("decimal(38,6)")
+    metrics: list[IterationMetrics] = []
+    converged = False
+    rounds = 0
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for rounds in range(1, max_rounds + 1):
+            t0 = time.time()
+            deg = (
+                und.join(
+                    alive.withColumnRenamed("vertex", "src").hint("shuffle_hash"),
+                    "src",
+                )
+                .join(
+                    alive.withColumnRenamed("vertex", "dst").hint("shuffle_hash"),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("vertex"))
+                .agg(F.sum("w").alias("wd"))
+            )
+            new_alive = truncate_plan(
+                deg.filter(F.col("wd") >= thr).select("vertex")
+                .repartition(p, "vertex")
+            )
+            m = new_alive.count()
+            metrics.append(
+                IterationMetrics(
+                    iteration=rounds,
+                    messages_shuffled=m,
+                    changed=n_alive - m,
+                    edges_scanned=edges_count,
+                    seconds=time.time() - t0,
+                )
+            )
+            old = alive
+            alive = new_alive
+            old.unpersist()
+            if m == n_alive:
+                converged = True
+                break
+            n_alive = m
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    und.unpersist()
+    return GimvResult(state=alive, iterations=rounds, converged=converged, metrics=metrics)
+
+
 def neighborhood_function(
     edges: DataFrame, max_h: int, num_partitions: int | None = None
 ) -> DataFrame:

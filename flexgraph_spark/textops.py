@@ -683,6 +683,42 @@ def _jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def ngram_novelty(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Corpus n-gram novelty — the data-selection signal "how much of
+    this document's content exists nowhere else": per document, the
+    fraction of its DISTINCT character ``k``-shingles that appear in no
+    other document. Boilerplate/templated docs score near 0; genuinely
+    new content scores near 1 (the inverse of the duplication signals —
+    a selection pipeline keeps high-novelty, drops near-zero).
+
+    Scale shape: one exploded (shingle_hash → doc) projection (int64
+    keys), a global document-frequency aggregate on the uniform hash key
+    (map-side combined), one join back + a per-doc count — two shuffles
+    total, both on uniform keys, no pairs, no collect. The oracle
+    replays the same counts over shingle STRINGS (xxhash64 itself is not
+    SQL-replayable; collisions perturb counts at 2^-64).
+
+    Returns (doc_id, n_shingles, n_novel, novelty)."""
+    sh = df.select(
+        "doc_id", F.explode(shingle_hashes(F.col(text_col), k)).alias("h")
+    )
+    freq = sh.groupBy("h").agg(F.count_distinct("doc_id").alias("_nd"))
+    per = (
+        sh.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("_nd") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+    )
+
+
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text", k: int = 5,
                   sh: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard over hashed k-shingle sets for given (doc_a, doc_b)

@@ -2750,3 +2750,29 @@ def test_bridges_auto_deepens_past_max_depth(spark):
     got = {(r.a, r.b) for r in algorithms.bridges(
         fixtures.edges_df(spark, raw), max_depth=4).collect()}
     assert got == set(raw)
+
+
+def test_weighted_kcore_hand_graph(spark):
+    """Triangle with heavy weights survives t=4; a pendant with weight 1
+    peels, and its removal does not cascade into the triangle."""
+    rows = [(0, 1, 2.0), (1, 2, 2.0), (0, 2, 2.0), (2, 3, 1.0)]
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    res = algorithms.weighted_kcore(e, t=4.0)
+    assert {r.vertex for r in res.state.collect()} == {0, 1, 2}
+    assert res.converged
+    # duplicate/reverse edges collapse to the canonical min weight
+    e2 = spark.createDataFrame(
+        rows + [(1, 0, 9.0)], "src long, dst long, weight double")
+    assert {r.vertex for r in algorithms.weighted_kcore(e2, t=4.0)
+            .state.collect()} == {0, 1, 2}
+
+
+def test_weighted_kcore_total_collapse(spark):
+    """A chain of weight-1 edges at t=2 unravels end-in: bounded rounds
+    stop mid-peel; enough rounds reach the empty fixpoint."""
+    rows = [(i, i + 1, 1.0) for i in range(6)]
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    full = algorithms.weighted_kcore(e, t=2.0)
+    assert full.converged and full.state.count() == 0
+    one = algorithms.weighted_kcore(e, t=2.0, max_rounds=1)
+    assert not one.converged and one.state.count() == 5  # endpoints peeled

@@ -1136,3 +1136,18 @@ def test_media_real_decode_video_resolves_pyav(spark):
     else:
         with pytest.raises(Exception):  # invalid payload still fails cleanly
             textops.extract_media_features(media, real_decode=True).collect()
+
+
+def test_ngram_novelty_planted(spark):
+    """Doc 1 and 2 are identical (novelty 0); doc 3 is all-new content
+    (novelty 1 except any shingles shared with 1/2)."""
+    rows = [
+        (1, "aaaa bbbb cccc dddd"),
+        (2, "aaaa bbbb cccc dddd"),
+        (3, "zzzz yyyy xxxx wwww"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textops.ngram_novelty(df).collect()}
+    assert got[1].novelty == 0.0 and got[2].novelty == 0.0
+    assert got[3].novelty == 1.0
+    assert got[3].n_shingles == got[3].n_novel > 0
