@@ -6,6 +6,7 @@
     ... --mode dead --root-pattern '^main' --output .../dead_fns
     ... --mode clones --output .../clone_classes
     ... --mode quality --output .../kept_files
+    ... --mode complexity --output .../fn_complexity
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ def main() -> None:
                    help="parquet path of (repo, path, commit, lang, content)")
     p.add_argument("--output", required=True)
     p.add_argument("--mode", required=True,
-                   choices=["callgraph", "dead", "clones", "quality"])
+                   choices=["callgraph", "dead", "clones", "quality", "complexity"])
     p.add_argument("--root-pattern", default=r"^main",
                    help="dead: entry-point name regex")
     p.add_argument("--min-copies", type=int, default=2,
@@ -41,6 +42,8 @@ def main() -> None:
         out = codeops.dead_functions(files, root_pattern=args.root_pattern)
     elif args.mode == "clones":
         out = codeops.function_clones(files, min_copies=args.min_copies)
+    elif args.mode == "complexity":
+        out = codeops.cyclomatic_complexity(files)
     else:
         out = codeops.code_quality_filter(files)
     out.write.mode("overwrite").parquet(args.output)

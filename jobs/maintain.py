@@ -1,9 +1,13 @@
 """spark-submit entry: continuous graph maintenance over an edge stream.
 
-Watches a parquet directory as an append-only edge feed (the crawl
-ingest queue) and keeps either connected-component labels or PageRank
-current via per-micro-batch warm starts
-(streaming.streaming_cc_maintenance / streaming_pagerank_maintenance).
+Watches a parquet directory as an edge feed (the crawl ingest queue) and
+keeps connected-component labels / PageRank / SSSP distances current via
+per-micro-batch warm starts (streaming.streaming_cc_maintenance and
+siblings). Batches may carry an ``op`` column ('add' | 'del'; absent =
+all adds): deletions leave the live set via last-writer-wins on the edge
+log, and the per-algorithm repair pass (component cold-restart for CC,
+affected-closure reset for SSSP) keeps the warm start exact — crawl page
+removals and GDPR deletes no longer force a cold rerun.
 ``--available-now`` drains the backlog and exits (the batch-ish cron
 mode); otherwise the query runs until interrupted.
 """

@@ -6,8 +6,9 @@ Three modes:
                     list (algorithms.simrank: coupled reverse-walk
                     fingerprints, deterministic at any parallelism);
 * ``knn``         — mutual k-NN cosine graph over an embeddings table
-                    (textops.knn_graph exact face; swap in LSH/IVF
-                    candidates at corpus scale);
+                    (textops.knn_graph; ``--candidates lsh|ivf`` selects
+                    the corpus-scale candidate generators, same output
+                    shape as the exact face);
 * ``communities`` — the mutual k-NN graph fed into the GIM-V HashMin
                     CC engine (textops.semantic_communities).
 
@@ -43,6 +44,10 @@ def main() -> None:
     p.add_argument("--decay", type=float, default=0.6)
     p.add_argument("--topk", type=int, default=None)
     p.add_argument("--k", type=int, default=10)
+    p.add_argument("--candidates", choices=["exact", "lsh", "ivf"],
+                   default="exact",
+                   help="knn/communities: neighbor generation — exact "
+                        "(oracle face) | lsh | ivf (corpus-scale paths)")
     args = p.parse_args()
 
     spark = get_session("flexgraph-similarity")
@@ -64,9 +69,11 @@ def main() -> None:
 
         emb = spark.read.parquet(args.embeddings)
         if args.mode == "knn":
-            out = textops.knn_graph(emb, k=args.k, mutual=True)
+            out = textops.knn_graph(
+                emb, k=args.k, mutual=True, candidates=args.candidates)
         else:
-            out = textops.semantic_communities(emb, k=args.k)
+            out = textops.semantic_communities(
+                emb, k=args.k, candidates=args.candidates)
     out.write.mode("overwrite").parquet(args.output)
     print(f"similarity[{args.mode}] -> {args.output}")
 

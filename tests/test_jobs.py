@@ -532,3 +532,49 @@ def test_code_job_callgraph_and_dead(spark, tmp_path):
     out2 = str(tmp_path / "dead")
     _run(code_job, ["--repo-table", src, "--mode", "dead", "--output", out2])
     assert {r.fn_name for r in spark.read.parquet(out2).collect()} == {"orphan"}
+
+
+def test_kcore_job_weighted_mode(spark, tmp_path):
+    import jobs.kcore as kcore_job
+
+    src = str(tmp_path / "wedges")
+    spark.createDataFrame(
+        [(0, 1, 2.0), (1, 2, 2.0), (0, 2, 2.0), (2, 3, 1.0)],
+        "src long, dst long, weight double",
+    ).write.parquet(src)
+    out = str(tmp_path / "score")
+    _run(kcore_job, ["--edges", src, "--output", out,
+                     "--weighted", "--threshold", "4.0"])
+    assert {r.vertex for r in spark.read.parquet(out).collect()} == {0, 1, 2}
+
+
+def test_code_job_complexity_mode(spark, tmp_path):
+    import jobs.code as code_job
+
+    rows = [("r1", "a.py", "c0", "py",
+             "def f():\n    if a and b:\n        return 1\n    return 0\n")]
+    src = str(tmp_path / "cfiles")
+    spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).write.parquet(src)
+    out = str(tmp_path / "cx")
+    _run(code_job, ["--repo-table", src, "--mode", "complexity",
+                    "--output", out])
+    [r] = spark.read.parquet(out).collect()
+    assert (r.fn_name, r.complexity) == ("f", 3)  # 1 + if + and
+
+
+def test_similarity_job_communities_lsh_candidates(spark, tmp_path):
+    import jobs.similarity as sim_job
+
+    rows = [(i, [float(i % 3 == j) + 0.01 * i for j in range(3)])
+            for i in range(9)]
+    src = str(tmp_path / "emb_lsh")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(src)
+    out = str(tmp_path / "comm_lsh")
+    _run(sim_job, ["--mode", "communities", "--embeddings", src,
+                   "--output", out, "--k", "2", "--candidates", "lsh"])
+    df = spark.read.parquet(out)
+    assert set(df.columns) == {"vec_id", "cluster"} and df.count() == 9
