@@ -3089,6 +3089,31 @@ def _q_import_cycles(spark, sf_dir):
     )
 
 
+def _q_articulation(spark, sf_dir):
+    """Articulation points (algorithms.articulation_points,
+    Tarjan–Vishkin biconnectivity on the BFS forest) on a PLANTED
+    ring-chain whose cut vertices are pure doc_id arithmetic: R rings of
+    10 (each a chorded 10-cycle, internally 2-connected) chained by
+    single edges — the articulation points are exactly both endpoints of
+    every chain edge. One wrong aux-graph rule anywhere produces a
+    false/missing cut vertex and fails the value gate; random-graph
+    parity vs python Tarjan lives in pytest."""
+    docs = _t(spark, sf_dir, "documents")
+    n = min(docs.count(), 200) // 10 * 10
+    d = F.col("doc_id")
+    ring = docs.filter(d < n).select(
+        d.alias("src"), ((d - d % 10) + (d + 1) % 10).alias("dst")
+    )
+    chain = docs.filter(d < n // 10 - 1).select(
+        (d * 10 + 9).alias("src"), ((d + 1) * 10).alias("dst")
+    )
+    chord = docs.filter(d < n // 10).select(
+        (d * 10).alias("src"), (d * 10 + 5).alias("dst")
+    )
+    edges = ring.unionByName(chain).unionByName(chord)
+    return algorithms.articulation_points(edges)
+
+
 def _q_ngram_novelty(spark, sf_dir):
     """Per-document 5-gram novelty (textops.ngram_novelty): fraction of a
     doc's distinct shingles appearing in no other doc — the selection
@@ -4806,6 +4831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cyclomatic": _q_cyclomatic,
         "import_cycles": _q_import_cycles,
         "ngram_novelty": _q_ngram_novelty,
+        "articulation": _q_articulation,
         "louvain_gate": _q_louvain_gate,
         "ktruss": _q_ktruss,
         "trussness_consistency": _q_trussness_consistency,
@@ -7384,6 +7410,16 @@ lab as (
 sz as (select scc_id from lab group by scc_id having count(*) >= 2)
 select 'repo' || (l.vertex % 10) || '.f' || l.vertex as module, l.scc_id
 from lab l join sz using (scc_id)
+""",
+        "articulation": """
+with nd as (select (least(count(*), 200) // 10) * 10 as n from documents),
+r as (select unnest(range(0, (select n from nd) // 10)) as r),
+arts as (
+  select r * 10 + 9 as vertex from r where r < (select n from nd) // 10 - 1
+  union
+  select r * 10 as vertex from r where r >= 1
+)
+select vertex from arts order by vertex
 """,
         "ngram_novelty": r"""
 with n as (select doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) as norm

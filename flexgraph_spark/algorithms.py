@@ -5561,6 +5561,79 @@ BRIDGE_HASH_MOD = 1 << 48
 BRIDGE_MAX_DEPTH = 1 << 16  # auto-doubling ceiling for the BFS forest
 
 
+def _bfs_forest(und: DataFrame, max_depth: int, **kw):
+    """Deterministic rooted BFS spanning forest of the undirected simple
+    graph ``und`` (canonical (a, b) pairs, a < b): one root per component
+    (the HashMin CC label = min vertex) fed through the delta-messaged
+    struct-min SSSP-tree engine via a weight-0 virtual super-source —
+    one deterministic forest, ties to the lowest parent id. EXACTLY one
+    root per component is load-bearing for every consumer (see bridges).
+
+    Returns ``(parents, truncated)``: parents = persisted
+    (vertex, parent, depth) rows for NON-root vertices (roots point at
+    the virtual source and are excluded; depth(root) = 0), truncated =
+    True when the depth cap left some vertex unreached (dist still INF)
+    — consumers must deepen and retry rather than proceed on a broken
+    forest."""
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    cc = connected_components(und.selectExpr("a as src", "b as dst"), **kw)
+    roots = cc.state.filter(F.col("vertex") == F.col("value")).select("vertex")
+    virt = roots.select(
+        F.lit(-1).cast("long").alias("src"),
+        F.col("vertex").cast("long").alias("dst"),
+        F.lit(0.0).alias("weight"),
+    )
+    forest = sssp_tree(
+        sym.withColumn("weight", F.lit(1.0)).unionByName(virt),
+        -1,
+        max_iter=max_depth + 1,
+        **kw,
+    )
+    state = forest.state.filter(F.col("vertex") != -1)
+    truncated = not (
+        state.filter(F.col("value.dist") >= gimv.SSSP_INF).limit(1).isEmpty()
+    )
+    parents = (
+        state.select(
+            "vertex",
+            F.col("value.parent").alias("parent"),
+            F.col("value.dist").cast("long").alias("depth"),
+        )
+        .filter(F.col("parent") >= 0)
+        .persist()
+    )
+    return parents, truncated
+
+
+def _ancestor_closure(parents: DataFrame, max_depth: int):
+    """ALL (v, ancestor) pairs of a rooted forest by pointer doubling on
+    the parent pointers: log2(depth) self-joins, O(V·depth) pairs —
+    bounded on the low-diameter graphs this engine targets. Exits early
+    when the doubling frontier composes to nothing (max_depth is a CAP,
+    not a round count). Returns (anc, cached) where cached lists the
+    persisted frontier DataFrames the CALLER must unpersist."""
+    anc = parents.select(F.col("vertex").alias("v"), F.col("parent").alias("anc"))
+    jump = anc
+    rounds = max(1, math.ceil(math.log2(max(2, max_depth))))
+    cached = []
+    for _ in range(rounds):
+        nxt = (
+            jump.alias("x")
+            .join(anc.alias("y"), F.col("x.anc") == F.col("y.v"))
+            .select(F.col("x.v").alias("v"), F.col("y.anc").alias("anc"))
+            .persist()
+        )
+        if nxt.isEmpty():
+            nxt.unpersist()
+            break
+        anc = gimv.truncate_plan(anc.unionByName(nxt).distinct())
+        cached.append(nxt)
+        jump = nxt
+    return anc, cached
+
+
 def bridges(
     edges: DataFrame,
     max_depth: int = 32,
@@ -5602,46 +5675,16 @@ def bridges(
         .distinct()
         .persist()
     )
-    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
-    # 1. roots = HashMin component labels (min vertex per component).
-    # EXACTLY one root per component is load-bearing: with two trees in
-    # one component, the edge joining them is classified non-tree yet
-    # can itself be a bridge — the "non-tree edges are never bridges"
-    # step only holds when every non-tree edge closes a cycle.
-    cc = connected_components(und.selectExpr("a as src", "b as dst"), **kw)
-    roots = cc.state.filter(F.col("vertex") == F.col("value")).select("vertex")
-    virt = roots.select(
-        F.lit(-1).cast("long").alias("src"),
-        F.col("vertex").cast("long").alias("dst"),
-        F.lit(0.0).alias("weight"),
-    )
-    forest = sssp_tree(
-        sym.withColumn("weight", F.lit(1.0)).unionByName(virt),
-        -1,
-        max_iter=max_depth + 1,
-        **kw,
-    )
-    parents = (
-        forest.state.filter(F.col("vertex") != -1)
-        .select(
-            "vertex",
-            F.col("value.parent").alias("parent"),
-        )
-        .filter(F.col("parent") >= 0)
-        .persist()
-    )  # (child, parent): exactly the tree edges
-    # Depth-cap guard: a vertex the capped BFS forest never reached keeps
-    # dist=INF, so its incident edges would all be classified non-tree and
-    # XOR-poison every signature on its component — silently wrong, not
-    # slow. Detect the truncation and auto-deepen instead.
-    unreached = (
-        forest.state.filter(F.col("vertex") != -1)
-        .filter(F.col("value.dist") >= gimv.SSSP_INF)
-        .limit(1)
-    )
-    if not unreached.isEmpty():
+    # 1. deterministic rooted BFS forest — one root per component
+    # (_bfs_forest; EXACTLY one root per component is load-bearing: with
+    # two trees in one component, the edge joining them is classified
+    # non-tree yet can itself be a bridge — the "non-tree edges are
+    # never bridges" step only holds when every non-tree edge closes a
+    # cycle). Depth-cap guard: a truncated forest would classify
+    # unreached vertices' edges as non-tree and XOR-poison every
+    # signature — silently wrong, not slow; auto-deepen instead.
+    parents, truncated = _bfs_forest(und, max_depth, **kw)
+    if truncated:
         und.unpersist()
         parents.unpersist()
         if max_depth >= BRIDGE_MAX_DEPTH:
@@ -5671,30 +5714,9 @@ def bridges(
         .groupBy("vertex")
         .agg(F.expr("bit_xor(h)").alias("val"))
     )
-    # 3. ancestor closure by pointer doubling: anc holds ALL (v, ancestor)
-    anc = parents.select(F.col("vertex").alias("v"), F.col("parent").alias("anc"))
-    jump = anc  # (v, 2^k-th ... ancestors frontier), doubles per round
-    rounds = max(1, math.ceil(math.log2(max(2, max_depth))))
-    frontiers = []
-    for _ in range(rounds):
-        nxt = (
-            jump.alias("x")
-            .join(
-                anc.alias("y"),
-                F.col("x.anc") == F.col("y.v"),
-            )
-            .select(F.col("x.v").alias("v"), F.col("y.anc").alias("anc"))
-            .persist()
-        )
-        # data-driven exit: when the frontier composes to nothing, the
-        # closure is complete — max_depth is a CAP, not a round count
-        # (a depth-10 forest stops after ~4 rounds, not log2(cap))
-        if nxt.isEmpty():
-            nxt.unpersist()
-            break
-        anc = gimv.truncate_plan(anc.unionByName(nxt).distinct())
-        frontiers.append(nxt)
-        jump = nxt
+    # 3. ancestor closure by pointer doubling (shared helper; data-driven
+    # exit — max_depth is a CAP, not a round count)
+    anc, frontiers = _ancestor_closure(parents, max_depth)
     sub_xor = (
         anc.join(vals, anc["v"] == vals["vertex"])
         .groupBy("anc")
@@ -5763,6 +5785,141 @@ def two_edge_components(edges: DataFrame, max_depth: int = 32, **kw) -> DataFram
             F.coalesce(F.col("value"), F.col("vertex")).cast("long").alias("ecc_label"),
         )
     )
+
+
+def articulation_points(
+    edges: DataFrame,
+    max_depth: int = 32,
+    **kw,
+) -> DataFrame:
+    """Articulation points (cut VERTICES) of the undirected simple graph
+    — the vertex sibling of :func:`bridges` ("which single page, removed,
+    disconnects part of the web?"), via Tarjan–Vishkin biconnectivity
+    (STOC'84 / SICOMP'85), the classic parallel algorithm that works
+    with an ARBITRARY rooted spanning tree (no DFS — the property that
+    makes it expressible as DataFrame joins):
+
+      1. deterministic BFS forest + ancestor closure (shared with
+         bridges: :func:`_bfs_forest`, :func:`_ancestor_closure`);
+      2. auxiliary graph on TREE edges, each identified by its child
+         endpoint:
+           rule 1 — a non-tree edge {x, u} with x, u ancestor-UNrelated
+           joins parent-edges (p(x),x)–(p(u),u);
+           rule 2 — tree edge (v, w) joins its parent edge (p(v),v) iff
+           some non-tree edge from subtree(w) lands OUTSIDE subtree(v)
+           (the low/high preorder test re-expressed with the ancestor
+           closure — membership joins instead of interval arithmetic);
+      3. connected components of the auxiliary graph (the repo's own
+         HashMin engine) = biconnected components of the tree edges;
+         singleton tree edges (bridges) label themselves;
+      4. a vertex is an articulation point iff its incident tree edges
+         (child edges + its own parent edge) span >= 2 distinct labels —
+         uniformly correct for roots (child edges only) and leaves
+         (parent edge only, never articulation).
+
+    Scale shape: everything is joins/aggregations on vertex/edge keys;
+    the closure and the rule-2 candidate join are O(V·depth) /
+    O(NT·depth) pairs — bounded on the low-diameter graphs this engine
+    targets (same budget as bridges). Depth-cap truncation auto-deepens
+    exactly like bridges. Gates: plain-python Tarjan low-link oracle in
+    pytest (random graphs) + a planted ring-chain arithmetic oracle in
+    the driver contract. Returns (vertex) rows, ascending."""
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    parents, truncated = _bfs_forest(und, max_depth, **kw)
+    if truncated:
+        und.unpersist()
+        parents.unpersist()
+        if max_depth >= BRIDGE_MAX_DEPTH:
+            raise RuntimeError(
+                "articulation_points(): BFS forest truncated at max_depth="
+                f"{max_depth}; graph depth exceeds the hard cap "
+                f"{BRIDGE_MAX_DEPTH} — results would be wrong, aborting"
+            )
+        return articulation_points(edges, max_depth=max_depth * 2, **kw)
+    tree = parents.select(
+        F.least("vertex", "parent").alias("a"),
+        F.greatest("vertex", "parent").alias("b"),
+    )
+    non_tree = und.join(tree, ["a", "b"], "left_anti")
+    anc, frontiers = _ancestor_closure(parents, max_depth)
+    anc = gimv.truncate_plan(anc)
+    nt = non_tree.select(F.col("a").alias("x"), F.col("b").alias("u")).unionByName(
+        non_tree.select(F.col("b").alias("x"), F.col("a").alias("u"))
+    )
+    # rule 1: ancestor-UNrelated non-tree pairs join the parent edges of
+    # both endpoints (aux node id = child endpoint). Unrelated endpoints
+    # are never roots (a root is an ancestor of its whole component).
+    rel_xu = anc.select(F.col("v").alias("x"), F.col("anc").alias("u"))
+    rule1 = (
+        non_tree.select(F.col("a").alias("x"), F.col("b").alias("u"))
+        .join(rel_xu, ["x", "u"], "left_anti")
+        .join(
+            rel_xu.select(F.col("u").alias("x"), F.col("x").alias("u")),
+            ["x", "u"],
+            "left_anti",
+        )
+        .select(F.col("x").alias("src"), F.col("u").alias("dst"))
+    )
+    # rule 2: tree edge (v, w) ~ (p(v), v) iff a non-tree edge from
+    # subtree(w) escapes subtree(v). Candidates: for each non-tree
+    # endpoint x, every w with x in subtree(w) (w = x or w an ancestor
+    # of x); escape test = u not in subtree(v), v = p(w); v must itself
+    # be a non-root (its parent edge has to exist).
+    sub_w = anc.select(F.col("v").alias("x"), F.col("anc").alias("w")).unionByName(
+        parents.select(F.col("vertex").alias("x"), F.col("vertex").alias("w"))
+    )
+    cand = (
+        nt.join(sub_w, "x")
+        .join(parents.select(F.col("vertex").alias("w"),
+                             F.col("parent").alias("pv")), "w")
+        .select("w", "u", "pv")
+    )
+    in_sub_v = anc.select(F.col("v").alias("u"), F.col("anc").alias("pv"))
+    escape = (
+        cand.filter(F.col("u") != F.col("pv"))
+        .join(in_sub_v, ["u", "pv"], "left_anti")
+        .select("w", "pv")
+        .distinct()
+        # (p(v), v) must exist: v non-root
+        .join(parents.select(F.col("vertex").alias("pv")), "pv")
+    )
+    rule2 = escape.select(F.col("w").alias("src"), F.col("pv").alias("dst"))
+    aux = rule1.unionByName(rule2).distinct()
+    bcc = connected_components(aux, **kw)
+    lab = (
+        parents.select(F.col("vertex").alias("eid"))
+        .join(bcc.state.withColumnRenamed("vertex", "eid"), "eid", "left")
+        .select(
+            "eid",
+            F.coalesce(F.col("value"), F.col("eid")).cast("long").alias("lab"),
+        )
+    )
+    inc = parents.select(
+        F.col("parent").alias("vertex"), F.col("vertex").alias("eid")
+    ).unionByName(
+        parents.select("vertex", F.col("vertex").alias("eid"))
+    )
+    out = (
+        inc.join(lab, "eid")
+        .groupBy("vertex")
+        .agg(F.count_distinct("lab").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("vertex")
+        .orderBy("vertex")
+    )
+    out = gimv.truncate_plan(out)
+    for f in frontiers:
+        f.unpersist()
+    und.unpersist()
+    parents.unpersist()
+    return out
 
 
 def vertex_cover(edges: DataFrame, max_rounds: int = 50, **kw) -> DataFrame:

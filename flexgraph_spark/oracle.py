@@ -148,3 +148,49 @@ def py_bridges(raw):
                     if low[u] > disc[parent]:
                         out.add((min(u, parent), max(u, parent)))
     return out
+
+
+def py_articulation(raw):
+    """Plain-python iterative Tarjan articulation-point finder (low-link
+    with DFS-root child counting): the independent reference for
+    algorithms.articulation_points' Tarjan–Vishkin construction
+    (property-based gates + hand tests)."""
+    adj = {}
+    for s, d in raw:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    disc, low = {}, {}
+    arts = set()
+    t = [0]
+    for root in sorted(adj):
+        if root in disc:
+            continue
+        root_children = 0
+        stack = [(root, None, iter(sorted(adj[root])))]
+        disc[root] = low[root] = t[0]
+        t[0] += 1
+        while stack:
+            u, parent, it = stack[-1]
+            advanced = False
+            for v in it:
+                if v not in disc:
+                    disc[v] = low[v] = t[0]
+                    t[0] += 1
+                    stack.append((v, u, iter(sorted(adj[v]))))
+                    advanced = True
+                    break
+                elif v != parent:
+                    low[u] = min(low[u], disc[v])
+            if not advanced:
+                stack.pop()
+                if parent is not None:
+                    low[parent] = min(low[parent], low[u])
+                    if parent == root:
+                        root_children += 1
+                    elif low[u] >= disc[parent]:
+                        arts.add(parent)
+        if root_children >= 2:
+            arts.add(root)
+    return arts

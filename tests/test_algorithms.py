@@ -2776,3 +2776,43 @@ def test_weighted_kcore_total_collapse(spark):
     assert full.converged and full.state.count() == 0
     one = algorithms.weighted_kcore(e, t=2.0, max_rounds=1)
     assert not one.converged and one.state.count() == 5  # endpoints peeled
+
+
+def test_articulation_points_hand_graphs(spark):
+    from flexgraph_spark import fixtures
+
+    # two triangles sharing vertex 2, a pendant chain off 5, an isolated edge
+    raw = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4), (4, 5), (5, 6),
+           (10, 11)]
+    got = [r.vertex for r in algorithms.articulation_points(
+        fixtures.edges_df(spark, raw)).collect()]
+    assert got == [2, 4, 5]
+    # simple cycle: no articulation points at all
+    ring = [(i, (i + 1) % 6) for i in range(6)]
+    assert algorithms.articulation_points(
+        fixtures.edges_df(spark, ring)).count() == 0
+    # path: every interior vertex cuts
+    path = [(i, i + 1) for i in range(5)]
+    got = [r.vertex for r in algorithms.articulation_points(
+        fixtures.edges_df(spark, path)).collect()]
+    assert got == [1, 2, 3, 4]
+
+
+def test_articulation_points_random_vs_tarjan(spark):
+    from flexgraph_spark import fixtures
+    from flexgraph_spark.oracle import py_articulation
+
+    for seed, p in ((11, 0.035), (3, 0.08), (7, 0.02)):
+        raw = fixtures.rand_er(60, p, seed=seed)
+        got = {r.vertex for r in algorithms.articulation_points(
+            fixtures.edges_df(spark, raw)).collect()}
+        assert got == py_articulation(raw), (seed, p)
+
+
+def test_articulation_points_auto_deepens(spark):
+    from flexgraph_spark import fixtures
+
+    path = [(i, i + 1) for i in range(13)]
+    got = [r.vertex for r in algorithms.articulation_points(
+        fixtures.edges_df(spark, path), max_depth=4).collect()]
+    assert got == list(range(1, 13))
