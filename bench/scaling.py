@@ -192,6 +192,14 @@ def main() -> None:
         return
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
+    # preserve the historical round sections (everything from the first
+    # "## " heading onward) — regeneration replaces only the headline
+    tail = ""
+    if out.exists():
+        prev = out.read_text()
+        idx = prev.find("\n## ")
+        if idx >= 0:
+            tail = prev[idx:]
     out.write_text(f"""# BENCH — scaling efficiency (N vs 4N cores)
 
 North-rule evidence: the rule requires throughput scaling efficiency >= 0.8
@@ -225,7 +233,7 @@ single-node throughput figures are above; correctness parity is covered by
 the DuckDB oracle gate (__spark_entry__) and the NumPy golden tests.
 
 Regenerate: `python bench/scaling.py [--engine flat|blocked]`.
-""")
+""" + tail)
     print(f"efficiency={eff:.3f} -> {out}")
 
 
