@@ -3162,6 +3162,22 @@ def _q_emb_neardup_precision(spark, sf_dir):
     )
 
 
+def _q_emb_neardup_sha(spark, sf_dir):
+    """Embedding near-dup on the sha-parity sign planes: the FULL
+    pipeline — plane constants, per-table sign-buckets, candidate
+    self-join, exact-cosine verify, threshold — replayed value-for-value
+    by the oracle (the lsh_recall_gate trick applied to the near-dup
+    face; the seeded-Gaussian face stays rows-only with its precision
+    companion). Same planted v + 0.15·v_next dups as emb_neardup."""
+    out = textops.embedding_near_duplicates(
+        _emb_with_dups(spark, sf_dir), threshold=0.95, num_planes=8,
+        num_tables=6, seed=42, plane_source="sha",
+    )
+    return out.select(
+        "vec_id_a", "vec_id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def _q_semdedup_k1(spark, sf_dir):
     """SemDeDup exact face: n_clusters=1 makes the within-cluster rule an
     ALL-pairs greedy dedup, fully SQL-expressible — the DuckDB oracle
@@ -4832,6 +4848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_cycles": _q_import_cycles,
         "ngram_novelty": _q_ngram_novelty,
         "articulation": _q_articulation,
+        "emb_neardup_sha": _q_emb_neardup_sha,
         "louvain_gate": _q_louvain_gate,
         "ktruss": _q_ktruss,
         "trussness_consistency": _q_trussness_consistency,
@@ -7720,6 +7737,41 @@ select query_id, rnk, neighbor_id from (
   select *, row_number() over (partition by query_id
            order by score desc, neighbor_id asc) as rnk from s)
 where rnk <= 5
+""",
+        # Full sha-plane near-dup replay: planted dups + sign planes +
+        # buckets + candidate self-join + cosine verify + threshold.
+        "emb_neardup_sha": """
+with base as (select vec_id, embedding from embeddings),
+dups as (select b.vec_id + 100000 as vec_id,
+    list_transform(range(1, len(b.embedding) + 1),
+        i -> cast(b.embedding[i] + 0.15 * n.embedding[i] as float)) as embedding
+    from base b join base n on n.vec_id = b.vec_id + 1 where b.vec_id < 50),
+v as materialized (
+    select vec_id, list_transform(embedding, x -> x::double) as e from base
+    union all
+    select vec_id, list_transform(embedding, x -> x::double) as e from dups),
+dims as (select unnest(range(0, (select len(e) from v limit 1))) as i),
+js as (select unnest(range(0, 48)) as j),
+planes as materialized (
+  select j, list(case when ('0x' || substr(sha256('lsh42:' || i || ':' || j), 1, 15))::bigint % 2 = 0
+                      then 1.0 else -1.0 end order by i) as pl
+  from dims, js group by j),
+d as materialized (select v.vec_id, p.j, list_dot_product(v.e, p.pl) as dot
+                   from v, planes p),
+bk as materialized (select vec_id, (j // 8) as tbl,
+      sum(case when dot > 0 then 1 << (j % 8) else 0 end) as bucket
+    from d group by 1, 2),
+cand as (select distinct x.vec_id as vec_id_a, y.vec_id as vec_id_b
+         from bk x join bk y on x.tbl = y.tbl and x.bucket = y.bucket
+         where x.vec_id < y.vec_id),
+s as (select c.vec_id_a, c.vec_id_b,
+        list_dot_product(a.e, bb.e) /
+          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(bb.e, bb.e)))
+          as cosine
+      from cand c join v a on a.vec_id = c.vec_id_a
+                  join v bb on bb.vec_id = c.vec_id_b)
+select vec_id_a, vec_id_b, round(cosine, 6) as cosine from s
+where cosine >= 0.95
 """,
         # Oracle = the planted set itself: companions are shingle-set
         # identical, so every band collides and the pair MUST be emitted.

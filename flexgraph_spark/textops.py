@@ -1369,6 +1369,7 @@ def embedding_near_duplicates(
     num_planes: int = 12,
     num_tables: int = 6,
     seed: int = 42,
+    plane_source: str = "gaussian",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
     generate candidates (self-join within (table, bucket) — never
@@ -1376,8 +1377,13 @@ def embedding_near_duplicates(
     with cosine >= threshold; precision is exact by construction, recall is
     the multi-table LSH recall (tested against brute force). For hamming
     distance h between sign-sketches, P(same bucket) = (1-h/pi)^planes per
-    table; more tables raise recall, more planes cut candidates."""
-    vb = lsh_assign_buckets(vectors, num_planes, num_tables, seed)
+    table; more tables raise recall, more planes cut candidates.
+    ``plane_source='sha'`` swaps in the oracle-replayable sign planes
+    (:func:`lsh_assign_buckets`) — the whole pipeline (buckets,
+    candidate self-join, cosine verify, threshold) then sits under a
+    full SQL value gate (emb_neardup_sha)."""
+    vb = lsh_assign_buckets(vectors, num_planes, num_tables, seed,
+                            plane_source=plane_source)
     a = vb.select("table", "bucket", F.col("vec_id").alias("vec_id_a"))
     b = vb.select("table", "bucket", F.col("vec_id").alias("vec_id_b"))
     cand = (
