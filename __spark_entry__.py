@@ -3089,15 +3089,11 @@ def _q_import_cycles(spark, sf_dir):
     )
 
 
-def _q_articulation(spark, sf_dir):
-    """Articulation points (algorithms.articulation_points,
-    Tarjan–Vishkin biconnectivity on the BFS forest) on a PLANTED
-    ring-chain whose cut vertices are pure doc_id arithmetic: R rings of
-    10 (each a chorded 10-cycle, internally 2-connected) chained by
-    single edges — the articulation points are exactly both endpoints of
-    every chain edge. One wrong aux-graph rule anywhere produces a
-    false/missing cut vertex and fails the value gate; random-graph
-    parity vs python Tarjan lives in pytest."""
+def _ring_chain_edges(spark, sf_dir):
+    """Planted biconnectivity fixture: R = n/10 rings of 10 (each a
+    chorded 10-cycle, internally 2-connected) chained by single edges —
+    cut vertices, bridges, and block sizes are all pure doc_id
+    arithmetic."""
     docs = _t(spark, sf_dir, "documents")
     n = min(docs.count(), 200) // 10 * 10
     d = F.col("doc_id")
@@ -3110,8 +3106,46 @@ def _q_articulation(spark, sf_dir):
     chord = docs.filter(d < n // 10).select(
         (d * 10).alias("src"), (d * 10 + 5).alias("dst")
     )
-    edges = ring.unionByName(chain).unionByName(chord)
-    return algorithms.articulation_points(edges)
+    return ring.unionByName(chain).unionByName(chord)
+
+
+def _q_articulation(spark, sf_dir):
+    """Articulation points (algorithms.articulation_points,
+    Tarjan–Vishkin biconnectivity on the BFS forest) on the planted
+    ring-chain: the cut vertices are exactly both endpoints of every
+    chain edge. One wrong aux-graph rule anywhere produces a
+    false/missing cut vertex and fails the value gate; random-graph
+    parity vs python Tarjan lives in pytest."""
+    return algorithms.articulation_points(_ring_chain_edges(spark, sf_dir))
+
+
+def _q_bcc_blocks(spark, sf_dir):
+    """Biconnected components (algorithms.biconnected_components) on the
+    ring-chain, gated through block SIZES (label values depend on the
+    forest; sizes are arithmetic): every ring+chord edge sits in an
+    11-edge block, every chain edge is a singleton (= a bridge).
+    Returns one row per undirected edge (a, b, block_size)."""
+    out = algorithms.biconnected_components(_ring_chain_edges(spark, sf_dir))
+    sizes = out.groupBy("bcc_id").agg(F.count("*").alias("block_size"))
+    return out.join(sizes, "bcc_id").select("a", "b", "block_size")
+
+
+def _q_bcc_bridge_gate(spark, sf_dir):
+    """Cross-operator consistency: singleton biconnected blocks must be
+    EXACTLY the bridges — the same cut structure derived by two
+    independent routes (XOR-coverage signatures vs the Tarjan–Vishkin
+    auxiliary-graph CC). Returns the symmetric difference (oracle:
+    empty)."""
+    edges = _ring_chain_edges(spark, sf_dir)
+    bcc = algorithms.biconnected_components(edges)
+    sizes = bcc.groupBy("bcc_id").agg(F.count("*").alias("_n"))
+    singles = (
+        bcc.join(sizes.filter(F.col("_n") == 1), "bcc_id").select("a", "b")
+    )
+    br = algorithms.bridges(edges).select("a", "b")
+    return singles.join(br, ["a", "b"], "left_anti").unionByName(
+        br.join(singles, ["a", "b"], "left_anti")
+    )
 
 
 def _q_ngram_novelty(spark, sf_dir):
@@ -4848,6 +4882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_cycles": _q_import_cycles,
         "ngram_novelty": _q_ngram_novelty,
         "articulation": _q_articulation,
+        "bcc_blocks": _q_bcc_blocks,
+        "bcc_bridge_gate": _q_bcc_bridge_gate,
         "emb_neardup_sha": _q_emb_neardup_sha,
         "louvain_gate": _q_louvain_gate,
         "ktruss": _q_ktruss,
@@ -7438,6 +7474,23 @@ arts as (
 )
 select vertex from arts order by vertex
 """,
+        "bcc_blocks": """
+with nd as (select (least(count(*), 200) // 10) * 10 as n from documents),
+ring as (select least(d, (d // 10) * 10 + (d + 1) % 10) as a,
+                greatest(d, (d // 10) * 10 + (d + 1) % 10) as b,
+                11 as block_size
+         from (select unnest(range(0, (select n from nd))) as d)),
+chord as (select r * 10 as a, r * 10 + 5 as b, 11 as block_size
+          from (select unnest(range(0, (select n from nd) // 10)) as r)),
+chain as (select r * 10 + 9 as a, (r + 1) * 10 as b, 1 as block_size
+          from (select unnest(range(0, (select n from nd) // 10 - 1)) as r))
+select a, b, block_size::bigint as block_size from
+  (select * from ring union all select * from chord union all select * from chain)
+""",
+        "bcc_bridge_gate": (
+            "select cast(null as bigint) as a, cast(null as bigint) as b "
+            "where 1 = 0"
+        ),
         "ngram_novelty": r"""
 with n as (select doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) as norm
            from documents),

@@ -5824,25 +5824,111 @@ def articulation_points(
     exactly like bridges. Gates: plain-python Tarjan low-link oracle in
     pytest (random graphs) + a planted ring-chain arithmetic oracle in
     the driver contract. Returns (vertex) rows, ascending."""
-    und = (
-        edges.where(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-        .persist()
+    und, parents, non_tree, lab, frontiers = _biconnectivity(
+        edges, max_depth, **kw
     )
-    parents, truncated = _bfs_forest(und, max_depth, **kw)
-    if truncated:
+    inc = parents.select(
+        F.col("parent").alias("vertex"), F.col("vertex").alias("eid")
+    ).unionByName(
+        parents.select("vertex", F.col("vertex").alias("eid"))
+    )
+    out = (
+        inc.join(lab, "eid")
+        .groupBy("vertex")
+        .agg(F.count_distinct("lab").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("vertex")
+        .orderBy("vertex")
+    )
+    out = gimv.truncate_plan(out)
+    for f in frontiers:
+        f.unpersist()
+    und.unpersist()
+    parents.unpersist()
+    return out
+
+
+def biconnected_components(
+    edges: DataFrame,
+    max_depth: int = 32,
+    **kw,
+) -> DataFrame:
+    """Biconnected components: every undirected edge labeled with its
+    block id (Tarjan–Vishkin, same machinery as
+    :func:`articulation_points`). Tree edges take their auxiliary-graph
+    CC label; a NON-tree edge joins the block of the parent edge of its
+    DEEPER endpoint (for ancestor-related endpoints the deeper one's
+    tree path closes the cycle; for unrelated endpoints rule 1 already
+    merged both parent edges, so either endpoint gives the same label —
+    the (depth desc, then a) pick is just a deterministic tie-break).
+    Bridges are exactly the singleton blocks — gated by construction
+    against :func:`bridges` (bcc_bridge_consistency) plus a python
+    Tarjan block oracle in pytest. Returns (a, b, bcc_id) with a < b,
+    one row per undirected edge."""
+    und, parents, non_tree, lab, frontiers = _biconnectivity(
+        edges, max_depth, **kw
+    )
+    tree_lab = (
+        parents.select(
+            F.least("vertex", "parent").alias("a"),
+            F.greatest("vertex", "parent").alias("b"),
+            F.col("vertex").alias("eid"),
+        )
+        .join(lab, "eid")
+        .select("a", "b", F.col("lab").alias("bcc_id"))
+    )
+    da = parents.select(F.col("vertex").alias("a"), F.col("depth").alias("_da"))
+    db = parents.select(F.col("vertex").alias("b"), F.col("depth").alias("_db"))
+    nt_lab = (
+        non_tree.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.when(F.col("_da") >= F.col("_db"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("eid"),
+        )
+        .join(lab, "eid")
+        .select("a", "b", F.col("lab").alias("bcc_id"))
+    )
+    out = gimv.truncate_plan(tree_lab.unionByName(nt_lab))
+    for f in frontiers:
+        f.unpersist()
+    und.unpersist()
+    parents.unpersist()
+    return out
+
+
+def _biconnectivity(edges: DataFrame, max_depth: int, **kw):
+    """Shared Tarjan–Vishkin core: canonical undirected edges, BFS forest
+    (auto-deepened on truncation), ancestor closure, auxiliary graph
+    (rules 1+2), HashMin CC over it, and the tree-edge label table
+    (eid = child endpoint, singleton edges label themselves). Returns
+    (und, parents, non_tree, lab, frontiers); the CALLER unpersists und,
+    parents, and every frontier."""
+    while True:
+        und = (
+            edges.where(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .distinct()
+            .persist()
+        )
+        parents, truncated = _bfs_forest(und, max_depth, **kw)
+        if not truncated:
+            break
         und.unpersist()
         parents.unpersist()
         if max_depth >= BRIDGE_MAX_DEPTH:
             raise RuntimeError(
-                "articulation_points(): BFS forest truncated at max_depth="
+                "biconnectivity: BFS forest truncated at max_depth="
                 f"{max_depth}; graph depth exceeds the hard cap "
                 f"{BRIDGE_MAX_DEPTH} — results would be wrong, aborting"
             )
-        return articulation_points(edges, max_depth=max_depth * 2, **kw)
+        max_depth *= 2
     tree = parents.select(
         F.least("vertex", "parent").alias("a"),
         F.greatest("vertex", "parent").alias("b"),
@@ -5901,25 +5987,7 @@ def articulation_points(
             F.coalesce(F.col("value"), F.col("eid")).cast("long").alias("lab"),
         )
     )
-    inc = parents.select(
-        F.col("parent").alias("vertex"), F.col("vertex").alias("eid")
-    ).unionByName(
-        parents.select("vertex", F.col("vertex").alias("eid"))
-    )
-    out = (
-        inc.join(lab, "eid")
-        .groupBy("vertex")
-        .agg(F.count_distinct("lab").alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("vertex")
-        .orderBy("vertex")
-    )
-    out = gimv.truncate_plan(out)
-    for f in frontiers:
-        f.unpersist()
-    und.unpersist()
-    parents.unpersist()
-    return out
+    return und, parents, non_tree, lab, frontiers
 
 
 def vertex_cover(edges: DataFrame, max_rounds: int = 50, **kw) -> DataFrame:

@@ -194,3 +194,53 @@ def py_articulation(raw):
         if root_children >= 2:
             arts.add(root)
     return arts
+
+
+def py_biconnected(raw):
+    """Plain-python Tarjan biconnected components (edge-stack algorithm):
+    returns a list of blocks, each a set of canonical (a, b) edges — the
+    independent reference for algorithms.biconnected_components."""
+    adj = {}
+    for s, d in raw:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    disc, low = {}, {}
+    t = [0]
+    blocks = []
+    estack = []
+    for root in sorted(adj):
+        if root in disc:
+            continue
+        stack = [(root, None, iter(sorted(adj[root])))]
+        disc[root] = low[root] = t[0]
+        t[0] += 1
+        while stack:
+            u, parent, it = stack[-1]
+            advanced = False
+            for v in it:
+                if v not in disc:
+                    estack.append((min(u, v), max(u, v)))
+                    disc[v] = low[v] = t[0]
+                    t[0] += 1
+                    stack.append((v, u, iter(sorted(adj[v]))))
+                    advanced = True
+                    break
+                elif v != parent and disc[v] < disc[u]:
+                    estack.append((min(u, v), max(u, v)))
+                    low[u] = min(low[u], disc[v])
+            if not advanced:
+                stack.pop()
+                if parent is not None:
+                    low[parent] = min(low[parent], low[u])
+                    if low[u] >= disc[parent]:
+                        blk = set()
+                        key = (min(u, parent), max(u, parent))
+                        while True:
+                            e = estack.pop()
+                            blk.add(e)
+                            if e == key:
+                                break
+                        blocks.append(blk)
+    return blocks

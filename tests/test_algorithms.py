@@ -2816,3 +2816,42 @@ def test_articulation_points_auto_deepens(spark):
     got = [r.vertex for r in algorithms.articulation_points(
         fixtures.edges_df(spark, path), max_depth=4).collect()]
     assert got == list(range(1, 13))
+
+
+def test_biconnected_components_hand_and_bridges(spark):
+    from flexgraph_spark import fixtures
+
+    raw = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4), (4, 5), (5, 6),
+           (10, 11)]
+    rows = algorithms.biconnected_components(
+        fixtures.edges_df(spark, raw)).collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.bcc_id, set()).add((r.a, r.b))
+    got = {frozenset(g) for g in groups.values()}
+    want = {frozenset({(0, 1), (1, 2), (0, 2)}),
+            frozenset({(2, 3), (3, 4), (2, 4)}),
+            frozenset({(4, 5)}), frozenset({(5, 6)}),
+            frozenset({(10, 11)})}
+    assert got == want
+    # singleton blocks == bridges (by construction, two different routes)
+    singles = {next(iter(g)) for g in got if len(g) == 1}
+    br = {(r.a, r.b) for r in algorithms.bridges(
+        fixtures.edges_df(spark, raw)).collect()}
+    assert singles == br
+
+
+def test_biconnected_components_random_vs_tarjan(spark):
+    from flexgraph_spark import fixtures
+    from flexgraph_spark.oracle import py_biconnected
+
+    for seed, p in ((11, 0.035), (3, 0.08)):
+        raw = fixtures.rand_er(50, p, seed=seed)
+        rows = algorithms.biconnected_components(
+            fixtures.edges_df(spark, raw)).collect()
+        groups = {}
+        for r in rows:
+            groups.setdefault(r.bcc_id, set()).add((r.a, r.b))
+        got = {frozenset(g) for g in groups.values()}
+        want = {frozenset(b) for b in py_biconnected(raw)}
+        assert got == want, (seed, p)
