@@ -24,7 +24,7 @@ from jobs.common import base_parser, get_session, load_edges
 
 def main() -> None:
     p = base_parser("graph structure: bridges / 2ecc / influence")
-    p.add_argument("--mode", choices=["bridges", "2ecc", "articulation", "influence"],
+    p.add_argument("--mode", choices=["bridges", "2ecc", "articulation", "bcc", "influence"],
                    default="bridges")
     p.add_argument("--max-depth", type=int, default=64,
                    help="BFS forest depth cap (bridges/2ecc)")
@@ -57,6 +57,11 @@ def main() -> None:
         )
     elif args.mode == "articulation":
         out = algorithms.articulation_points(
+            edges, max_depth=args.max_depth,
+            num_partitions=args.num_partitions,
+        )
+    elif args.mode == "bcc":
+        out = algorithms.biconnected_components(
             edges, max_depth=args.max_depth,
             num_partitions=args.num_partitions,
         )
