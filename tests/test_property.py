@@ -229,3 +229,64 @@ def test_influence_matches_live_edge_bfs_on_random_graphs(spark, es, seed):
     got = {r.vertex: r.hops for r in algorithms.influence_spread(
         df, sdf, p=p, cascade_seed=seed, max_hops=max_hops).collect()}
     assert got == dist
+
+
+@given(_edges, st.data())
+@settings(**_SETTINGS)
+def test_decremental_sssp_repair_equals_cold(spark, es, data):
+    """On a random weighted graph, delete a random edge subset: the
+    Ramalingam-Reps affected-closure reset + warm min-plus relaxation
+    must equal a cold run on the surviving edges — the exactness claim
+    behind streaming_sssp_maintenance's delete path, fuzzed."""
+    from flexgraph_spark.streaming import _sssp_delete_reset
+
+    w = [(a, b, float(1 + (a * 7 + b * 3) % 5)) for a, b in es]
+    k = data.draw(st.integers(0, len(w)))
+    idx = data.draw(st.permutations(range(len(w))))
+    deleted = [w[i] for i in idx[:k]]
+    live = [w[i] for i in idx[k:]]
+    schema = "src long, dst long, weight double"
+    full_df = spark.createDataFrame(w, schema)
+    pd_full = algorithms.sssp(full_df, source_vertex=es[0][0]).state
+    if live:
+        live_df = spark.createDataFrame(live, schema)
+        dels_df = spark.createDataFrame(deleted or [(0, 0, 0.0)], schema) \
+            if deleted else spark.createDataFrame([], schema)
+        reset = _sssp_delete_reset(es[0][0])
+        init = reset(pd_full, dels_df, live_df) if deleted else pd_full
+        warm = algorithms.sssp(live_df, source_vertex=es[0][0],
+                               initial_state=init)
+        cold = algorithms.sssp(live_df, source_vertex=es[0][0])
+        got = {r["vertex"]: r["value"] for r in warm.state.collect()}
+        want = {r["vertex"]: r["value"] for r in cold.state.collect()}
+        assert got == want
+
+
+@given(_edges, st.data())
+@settings(**_SETTINGS)
+def test_decremental_cc_repair_equals_cold(spark, es, data):
+    """Random graph, random delete subset: component cold-restart of the
+    affected components + HashMin warm start must equal a cold CC on the
+    surviving edges."""
+    from flexgraph_spark.streaming import _cc_delete_reset
+
+    k = data.draw(st.integers(0, len(es)))
+    idx = data.draw(st.permutations(range(len(es))))
+    deleted = [es[i] for i in idx[:k]]
+    live = [es[i] for i in idx[k:]]
+    if not live:
+        return
+    schema = "src long, dst long"
+    pd_full = algorithms.connected_components(
+        spark.createDataFrame(es, schema)).state
+    live_df = spark.createDataFrame(live, schema)
+    if deleted:
+        dels_df = spark.createDataFrame(deleted, schema)
+        init = _cc_delete_reset(pd_full, dels_df, live_df)
+    else:
+        init = pd_full
+    warm = algorithms.connected_components(live_df, initial_state=init)
+    cold = algorithms.connected_components(live_df)
+    got = {r["vertex"]: int(r["value"]) for r in warm.state.collect()}
+    want = {r["vertex"]: int(r["value"]) for r in cold.state.collect()}
+    assert got == want
