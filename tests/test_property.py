@@ -290,3 +290,23 @@ def test_decremental_cc_repair_equals_cold(spark, es, data):
     got = {r["vertex"]: int(r["value"]) for r in warm.state.collect()}
     want = {r["vertex"]: int(r["value"]) for r in cold.state.collect()}
     assert got == want
+
+
+@given(es=_edges)
+@settings(**_SETTINGS)
+def test_articulation_and_bcc_match_tarjan_on_random_graphs(spark, es):
+    """Tarjan-Vishkin aux-graph biconnectivity == plain-python Tarjan
+    (low-link cut vertices AND edge-stack blocks) on random graphs —
+    one engine pass feeds both assertions."""
+    from flexgraph_spark.oracle import py_articulation, py_biconnected
+
+    df = fixtures.edges_df(spark, es)
+    got_arts = {r.vertex for r in
+                algorithms.articulation_points(df).collect()}
+    assert got_arts == py_articulation(es)
+    rows = algorithms.biconnected_components(df).collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.bcc_id, set()).add((r.a, r.b))
+    got_blocks = {frozenset(g) for g in groups.values()}
+    assert got_blocks == {frozenset(b) for b in py_biconnected(es)}
