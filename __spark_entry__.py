@@ -1098,9 +1098,36 @@ def _q_hadi_series(spark, sf_dir):
     """HADI effective-diameter series (h, n_est) run to convergence (the
     frontier empties — byte-stable sketches). No DuckDB oracle: DataSketches
     HLL register states are not reproducible in SQL; the path is gated by
-    hadi_precision (vs in-Spark exact N(h)) and neighborhood3 above."""
+    hadi_precision (vs in-Spark exact N(h)), neighborhood3 above, and
+    hadi_registers (the recurrence itself, bit-for-bit on sha registers)."""
     res = algorithms.hadi(_graph1000(spark, sf_dir), max_h=16, lg_k=HADI_LG_K)
     return res.series.select("h", F.round("n_est", 2).alias("n_est"))
+
+
+def _q_hadi_registers(spark, sf_dir):
+    """FULL value gate for the HADI recurrence (closes the hadi no_oracle
+    gap alongside hadi_precision): algorithms.hadi_registers runs the
+    identical OR semi-ring superstep on the repo's sha256 HLL registers
+    (sketches.hll_registers bucket/ρ contract, integer-exact), and the
+    DuckDB oracle replays EVERY register at EVERY h — reach sets by
+    unrolled pair-BFS, registers by the same sha/bucket/ρ arithmetic —
+    compared here as one sorted ``bucket:m`` fingerprint string per
+    (h, vertex). A single wrong register anywhere in 0..3 supersteps
+    fails the hash."""
+    res = algorithms.hadi_registers(
+        _graph1000(spark, sf_dir), max_h=NEIGHBORHOOD_H, precision=4
+    )
+    return res.groupBy("h", "vertex").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "m"))),
+                lambda s: F.concat_ws(
+                    ":", s["bucket"].cast("string"), s["m"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("regs")
+    )
 
 
 def _q_sssp8(spark, sf_dir):
@@ -2998,6 +3025,14 @@ def _q_minhash_recall_gate(spark, sf_dir):
     the row-count gate. Probabilistic recall at J in (t,1) remains
     pytest-measured (xxhash64 signatures aren't SQL-replayable)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # The companion offset (600000) is baked into the oracle SQL (pure
+    # doc_id arithmetic), so a fixture whose ids reach it would silently
+    # collide planted ids with real docs — fail loudly instead.
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    assert max_id is None or max_id < 600000, (
+        f"minhash_recall_gate: fixture doc_ids reach {max_id} >= 600000; "
+        "the planted-companion offset (and its oracle SQL) must be raised"
+    )
     base = docs.filter((F.col("doc_id") < 50) & (F.length("text") >= 20))
     planted = base.select(
         (F.col("doc_id") + 600000).alias("doc_id"),
@@ -3235,6 +3270,28 @@ def _q_semdedup(spark, sf_dir):
                            threshold=0.95)
     return out.select(
         "vec_id", F.col("keep").cast("int").alias("keep"),
+        F.coalesce("dup_of", F.lit(-1)).alias("dup_of"),
+        F.coalesce(F.round("max_cosine", 6), F.lit(0.0)).alias("max_cosine"),
+    )
+
+
+def _q_semdedup_sha(spark, sf_dir):
+    """FULL value gate for CLUSTERED SemDeDup (closes the registry's last
+    substantive no_oracle face): partitioner='sha' swaps the k-means
+    quantizer for the single-table sha-sign hyperplane bucketing
+    (textops.lsh_assign_buckets plane_source='sha', 4 planes → 16
+    cells), which DuckDB replays bit-for-bit — so the oracle runs the
+    ENTIRE clustered pipeline: plane signs → per-vector cell id →
+    within-cell candidate pairs → exact cosine verify → greedy keep
+    contract (keep(v) ⇔ ∄ u < v in cell(v) with cos ≥ τ). Identical
+    Spark code path to the production k-means face (only the assignment
+    constants differ); the k-means fit itself stays gated by
+    ann_ivf_top5 + semdedup_containment."""
+    out = textops.semdedup(_emb_with_dups(spark, sf_dir), n_clusters=16,
+                           threshold=0.95, partitioner="sha")
+    return out.select(
+        "vec_id", F.col("centroid_id").cast("int").alias("centroid_id"),
+        F.col("keep").cast("int").alias("keep"),
         F.coalesce("dup_of", F.lit(-1)).alias("dup_of"),
         F.coalesce(F.round("max_cosine", 6), F.lit(0.0)).alias("max_cosine"),
     )
@@ -4897,7 +4954,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_diameter": _q_effective_diameter,
         "hadi_precision": _q_hadi_precision,
         "hadi_series": _q_hadi_series,
+        "hadi_registers": _q_hadi_registers,
         "semdedup_k1": _q_semdedup_k1,
+        "semdedup_sha": _q_semdedup_sha,
         "semdedup": _q_semdedup,
         "semdedup_containment": _q_semdedup_containment,
         "winnow_containment": _q_winnow_containment,
@@ -5216,6 +5275,45 @@ def _neighborhood_sql(edge_sql: str, max_h: int) -> str:
         for k in range(max_h + 1)
     )
     return "with " + ",\n".join(ctes) + "\n" + counts
+
+
+def _hadi_registers_sql(edge_sql: str, max_h: int, precision: int) -> str:
+    """Bit-for-bit replay of algorithms.hadi_registers: exact reach sets
+    via the unrolled pair-BFS CTEs, then the sketches.hll_registers
+    bucket/ρ arithmetic per (h, vertex), fingerprinted as the sorted
+    ``bucket:m`` string."""
+    m = 1 << precision
+    avail = 60 - precision
+    ctes = [
+        f"e as materialized ({edge_sql})",
+        "p0 as materialized (select src as v, src as u from e "
+        "union select dst, dst from e)",
+    ]
+    for k in range(1, max_h + 1):
+        ctes.append(
+            f"p{k} as materialized (select v, u from p{k-1} union "
+            f"select p.v, e.dst as u from p{k-1} p join e on e.src = p.u)"
+        )
+    reach = " union all ".join(
+        f"select {k} as h, v, u from p{k}" for k in range(max_h + 1)
+    )
+    ctes.append(f"r as ({reach})")
+    ctes.append(
+        "hh as (select h, v, "
+        "('0x' || substr(sha256('hll:' || u), 1, 15))::bigint as hv from r)"
+    )
+    ctes.append(
+        f"regs as (select h, v, hv % {m} as bucket, "
+        f"max(case when hv // {m} = 0 then {avail + 1} "
+        f"else {avail} - (length(to_base(hv // {m}, 2)) - 1) end) as m "
+        "from hh group by 1, 2, 3)"
+    )
+    return (
+        "with " + ",\n".join(ctes) + "\n"
+        "select h, v as vertex, "
+        "string_agg(bucket || ':' || m, ',' order by bucket) as regs "
+        "from regs group by 1, 2"
+    )
 
 
 def _effdiam_sql(edge_sql: str, max_h: int, ratio: float = 0.9) -> str:
@@ -7000,6 +7098,46 @@ where rnk <= 5
 # SemDeDup exact face (n_clusters=1 → all-pairs greedy keep rule). The
 # planted-dup construction mirrors _emb_with_dups bit-exactly: FLOAT +
 # DOUBLE·FLOAT promotes to double then casts back to float in both engines.
+# Clustered SemDeDup, sha-sign-plane partitioner: replay plane signs →
+# 4-bit cell codes → within-cell pairs → cosine verify → greedy keep.
+_SEMDEDUP_SHA_SQL = """
+with base as (select vec_id, embedding from embeddings),
+dups as (select b.vec_id + 100000 as vec_id,
+    list_transform(range(1, len(b.embedding) + 1),
+        i -> cast(b.embedding[i] + 0.15 * n.embedding[i] as float)) as embedding
+    from base b join base n on n.vec_id = b.vec_id + 1 where b.vec_id < 50),
+v as materialized (
+    select vec_id, list_transform(embedding, x -> x::double) as e from base
+    union all
+    select vec_id, list_transform(embedding, x -> x::double) as e from dups),
+dims as (select unnest(range(0, (select len(e) from v limit 1))) as i),
+js as (select unnest(range(0, 4)) as j),
+planes as materialized (
+  select j, list(case when ('0x' || substr(sha256('lsh42:' || i || ':' || j), 1, 15))::bigint % 2 = 0
+                      then 1.0 else -1.0 end order by i) as pl
+  from dims, js group by j),
+cells as materialized (
+  select v.vec_id,
+         sum(case when list_dot_product(v.e, p.pl) > 0
+                  then 1 << p.j else 0 end)::int as centroid_id
+  from v, planes p group by v.vec_id),
+pr as (select a.vec_id as ida, b.vec_id as idb,
+        list_dot_product(x.e, y.e) /
+          (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e)))
+          as cos
+      from cells a join cells b
+        on a.centroid_id = b.centroid_id and a.vec_id < b.vec_id
+      join v x on x.vec_id = a.vec_id
+      join v y on y.vec_id = b.vec_id),
+d as (select idb as vec_id, min(ida) as dup_of, max(cos) as maxc
+      from pr where cos >= 0.95 group by idb)
+select c.vec_id, c.centroid_id, cast(d.dup_of is null as int) as keep,
+       coalesce(d.dup_of, -1) as dup_of,
+       coalesce(round(d.maxc, 6), 0.0) as max_cosine
+from cells c left join d using (vec_id)
+"""
+
+
 _SEMDEDUP_K1_SQL = """
 with base as (select vec_id, embedding from embeddings),
 dups as (select b.vec_id + 100000 as vec_id,
@@ -7509,6 +7647,7 @@ from per
         "local_clustering": _LCC_SQL,
         "link_prediction": _LINK_PRED_SQL,
         "neighborhood3": _neighborhood_sql(G1000_SQL, NEIGHBORHOOD_H),
+        "hadi_registers": _hadi_registers_sql(G1000_SQL, NEIGHBORHOOD_H, 4),
         "effective_diameter": _effdiam_sql(G1000_SQL, NEIGHBORHOOD_H),
         "hadi_precision": (
             "select cast(null as integer) as h, "
@@ -7875,6 +8014,7 @@ where rnk <= 5
             "as vec_id_b, cast(null as double) as cosine where 1 = 0"
         ),
         "semdedup_k1": _SEMDEDUP_K1_SQL,
+        "semdedup_sha": _SEMDEDUP_SHA_SQL,
         "kmeans_assign_gate": (
             "select cast(null as bigint) as vec_id, cast(null as int) "
             "as centroid_id, cast(null as int) as best where 1 = 0"

@@ -861,7 +861,7 @@ def kcore(
             n_alive = m
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
-    und.unpersist()
+        und.unpersist()
     return GimvResult(state=alive, iterations=rounds, converged=converged, metrics=metrics)
 
 
@@ -957,7 +957,7 @@ def weighted_kcore(
             n_alive = m
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
-    und.unpersist()
+        und.unpersist()
     return GimvResult(state=alive, iterations=rounds, converged=converged, metrics=metrics)
 
 
@@ -1214,6 +1214,63 @@ def hadi(
         closeness=closeness,
         radius=radius,
     )
+
+
+def hadi_registers(
+    edges: DataFrame, max_h: int = 3, precision: int = 4
+) -> DataFrame:
+    """Register-TABLE face of HADI — the same OR semi-ring recurrence
+    ``sketch_v(h) = sketch_v(h-1) ∪ ⋃_{v→u} sketch_u(h-1)`` run on the
+    repo's own sha256 HLL registers (sketches.hll_registers contract:
+    bucket = sha_long(v,'hll') % 2^precision, ρ = leftmost-1 position of
+    the remaining 60-precision bits) instead of JVM DataSketches. Union
+    of sketches = register-wise max, so one superstep is a union +
+    groupBy(vertex, bucket) max — integer-exact, and a SQL oracle
+    replays EVERY register at EVERY h bit-for-bit (the hadi_registers
+    gate): reach sets via unrolled pair-BFS, registers via the identical
+    sha/bucket/ρ arithmetic. That value-gates the HADI recurrence itself;
+    the production :func:`hadi` path (DataSketches, frontier messaging,
+    estimate readout) keeps hadi_precision as its accuracy gate.
+
+    Returns long-form ``(h, vertex, bucket, m)`` for h = 0..max_h
+    (non-empty buckets only). Gate-scale face: per-vertex register ROWS
+    (≤ 2^precision per vertex per level) rather than packed sketch bytes
+    — at 100 TB run :func:`hadi` (O(V) packed sketches, delta
+    messaging); this face exists to pin its algebra under the oracle."""
+    from flexgraph_spark.sketches import sha_long
+
+    m_buckets = 1 << precision
+    avail = 60 - precision
+    e = edges.select("src", "dst").distinct()
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .union(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    hv = sha_long(F.col("vertex"), "hll")
+    rem = F.shiftright(hv, precision)
+    rho = (
+        F.when(rem == 0, F.lit(avail + 1))
+        .otherwise(F.lit(avail) - (F.length(F.bin(rem)) - F.lit(1)))
+    )
+    state = verts.select(
+        "vertex", (hv % F.lit(m_buckets)).alias("bucket"), rho.alias("m")
+    )
+    levels = [state.withColumn("h", F.lit(0))]
+    for k in range(1, max_h + 1):
+        msgs = e.join(state.withColumnRenamed("vertex", "dst"), "dst").select(
+            F.col("src").alias("vertex"), "bucket", "m"
+        )
+        state = truncate_plan(
+            state.unionByName(msgs)
+            .groupBy("vertex", "bucket")
+            .agg(F.max("m").alias("m"))
+        )
+        levels.append(state.withColumn("h", F.lit(k)))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select("h", "vertex", "bucket", "m")
 
 
 def _oriented_triangles(edges: DataFrame, und: DataFrame | None = None):
@@ -1820,85 +1877,99 @@ def ktruss(
     rounds = 0
     sup = None  # (a, b, support) for the CURRENT edge set, exact
     dropped_df = None
-    for r in range(1, max_rounds + 1):
-        t0 = time.time()
-        if r == 1:
-            oriented, closed, _deg = _oriented_triangles(
-                und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-            )
-            tri = closed.select("u", "w1", "w2")
-            sides = (
-                tri.select(F.least("u", "w1").alias("a"),
-                           F.greatest("u", "w1").alias("b"))
-                .unionAll(tri.select(F.least("u", "w2").alias("a"),
-                                     F.greatest("u", "w2").alias("b")))
-                .unionAll(tri.select(F.col("w1").alias("a"),
-                                     F.col("w2").alias("b")))
-            )
-            new_sup = sides.groupBy("a", "b").agg(F.count("*").alias("support"))
-            oriented_to_release = oriented
-        else:
-            # triangles of the PREVIOUS graph containing >= 1 dropped
-            # edge: distinct common-neighbor completion of the dropped
-            # set against the previous adjacency (und ∪ dropped).
-            prev_graph = und.unionByName(dropped_df)
-            sym = prev_graph.select(F.col("a").alias("u"), F.col("b").alias("v")) \
-                .unionByName(prev_graph.select(F.col("b").alias("u"),
-                                               F.col("a").alias("v")))
-            s1 = sym.select(F.col("u").alias("a"), F.col("v").alias("c"))
-            s2 = sym.select(F.col("u").alias("b"), F.col("v").alias("c"))
-            tri = (
-                dropped_df.join(s1, "a")
-                .join(s2, ["b", "c"])  # hash join on (b, c): wedge close
-                .select(F.sort_array(F.array("a", "b", "c")).alias("t"))
-                .select(
-                    F.element_at("t", 1).alias("x"),
-                    F.element_at("t", 2).alias("y"),
-                    F.element_at("t", 3).alias("z"),
+    # A mid-peel failure must release the checkpointed frames held
+    # between rounds (current und/sup/dropped_df bindings) instead of
+    # leaking their blocks for the rest of the session — same shape as
+    # the weighted_kcore finally-unpersist fix. On success the loop has
+    # already released everything except the returned state.
+    try:
+        for r in range(1, max_rounds + 1):
+            t0 = time.time()
+            if r == 1:
+                oriented, closed, _deg = _oriented_triangles(
+                    und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
                 )
-                .distinct()
+                tri = closed.select("u", "w1", "w2")
+                sides = (
+                    tri.select(F.least("u", "w1").alias("a"),
+                               F.greatest("u", "w1").alias("b"))
+                    .unionAll(tri.select(F.least("u", "w2").alias("a"),
+                                         F.greatest("u", "w2").alias("b")))
+                    .unionAll(tri.select(F.col("w1").alias("a"),
+                                         F.col("w2").alias("b")))
+                )
+                new_sup = sides.groupBy("a", "b").agg(F.count("*").alias("support"))
+                oriented_to_release = oriented
+            else:
+                # triangles of the PREVIOUS graph containing >= 1 dropped
+                # edge: distinct common-neighbor completion of the dropped
+                # set against the previous adjacency (und ∪ dropped).
+                prev_graph = und.unionByName(dropped_df)
+                sym = prev_graph.select(F.col("a").alias("u"), F.col("b").alias("v")) \
+                    .unionByName(prev_graph.select(F.col("b").alias("u"),
+                                                   F.col("a").alias("v")))
+                s1 = sym.select(F.col("u").alias("a"), F.col("v").alias("c"))
+                s2 = sym.select(F.col("u").alias("b"), F.col("v").alias("c"))
+                tri = (
+                    dropped_df.join(s1, "a")
+                    .join(s2, ["b", "c"])  # hash join on (b, c): wedge close
+                    .select(F.sort_array(F.array("a", "b", "c")).alias("t"))
+                    .select(
+                        F.element_at("t", 1).alias("x"),
+                        F.element_at("t", 2).alias("y"),
+                        F.element_at("t", 3).alias("z"),
+                    )
+                    .distinct()
+                )
+                d_sides = (
+                    tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+                    .unionAll(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+                    .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+                )
+                delta = d_sides.groupBy("a", "b").agg(F.count("*").alias("_d"))
+                new_sup = (
+                    sup.join(delta, ["a", "b"], "left")
+                    .select(
+                        "a", "b",
+                        (F.col("support") - F.coalesce(F.col("_d"), F.lit(0)))
+                        .alias("support"),
+                    )
+                )
+                oriented_to_release = None
+            strong = truncate_plan(
+                new_sup.where(F.col("support") >= k - 2)
             )
-            d_sides = (
-                tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
-                .unionAll(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
-                .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
-            )
-            delta = d_sides.groupBy("a", "b").agg(F.count("*").alias("_d"))
-            new_sup = (
-                sup.join(delta, ["a", "b"], "left")
-                .select(
-                    "a", "b",
-                    (F.col("support") - F.coalesce(F.col("_d"), F.lit(0)))
-                    .alias("support"),
+            kept = truncate_plan(und.join(strong.select("a", "b"), ["a", "b"]))
+            m = kept.count()
+            if oriented_to_release is not None:
+                oriented_to_release.unpersist()
+            new_dropped = truncate_plan(und.join(kept, ["a", "b"], "left_anti"))
+            und.unpersist()
+            rounds = r
+            metrics.append(
+                IterationMetrics(
+                    iteration=r,
+                    messages_shuffled=m,
+                    changed=n - m,
+                    edges_scanned=n,
+                    seconds=time.time() - t0,
                 )
             )
-            oriented_to_release = None
-        strong = truncate_plan(
-            new_sup.where(F.col("support") >= k - 2)
-        )
-        kept = truncate_plan(und.join(strong.select("a", "b"), ["a", "b"]))
-        m = kept.count()
-        if oriented_to_release is not None:
-            oriented_to_release.unpersist()
-        new_dropped = truncate_plan(und.join(kept, ["a", "b"], "left_anti"))
-        und.unpersist()
-        rounds = r
-        metrics.append(
-            IterationMetrics(
-                iteration=r,
-                messages_shuffled=m,
-                changed=n - m,
-                edges_scanned=n,
-                seconds=time.time() - t0,
-            )
-        )
-        # support restricted to survivors (all kept edges have rows:
-        # kept ⊆ strong by construction)
-        sup = truncate_plan(strong.join(kept, ["a", "b"]))
-        und, dropped, n, dropped_df = kept, n - m, m, new_dropped
-        if dropped == 0 or n == 0:
-            converged = True
-            break
+            # support restricted to survivors (all kept edges have rows:
+            # kept ⊆ strong by construction)
+            sup = truncate_plan(strong.join(kept, ["a", "b"]))
+            und, dropped, n, dropped_df = kept, n - m, m, new_dropped
+            if dropped == 0 or n == 0:
+                converged = True
+                break
+    except BaseException:
+        for frame in (und, sup, dropped_df):
+            if frame is not None:
+                try:
+                    frame.unpersist(blocking=False)
+                except Exception:
+                    pass
+        raise
     return GimvResult(state=und, iterations=rounds, converged=converged, metrics=metrics)
 
 

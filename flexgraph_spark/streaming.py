@@ -432,6 +432,7 @@ def streaming_sssp_maintenance(
     checkpoint_dir: str,
     source_vertex: int,
     max_iter: int = 100,
+    repair_metrics: list | None = None,
 ):
     """Continuous single-source shortest-path maintenance over a
     WEIGHTED edge stream (src, dst, weight): per micro-batch, warm-start
@@ -462,12 +463,16 @@ def streaming_sssp_maintenance(
     return _streaming_maintenance(
         edge_stream, labels_dir, checkpoint_dir, run, max_iter,
         edge_cols=("src", "dst", "weight"),
-        reset=_sssp_delete_reset(source_vertex),
+        reset=_sssp_delete_reset(source_vertex, metrics=repair_metrics),
+        # Edge identity is (src, dst): a 'del' need not repeat the exact
+        # weight, and a re-'add' with a new weight replaces the edge
+        # (the scaffold routes the weight change through the reset pass).
+        key_cols=("src", "dst"),
     )
 
 
 def _sssp_delete_reset(source_vertex: int, eps: float = 1e-9,
-                       max_rounds: int = 200):
+                       max_rounds: int = 200, metrics: list | None = None):
     """Decremental SSSP repair (the Ramalingam–Reps affected-set idea,
     re-expressed as DataFrame joins): a deleted edge can LENGTHEN
     distances, and min-plus relaxation never raises a value — so every
@@ -485,7 +490,13 @@ def _sssp_delete_reset(source_vertex: int, eps: float = 1e-9,
     Unaffected vertices keep distances that are still EXACT in the new
     graph; affected ones restart at +inf; the source is pinned at 0. All
     initial values are then >= the true distance, which is exactly the
-    warm-start precondition of the monotone relaxation."""
+    warm-start precondition of the monotone relaxation.
+
+    ``metrics`` (optional list): each invocation appends
+    ``{"deleted_edges", "affected", "rounds"}`` — the decremental-repair
+    cost witness: a leaf-edge delete must report ``affected`` ∝ the
+    delete's downstream subtree and ``rounds`` ∝ its impact radius, NOT
+    O(V)/O(diameter) (asserted in tests/test_streaming.py)."""
 
     def reset(init: DataFrame, dels: DataFrame, live: DataFrame) -> DataFrame:
         from flexgraph_spark import gimv
@@ -496,10 +507,20 @@ def _sssp_delete_reset(source_vertex: int, eps: float = 1e-9,
                             F.col("value").alias("_dd"))
 
         def tight(edges: DataFrame) -> DataFrame:
+            # Relative slack: eps scaled by the magnitude of the values
+            # being compared, so large-distance graphs don't miss
+            # alternate-support edges to float rounding (absolute 1e-9
+            # is smaller than 1 ulp once distances exceed ~2^23).
+            slack = eps * F.greatest(
+                F.lit(1.0), F.abs(F.col("_dd")),
+                F.abs(F.col("_ds") + F.col("weight")),
+            )
             return (
                 edges.join(d_src, "src").join(d_dst, "dst")
                 .filter(F.col("_ds") < gimv.SSSP_INF)
-                .filter(F.col("_dd") >= F.col("_ds") + F.col("weight") - eps)
+                .filter(
+                    F.col("_dd") >= F.col("_ds") + F.col("weight") - slack
+                )
             )
 
         aff = gimv.truncate_plan(
@@ -507,6 +528,7 @@ def _sssp_delete_reset(source_vertex: int, eps: float = 1e-9,
         )
         live_tight = gimv.truncate_plan(tight(live).select("src", "dst"))
         frontier = aff
+        rounds = 0
         for _ in range(max_rounds):
             nxt = gimv.truncate_plan(
                 live_tight.join(
@@ -518,9 +540,16 @@ def _sssp_delete_reset(source_vertex: int, eps: float = 1e-9,
             )
             if nxt.isEmpty():
                 break
+            rounds += 1
             aff = gimv.truncate_plan(aff.unionByName(nxt))
             frontier = nxt
         aff = aff.filter(F.col("vertex") != source_vertex)
+        if metrics is not None:
+            metrics.append({
+                "deleted_edges": dels.count(),
+                "affected": aff.count(),
+                "rounds": rounds,
+            })
         return init.join(
             aff.withColumn("_a", F.lit(1)), "vertex", "left"
         ).select(
@@ -534,21 +563,29 @@ def _sssp_delete_reset(source_vertex: int, eps: float = 1e-9,
 
 
 def _streaming_maintenance(edge_stream, labels_dir, checkpoint_dir, run,
-                           max_iter, edge_cols=("src", "dst"), reset=None):
+                           max_iter, edge_cols=("src", "dst"), reset=None,
+                           key_cols=None):
     """Shared foreachBatch scaffold for warm-started per-batch graph
     recompute: append the delta to the edge log, warm-start from the
     previous labels, overwrite the labels table (via a tmp read-back so
     the read and write paths stay disjoint within one batch).
 
     DELETIONS: batches may carry an ``op`` column ('add' | 'del';
-    absent column = all adds). The edge log records (edge, op, batch)
-    and the live edge set is last-writer-wins per edge identity (within
-    a batch, 'del' beats 'add') — at corpus scale the same log compacts
-    via Iceberg MERGE with identical semantics. When a batch contains
-    deletions, ``reset`` (per-algorithm) repairs the warm-start vector
-    first: monotone semirings (HashMin, min-plus) can never RAISE a
-    value, so state whose support may have been deleted must return to
-    cold init while everything else keeps its still-exact value."""
+    absent column = all adds — anything else raises, so a typo'd op can
+    never act as a silent delete). The edge log records (edge, op,
+    batch) and the live edge set is last-writer-wins per EDGE IDENTITY
+    ``key_cols`` (default: all of ``edge_cols``; weighted algorithms
+    pass (src, dst) so a 'del' need not bit-match the original weight,
+    and a re-'add' with a new weight replaces the edge) — within a
+    batch, 'del' beats 'add'; at corpus scale the same log compacts via
+    Iceberg MERGE with identical semantics. ``reset`` (per-algorithm)
+    repairs the warm-start vector whenever rows LEFT the live set —
+    whether by 'del' or by a weight-changing re-'add' (both can lengthen
+    a min-plus value, which monotone relaxation cannot express): the
+    effective deleted set is live-before MINUS live-after on the full
+    ``edge_cols``, so it carries the pre-batch weight regardless of what
+    the 'del' row said. Everything else keeps its still-exact value."""
+    key_cols = tuple(key_cols or edge_cols)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
@@ -559,20 +596,34 @@ def _streaming_maintenance(edge_stream, labels_dir, checkpoint_dir, run,
             *edge_cols,
             (F.lower(F.col("op")) if has_op else F.lit("add")).alias("op"),
         ).filter(F.col("src") != F.col("dst"))
+        if has_op:
+            bad = (
+                batch.filter(~F.col("op").isin("add", "del"))
+                .select("op").distinct().limit(5).collect()
+            )
+            if bad:
+                raise ValueError(
+                    "streaming maintenance: unknown op value(s) "
+                    f"{sorted(r['op'] for r in bad)}; expected 'add' | 'del'"
+                )
         edges_path = f"{labels_dir}/edges"
         labels_path = f"{labels_dir}/labels"
         batch.withColumn("_b", F.lit(batch_id)).write.mode("append").parquet(
             edges_path
         )
         log = spark.read.parquet(edges_path)
-        w = Window.partitionBy(*edge_cols).orderBy(
+        w = Window.partitionBy(*key_cols).orderBy(
             F.col("_b").desc(), (F.col("op") == "del").cast("int").desc()
         )
-        all_edges = (
-            log.withColumn("_rn", F.row_number().over(w))
-            .filter((F.col("_rn") == 1) & (F.col("op") == "add"))
-            .select(*edge_cols)
-        )
+
+        def live(frame: DataFrame) -> DataFrame:
+            return (
+                frame.withColumn("_rn", F.row_number().over(w))
+                .filter((F.col("_rn") == 1) & (F.col("op") == "add"))
+                .select(*edge_cols)
+            )
+
+        all_edges = live(log)
         try:
             prev = spark.read.parquet(labels_path)
             init = prev.select(
@@ -581,7 +632,13 @@ def _streaming_maintenance(edge_stream, labels_dir, checkpoint_dir, run,
         except Exception:  # first batch: cold start
             init = None
         if init is not None and reset is not None:
-            dels = batch.filter(F.col("op") == "del").select(*edge_cols)
+            # Effective deletions = rows of the pre-batch live set absent
+            # from the post-batch live set on the FULL edge_cols: catches
+            # plain 'del's (at any claimed weight) and weight-changing
+            # re-'add's, and carries the true pre-batch weight.
+            dels = live(log.filter(F.col("_b") < batch_id)).join(
+                all_edges, list(edge_cols), "left_anti"
+            )
             if not dels.isEmpty():
                 init = reset(init, dels, all_edges)
         res, value_col = run(all_edges, init, max_iter)

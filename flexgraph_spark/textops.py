@@ -1415,6 +1415,7 @@ def semdedup(
     n_clusters: int = 16,
     threshold: float = 0.95,
     seed: int = 42,
+    partitioner: str = "kmeans",
 ) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication —
     k-means-cluster the embedding space, then WITHIN each cluster drop
@@ -1437,6 +1438,18 @@ def semdedup(
     DuckDB oracle, mirroring ivf_topk's nprobe = n_centroids trick; the
     k-means assignment itself is gated by ann_ivf_top5.
 
+    ``partitioner``: 'kmeans' (pyspark.ml k-means|| — the production
+    quantizer) or 'sha' — the space partition is the single-table
+    sha-sign hyperplane bucketing of :func:`lsh_assign_buckets`
+    (``plane_source='sha'``, ceil(log2(n_clusters)) planes), a valid
+    coarse quantizer in its own right (random-hyperplane space
+    partitioning, Charikar 2002) whose assignment a SQL oracle replays
+    bit-for-bit. That upgrades the CLUSTERED semdedup face — partition →
+    within-partition candidate pairs → keep contract — from rows-only to
+    fully value-gated (semdedup_sha); only the k-means fit itself stays
+    outside the oracle, and that is gated separately (ann_ivf_top5 +
+    semdedup_containment).
+
     Scale: candidate work is Σ_c |c|² — pick n_clusters ≈ N / target
     cluster width so per-cluster self-joins (shuffle on centroid_id)
     stay bounded; at 100 TB, recurse or sub-sample oversized clusters.
@@ -1444,8 +1457,20 @@ def semdedup(
     """
     if n_clusters == 1:
         assigned = vectors.withColumn("centroid_id", F.lit(0))
-    else:
+    elif partitioner == "sha":
+        nb = max(1, (n_clusters - 1).bit_length())
+        assigned = (
+            lsh_assign_buckets(
+                vectors, num_planes=nb, num_tables=1, seed=seed,
+                plane_source="sha",
+            )
+            .withColumn("centroid_id", F.col("bucket"))
+            .drop("table", "bucket")
+        )
+    elif partitioner == "kmeans":
         assigned, _ = ivf_index(vectors, n_centroids=n_clusters, seed=seed)
+    else:
+        raise ValueError(f"semdedup: unknown partitioner={partitioner!r}")
     ve = assigned.select(
         "vec_id", "centroid_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
