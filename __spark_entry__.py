@@ -835,6 +835,40 @@ def _q_fabp4(spark, sf_dir):
     return res.state.select("vertex", F.round("value", 6).alias("belief"))
 
 
+def _q_fabp4_blocked(spark, sf_dir):
+    """FaBP on the blocked CSR engine via the PREDICATE prior form
+    (gimv.FaBPPredicate, batch kernel family k=2): φ recomputed in-kernel
+    from the block's global ids (needs_global_ids) and the degree
+    DELIVERED BY THE MESSAGE SUM's second component (A symmetric ⇒
+    Σ_{u∈N(v)} 1 = d(v)) — the struct-state statics dissolve into the
+    kernels, closing the last flat-only kernel family. Same recurrence,
+    same seeds (v%97: ±φ), same unrolled oracle as fabp4; phantom ids
+    (blocked state covers [0, n)) are filtered like lp4_blocked."""
+    import numpy as np
+
+    edges = _graph1000(spark, sf_dir)
+
+    def prior_np(ids):
+        return np.where(
+            ids % FABP_SEED_MOD == 0, FABP_SEED_VAL,
+            np.where(ids % FABP_SEED_MOD == 1, -FABP_SEED_VAL, 0.0),
+        )
+
+    res = algorithms.fabp(
+        edges, prior_pred=prior_np, h=FABP_H, max_iter=FABP_ITERS,
+        threshold=0.0, engine="blocked",
+        p=BLOCKED_P, dense_threshold=BLOCKED_DENSE_THRESHOLD,
+    )
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    return res.state.join(verts, "vertex").select(
+        "vertex", F.round("value", 6).alias("belief")
+    )
+
+
 def _q_spectral5(spark, sf_dir):
     """Power iteration (algorithms.power_iteration): 5 normalized
     matrix-vector products on the symmetrized graph1000 → principal
@@ -1631,6 +1665,29 @@ def _q_wlp4(spark, sf_dir):
         _graph1000_w(spark, sf_dir), max_iter=LP_ITERS
     )
     return res.state.select(
+        "vertex", F.col("value").cast("long").alias("label")
+    )
+
+
+def _q_wlp4_blocked(spark, sf_dir):
+    """Weighted LP on the blocked engine — the label_count kernel family
+    with WEIGHTED votes (per-(dst,label) weight-sum partials ride the CSR
+    blocks' weight arrays; the fused merge/argmax reduce and the
+    lowest-label tie rule are unchanged). Same canonicalized undirected
+    weighted graph and the same unrolled oracle as wlp4; phantom ids
+    filtered like lp4_blocked. Integer quantities keep weight-sum ties
+    exact on the float64 kernels."""
+    edges = _graph1000_w(spark, sf_dir)
+    res = algorithms.weighted_label_propagation(
+        edges, max_iter=LP_ITERS, engine="blocked",
+        p=BLOCKED_P, dense_threshold=BLOCKED_DENSE_THRESHOLD,
+    )
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    return res.state.join(verts, "vertex").select(
         "vertex", F.col("value").cast("long").alias("label")
     )
 
@@ -4974,6 +5031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz8": _q_katz8,
         "katz8_blocked": _q_katz8_blocked,
         "fabp4": _q_fabp4,
+        "fabp4_blocked": _q_fabp4_blocked,
         "spectral5": _q_spectral5,
         "trustrank4": _q_trustrank4,
         "trustrank4_blocked": _q_trustrank4_blocked,
@@ -5127,6 +5185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_graph_hash": _q_wl_graph_hash,
         "lp4": _q_lp4,
         "wlp4": _q_wlp4,
+        "wlp4_blocked": _q_wlp4_blocked,
         "lp_modularity": _q_lp_modularity,
         "coloring_gate": _q_coloring_gate,
         "pagerank_warm_start": _q_pagerank_warm_start,
@@ -7731,6 +7790,11 @@ group by 1, 2
         "fabp4": _fabp_sql(
             G1000_SQL, FABP_ITERS, FABP_H, FABP_SEED_MOD, FABP_SEED_VAL
         ),
+        # blocked faces run the identical recurrences -> identical oracles
+        "fabp4_blocked": _fabp_sql(
+            G1000_SQL, FABP_ITERS, FABP_H, FABP_SEED_MOD, FABP_SEED_VAL
+        ),
+        "wlp4_blocked": _wlp_sql(G1000_W_SQL, LP_ITERS),
         "spectral5": _spectral_sql(G1000_SQL, SPECTRAL_ITERS),
         "trustrank4": _trustrank_sql(
             G1000_SQL, TRUST_ITERS, gimv.PAGERANK_ALPHA, TRUST_SEED_MOD

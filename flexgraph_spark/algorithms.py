@@ -190,7 +190,8 @@ def label_propagation(
 
 
 def weighted_label_propagation(
-    edges: DataFrame, max_iter: int = 20, checkpointer=None, **kw
+    edges: DataFrame, max_iter: int = 20, checkpointer=None,
+    engine: str = "flat", **kw
 ) -> gimv.GimvResult:
     """Weight-summed majority LP (gimv.WeightedLabelPropagation): adopt
     the label with the largest incident edge-weight sum, ties → lowest
@@ -198,7 +199,9 @@ def weighted_label_propagation(
     to ONE undirected weight per pair (sum), then both directions vote —
     so (a→b, 2) + (b→a, 3) is a single strength-5 tie between the
     endpoints, not two double-counted votes. Integer-valued weights keep
-    tie detection exact. Flat plan only."""
+    tie detection exact. ``engine='blocked'`` runs the label_count
+    kernel family with weighted votes (weights ride the CSR blocks;
+    same argmax/tie rule — see gimv.WeightedLabelPropagation)."""
     und = (
         edges.select(
             F.least("src", "dst").alias("a"),
@@ -214,9 +217,9 @@ def weighted_label_propagation(
     ).unionByName(
         und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "weight")
     )
-    return gimv.run(
-        sym, gimv.WeightedLabelPropagation(), max_iter=max_iter,
-        checkpointer=checkpointer, **kw,
+    return _dispatch(
+        sym, gimv.WeightedLabelPropagation(), engine, max_iter,
+        checkpointer, kw,
     )
 
 
@@ -2078,12 +2081,15 @@ def dag_depth(
 
 def fabp(
     edges: DataFrame,
-    priors: DataFrame,
+    priors: DataFrame | None = None,
     h: float = 0.002,
     threshold: float = 0.0,
     max_iter: int = 10,
     num_partitions: int | None = None,
     checkpointer=None,
+    prior_pred=None,
+    engine: str = "flat",
+    **kw,
 ) -> gimv.GimvResult:
     """FaBP semi-supervised belief propagation (gimv.FaBP): Jacobi-iterate
     ``b ← φ + c'·A·b − a·D·b`` on the SYMMETRIZED graph (BP runs over the
@@ -2095,11 +2101,34 @@ def fabp(
     contraction (Koutra et al. 2011, Lemma 1). threshold=0.0 runs the full
     fixed depth (the oracle-unrollable contract), like katz/pagerank10.
 
+    Two prior forms (the trustrank seeds/seed_pred split):
+
+    * ``priors`` DataFrame (arbitrary beliefs): flat plan only — the
+      state is a struct(b, phi, deg).
+    * ``prior_pred(ids) -> float64[]`` — φ as a NumPy function of the
+      vertex id (labeled id ranges/buckets, the common case at scale):
+      gimv.FaBPPredicate collapses the state to a batch-family 2-vector
+      and the degree arrives via the message sum, so pass
+      ``engine='blocked'`` for the skew-aware CSR plan. Blocked
+      contract: contiguous ids [0, n).
+
     Scale shape = gimv.run's flat plan: edges pinned by src once, only the
     (vertex, struct) state shuffles per superstep; φ and deg ride the state
     struct so no static-table re-join appears in the loop.
     """
     e = symmetrize(edges.select("src", "dst"))
+    if prior_pred is not None:
+        prog = gimv.FaBPPredicate(prior_pred, h=h, threshold=threshold)
+        if num_partitions is not None:
+            kw["num_partitions"] = num_partitions
+        return _dispatch(e, prog, engine, max_iter, checkpointer, kw)
+    if priors is None:
+        raise ValueError("fabp needs priors or prior_pred")
+    if engine not in ("flat",):
+        raise ValueError(
+            "DataFrame priors run on the flat plan (struct state); use "
+            "prior_pred=lambda ids: ... for the blocked engine"
+        )
     deg = e.groupBy(F.col("src").alias("vertex")).agg(
         F.count("*").cast("double").alias("deg")
     )

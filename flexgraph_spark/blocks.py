@@ -632,15 +632,23 @@ def run_blocked(
         nz = np.nonzero((part != identity).any(axis=1))[0]
         return nz.astype(np.int32), part[nz].ravel()
 
-    def _scatter_label(dst_l, lab):
-        """Per-(dst, label) counts for one row-block slice."""
+    def _scatter_label(dst_l, lab, w=None):
+        """Per-(dst, label) vote partials for one row-block slice:
+        edge COUNTS when ``w`` is None (plain LP), edge-weight SUMS
+        otherwise (weighted LP) — the downstream merge/argmax is
+        identical (partials are float64 either way)."""
         order = np.lexsort((lab, dst_l))
         ds, ls = dst_l[order], lab[order]
         first = np.empty(len(ds), dtype=bool)
         first[0] = True
         first[1:] = (ds[1:] != ds[:-1]) | (ls[1:] != ls[:-1])
         idx = np.flatnonzero(first)
-        cnt = np.diff(np.append(idx, len(ds))).astype(np.float64)
+        bounds = np.append(idx, len(ds))
+        if w is None:
+            cnt = np.diff(bounds).astype(np.float64)
+        else:
+            csum = np.concatenate(([0.0], np.cumsum(w[order])))
+            cnt = csum[bounds[1:]] - csum[bounds[:-1]]
         return ds[idx].astype(np.int32), cnt, ls[idx].astype(np.float64)
 
     def gather(pdf_iter):
@@ -695,7 +703,10 @@ def run_blocked(
                     if len(dst_l) == 0:
                         continue
                     if label_count:
-                        d, v, l = _scatter_label(dst_l, contrib_all[sl])
+                        d, v, l = _scatter_label(
+                            dst_l, contrib_all[sl],
+                            None if w_all is None else w_all[sl],
+                        )
                     elif batch:
                         d, v = _scatter_batch(dst_l, contrib_all[sl])
                         l = None
@@ -757,7 +768,10 @@ def run_blocked(
                     if len(dst_l) == 0:
                         continue
                     if label_count:
-                        d, v, l = _scatter_label(dst_l, contrib_all[sl])
+                        d, v, l = _scatter_label(
+                            dst_l, contrib_all[sl],
+                            None if w_all is None else w_all[sl],
+                        )
                     elif batch:
                         d, v = _scatter_batch(dst_l, contrib_all[sl])
                         l = None
@@ -809,7 +823,13 @@ def run_blocked(
                 else:
                     np.add.at(acc, dst_l, vals2)
             has = (acc != identity).any(axis=1)
-            new2 = program.np_apply(old2, acc, has, n)
+            if getattr(program, "needs_global_ids", False):
+                new2 = program.np_apply(
+                    old2, acc, has, n,
+                    global_ids=np.arange(b, n, p, dtype=np.int64)[: len(old2)],
+                )
+            else:
+                new2 = program.np_apply(old2, acc, has, n)
             mask = np.asarray(program.np_changed(old2, new2), dtype=bool)
             changed = int(mask.sum())
             hs = _hub_sig(program, new2, locs, gd,

@@ -528,6 +528,82 @@ class FaBP(VertexProgram):
         return state.select("vertex", F.col("value").getField("b").alias("value"))
 
 
+class FaBPPredicate(VertexProgram):
+    """FaBP with a PREDICATE-defined prior — the blocked-engine face of
+    :class:`FaBP` (the TrustRankPredicate idea applied to the struct-state
+    program). When the seed beliefs are a function of the vertex id (a
+    labeled id range, a hash bucket, a modulus), the two per-vertex
+    statics the Jacobi update needs dissolve into the kernels and the
+    state collapses to the ``batch`` family's k=2 float64 vector:
+
+    * φ(v): recomputed in-kernel from the block's global ids
+      (``needs_global_ids`` — the batch reduce_apply passes
+      ``arange(block, n, p)``, zero extra state plumbed);
+    * d(v): DELIVERED BY THE MESSAGES — each source emits the 2-vector
+      [b_src, 1] over the symmetrized adjacency, so the sum-reduce
+      accumulator arrives as [Σ_{u∈N(v)} b_u, d(v)]: component 1 of the
+      very product that carries the beliefs counts the degree, since A
+      is symmetric (the message-side degree trick — no degree array is
+      stored, joined, or shipped).
+
+    Same recurrence, constants, and convergence contract as
+    :class:`FaBP`; ``prior_np(ids) -> float64[]`` must match the flat
+    face's priors for cross-engine equivalence (property-fuzzed in
+    tests/test_property.py). Blocked plan only — the flat face keeps
+    the struct-state :class:`FaBP` (arbitrary prior DataFrames)."""
+
+    name = "fabp"
+    needs_out_degree = False
+    supports_blocked = True
+    blocked_kind = "batch"
+    reduce_np = "sum"
+    identity = 0.0
+    needs_global_ids = True
+    k = 2  # [b, degree-carrier]
+
+    def __init__(self, prior_np, h: float = 0.002, threshold: float = 0.0):
+        import numpy as np  # noqa: F401 (kernels)
+
+        hh = 4.0 * h * h
+        self.a = hh / (1.0 - hh)
+        self.c2 = 2.0 * h / (1.0 - hh)
+        self.prior_np = prior_np
+        self.threshold = threshold
+
+    def np_init(self, global_ids, n):
+        import numpy as np
+
+        phi = np.asarray(self.prior_np(global_ids), dtype=np.float64)
+        # b₀ = φ (one Jacobi step from the zero vector — matches FaBP);
+        # component 1 is populated by the first superstep's degree sum.
+        return np.stack([phi, np.zeros(len(phi))], axis=1)
+
+    def np_signal(self, values, out_degree):
+        import numpy as np
+
+        return np.stack(
+            [values[:, 0], np.ones(len(values))], axis=1
+        )
+
+    def np_apply(self, old, msg, has_msg, n, global_ids=None):
+        import numpy as np
+
+        phi = np.asarray(self.prior_np(global_ids), dtype=np.float64)
+        deg = msg[:, 1]
+        new_b = phi + self.c2 * msg[:, 0] - self.a * deg * old[:, 0]
+        return np.stack([new_b, deg], axis=1)
+
+    def np_changed(self, old, new):
+        import numpy as np
+
+        return np.abs(new[:, 0] - old[:, 0]) > self.threshold
+
+    def finalize(self, state: DataFrame) -> DataFrame:
+        return state.select(
+            "vertex", F.element_at("value", 1).alias("value")
+        )
+
+
 class TrustRank(VertexProgram):
     """TrustRank (Gyöngyi, Garcia-Molina, Pedersen, VLDB 2004): PageRank
     with teleport restricted to a trusted seed set —
@@ -1464,16 +1540,27 @@ class WeightedLabelPropagation(VertexProgram):
     per-edge message is a struct(label, weight) so one message column
     still carries the whole semi-ring. Callers should feed an undirected
     graph with ONE canonical weight per pair (algorithms.
-    weighted_label_propagation sums directed duplicates first). Flat plan
-    only; integer-valued weights keep tie detection exact on both the
-    engine and the oracle."""
+    weighted_label_propagation sums directed duplicates first).
+    Integer-valued weights keep tie detection exact on both the engine
+    and the oracle.
+
+    The blocked engine runs it on the ``label_count`` kernel family with
+    WEIGHTED votes: gathers emit per-(dst, label) weight-SUM partials
+    (blocks._scatter_label's ``w`` argument — edge weights ride the CSR
+    blocks), and the fused merge/argmax reduce is unchanged (count
+    partials and weight partials are both float64 and sum the same
+    way). Same argmax/lowest-label-tie rule on both plans."""
 
     name = "weighted_label_propagation"
     weighted = True
-    supports_blocked = False
+    supports_blocked = True
+    blocked_kind = "label_count"
 
     def init_state(self, vertices, n):
         return vertices.select("vertex", F.col("vertex").alias("value"))
+
+    def np_init(self, global_ids, n):
+        return global_ids.astype("float64")
 
     def message(self):
         return F.struct(

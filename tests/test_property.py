@@ -310,3 +310,62 @@ def test_articulation_and_bcc_match_tarjan_on_random_graphs(spark, es):
         groups.setdefault(r.bcc_id, set()).add((r.a, r.b))
     got_blocks = {frozenset(g) for g in groups.values()}
     assert got_blocks == {frozenset(b) for b in py_biconnected(es)}
+
+
+@settings(**_SETTINGS)
+@given(es=_edges, seed=st.integers(0, 2**16),
+       dense_threshold=st.sampled_from([0, 2, 1000]))
+def test_blocked_struct_and_label_kernels_equal_flat(
+    spark, es, seed, dense_threshold
+):
+    """Round-5 extension of the blocked≡flat gate to the last two kernel
+    families that ran flat-only: FaBP (struct state → batch k=2 with the
+    message-delivered degree, gimv.FaBPPredicate) and WEIGHTED label
+    propagation (label_count with weight-sum votes). Random graphs,
+    random ±1 priors on a random modulus, random integer weights, every
+    threshold regime."""
+    from pyspark.sql import functions as F
+
+    es, n = _dense(es)
+    rng = np.random.RandomState(seed)
+    mod = int(rng.randint(2, 7))
+
+    # --- FaBP: predicate-blocked vs DataFrame-priors flat ---
+    df = fixtures.edges_df(spark, es)
+    verts = (
+        df.select(F.col("src").alias("vertex"))
+        .union(df.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    priors = verts.select(
+        "vertex",
+        F.when(F.col("vertex") % mod == 0, 1.0)
+        .when(F.col("vertex") % mod == 1, -1.0)
+        .otherwise(0.0).alias("prior"),
+    )
+
+    def prior_np(ids):
+        return np.where(ids % mod == 0, 1.0,
+                        np.where(ids % mod == 1, -1.0, 0.0))
+
+    flat = _vals(algorithms.fabp(df, priors, h=0.02, max_iter=6,
+                                 threshold=0.0))
+    blk = _vals(algorithms.fabp(
+        df, prior_pred=prior_np, h=0.02, max_iter=6, threshold=0.0,
+        engine="blocked", p=3, dense_threshold=dense_threshold,
+    ))
+    # blocked state covers all of [0, n) (phantom isolated ids included);
+    # compare on the flat (graph-vertex) set
+    for v in flat:
+        assert flat[v] == pytest.approx(blk[v], abs=1e-12), v
+
+    # --- weighted LP: blocked weighted label_count vs flat ---
+    wes = [(a, b, float(rng.randint(1, 5))) for a, b in es]
+    wdf = fixtures.edges_df(spark, wes, weighted=True)
+    flat_lp = _vals(algorithms.weighted_label_propagation(wdf, max_iter=4))
+    blk_lp = _vals(algorithms.weighted_label_propagation(
+        wdf, max_iter=4, engine="blocked",
+        p=3, dense_threshold=dense_threshold,
+    ))
+    for v in flat_lp:
+        assert flat_lp[v] == blk_lp[v], v

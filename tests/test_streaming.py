@@ -512,3 +512,113 @@ def test_streaming_maintenance_re_add_after_delete(spark, tmp_path):
     got = {r["vertex"]: r["cluster"]
            for r in spark.read.parquet(f"{labels_dir}/labels").collect()}
     assert set(got.values()) == {0}  # everything one component again
+
+
+def test_sssp_repair_cost_proportional_to_impact_radius(spark, tmp_path):
+    """Decremental-repair COST witness (the Ramalingam–Reps claim, now
+    measured, not just asserted in prose): on a 40-vertex chain with a
+    leaf hanging off vertex 1, deleting the leaf edge must reset exactly
+    the leaf (affected = 1, rounds = 0 — its subtree), and deleting the
+    mid-chain edge (20,21) must reset exactly the 20-vertex downstream
+    suffix with rounds ∝ its depth — never O(V) / O(diameter-of-graph)
+    relative to the untouched prefix."""
+    from flexgraph_spark import streaming
+
+    n = 40
+    chain = [(i, i + 1, 1.0, "add") for i in range(n)]
+    batches = [
+        chain + [(1, 100, 1.0, "add")],
+        [(1, 100, 1.0, "del")],      # leaf: subtree = {100}
+        [(20, 21, 1.0, "del")],      # mid-chain: subtree = {21..40}
+    ]
+    src_dir = str(tmp_path / "stream_cost")
+    _write_batches(
+        spark, src_dir, batches, "src long, dst long, weight double, op string")
+    stream = (
+        spark.readStream.schema("src long, dst long, weight double, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    metrics: list[dict] = []
+    q = streaming.streaming_sssp_maintenance(
+        stream, str(tmp_path / "cost_state"), str(tmp_path / "ckpt_cost"),
+        source_vertex=0, repair_metrics=metrics,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+
+    assert len(metrics) == 2, metrics
+    leaf, mid = metrics
+    assert leaf["deleted_edges"] == 1
+    assert leaf["affected"] == 1        # just the leaf, not O(V)
+    assert leaf["rounds"] == 0          # no live tight out-edges to chase
+    assert mid["deleted_edges"] == 1
+    assert mid["affected"] == n - 20    # exactly the downstream suffix
+    assert mid["rounds"] <= n - 20      # ∝ impact radius, not graph size
+    # the untouched prefix kept exact distances: final state == cold run
+    got = {r["vertex"]: r["dist"] for r in
+           spark.read.parquet(f"{tmp_path}/cost_state/labels").collect()}
+    for v in range(21):
+        assert got[v] == float(v), (v, got[v])
+    assert all(v not in got or got[v] >= 1e17 for v in range(21, n + 1))
+
+
+def test_sssp_weight_raising_readd_repairs(spark, tmp_path):
+    """A re-'add' of an existing edge with a HIGHER weight lengthens
+    distances (equivalent to delete+insert under the (src,dst) edge
+    identity) — the maintenance scaffold must route it through the
+    repair pass, and a 'del' that quotes a different weight than the
+    original add must still kill the edge."""
+    from flexgraph_spark import algorithms, streaming
+
+    batches = [
+        [(0, 1, 1.0, "add"), (1, 2, 1.0, "add"), (0, 2, 9.0, "add")],
+        [(0, 1, 5.0, "add")],        # weight raise: dist(1) 1->5, dist(2) 2->7
+        [(1, 2, 123.0, "del")],      # del with wrong weight: edge still dies
+    ]
+    src_dir = str(tmp_path / "stream_wraise")
+    _write_batches(
+        spark, src_dir, batches, "src long, dst long, weight double, op string")
+    stream = (
+        spark.readStream.schema("src long, dst long, weight double, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    labels_dir = str(tmp_path / "wraise_state")
+    q = streaming.streaming_sssp_maintenance(
+        stream, labels_dir, str(tmp_path / "ckpt_wraise"), source_vertex=0
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    got = {r["vertex"]: r["dist"] for r in
+           spark.read.parquet(f"{labels_dir}/labels").collect()}
+    live = [(0, 1, 5.0), (0, 2, 9.0)]
+    cold = algorithms.sssp(
+        spark.createDataFrame(live, "src long, dst long, weight double"),
+        source_vertex=0)
+    want = {r["vertex"]: r["value"] for r in cold.state.collect()}
+    for v, d in want.items():
+        assert got[v] == d, (v, got[v], d)
+    assert got[1] == 5.0 and got[2] == 9.0
+
+
+def test_streaming_maintenance_rejects_unknown_op(spark, tmp_path):
+    """A typo'd op ('remove') must FAIL the batch loudly instead of
+    silently acting as a delete (the edge would otherwise vanish from
+    the last-writer-wins live set with no error)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from flexgraph_spark import streaming
+
+    batches = [[(0, 1, "add"), (1, 2, "remove")]]
+    src_dir = str(tmp_path / "stream_badop")
+    _write_batches(spark, src_dir, batches, "src long, dst long, op string")
+    stream = (
+        spark.readStream.schema("src long, dst long, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = streaming.streaming_cc_maintenance(
+        stream, str(tmp_path / "badop_state"), str(tmp_path / "ckpt_badop")
+    ).trigger(availableNow=True).start()
+    with pytest.raises(StreamingQueryException, match="unknown op"):
+        q.awaitTermination(300)
