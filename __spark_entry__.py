@@ -4989,96 +4989,63 @@ def _q_heavy_hitters_gate(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "lsh_recall_gate": _q_lsh_recall_gate,
-        "minhash_recall_gate": _q_minhash_recall_gate,
-        "wkcore": _q_wkcore,
-        "cyclomatic": _q_cyclomatic,
-        "import_cycles": _q_import_cycles,
-        "ngram_novelty": _q_ngram_novelty,
-        "articulation": _q_articulation,
-        "bcc_blocks": _q_bcc_blocks,
-        "bcc_bridge_gate": _q_bcc_bridge_gate,
-        "emb_neardup_sha": _q_emb_neardup_sha,
-        "louvain_gate": _q_louvain_gate,
-        "ktruss": _q_ktruss,
-        "trussness_consistency": _q_trussness_consistency,
-        "msf": _q_msf,
-        "scc": _q_scc,
-        "betweenness8": _q_betweenness8,
-        "diameter_ifub": _q_diameter,
-        "bpe_merges": _q_bpe_merges,
-        "bpe_vocab": _q_bpe_vocab,
-        "effective_diameter": _q_effective_diameter,
-        "hadi_precision": _q_hadi_precision,
-        "hadi_series": _q_hadi_series,
-        "hadi_registers": _q_hadi_registers,
-        "semdedup_k1": _q_semdedup_k1,
         "semdedup_sha": _q_semdedup_sha,
-        "semdedup": _q_semdedup,
-        "semdedup_containment": _q_semdedup_containment,
-        "winnow_containment": _q_winnow_containment,
-        "semantic_communities": _q_semantic_communities,
-        "knn_mutual": _q_knn_mutual,
-        "ann_sq_top5": _q_ann_sq_top5,
-        "pq_gates": _q_pq_gates,
-        "hard_negatives": _q_hard_negatives,
-        "kcore": _q_kcore,
-        "coreness4": _q_coreness4,
-        "coreness_kcore_consistency": _q_coreness_kcore_consistency,
-        "modularity_moves2": _q_modularity_moves2,
-        "hits4": _q_hits4,
-        "salsa4": _q_salsa4,
-        "katz8": _q_katz8,
-        "katz8_blocked": _q_katz8_blocked,
-        "fabp4": _q_fabp4,
+        "hadi_registers": _q_hadi_registers,
         "fabp4_blocked": _q_fabp4_blocked,
-        "spectral5": _q_spectral5,
-        "trustrank4": _q_trustrank4,
-        "trustrank4_blocked": _q_trustrank4_blocked,
-        "spam_mass": _q_spam_mass,
-        "hitting_prob4": _q_hitting_prob4,
-        "ppr_sweep": _q_ppr_sweep,
-        "ppr_push12": _q_ppr_push,
-        "batch_ppr10": _q_batch_ppr10,
-        "batch_ppr10_blocked": _q_batch_ppr10_blocked,
-        "bridges": _q_bridges,
+        "wlp4_blocked": _q_wlp4_blocked,
+        "closeness4": _q_closeness4,
+        "eff_radius4": _q_eff_radius,
+        "radius_plot": _q_radius_plot,
+        "oddball": _q_oddball,
+        "slashburn": _q_slashburn,
+        "triad_census": _q_triad_census,
+        "dyad_census": _q_dyad_census,
+        "node2vec_walks": _q_node2vec_walks,
+        "walk_cooccurrence": _q_walk_cooccurrence,
+        "simrank_top": _q_simrank_top,
+        "neighbor_sample": _q_neighbor_sample,
+        "random_walks": _q_random_walks,
+        "k4_count": _q_k4,
+        "squares": _q_squares,
         "two_ecc": _q_two_ecc,
         "influence": _q_influence,
         "block_cut_stats": _q_block_cut_stats,
         "local_clustering": _q_local_clustering,
         "global_clustering": _q_global_clustering,
         "triangles_sampled": _q_triangles_sampled,
-        "k4_count": _q_k4,
-        "squares": _q_squares,
         "link_prediction": _q_link_prediction,
         "neighborhood3": _q_neighborhood3,
-        "rank_select": _q_rank_select,
-        "dyad_census": _q_dyad_census,
-        "triad_census": _q_triad_census,
-        "slashburn": _q_slashburn,
-        "oddball": _q_oddball,
-        "rmat": _q_rmat,
-        "eff_radius4": _q_eff_radius,
-        "radius_plot": _q_radius_plot,
-        "bipartite": _q_bipartite,
-        "html_extract": _q_html_extract,
-        "powerlaw_alpha": _q_powerlaw_alpha,
-        "contract50": _q_contract50,
-        "mis": _q_mis,
         "matching": _q_matching,
+        "mis": _q_mis,
+        "contract50": _q_contract50,
         "cond_levels": _q_cond_levels,
         "dag_depth": _q_dag_depth,
         "rich_club": _q_rich_club,
         "gstats": _q_gstats,
-        "shuffle_order": _q_shuffle_order,
         "densest_series": _q_densest_series,
         "densest_members": _q_densest_members,
-        "node2vec_walks": _q_node2vec_walks,
-        "closeness4": _q_closeness4,
+        "bipartite": _q_bipartite,
+        "powerlaw_alpha": _q_powerlaw_alpha,
+        "rmat": _q_rmat,
+        "shuffle_order": _q_shuffle_order,
+        "vertex_cover": _q_vertex_cover,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_sample": _q_dsir_sample,
+        "sample_exact": _q_sample_exact,
+        "sample_stratified": _q_sample_stratified,
+        "mixture_weights": _q_mixture_weights,
+        "perplexity_buckets": _q_perplexity_buckets,
+        "decontaminate": _q_decontaminate,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "near_dup_minhash": _q_near_dup_minhash,
+        "hadi_series": _q_hadi_series,
+        "semdedup": _q_semdedup,
+        "rank_select": _q_rank_select,
+        "html_extract": _q_html_extract,
         "co_occurrence": _q_co_occurrence,
         "bm25_top20": _q_bm25_top20,
         "tfidf_terms": _q_tfidf_terms,
-        "vertex_cover": _q_vertex_cover,
         "random_projection": _q_random_projection,
         "kmeans_assign_gate": _q_kmeans_assign_gate,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -5091,23 +5058,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": _q_chunk_docs,
         "pii_redact": _q_pii_redact,
         "url_domains": _q_url_domains,
-        "random_walks": _q_random_walks,
-        "simrank_top": _q_simrank_top,
-        "walk_cooccurrence": _q_walk_cooccurrence,
-        "neighbor_sample": _q_neighbor_sample,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "perplexity_buckets": _q_perplexity_buckets,
-        "decontaminate": _q_decontaminate,
-        "sample_stratified": _q_sample_stratified,
         "top_bigrams": _q_top_bigrams,
         "collocations": _q_collocations,
         "unigram_logprob": _q_unigram_logprob,
         "bigram_logprob": _q_bigram_logprob,
-        "mixture_weights": _q_mixture_weights,
-        "sample_exact": _q_sample_exact,
-        "dsir_weights": _q_dsir_weights,
-        "dsir_sample": _q_dsir_sample,
         "pack_documents": _q_pack_documents,
         "edge_window_degrees": _q_edge_window_degrees,
         "rollup": _q_rollup,
@@ -5139,6 +5093,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_screen": _q_bloom_screen,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "heavy_hitters_gate": _q_heavy_hitters_gate,
+        "simhash": _q_simhash,
+        "simhash_neardup": _q_simhash_neardup,
+        "ann_lsh_top5": _q_ann_lsh_top5,
+        "emb_neardup": _q_emb_neardup,
+        "winnow_fp": _q_winnow_fp,
+        "lsh_recall_gate": _q_lsh_recall_gate,
+        "minhash_recall_gate": _q_minhash_recall_gate,
+        "wkcore": _q_wkcore,
+        "cyclomatic": _q_cyclomatic,
+        "import_cycles": _q_import_cycles,
+        "ngram_novelty": _q_ngram_novelty,
+        "articulation": _q_articulation,
+        "bcc_blocks": _q_bcc_blocks,
+        "bcc_bridge_gate": _q_bcc_bridge_gate,
+        "emb_neardup_sha": _q_emb_neardup_sha,
+        "louvain_gate": _q_louvain_gate,
+        "ktruss": _q_ktruss,
+        "trussness_consistency": _q_trussness_consistency,
+        "msf": _q_msf,
+        "scc": _q_scc,
+        "betweenness8": _q_betweenness8,
+        "diameter_ifub": _q_diameter,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_vocab": _q_bpe_vocab,
+        "effective_diameter": _q_effective_diameter,
+        "hadi_precision": _q_hadi_precision,
+        "semdedup_k1": _q_semdedup_k1,
+        "semdedup_containment": _q_semdedup_containment,
+        "winnow_containment": _q_winnow_containment,
+        "semantic_communities": _q_semantic_communities,
+        "knn_mutual": _q_knn_mutual,
+        "ann_sq_top5": _q_ann_sq_top5,
+        "pq_gates": _q_pq_gates,
+        "hard_negatives": _q_hard_negatives,
+        "kcore": _q_kcore,
+        "coreness4": _q_coreness4,
+        "coreness_kcore_consistency": _q_coreness_kcore_consistency,
+        "modularity_moves2": _q_modularity_moves2,
+        "hits4": _q_hits4,
+        "salsa4": _q_salsa4,
+        "katz8": _q_katz8,
+        "katz8_blocked": _q_katz8_blocked,
+        "fabp4": _q_fabp4,
+        "spectral5": _q_spectral5,
+        "trustrank4": _q_trustrank4,
+        "trustrank4_blocked": _q_trustrank4_blocked,
+        "spam_mass": _q_spam_mass,
+        "hitting_prob4": _q_hitting_prob4,
+        "ppr_sweep": _q_ppr_sweep,
+        "ppr_push12": _q_ppr_push,
+        "batch_ppr10": _q_batch_ppr10,
+        "batch_ppr10_blocked": _q_batch_ppr10_blocked,
+        "bridges": _q_bridges,
         "edges_supplier_part": _q_edges,
         "out_degree_top20": _q_out_degree_top20,
         "in_degree_hist": _q_degree_hist,
@@ -5185,7 +5192,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_graph_hash": _q_wl_graph_hash,
         "lp4": _q_lp4,
         "wlp4": _q_wlp4,
-        "wlp4_blocked": _q_wlp4_blocked,
         "lp_modularity": _q_lp_modularity,
         "coloring_gate": _q_coloring_gate,
         "pagerank_warm_start": _q_pagerank_warm_start,
@@ -5200,17 +5206,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_groups": _q_dup_groups,
         "fingerprint_sha": _q_fingerprint_sha,
         "near_dup_exact": _q_near_dup_exact,
-        "near_dup_minhash": _q_near_dup_minhash,
         "minhash_precision": _q_minhash_precision,
-        "simhash": _q_simhash,
-        "simhash_neardup": _q_simhash_neardup,
         "simhash_precision": _q_simhash_precision,
         "ann_top5": _q_ann_top5,
-        "ann_lsh_top5": _q_ann_lsh_top5,
         "ann_ivf_top5": _q_ann_ivf_top5,
-        "emb_neardup": _q_emb_neardup,
         "emb_neardup_precision": _q_emb_neardup_precision,
-        "winnow_fp": _q_winnow_fp,
         "event_window_counts": _q_event_windows,
         "event_sessions": _q_event_sessions,
         "media_features": _q_media_features,
