@@ -885,6 +885,26 @@ def _q_spectral5(spark, sf_dir):
     )
 
 
+def _q_spectral5_blocked(spark, sf_dir):
+    """Power iteration on the blocked CSR kernels via DEFERRED
+    NORMALIZATION (gimv.MatVec): the per-step L2 normalize is only a
+    scalar, so the loop runs 4 unnormalized sum-kernel supersteps (zero
+    driver synchronization inside the loop — strictly fewer barriers
+    than the flat face) and one flat readout product recovers the unit
+    eigenvector and λ = ‖A·y‖/‖y‖ exactly. Same unrolled oracle as
+    spectral5 (x_k ∝ A^k·x₀ whatever the intermediate scaling)."""
+    state, lam, _ = algorithms.power_iteration(
+        _graph1000(spark, sf_dir), max_iter=SPECTRAL_ITERS,
+        engine="blocked", p=BLOCKED_P,
+        dense_threshold=BLOCKED_DENSE_THRESHOLD,
+    )
+    return state.select(
+        "vertex",
+        F.round("value", 6).alias("eig"),
+        F.round(F.lit(lam), 6).alias("lambda_est"),
+    )
+
+
 def _q_trustrank4(spark, sf_dir):
     """TrustRank (gimv.TrustRank): PageRank with teleport restricted to
     the trusted seed set v%101==0, fixed 4 iterations — oracle = the
@@ -4993,6 +5013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hadi_registers": _q_hadi_registers,
         "fabp4_blocked": _q_fabp4_blocked,
         "wlp4_blocked": _q_wlp4_blocked,
+        "spectral5_blocked": _q_spectral5_blocked,
         "closeness4": _q_closeness4,
         "eff_radius4": _q_eff_radius,
         "radius_plot": _q_radius_plot,
@@ -7796,6 +7817,7 @@ group by 1, 2
         ),
         "wlp4_blocked": _wlp_sql(G1000_W_SQL, LP_ITERS),
         "spectral5": _spectral_sql(G1000_SQL, SPECTRAL_ITERS),
+        "spectral5_blocked": _spectral_sql(G1000_SQL, SPECTRAL_ITERS),
         "trustrank4": _trustrank_sql(
             G1000_SQL, TRUST_ITERS, gimv.PAGERANK_ALPHA, TRUST_SEED_MOD
         ),

@@ -2525,6 +2525,8 @@ def power_iteration(
     edges: DataFrame,
     max_iter: int = 5,
     num_partitions: int | None = None,
+    engine: str = "flat",
+    **kw,
 ) -> tuple[DataFrame, float, list[IterationMetrics]]:
     """Principal eigenvector + spectral radius of the SYMMETRIZED adjacency
     by power iteration (the HEIGEN / PEGASUS spectral-analysis headline at
@@ -2542,10 +2544,23 @@ def power_iteration(
     so the src-pinned copy serves Aᵀ = A), only the O(V) vector shuffles
     per product, and the L2 norm rides the SAME job that materializes the
     raw product as an Observation — one edge join, one job per iteration.
-    """
+
+    ``engine='blocked'`` runs the products on the CSR kernels via
+    DEFERRED NORMALIZATION — the blocked engine's answer to a per-step
+    global scalar: since x_k ∝ A^k·x₀ whatever the intermediate scaling,
+    the loop runs k−1 UNNORMALIZED sum-kernel supersteps (gimv.MatVec —
+    no driver scalar inside the loop at all, strictly fewer
+    synchronization points than the flat face) and a single flat readout
+    product recovers λ = ‖A·y‖/‖y‖ and the unit eigenvector exactly
+    (float64 headroom: ‖y‖ grows like λ^k ≲ 1e10 at gate depths; rescale
+    periodically for deeper runs). Blocked contract: contiguous ids
+    [0, n); phantom isolated ids go to 0 after one product and are
+    dropped from the output."""
     import math
 
     spark = edges.sparkSession
+    if engine == "blocked":
+        return _power_iteration_blocked(edges, max_iter, kw)
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = (
         symmetrize(edges.select("src", "dst"))
@@ -2606,6 +2621,78 @@ def power_iteration(
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     e.unpersist()
     verts.unpersist()
+    return x, lam, metrics
+
+
+def _power_iteration_blocked(edges, max_iter, kw):
+    """Deferred-normalization blocked face of :func:`power_iteration` —
+    see its docstring. k−1 unnormalized MatVec supersteps on the CSR
+    kernels, then one flat readout product for (x, λ)."""
+    import math
+
+    from flexgraph_spark import blocks
+
+    spark = edges.sparkSession
+    e = symmetrize(edges.select("src", "dst")).persist()
+    n_edges = e.count()
+    verts = (
+        e.select(F.col("src").alias("vertex")).distinct().persist()
+    )
+    n = verts.count()
+    if n == 0:
+        e.unpersist()
+        verts.unpersist()
+        empty = spark.createDataFrame([], "vertex long, value double")
+        return empty, 0.0, []
+    if max_iter <= 1:
+        y = verts.select("vertex", F.lit(1.0).alias("value"))
+        metrics = []
+    else:
+        res = blocks.run_blocked(
+            e, gimv.MatVec(), max_iter=max_iter - 1,
+            p=kw.get("p"), dense_threshold=kw.get(
+                "dense_threshold", blocks.DENSE_THRESHOLD_DEFAULT),
+        )
+        # phantom ids ([0, n) slots absent from the graph) are exact
+        # zeros after the first product; drop them so norms and output
+        # match the flat (graph-vertex) face
+        y = res.state.join(verts, "vertex")
+        metrics = res.metrics
+    y = gimv.truncate_plan(y)
+    raw = (
+        e.join(y.withColumnRenamed("vertex", "src").hint("shuffle_hash"),
+               "src")
+        .groupBy(F.col("dst").alias("vertex"))
+        .agg(F.sum("value").alias("raw"))
+    )
+    row = (
+        verts.join(raw, "vertex", "left")
+        .agg(
+            F.sum(F.coalesce("raw", F.lit(0.0))
+                  * F.coalesce("raw", F.lit(0.0))).alias("ss_raw"),
+        )
+        .crossJoin(y.agg(F.sum(F.col("value") * F.col("value")).alias("ss_y")))
+        .first()
+    )
+    nrm_raw = math.sqrt(row["ss_raw"] or 0.0)
+    nrm_y = math.sqrt(row["ss_y"] or 0.0)
+    lam = (nrm_raw / nrm_y) if nrm_y > 0 else 0.0
+    x = gimv.truncate_plan(
+        verts.join(raw, "vertex", "left").select(
+            "vertex",
+            (F.coalesce("raw", F.lit(0.0)) / F.lit(nrm_raw or 1.0))
+            .alias("value"),
+        )
+    )
+    y.unpersist()
+    e.unpersist()
+    verts.unpersist()
+    metrics = metrics + [
+        IterationMetrics(
+            iteration=len(metrics) + 1, messages_shuffled=n_edges,
+            changed=n, edges_scanned=n_edges, seconds=0.0,
+        )
+    ]
     return x, lam, metrics
 
 

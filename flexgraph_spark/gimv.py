@@ -528,6 +528,51 @@ class FaBP(VertexProgram):
         return state.select("vertex", F.col("value").getField("b").alias("value"))
 
 
+class MatVec(VertexProgram):
+    """Bare unnormalized matrix–vector product ``y ← A·y`` on the sum
+    semi-ring — the building block of the DEFERRED-NORMALIZATION blocked
+    power iteration (algorithms.power_iteration engine='blocked'): the
+    per-step L2 normalization is only a scalar, so x_k ∝ A^k·x₀ holds
+    whatever the intermediate scaling and the normalize moves OUTSIDE
+    the loop — zero driver synchronization per superstep. Start vector
+    is all-ones (scale-irrelevant); vertices with no in-messages go to
+    exact 0 (matching the flat face's coalesce(raw, 0))."""
+
+    name = "matvec"
+    supports_blocked = True
+    blocked_kind = "scalar"
+    reduce_np = "sum"
+    identity = 0.0
+
+    def init_state(self, vertices, n):
+        return vertices.select("vertex", F.lit(1.0).alias("value"))
+
+    def np_init(self, global_ids, n):
+        import numpy as np
+
+        return np.ones(len(global_ids))
+
+    def np_apply(self, old, msg, has_msg, n):
+        return msg
+
+    def np_changed(self, old, new):
+        import numpy as np
+
+        return np.ones(len(new), dtype=bool)  # fixed depth: never settles
+
+    def message(self):
+        return F.col("value")
+
+    def reduce_expr(self):
+        return F.sum("msg")
+
+    def apply(self, old, msg, n):
+        return F.coalesce(msg, F.lit(0.0))
+
+    def changed(self, old, new):
+        return F.lit(True)
+
+
 class FaBPPredicate(VertexProgram):
     """FaBP with a PREDICATE-defined prior — the blocked-engine face of
     :class:`FaBP` (the TrustRankPredicate idea applied to the struct-state

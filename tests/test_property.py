@@ -369,3 +369,16 @@ def test_blocked_struct_and_label_kernels_equal_flat(
     ))
     for v in flat_lp:
         assert flat_lp[v] == blk_lp[v], v
+
+    # --- power iteration: deferred-normalization blocked vs per-step flat
+    fx, flam, _ = algorithms.power_iteration(df, max_iter=4)
+    bx, blam, _ = algorithms.power_iteration(
+        df, max_iter=4, engine="blocked", p=3,
+        dense_threshold=dense_threshold,
+    )
+    fd = {r.vertex: r.value for r in fx.collect()}
+    bd = {r.vertex: r.value for r in bx.collect()}
+    assert set(fd) == set(bd)
+    assert flam == pytest.approx(blam, rel=1e-9)
+    for v in fd:
+        assert fd[v] == pytest.approx(bd[v], abs=1e-9), v
