@@ -660,6 +660,27 @@ def _q_hits4(spark, sf_dir):
     )
 
 
+def _q_hits4_blocked(spark, sf_dir):
+    """HITS on the blocked CSR engine via VERTEX DOUBLING + PARITY
+    MASKING (gimv.AlternatingPropagation): hub copies keep their ids,
+    authorities live at v+n, each edge contributes both directions to
+    ONE block set, and the batch-family apply accepts the message sum
+    only on the half whose turn it is — the exact Gauss–Seidel
+    alternation (auth from hubs, then hubs from the FRESH auths) that a
+    fixed block set can't express directly. Per-half-step L2 norms defer
+    to one end normalization (scalars preserve direction). Same unrolled
+    oracle as hits4."""
+    res = algorithms.hits(
+        _graph1000(spark, sf_dir), max_iter=HITS_ITERS, engine="blocked",
+        p=BLOCKED_P, dense_threshold=BLOCKED_DENSE_THRESHOLD,
+    )
+    return res.state.select(
+        "vertex",
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    )
+
+
 def _graph_scc(spark, sf_dir) -> DataFrame:
     """The GSCC_SQL fixture graph (see constant comment): 10 intra-dense
     blocks chained by sparse forward-only cross edges."""
@@ -1061,6 +1082,24 @@ def _q_salsa4(spark, sf_dir):
     4-iteration recurrence — oracle = the same recurrence unrolled with
     degree-normalized half-steps."""
     res = algorithms.salsa(_graph1000(spark, sf_dir), max_iter=SALSA_ITERS)
+    return res.state.select(
+        "vertex",
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    )
+
+
+def _q_salsa4_blocked(spark, sf_dir):
+    """SALSA on the blocked engine — the doubling/parity face of
+    _q_hits4_blocked with scaled signals: in the doubled graph, gdeg IS
+    outdeg for hub copies and indeg for authority copies, so BOTH SALSA
+    denominators ride the standard CSR degree plumbing (gdeg arrays) and
+    nothing is deferred (SALSA has no normalization); blocked values
+    equal flat values outright. Same unrolled oracle as salsa4."""
+    res = algorithms.salsa(
+        _graph1000(spark, sf_dir), max_iter=SALSA_ITERS, engine="blocked",
+        p=BLOCKED_P, dense_threshold=BLOCKED_DENSE_THRESHOLD,
+    )
     return res.state.select(
         "vertex",
         F.round("hub", 6).alias("hub"),
@@ -5014,6 +5053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fabp4_blocked": _q_fabp4_blocked,
         "wlp4_blocked": _q_wlp4_blocked,
         "spectral5_blocked": _q_spectral5_blocked,
+        "hits4_blocked": _q_hits4_blocked,
+        "salsa4_blocked": _q_salsa4_blocked,
         "closeness4": _q_closeness4,
         "eff_radius4": _q_eff_radius,
         "radius_plot": _q_radius_plot,
@@ -7648,6 +7689,7 @@ select {BLOCK_CUT_P} as p,
 from cells
 """,
         "hits4": _hits_sql(G1000_SQL, HITS_ITERS),
+        "hits4_blocked": _hits_sql(G1000_SQL, HITS_ITERS),
         "kcore": _kcore_sql(G1000_SQL, KCORE_K, KCORE_ROUNDS),
         "wkcore": _wkcore_sql(G1000_W_SQL, WKCORE_T, WKCORE_ROUNDS),
         "cyclomatic": """
@@ -7870,6 +7912,7 @@ select k::bigint as k,
 from ks
 """,
         "salsa4": _salsa_sql(G1000_SQL, SALSA_ITERS),
+        "salsa4_blocked": _salsa_sql(G1000_SQL, SALSA_ITERS),
         "betweenness8": _betweenness_sql(G1000_SQL, BETW_SOURCES, BETW_DEPTH),
         "gstats": f"""
 with e as materialized ({G1000_SQL}),

@@ -678,8 +678,69 @@ def random_walks(
     return out
 
 
+def _alternating_blocked(
+    edges: DataFrame, max_iter: int, scaled: bool, normalize: bool, kw: dict
+) -> GimvResult:
+    """Shared blocked path for hits/salsa (gimv.AlternatingPropagation —
+    vertex doubling + parity masking; see its docstring). Returns the
+    flat faces' (vertex, hub, auth) state restricted to graph vertices;
+    ``normalize`` applies the deferred end L2 normalization (HITS)."""
+    import math
+
+    from flexgraph_spark import blocks
+
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").distinct()
+    mx = e.agg(F.greatest(F.max("src"), F.max("dst"))).first()[0]
+    if mx is None:
+        empty = spark.createDataFrame([], "vertex long, hub double, auth double")
+        return GimvResult(state=empty, iterations=0, converged=True, metrics=[])
+    n = int(mx) + 1
+    e2 = e.select("src", (F.col("dst") + n).alias("dst")).unionByName(
+        e.select((F.col("dst") + n).alias("src"), F.col("src").alias("dst"))
+    )
+    res = blocks.run_blocked(
+        e2, gimv.AlternatingPropagation(n, scaled=scaled),
+        max_iter=2 * max_iter, n=2 * n,
+        p=kw.get("p"),
+        dense_threshold=kw.get(
+            "dense_threshold", blocks.DENSE_THRESHOLD_DEFAULT),
+    )
+    st = res.state
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .union(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    hub = st.filter(F.col("vertex") < n).select(
+        "vertex", F.col("value").alias("hub")
+    )
+    auth = st.filter(F.col("vertex") >= n).select(
+        (F.col("vertex") - n).alias("vertex"), F.col("value").alias("auth")
+    )
+    state = verts.join(hub, "vertex").join(auth, "vertex")
+    if normalize:
+        state = truncate_plan(state)
+        row = state.agg(
+            F.sum(F.col("hub") * F.col("hub")).alias("hh"),
+            F.sum(F.col("auth") * F.col("auth")).alias("aa"),
+        ).first()
+        hn = math.sqrt(row["hh"] or 0.0) or 1.0
+        an = math.sqrt(row["aa"] or 0.0) or 1.0
+        state = state.select(
+            "vertex",
+            (F.col("hub") / F.lit(hn)).alias("hub"),
+            (F.col("auth") / F.lit(an)).alias("auth"),
+        )
+    return GimvResult(
+        state=state, iterations=max_iter, converged=False,
+        metrics=res.metrics,
+    )
+
+
 def hits(
-    edges: DataFrame, max_iter: int = 10, num_partitions: int | None = None
+    edges: DataFrame, max_iter: int = 10, num_partitions: int | None = None,
+    engine: str = "flat", **kw
 ) -> GimvResult:
     """HITS (Kleinberg hubs & authorities) over a directed edge set.
 
@@ -699,8 +760,18 @@ def hits(
     each half-step runs exactly ONE edge join in ONE job — the first cut
     recomputed the edge join in a separate norm-aggregate job (2x edge
     scans per half-step, measured ~2x the superstep wall time).
+
+    ``engine='blocked'`` runs the alternation on the CSR kernels via
+    vertex doubling + parity masking (gimv.AlternatingPropagation) with
+    the per-half-step L2 normalizations DEFERRED to one end normalize —
+    exact at gate depths (values ∝-preserved per half-step); contiguous
+    ids [0, n), pre-deduped edges.
     """
     import math
+    if engine == "blocked":
+        return _alternating_blocked(
+            edges, max_iter, scaled=False, normalize=True, kw=kw
+        )
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     e_src = edges.select("src", "dst").repartition(p, "src").persist()
@@ -2697,7 +2768,8 @@ def _power_iteration_blocked(edges, max_iter, kw):
 
 
 def salsa(
-    edges: DataFrame, max_iter: int = 10, num_partitions: int | None = None
+    edges: DataFrame, max_iter: int = 10, num_partitions: int | None = None,
+    engine: str = "flat", **kw
 ) -> GimvResult:
     """SALSA (Lempel & Moran, stochastic HITS): per iteration
     ``auth(v) = Σ_{u→v} hub(u)/outdeg(u)`` then
@@ -2716,7 +2788,18 @@ def salsa(
     ``ideg`` on the dst copy), so supersteps never join a degree table —
     the same degrees-ride-with-the-edges trick as the blocked engine's
     ``gdeg`` arrays (blocks.py).
+
+    ``engine='blocked'``: vertex doubling + parity masking
+    (gimv.AlternatingPropagation, ``scaled=True``) — in the doubled
+    graph ``gdeg`` IS odeg for hubs and ideg for authorities, so both
+    SALSA denominators ride the standard degree plumbing and no
+    normalization of any kind is deferred (SALSA has none); blocked
+    values equal flat values outright. Contiguous ids [0, n).
     """
+    if engine == "blocked":
+        return _alternating_blocked(
+            edges, max_iter, scaled=True, normalize=False, kw=kw
+        )
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = edges.select("src", "dst").distinct()

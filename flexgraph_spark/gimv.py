@@ -573,6 +573,86 @@ class MatVec(VertexProgram):
         return F.lit(True)
 
 
+class AlternatingPropagation(VertexProgram):
+    """Blocked-engine face of the two-phase hub/authority recurrences
+    (HITS, SALSA) — the last flat-only shape. Those programs alternate
+    the matrix per half-step (auth ← Aᵀ·hub THEN hub ← A·auth, the
+    second using the FRESH auth), which a single fixed block set cannot
+    express directly. The trick is VERTEX DOUBLING + PARITY MASKING:
+
+    * the graph doubles to [0, 2n): hub copies keep their ids, authority
+      copies live at v+n; every original edge (u, v) becomes BOTH
+      ``u → v+n`` (hub signal into authorities) and ``v+n → u``
+      (authority signal into hubs), so one block set carries both
+      directions and ``gdeg`` in the doubled graph is exactly the
+      out-degree for hubs and the IN-degree for authorities — SALSA's
+      two normalizing denominators come for free from the existing
+      degree plumbing;
+    * the batch k=2 state carries [value, step]; every superstep ALL
+      messages flow, but np_apply (with ``needs_global_ids`` telling the
+      halves apart) accepts the message sum only on the half whose turn
+      it is — even steps update authorities from hubs, odd steps update
+      hubs from the fresh authorities — and bumps the step counter. The
+      stale half's simultaneous (Jacobi) sums are computed and
+      discarded, which costs one wasted gather per half-step but buys
+      the EXACT Gauss–Seidel alternation the flat faces define.
+
+    ``scaled=True`` divides each signal by the sender's gdeg (SALSA's
+    column-stochastic half-steps — no other normalization exists, so
+    blocked values equal flat values outright). ``scaled=False`` is raw
+    HITS; its per-half-step L2 normalization is only a scalar, so it
+    defers to one end normalization in the wrapper (the MatVec deferred-
+    normalization argument, valid at gate depths — rescale for deep
+    runs). Run 2·max_iter supersteps for max_iter two-phase iterations.
+    Inputs should be pre-deduped; ids contiguous [0, n)."""
+
+    name = "alternating"
+    supports_blocked = True
+    blocked_kind = "batch"
+    reduce_np = "sum"
+    identity = 0.0
+    needs_global_ids = True
+    k = 2  # [value, step]
+
+    def __init__(self, n_orig: int, scaled: bool):
+        self.n_orig = int(n_orig)
+        self.scaled = scaled
+
+    def np_init(self, global_ids, n):
+        import numpy as np
+
+        val = np.where(global_ids < self.n_orig, 1.0, 0.0)  # hub init = 1
+        return np.stack([val, np.zeros(len(val))], axis=1)
+
+    def np_signal(self, values, out_degree):
+        import numpy as np
+
+        v = values[:, 0]
+        if self.scaled:
+            v = np.divide(v, out_degree, out=np.zeros_like(v),
+                          where=out_degree > 0)
+        return np.stack([v, np.zeros(len(v))], axis=1)
+
+    def np_apply(self, old, msg, has_msg, n, global_ids=None):
+        import numpy as np
+
+        step = old[0, 1] if len(old) else 0.0
+        is_auth = global_ids >= self.n_orig
+        take = is_auth if int(step) % 2 == 0 else ~is_auth
+        val = np.where(take, msg[:, 0], old[:, 0])
+        return np.stack([val, np.full(len(val), step + 1.0)], axis=1)
+
+    def np_changed(self, old, new):
+        import numpy as np
+
+        return np.ones(len(new), dtype=bool)  # fixed depth
+
+    def finalize(self, state: DataFrame) -> DataFrame:
+        return state.select(
+            "vertex", F.element_at("value", 1).alias("value")
+        )
+
+
 class FaBPPredicate(VertexProgram):
     """FaBP with a PREDICATE-defined prior — the blocked-engine face of
     :class:`FaBP` (the TrustRankPredicate idea applied to the struct-state

@@ -382,3 +382,17 @@ def test_blocked_struct_and_label_kernels_equal_flat(
     assert flam == pytest.approx(blam, rel=1e-9)
     for v in fd:
         assert fd[v] == pytest.approx(bd[v], abs=1e-9), v
+
+    # --- HITS + SALSA: vertex-doubling/parity-masking blocked vs the
+    # flat alternating half-step loops (the Gauss–Seidel order must
+    # survive the doubling — a Jacobi-simultaneous bug diverges fast)
+    for fn in (algorithms.hits, algorithms.salsa):
+        fhs = {r.vertex: (r.hub, r.auth)
+               for r in fn(df, max_iter=3).state.collect()}
+        bhs = {r.vertex: (r.hub, r.auth)
+               for r in fn(df, max_iter=3, engine="blocked", p=3,
+                           dense_threshold=dense_threshold).state.collect()}
+        assert set(fhs) == set(bhs)
+        for v in fhs:
+            assert fhs[v][0] == pytest.approx(bhs[v][0], abs=1e-9), v
+            assert fhs[v][1] == pytest.approx(bhs[v][1], abs=1e-9), v
