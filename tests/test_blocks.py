@@ -241,3 +241,28 @@ def test_partition_cut_stats_golden(spark):
     assert row["max_cell"] == 2  # cell (bc=0,br=0) holds (0,2),(2,4)
     assert row["mean_cell"] == round(5 / 4, 6)
     assert row["cell_skew"] == round(2 * 4 / 5, 6)
+
+
+def test_alternating_blocked_survives_empty_blocks_and_all_dense(spark):
+    """gimv.AlternatingPropagation edge cases: p greater than the doubled
+    vertex count leaves some state blocks EMPTY (the len(old)==0 step-
+    counter guard), and dense_threshold=0 (all-dense degenerate mode)
+    must still deliver the exact alternation. Both compared to flat."""
+    from flexgraph_spark import algorithms
+
+    es = [(0, 1), (1, 0), (1, 2)]
+    df = spark.createDataFrame(es, "src long, dst long")
+    flat = {r.vertex: (round(r.hub, 9), round(r.auth, 9))
+            for r in algorithms.salsa(df, max_iter=2).state.collect()}
+    blk = {r.vertex: (round(r.hub, 9), round(r.auth, 9))
+           for r in algorithms.salsa(
+               df, max_iter=2, engine="blocked", p=8, dense_threshold=1
+           ).state.collect()}
+    assert flat == blk
+    fh = {r.vertex: (round(r.hub, 9), round(r.auth, 9))
+          for r in algorithms.hits(df, max_iter=2).state.collect()}
+    bh = {r.vertex: (round(r.hub, 9), round(r.auth, 9))
+          for r in algorithms.hits(
+              df, max_iter=2, engine="blocked", p=8, dense_threshold=0
+          ).state.collect()}
+    assert fh == bh
