@@ -690,6 +690,13 @@ def _alternating_blocked(
     from flexgraph_spark import blocks
 
     spark = edges.sparkSession
+    if kw.get("blocks") is not None:
+        raise ValueError(
+            "hits/salsa blocked run over the DOUBLED vertex space — "
+            "prebuilt blocks of the original graph decode to the wrong "
+            "grid; drop --blocks and let the run prepartition the "
+            "doubled edge set"
+        )
     e = edges.select("src", "dst").distinct()
     mx = e.agg(F.greatest(F.max("src"), F.max("dst"))).first()[0]
     if mx is None:
@@ -2189,6 +2196,12 @@ def fabp(
     """
     e = symmetrize(edges.select("src", "dst"))
     if prior_pred is not None:
+        if engine != "blocked":
+            raise ValueError(
+                "prior_pred is the blocked-engine prior form "
+                "(gimv.FaBPPredicate has no flat face) — pass "
+                "engine='blocked', or a priors DataFrame for the flat plan"
+            )
         prog = gimv.FaBPPredicate(prior_pred, h=h, threshold=threshold)
         if num_partitions is not None:
             kw["num_partitions"] = num_partitions

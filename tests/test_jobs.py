@@ -243,10 +243,19 @@ def test_fabp_job(spark, edges_parquet, tmp_path):
     df = spark.read.parquet(out)
     assert set(df.columns) == {"vertex", "value"}
     assert df.count() > 0
-    # blocked engine is rejected (struct-valued state)
+    # blocked engine needs the PREDICATE prior form (--prior-mod), not a
+    # parquet prior table (the statics dissolve into the kernels)
     with pytest.raises(SystemExit):
         _run(fabp_job, ["--edges", edges_parquet, "--output", out,
                         "--priors", priors_p, "--engine", "blocked"])
+    out_b = str(tmp_path / "fabp_blocked")
+    _run(fabp_job, ["--edges", edges_parquet, "--output", out_b,
+                    "--prior-mod", "2", "--engine", "blocked",
+                    "--homophily", "0.01", "--max-iter", "5",
+                    "--num-partitions", "2"])
+    dfb = spark.read.parquet(out_b)
+    assert set(dfb.columns) == {"vertex", "value"}
+    assert dfb.count() > 0
 
 
 def test_dsir_job(spark, tmp_path):
@@ -578,3 +587,20 @@ def test_similarity_job_communities_lsh_candidates(spark, tmp_path):
                    "--output", out, "--k", "2", "--candidates", "lsh"])
     df = spark.read.parquet(out)
     assert set(df.columns) == {"vec_id", "cluster"} and df.count() == 9
+
+
+def test_hits_job_both_engines(spark, edges_parquet, tmp_path):
+    import jobs.hits as hits_job
+
+    out_f = str(tmp_path / "hits_flat")
+    _run(hits_job, ["--edges", edges_parquet, "--output", out_f,
+                    "--max-iter", "3"])
+    out_b = str(tmp_path / "hits_blocked")
+    _run(hits_job, ["--edges", edges_parquet, "--output", out_b,
+                    "--max-iter", "3", "--engine", "blocked",
+                    "--num-partitions", "2"])
+    f = {r.vertex: (round(r.hub, 9), round(r.auth, 9))
+         for r in spark.read.parquet(out_f).collect()}
+    b = {r.vertex: (round(r.hub, 9), round(r.auth, 9))
+         for r in spark.read.parquet(out_b).collect()}
+    assert f == b
