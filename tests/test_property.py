@@ -264,6 +264,45 @@ def test_decremental_sssp_repair_equals_cold(spark, es, data):
 
 @given(_edges, st.data())
 @settings(**_SETTINGS)
+def test_weight_change_repair_equals_cold(spark, es, data):
+    """Round-5 delete semantics fuzz: a weight-CHANGING re-add acts as
+    delete+insert (the maintenance scaffold derives effective deletions
+    as live-before MINUS live-after on the full edge columns, carrying
+    the PRE-batch weight). Raise some weights, lower others at random;
+    reset with the pre-change rows as dels over the post-change live set
+    — warm relaxation must equal a cold run on the new weights (raises
+    are the dangerous direction; lowers over-reset harmlessly)."""
+    from flexgraph_spark.streaming import _sssp_delete_reset
+
+    w = [(a, b, float(1 + (a * 7 + b * 3) % 5)) for a, b in es]
+    k = data.draw(st.integers(0, len(w)))
+    idx = data.draw(st.permutations(range(len(w))))
+    changed = set(idx[:k])
+    new_w = [
+        (a, b, (wt + 3.0) if a % 2 == 0 else 1.0) if i in changed
+        else (a, b, wt)
+        for i, (a, b, wt) in enumerate(w)
+    ]
+    schema = "src long, dst long, weight double"
+    src = es[0][0]
+    pd_full = algorithms.sssp(
+        spark.createDataFrame(w, schema), source_vertex=src).state
+    live_df = spark.createDataFrame(new_w, schema)
+    dels = [w[i] for i in changed if w[i][2] != new_w[i][2]]
+    if dels:
+        init = _sssp_delete_reset(src)(
+            pd_full, spark.createDataFrame(dels, schema), live_df)
+    else:
+        init = pd_full
+    warm = algorithms.sssp(live_df, source_vertex=src, initial_state=init)
+    cold = algorithms.sssp(live_df, source_vertex=src)
+    got = {r["vertex"]: r["value"] for r in warm.state.collect()}
+    want = {r["vertex"]: r["value"] for r in cold.state.collect()}
+    assert got == want
+
+
+@given(_edges, st.data())
+@settings(**_SETTINGS)
 def test_decremental_cc_repair_equals_cold(spark, es, data):
     """Random graph, random delete subset: component cold-restart of the
     affected components + HashMin warm start must equal a cold CC on the
